@@ -1,13 +1,193 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{EventStatements, StatementTransforms}
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in [[queries]] has a matching DuckDB oracle in [[oracleSql]]
+  * (same column names, deterministic ordering, doubles rounded at the output
+  * boundary) unless the operator is not SQL-expressible.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Cast a literal to the column's actual type (parquet ns timestamps may
+    * surface as TIMESTAMP_NTZ depending on inference — keep predicates
+    * type-aligned so they still push down to the scan). */
+  private def tsLit(df: DataFrame, colName: String, s: String): Column =
+    lit(s).cast(df.schema(colName).dataType)
+
+  /** Flagship: the reference's full anonymize+route DAG on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    EventStatements.routed(spark, "/root/testdata/sf0.001")
+
+  // ---- parity queries (SURVEY §2 operator inventory) ----
+
+  private def o3CountRange(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    ev.filter(col("ts") >= tsLit(ev, "ts", "2024-02-01 00:00:00") &&
+        col("ts") < tsLit(ev, "ts", "2024-03-01 00:00:00"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  private def o4o5Extract(spark: SparkSession, dir: String): DataFrame =
+    EventStatements.extracted(Tables(spark, dir).events)
+      .withColumn("ts_s", StatementTransforms.sinkTimestamp(col("ts")))
+      .select(col("id"), col("user_id"), col("event_type"), col("k"), col("ts_s"))
+      .orderBy(col("id"))
+
+  private def o6o7Anonymize(spark: SparkSession, dir: String): DataFrame =
+    EventStatements.anonymized(Tables(spark, dir).events)
+      .select(col("user_id"), col("actor_name"), col("normalized_name"), col("hashed_id"))
+      .distinct()
+      .orderBy(col("user_id"))
+
+  private def o8o9StatementJson(spark: SparkSession, dir: String): DataFrame =
+    EventStatements.statements(Tables(spark, dir).events)
+      .select(col("id"), col("statement"))
+      .orderBy(col("id"))
+
+  private def o12OptOutDim(spark: SparkSession, dir: String): DataFrame =
+    EventStatements.optOutDim(Tables(spark, dir).events)
+      .select(col("user_id"), col("hashed_id"), col("k"), col("version"))
+      .orderBy(col("user_id"))
+
+  private def o11o13Route(spark: SparkSession, dir: String): DataFrame =
+    EventStatements.routed(spark, dir)
+      .select(col("id"), col("user_id"), col("route"))
+      .orderBy(col("id"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // reference-parity DAG operators
+    "o3_count_range"   -> (o3CountRange(_, _)),
+    "o4_o5_extract"    -> (o4o5Extract(_, _)),
+    "o6_o7_anonymize"  -> (o6o7Anonymize(_, _)),
+    "o8_o9_statement_json" -> (o8o9StatementJson(_, _)),
+    "o12_optout_dim"   -> (o12OptOutDim(_, _)),
+    "o11_o13_route"    -> (o11o13Route(_, _)),
+    // relational coverage (Catalyst-native, SURVEY §2.1)
+    "q1_agg"           -> (Relational.q1Agg(_, _)),
+    "q3_topk"          -> (Relational.q3TopK(_, _)),
+    "q5_multijoin"     -> (Relational.q5MultiJoin(_, _)),
+    "w1_topn_per_group" -> (Relational.w1TopNPerGroup(_, _)),
+    "w2_running_sum"   -> (Relational.w2RunningSum(_, _)),
+    "set_except"       -> (Relational.setExcept(_, _)),
+    "agg_stats"        -> (Relational.aggStats(_, _)),
+  )
+
+  // DuckDB-dialect oracles over the same parquet tables (driver registers
+  // each table name as a view over {dir}/{name}.parquet).
+
+  /** Shared CTE: the anonymization chain in SQL (mirrors EventStatements). */
+  private val anonCte: String =
+    """WITH extracted AS (
+      |  SELECT event_id AS id, ts, user_id, event_type, value,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events
+      |  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND json_extract_string(props, '$.k') IS NOT NULL
+      |), named AS (
+      |  SELECT *,
+      |    CASE CAST(user_id % 3 AS INT)
+      |      WHEN 0 THEN 'user' || user_id || '@example.org'
+      |      WHEN 1 THEN 'mailto:user' || user_id
+      |      ELSE 'user' || user_id END AS actor_name
+      |  FROM extracted
+      |), anon AS (
+      |  SELECT *,
+      |    CASE WHEN contains(actor_name, '@') THEN split_part(actor_name, '@', 1)
+      |         ELSE actor_name END AS normalized_name,
+      |    sha256('graft-salt' || 'tenant_a' ||
+      |      CASE WHEN contains(actor_name, '@') THEN split_part(actor_name, '@', 1)
+      |           ELSE actor_name END) AS hashed_id
+      |  FROM named
+      |  WHERE length(CASE WHEN contains(actor_name, '@') THEN split_part(actor_name, '@', 1)
+      |                    ELSE actor_name END) > 0
+      |), optout_dim AS (
+      |  SELECT user_id, max_by(hashed_id, id) AS hashed_id, max_by(k, id) AS k,
+      |         max(id) AS version
+      |  FROM anon WHERE event_type = 'signup' GROUP BY user_id
+      |), optout AS (
+      |  SELECT hashed_id FROM optout_dim WHERE k % 3 = 0
+      |)
+      |""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "o3_count_range" ->
+      """SELECT count(*) AS cnt FROM events
+        |WHERE ts >= TIMESTAMP '2024-02-01 00:00:00' AND ts < TIMESTAMP '2024-03-01 00:00:00'""".stripMargin,
+    "o4_o5_extract" -> (anonCte +
+      """SELECT id, user_id, event_type, k, strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS ts_s
+        |FROM extracted ORDER BY id""".stripMargin),
+    "o6_o7_anonymize" -> (anonCte +
+      """SELECT DISTINCT user_id, actor_name, normalized_name, hashed_id
+        |FROM anon ORDER BY user_id""".stripMargin),
+    "o8_o9_statement_json" -> (anonCte +
+      """SELECT id, '{"actor":{"account":{"name":"' || hashed_id || '"}},"verb":"' ||
+        |  event_type || '","k":' || k || '}' AS statement
+        |FROM anon ORDER BY id""".stripMargin),
+    "o12_optout_dim" -> (anonCte +
+      """SELECT user_id, hashed_id, k, version FROM optout_dim ORDER BY user_id""".stripMargin),
+    "o11_o13_route" -> (anonCte +
+      """SELECT id, user_id,
+        |  CASE WHEN hashed_id IN (SELECT hashed_id FROM optout) THEN 'opt_out' ELSE 'main' END AS route
+        |FROM anon ORDER BY id""".stripMargin),
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk" ->
+      """SELECT l_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "w1_topn_per_group" ->
+      """SELECT mktsegment, rn, orderkey, totalprice FROM (
+        |  SELECT c_mktsegment AS mktsegment, o_orderkey AS orderkey,
+        |    round(o_totalprice, 2) AS totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn <= 3 ORDER BY mktsegment, rn""".stripMargin,
+    "w2_running_sum" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "set_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
 }

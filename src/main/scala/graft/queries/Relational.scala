@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator coverage (joins / aggregations / windows / set ops /
+  * top-k) over the TPC-H-ish star schema.
+  *
+  * The reference pipeline itself contains no relational query surface beyond
+  * a COUNT (SURVEY §2 O3) and an argmax dimension load (O12) — everything
+  * here is Catalyst-native capability we expose deliberately (SURVEY §2.1).
+  *
+  * Scale notes (100 TB design stance):
+  *   - Aggregations use map-side partial aggregation automatically
+  *     (HashAggregate partial → shuffle on group keys → final).
+  *   - Joins against the small dimensions (region/nation/customer at dim
+  *     scale) are broadcast explicitly, so the big fact tables (lineitem,
+  *     orders) never shuffle for those joins.
+  *   - Top-k is expressed as orderBy+limit, which Spark executes as
+  *     TakeOrderedAndProject — per-partition partial top-k then a driver
+  *     merge of k·numPartitions rows, never a global sort of the fact table.
+  *   - All double-valued aggregates are rounded at the output boundary only
+  *     (determinism for the oracle compare); internal math stays on raw
+  *     doubles inside whole-stage codegen.
+  */
+object Relational {
+
+  /** TPC-H Q1-like pricing summary: scan-heavy multi-aggregate.
+    * Exercises: predicate pushdown to parquet, partial aggregation,
+    * multi-expression HashAggregate inside one WholeStageCodegen span. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q3-like shipping-priority top-k.
+    * customer is the small side → broadcast; orders⋈lineitem shuffles on
+    * orderkey (the natural co-partitioning key at scale); final top-10 is
+    * TakeOrderedAndProject, not a global sort. */
+  def q3TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val cust = t.customer.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = t.orders.filter($"o_orderdate" < lit("2024-06-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = t.lineitem.select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy($"l_orderkey", to_date($"o_orderdate").as("orderdate"))
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+      .select($"l_orderkey".as("orderkey"), $"orderdate", $"revenue")
+  }
+
+  /** TPC-H Q5-like local-supplier volume: 5-way join + aggregate.
+    * region/nation/supplier/customer are dimensions → broadcast chain keeps
+    * lineitem (the 100 TB fact) shuffle-free until the final group-by. */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val nr = t.nation.join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val li = t.lineitem.select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    li.join(t.orders.select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t.supplier.select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(t.customer.select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nr), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Window top-N per group: top-3 orders by totalprice per market segment.
+    * Window shuffles once on the partition key; rank predicate prunes early. */
+  def w1TopNPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"o_totalprice".desc, $"o_orderkey")
+    t.orders.join(broadcast(t.customer.select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"c_mktsegment".as("mktsegment"), $"rn", $"o_orderkey".as("orderkey"),
+        round($"o_totalprice", 2).as("totalprice"))
+      .orderBy($"mktsegment", $"rn")
+  }
+
+  /** Running (cumulative) per-key window aggregate over the event stream.
+    * One shuffle on user_id; in-partition sort; incremental frame evaluation. */
+  def w2RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).events
+      .withColumn("running_value", round(sum($"value").over(w), 2))
+      .select($"event_id", $"user_id", $"running_value")
+      .orderBy($"event_id")
+  }
+
+  /** Set operations: purchasers who never had an error event (EXCEPT ≡
+    * left_anti after distinct). Distinct = partial-agg'd shuffle. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    val purchasers = ev.filter($"event_type" === "purchase").select($"user_id").distinct()
+    val errored = ev.filter($"event_type" === "error").select($"user_id").distinct()
+    purchasers.except(errored).orderBy($"user_id")
+  }
+
+  /** Multi-aggregate statistics incl. exact and approximate distinct counts.
+    * At 100 TB, countDistinct is the shuffle-expensive one (expand + 2-phase
+    * agg); approx_count_distinct (HLL++) is the scale path and is included
+    * here as its own column to keep both semantics exercised. */
+  def aggStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("n_orders"),
+        round(min($"l_extendedprice"), 2).as("min_price"),
+        round(max($"l_extendedprice"), 2).as("max_price"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+}

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's correctness gate (dev tool only; the
+shipped Scala library does not depend on this).
+
+Usage: python3 tools/verify_local.py [sfdir] [outdir]
+  1. expects `sbt "runMain graft.Verify <sfdir> <outdir>"` to have been run
+  2. loads each <outdir>/<name> parquet and runs the matching oracle_sql.json
+     entry in DuckDB over <sfdir>'s tables
+  3. compares: row count, column names (sorted), and values (rows sorted,
+     columns sorted by name) — reports per-query PASS/FAIL with diffs.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    pdir = f"{outdir}/{name}"
+    if not os.path.isdir(pdir):
+        print(f"FAIL {name}: no spark output dir"); fails.append(name); continue
+    try:
+        spark_df = con.sql(f"SELECT * FROM '{pdir}/*.parquet'").df()
+    except Exception as e:
+        print(f"FAIL {name}: cannot read spark output: {e}"); fails.append(name); continue
+    try:
+        ora_df = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle sql error: {e}"); fails.append(name); continue
+
+    a = spark_df.reindex(sorted(spark_df.columns), axis=1)
+    b = ora_df.reindex(sorted(ora_df.columns), axis=1)
+    if list(a.columns) != list(b.columns):
+        print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}"); fails.append(name); continue
+    if len(a) != len(b):
+        print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); fails.append(name); continue
+    a = a.sort_values(by=list(a.columns), ignore_index=True) if len(a) else a
+    b = b.sort_values(by=list(b.columns), ignore_index=True) if len(b) else b
+    # normalize: stringify everything (approximates the driver's value hash)
+    astr = a.astype(str); bstr = b.astype(str)
+    if astr.equals(bstr):
+        print(f"PASS {name} ({len(a)} rows)")
+    else:
+        diff = (astr != bstr)
+        ncell = int(diff.values.sum())
+        print(f"FAIL {name}: {ncell} differing cells")
+        idx = diff.any(axis=1)
+        print("  spark:", astr[idx].head(3).to_dict("records"))
+        print("  oracle:", bstr[idx].head(3).to_dict("records"))
+        fails.append(name)
+
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} PASS" + (f"; FAILED: {fails}" if fails else ""))
+sys.exit(1 if fails else 0)
