@@ -59,6 +59,28 @@ object SparkEntry {
       .select(col("id"), col("user_id"), col("route"))
       .orderBy(col("id"))
 
+  /** O10 — the escape chain over adversarial inputs: two backslash runs of
+    * varying parity, embedded single quotes, and wrapping double quotes. */
+  private def o10Escape(spark: SparkSession, dir: String): DataFrame =
+    EventStatements.extracted(Tables(spark, dir).events)
+      .withColumn("raw",
+        concat(lit("\"it's "), repeat(lit("\\"), (col("k") % 5).cast("int")),
+          lit(" x"), repeat(lit("\\"), (col("k") % 3).cast("int")), lit(" end\"")))
+      .withColumn("escaped", StatementTransforms.processStatement(col("raw")))
+      .select(col("id"), col("raw"), col("escaped"))
+      .orderBy(col("id"))
+
+  /** O14 — sink VALUES-tuple formatting (`src/main.rs:864-867`), minus the
+    * server-side `now()` column which is non-deterministic by design. */
+  private def o14FormatValues(spark: SparkSession, dir: String): DataFrame =
+    EventStatements.statements(Tables(spark, dir).events)
+      .withColumn("insert_values",
+        concat(lit("('"), col("id").cast("string"), lit("','"),
+          StatementTransforms.processStatement(col("statement")), lit("','"),
+          StatementTransforms.sinkTimestamp(col("ts")), lit("')")))
+      .select(col("id"), col("insert_values"))
+      .orderBy(col("id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // reference-parity DAG operators
     "o3_count_range"   -> (o3CountRange(_, _)),
@@ -67,6 +89,8 @@ object SparkEntry {
     "o8_o9_statement_json" -> (o8o9StatementJson(_, _)),
     "o12_optout_dim"   -> (o12OptOutDim(_, _)),
     "o11_o13_route"    -> (o11o13Route(_, _)),
+    "o10_escape"       -> (o10Escape(_, _)),
+    "o14_format_values" -> (o14FormatValues(_, _)),
     // relational coverage (Catalyst-native, SURVEY §2.1)
     "q1_agg"           -> (Relational.q1Agg(_, _)),
     "q3_topk"          -> (Relational.q3TopK(_, _)),
@@ -111,8 +135,19 @@ object SparkEntry {
       |  FROM anon WHERE event_type = 'signup' GROUP BY user_id
       |), optout AS (
       |  SELECT hashed_id FROM optout_dim WHERE k % 3 = 0
+      |), stmts AS (
+      |  SELECT *, '{"actor":{"account":{"name":"' || hashed_id || '"}},"verb":"' ||
+      |    event_type || '","k":' || k || '}' AS statement
+      |  FROM anon
       |)
       |""".stripMargin
+
+  /** The O10 escape chain in DuckDB SQL (prototyped + vector-tested against
+    * the closed-form semantics; see StatementTransforms.processStatement). */
+  private def duckEscape(x: String): String =
+    """replace(replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(""" +
+      x +
+      """, '\\\\', chr(1), 'g'), chr(1)||'*\\', chr(2), 'g'), chr(1)||'+', '\\\\\\\\', 'g'), chr(2), '\\\\', 'g'), '^"+', '', 'g'), '"+$', '', 'g'), chr(92)||chr(39), chr(92)||chr(92)||chr(39)), chr(39), chr(92)||chr(39))"""
 
   def oracleSql: Map[String, String] = Map(
     "o3_count_range" ->
@@ -125,9 +160,21 @@ object SparkEntry {
       """SELECT DISTINCT user_id, actor_name, normalized_name, hashed_id
         |FROM anon ORDER BY user_id""".stripMargin),
     "o8_o9_statement_json" -> (anonCte +
-      """SELECT id, '{"actor":{"account":{"name":"' || hashed_id || '"}},"verb":"' ||
-        |  event_type || '","k":' || k || '}' AS statement
-        |FROM anon ORDER BY id""".stripMargin),
+      """SELECT id, statement FROM stmts ORDER BY id""".stripMargin),
+    "o10_escape" -> (anonCte +
+      """SELECT id,
+        |  '"it' || chr(39) || 's ' || repeat(chr(92), CAST(k % 5 AS INT)) || ' x' ||
+        |    repeat(chr(92), CAST(k % 3 AS INT)) || ' end"' AS raw,
+        |""".stripMargin +
+      "  " + duckEscape(
+        """'"it' || chr(39) || 's ' || repeat(chr(92), CAST(k % 5 AS INT)) || ' x' ||
+          |    repeat(chr(92), CAST(k % 3 AS INT)) || ' end"'""".stripMargin) + " AS escaped\n" +
+      "FROM extracted ORDER BY id"),
+    "o14_format_values" -> (anonCte +
+      "SELECT id, '(' || chr(39) || id || chr(39) || ',' || chr(39) || " +
+      duckEscape("statement") + " || " +
+      """chr(39) || ',' || chr(39) || strftime(ts, '%Y-%m-%d %H:%M:%S.%g') || chr(39) || ')' AS insert_values
+        |FROM stmts ORDER BY id""".stripMargin),
     "o12_optout_dim" -> (anonCte +
       """SELECT user_id, hashed_id, k, version FROM optout_dim ORDER BY user_id""".stripMargin),
     "o11_o13_route" -> (anonCte +
@@ -179,7 +226,7 @@ object SparkEntry {
     "set_except" ->
       """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
         |EXCEPT
-        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 150.0
         |ORDER BY user_id""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,

@@ -110,14 +110,14 @@ object Relational {
       .orderBy($"event_id")
   }
 
-  /** Set operations: purchasers who never had an error event (EXCEPT ≡
+  /** Set operations: purchasers minus high-value clickers (EXCEPT ≡
     * left_anti after distinct). Distinct = partial-agg'd shuffle. */
   def setExcept(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables(spark, dir).events
     val purchasers = ev.filter($"event_type" === "purchase").select($"user_id").distinct()
-    val errored = ev.filter($"event_type" === "error").select($"user_id").distinct()
-    purchasers.except(errored).orderBy($"user_id")
+    val bigClickers = ev.filter($"event_type" === "click" && $"value" > 150.0).select($"user_id").distinct()
+    purchasers.except(bigClickers).orderBy($"user_id")
   }
 
   /** Multi-aggregate statistics incl. exact and approximate distinct counts.
