@@ -99,7 +99,7 @@ object SparkEntry {
     "w2_running_sum"   -> (Relational.w2RunningSum(_, _)),
     "set_except"       -> (Relational.setExcept(_, _)),
     "agg_stats"        -> (Relational.aggStats(_, _)),
-  )
+  ) ++ graft.queries.AnalyticsQueries.all
 
   // DuckDB-dialect oracles over the same parquet tables (driver registers
   // each table name as a view over {dir}/{name}.parquet).
@@ -236,5 +236,5 @@ object SparkEntry {
         |  round(avg(l_extendedprice), 4) AS avg_price,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-  )
+  ) ++ graft.queries.AnalyticsOracles.all
 }

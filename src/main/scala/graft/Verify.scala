@@ -17,7 +17,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // clear any stale output first so a failed query can't masquerade as
+      // a previous run's (passing) result
+      rmrf(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

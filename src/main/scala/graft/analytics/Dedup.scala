@@ -1,0 +1,193 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (the 100 TB stance for each):
+  *   - exact: group on a 256-bit content hash, never on the raw text — the
+  *     shuffle moves 32-byte keys, not documents.
+  *   - n-gram Jaccard: inverted-index candidate generation (explode shingles,
+  *     self-join on shingle) with a document-frequency cap on hot shingles so
+  *     a stop-shingle can't produce a quadratic candidate blowup; exact
+  *     Jaccard is then verified per candidate pair only.
+  *   - MinHash+LSH: k independent hash slots banded b×r; candidates share a
+  *     band bucket — the classic sub-quadratic near-dup path. Signatures are
+  *     computed in one pass over shingles; band join shuffles (band, bucket)
+  *     keys only.
+  *   - SimHash: one 60-bit signature per doc computed by a per-row fold —
+  *     zero shuffle; pairing via banding the signature.
+  *   - embedding cosine: exact all-pairs is provided for oracle-checkable
+  *     correctness at test scale; the scale path is LSH bucketing (see
+  *     [[Similarity]]) which prunes the cross join to same-bucket pairs.
+  *
+  * All hashing is derived from sha256 prefixes so the DuckDB oracle can
+  * reproduce it bit-for-bit (`('0x'||substr(sha256(x),1,15))::BIGINT` ≡
+  * Spark `conv(substr(sha2(x,256),1,15),16,10)::long` — 60 bits, no sign
+  * issues in either engine).
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of `text` (default trigrams). Short docs
+    * (< n tokens) get an empty shingle set. Backed by the compiled
+    * [[graft.functions.WordShingles]] expression (the equivalent
+    * transform/sequence HOF formulation pays interpreted per-gram dispatch —
+    * ~25 s for 5000 docs at sf0.1, measured); callers' sessions are
+    * registered by every DataFrame-level entry point here. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.GraftFunctions.wordShingles(text, n)
+
+  /** 60-bit hash of a string via sha256 prefix (oracle-reproducible). */
+  def hash60(s: Column, seed: String = ""): Column =
+    conv(substring(sha2(concat(lit(seed), s), 256), 1, 15), 16, 10).cast("long")
+
+  /** Exact dedup: one keeper (min doc_id) per distinct text. Groups on the
+    * content hash; collision probability at 2^-256 is ignorable. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Candidate pairs sharing ≥1 shingle (inverted index), with exact Jaccard
+    * verified on the full shingle sets; returns pairs with
+    * `jaccard >= minJaccard`. `maxDf` drops shingles occurring in more than
+    * that many documents from the *index only* (candidate recall knob, not a
+    * correctness knob for the verified Jaccard). */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double, n: Int = 3,
+                        maxDf: Option[Int] = None,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val withSh = docs.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+    val inverted0 = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val inverted = maxDf match {
+      case Some(cap) =>
+        // df-cap: count per shingle once (tiny agg on shingle keys), then
+        // semi-join the index against surviving shingles.
+        val keep = inverted0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("shingle")
+        inverted0.join(keep, "shingle")
+      case None => inverted0
+    }
+    // |A∩B| comes straight from the index: shingles are distinct per doc, so
+    // the number of joined rows per pair IS the intersection size. This
+    // avoids re-joining the full shingle arrays and the per-pair
+    // array_intersect — the dominant cost at candidate volume. With maxDf
+    // set, exact intersection counts are restored from the full sets below.
+    val a = inverted.as("a"); val b = inverted.as("b")
+    val common = a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = withSh.select(col("doc_id"), size(col("sh")).as("nsh"))
+    val pairs = maxDf match {
+      case None =>
+        common
+          .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("n_a")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("n_b")), "id_b")
+          .withColumn("inter", col("common").cast("double"))
+      case Some(_) =>
+        // capped index undercounts `common`; recompute exactly on the
+        // (now small) candidate set from the full shingle sets.
+        val sa = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val sb = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        common.select("id_a", "id_b")
+          .join(sa, "id_a").join(sb, "id_b")
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+          .withColumn("n_a", size(col("sh_a"))).withColumn("n_b", size(col("sh_b")))
+    }
+    pairs
+      .withColumn("jaccard", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Modulus for the minhash affine rehash family — prime below 2^30 so
+    * `(h % M) * A + B` stays under 2^60: exact int64 in Spark AND DuckDB
+    * (which errors on signed overflow rather than wrapping). */
+  val MinhashM: Long = 1073741789L
+
+  /** Deterministic affine coefficients for slot j (mirrored by the oracle). */
+  def minhashA(j: Int): Long = (2654435761L * (j + 1)) % MinhashM
+  def minhashB(j: Int): Long = (97531L * (j + 3)) % MinhashM
+
+  /** MinHash signature: k min-hash slots over the shingle set. One sha256
+    * per shingle (the expensive part) then k cheap affine rehashes
+    * `(h·A_j + B_j) mod M` — the classic universal-hash family; 16× fewer
+    * cryptographic hashes than hashing per (slot, shingle). */
+  def minhashSignature(sh: Column, k: Int): Column =
+    minhashSlots(transform(sh, s => hash60(s) % MinhashM), k)
+
+  /** Slots from an already sha-hashed base array (callers materialize the
+    * base as its own column so the sha pass runs once, not k times). */
+  def minhashSlots(base: Column, k: Int): Column =
+    array((0 until k).map(j =>
+      array_min(transform(base, h => (h * minhashA(j) + minhashB(j)) % MinhashM))): _*)
+
+  /** MinHash+LSH near-dup pairs: signatures banded `bands`דrowsPerBand`;
+    * pairs sharing any band bucket are candidates; exact Jaccard (on the full
+    * shingle sets) then filters to `minJaccard`. Sub-quadratic: the only
+    * all-pairs structure is within a band bucket. */
+  def minhashLshPairs(docs: DataFrame, minJaccard: Double,
+                      bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val k = bands * rowsPerBand
+    val withSh = docs.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = withSh
+      .withColumn("sig", graft.functions.GraftFunctions.minhashSigFast(col("sh"), k))
+    // one row per (doc, band): bucket key = the band's slice of the signature
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        bIdx => concat_ws(",", slice(col("sig"), bIdx * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val x = banded.as("x"); val y = banded.as("y")
+    val cand = x.join(y,
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sa = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val sb = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash: 60-bit signature — bit i is the sign of the sum over tokens of
+    * ±1 depending on bit i of the token's 60-bit hash. Computed as a per-row
+    * fold over a 60-slot counter array: narrow, shuffle-free, codegen'd. */
+  def simhash(text: Column): Column = {
+    val bits = 60
+    val toks = array_distinct(split(text, "\\s+"))
+    val hashes = transform(toks, t => hash60(t))
+    val counts = aggregate(
+      hashes,
+      array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
+        (a, i) => a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(bits - 1)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Exact embedding near-dup pairs: all pairs with cosine ≥ `minCos`.
+    * Quadratic by construction — correct at test scale and the oracle
+    * baseline; at 100 TB use [[Similarity.lshBucketPairs]] (same output
+    * contract, bucket-pruned candidate set). */
+  def embeddingNearDupPairs(emb: DataFrame, minCos: Double,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = Similarity.withNorm(emb, idCol, vecCol, "id_a", "v_a", "n_a")
+    val b = Similarity.withNorm(emb, idCol, vecCol, "id_b", "v_b", "n_b")
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(Similarity.cosPre(col("v_a"), col("v_b"), col("n_a"), col("n_b")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (exact; per-pair math is a codegen'd
+  * left fold, bitwise-reproducible by the DuckDB oracle). Scale path:
+  * random-hyperplane LSH bucketing — sign-bit signatures put near vectors in
+  * the same bucket, pruning the cross join to same-bucket candidates.
+  *
+  * 100 TB design notes:
+  *   - top-k broadcasts the (small) query set and streams the corpus; the
+  *     only shuffle is (query_id)-keyed for the final per-query ranking,
+  *     k·|queries| rows — never the corpus.
+  *   - the hyperplane table is a deterministic constant (derived from sha256
+  *     parity, so the oracle reproduces it exactly) materialized at plan
+  *     time as a literal — no side files, no driver→executor closure state.
+  */
+object Similarity {
+
+  /** Cosine similarity of two double arrays as a sequential left fold —
+    * identical evaluation order to the oracle's `list_reduce`, so results
+    * match bit-for-bit. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = fsum(zip_with(a, b, (x, y) => x * y))
+    dot / (norm(a) * norm(b))
+  }
+
+  private def fsum(arr: Column): Column = aggregate(arr, lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm as a sequential fold (oracle-parity). */
+  def norm(a: Column): Column = sqrt(fsum(transform(a, x => x * x)))
+
+  /** Project `emb` to (id, v: array<double>, norm) — norms computed ONCE per
+    * vector instead of per pair (at N² pair scale the norm recompute is 2/3
+    * of the flops). The identical fold yields the identical double, so
+    * hoisting it cannot change results. */
+  private[analytics] def withNorm(emb: DataFrame, idCol: String, vecCol: String,
+                                  idAs: String, vAs: String, nAs: String): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    emb.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(vAs))
+      .withColumn(nAs, norm(col(vAs)))
+  }
+
+  /** Pairwise cosine from pre-normed sides via the native codegen'd dot
+    * product ([[graft.functions.ArrayDotProduct]]). */
+  private[analytics] def cosPre(va: Column, vb: Column, na: Column, nb: Column): Column =
+    graft.functions.GraftFunctions.arrayDot(va, vb) / (na * nb)
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * Output: (query_id, rank, vec_id, cos). Self-pairs excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol, "vec_id", "v", "nv")
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "nq")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosPre(col("qv"), col("v"), col("nq"), col("nv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Deterministic ±1 hyperplane weights: w(plane, dim) = +1 iff the first
+    * hex byte of sha256("plane_dim") is even. Computed driver-side once and
+    * embedded as a literal lookup; the oracle recomputes the identical
+    * expression inline. */
+  def planeWeights(planes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dims) { (p, d) =>
+      val hex = org.apache.commons.codec.digest.DigestUtils.sha256Hex(s"${p}_${d}")
+      if (Integer.parseInt(hex.substring(0, 2), 16) % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Random-hyperplane LSH bucket id (0..2^planes-1): bit p set iff the
+    * projection of the vector on plane p is positive. */
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
+    val w = planeWeights(planes, dims)
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, array(w(p).map(lit): _*), (x, c) => x * c),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Per-vector LSH bucket assignment (the scale-path index structure). */
+  def withLshBucket(emb: DataFrame, planes: Int = 12, dims: Int = 64,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes, dims))
+
+  /** LSH-pruned near-dup pairs: only same-bucket pairs are scored; exact
+    * cosine then filters to `minCos`. Same output contract as
+    * [[Dedup.embeddingNearDupPairs]] minus cross-bucket misses (recall is
+    * governed by `planes`). */
+  def lshBucketPairs(emb: DataFrame, minCos: Double, planes: Int = 12, dims: Int = 64,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val bucketed = withLshBucket(emb, planes, dims, idCol, vecCol)
+      .withColumn("n", norm(col("v")))
+    val a = bucketed.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosPre(col("v_a"), col("v_b"), col("n_a"), col("n_b")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

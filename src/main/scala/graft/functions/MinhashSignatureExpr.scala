@@ -1,0 +1,64 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Single-pass k-slot MinHash signature over a shingle array.
+  *
+  * Twin of `array(array_min(transform(base, h -> (h·A_j + B_j) mod M)) for
+  * j < k)` over `base = transform(sh, s -> hash60(s) mod M)` — but the
+  * declarative version re-inlines the sha256 base array into every slot's
+  * expression (CollapseProject) and pays interpreted HOF dispatch per
+  * (shingle, slot). Here: one sha256 per shingle, k affine updates each, one
+  * pass. Constants match [[graft.analytics.Dedup]]'s `MinhashM`/`minhashA`/
+  * `minhashB` and the DuckDB oracle.
+  */
+case class MinhashSignatureExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val M = 1073741789L
+  private val as: Array[Long] = Array.tabulate(k)(j => (2654435761L * (j + 1)) % M)
+  private val bs: Array[Long] = Array.tabulate(k)(j => (97531L * (j + 3)) % M)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = MessageDigest.getInstance("SHA-256")
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      val digest = md.digest(s.getBytes(StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+      h = (h >>> 4) % M // first 15 hex chars mod M == hash60(s) % M
+      var j = 0
+      while (j < k) {
+        val v = (h * as(j) + bs(j)) % M
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      md.reset()
+      i += 1
+    }
+    new GenericArrayData(mins.map(m => m: java.lang.Long).asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,133 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled text-analysis expressions for the per-row hot paths.
+  *
+  * Each has a declarative HOF twin (documented per class) with identical
+  * semantics — these exist purely because interpreted per-element lambda
+  * dispatch dominated the measured cost at sf0.1 (e.g. the per-character
+  * fingerprint fold: 18.7 s → sub-second). The DuckDB oracles are written
+  * against the HOF semantics and stay valid bit-for-bit.
+  */
+private[functions] trait StringUnary extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+}
+
+/** Rolling polynomial fingerprint:
+  * `fold(codepoints)(acc*31 + cp) mod 1e9+7` — twin of
+  * `aggregate(transform(split(text,''), ascii), 0L, (acc,x) -> (acc*31+x)%M)`
+  * and DuckDB `list_reduce(list_prepend(0, list_transform(string_split(text,
+  * ''), ascii)), …)`. Iterates real code points (what `ascii` returns per
+  * single-char string). */
+case class PolyFingerprint(child: Expression) extends StringUnary {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fingerprint"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash over distinct `\s+` tokens; token hash = first 15 hex
+  * chars of sha256 as int64 (identical to [[graft.analytics.Dedup.hash60]]
+  * and the oracle's `('0x'||substr(sha256(t),1,15))::BIGINT`). Bit i of the
+  * result is set iff more distinct tokens have bit i set than clear. */
+case class SimHash60(child: Expression) extends StringUnary {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  @transient private lazy val ws = Pattern.compile("\\s+")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = ws.split(input.asInstanceOf[UTF8String].toString, -1)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    val counts = new Array[Int](60)
+    val md = MessageDigest.getInstance("SHA-256")
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (seen.add(tok)) {
+        val digest = md.digest(tok.getBytes(StandardCharsets.UTF_8))
+        // first 15 hex chars = high 60 bits of the first 8 bytes, shifted:
+        // hex[0..14] == digest bits [0, 60)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+        h = h >>> 4 // drop the 16th hex char of the first 8 bytes
+        var i = 0
+        while (i < 60) {
+          counts(i) += (if (((h >> i) & 1L) == 1L) 1 else -1)
+          i += 1
+        }
+        md.reset()
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 60) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Stopword-inventory language ID; twin of the
+  * `size(filter(tokens, _.isin(list)))` CASE cascade in
+  * [[graft.analytics.TextAnalysis.langId]] (en ≥ es ≥ de tie-break,
+  * 'unknown' when all zero). One tokenization for all three inventories. */
+case class StopwordLangId(child: Expression, en: Seq[String], es: Seq[String], de: Seq[String])
+    extends StringUnary {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_langid"
+
+  @transient private lazy val ws = Pattern.compile("\\s+")
+  @transient private lazy val enSet = en.toSet
+  @transient private lazy val esSet = es.toSet
+  @transient private lazy val deSet = de.toSet
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = ws.split(input.asInstanceOf[UTF8String].toString, -1)
+    var (hEn, hEs, hDe) = (0, 0, 0)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (enSet.contains(t)) hEn += 1
+      if (esSet.contains(t)) hEs += 1
+      if (deSet.contains(t)) hDe += 1
+      i += 1
+    }
+    val label =
+      if (hEn == 0 && hEs == 0 && hDe == 0) "unknown"
+      else if (hEn >= hEs && hEn >= hDe) "en"
+      else if (hEs >= hDe) "es"
+      else "de"
+    UTF8String.fromString(label)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

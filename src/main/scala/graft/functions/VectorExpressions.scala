@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the embedding hot path.
+  *
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` is semantically right but
+  * allocates an intermediate array per row and evaluates the lambda through
+  * interpreted HigherOrderFunction plumbing — at N² near-dup scale that is
+  * the bottleneck. This expression generates a tight primitive loop inside
+  * whole-stage codegen: no allocation, no virtual calls.
+  *
+  * Summation is a strict left-to-right fold — bit-for-bit identical to both
+  * the HOF formulation and the DuckDB oracle's `list_reduce`.
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_array_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for graft's native expressions — both as a
+  * [[org.apache.spark.sql.SparkSessionExtensions]] injector (configure
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) and as a runtime
+  * helper for sessions created without the extension. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.arrayDotDescriptor)
+}
+
+object GraftFunctions {
+  private[graft] val arrayDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_array_dot"),
+    new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_array_dot"),
+    (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1)))
+
+  /** Idempotent per-session registration (temp function namespace). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_array_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_shingles",
+      exprs => WordShingles(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"shingle size must be an int literal, got $other")
+      }),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fingerprint", exprs => PolyFingerprint(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_signature",
+      exprs => MinhashSignatureExpr(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
+      }),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHash60(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_langid", exprs => StopwordLangId(exprs(0),
+        graft.analytics.TextAnalysis.StopwordsEn,
+        graft.analytics.TextAnalysis.StopwordsEs,
+        graft.analytics.TextAnalysis.StopwordsDe), "scala_udf")
+  }
+
+  def fingerprintFast(text: Column): Column = call_function("graft_fingerprint", text)
+
+  def minhashSigFast(sh: Column, k: Int): Column =
+    call_function("graft_minhash_signature", sh, org.apache.spark.sql.functions.lit(k))
+  def simhashFast(text: Column): Column = call_function("graft_simhash", text)
+  def langIdFast(text: Column): Column = call_function("graft_langid", text)
+
+  /** Column API for the native dot product (requires [[register]]). */
+  def arrayDot(a: Column, b: Column): Column = call_function("graft_array_dot", a, b)
+
+  /** Column API for native word shingles (requires [[register]]). */
+  def wordShingles(text: Column, n: Int): Column =
+    call_function("graft_word_shingles", text, org.apache.spark.sql.functions.lit(n))
+}

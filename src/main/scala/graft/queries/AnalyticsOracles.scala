@@ -1,0 +1,132 @@
+package graft.queries
+
+/** DuckDB-dialect oracles for [[AnalyticsQueries]]. Each mirrors the Spark
+  * implementation's arithmetic exactly: identical sha256-prefix hashing,
+  * identical left-fold summation order for floating point (DuckDB
+  * `list_reduce` ≡ Spark `aggregate`), identical rounding at the output
+  * boundary. */
+object AnalyticsOracles {
+
+  private val tokCte =
+    """WITH tok AS (
+      |  SELECT doc_id, text, lang, source, string_split_regex(text, '\s+') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+      |    for i in generate_series(1, len(toks)-2)]) AS sh
+      |  FROM tok WHERE len(toks) >= 3
+      |)
+      |""".stripMargin
+
+  private val embCte =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |""".stripMargin
+
+  /** Sequential left-fold cosine between two DOUBLE[] columns. */
+  private def cosSql(a: String, b: String): String =
+    s"""round(list_reduce(list_prepend(0.0, [$a[i] * $b[i] for i in generate_series(1, len($a))]), (x,y) -> x+y) /
+       |  (sqrt(list_reduce(list_prepend(0.0, [z*z for z in $a]), (x,y) -> x+y)) *
+       |   sqrt(list_reduce(list_prepend(0.0, [z*z for z in $b]), (x,y) -> x+y))), 6)""".stripMargin
+
+  private val jaccardSql =
+    """round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "text_tokens" -> (tokCte +
+      """SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |  round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks), 4) AS avg_token_len
+        |FROM tok ORDER BY doc_id""".stripMargin),
+    "text_langid" -> (tokCte +
+      """SELECT doc_id, lang,
+        |  CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'unknown'
+        |       WHEN en >= es AND en >= de THEN 'en'
+        |       WHEN es >= de THEN 'es' ELSE 'de' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','to','and'))) AS en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','los','y'))) AS es,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS de
+        |  FROM tok) ORDER BY doc_id""".stripMargin),
+    "text_quality" -> (tokCte +
+      """SELECT doc_id,
+        |  round(punct, 4) AS punct_ratio,
+        |  round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+        |      + 0.3 * (1.0 - punct)
+        |      + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
+        |      + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+        |FROM (SELECT *,
+        |  length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
+        |  FROM tok) ORDER BY doc_id""".stripMargin),
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT sha256(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY keeper_id""".stripMargin,
+    "dedup_ngram" -> (tokCte +
+      s"""SELECT id_a, id_b, jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin),
+    "dedup_minhash" -> (tokCte +
+      s""", seeds AS (SELECT unnest(generate_series(0, 15)) AS j),
+         |hb AS (SELECT doc_id,
+         |         unnest(list_transform(sh, s -> ('0x'||substr(sha256(s),1,15))::BIGINT % 1073741789)) AS h
+         |       FROM sh),
+         |slot AS (SELECT doc_id, j,
+         |           min((h * ((2654435761 * (j+1)) % 1073741789) + ((97531 * (j+3)) % 1073741789)) % 1073741789) AS m
+         |         FROM hb, seeds GROUP BY doc_id, j),
+         |bandv AS (SELECT doc_id, j // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY j) AS bucket
+         |          FROM slot GROUP BY doc_id, j // 4),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM bandv x JOIN bandv y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b, $jaccardSql AS jaccard
+         |  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin),
+    "dedup_simhash" -> (tokCte +
+      """, td AS (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM tok),
+        |hv AS (SELECT doc_id, ('0x'||substr(sha256(t),1,15))::BIGINT AS h FROM td),
+        |bits AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS tot
+        |         FROM hv, generate_series(0, 59) g(i) GROUP BY doc_id, i)
+        |SELECT doc_id, sum(CASE WHEN tot > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END)::BIGINT AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "embed_neardup" -> (embCte +
+      s"""SELECT id_a, id_b, cos FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin),
+    "sim_topk" -> (embCte +
+      s""", scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, ${cosSql("q.v", "c.v")} AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         |SELECT query_id, rank, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "sim_lsh_bucket" -> (embCte +
+      s""", proj AS (
+         |  SELECT vec_id, p,
+         |    list_reduce(list_prepend(0.0, [v[d] *
+         |      (CASE WHEN ('0x'||substr(sha256(p||'_'||(d-1)),1,2))::INT % 2 = 0 THEN 1.0 ELSE -1.0 END)
+         |      for d in generate_series(1, len(v))]), (x,y) -> x+y) AS proj
+         |  FROM e, generate_series(0, 3) t(p)),
+         |bkt AS (SELECT vec_id, sum(CASE WHEN proj > 0 THEN 1::BIGINT << p ELSE 0::BIGINT END)::BIGINT AS bucket
+         |        FROM proj GROUP BY vec_id),
+         |b AS (SELECT e.vec_id, v, bucket FROM e JOIN bkt USING (vec_id))
+         |SELECT id_a, id_b, cos FROM (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, ${cosSql("x.v", "y.v")} AS cos
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin),
+    "mm_decode" ->
+      """SELECT doc_id, source AS format,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  ascii(substr(text, 1, 1))::INT AS first_byte,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |    (a, b) -> (a + b) % 2147483647) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

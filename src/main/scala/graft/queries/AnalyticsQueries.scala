@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.GraftFunctions
+
+/** Driver-facing entry points for the training-data-pipeline operators
+  * (dedup / similarity / text analysis / multimodal). Each returns a
+  * deterministic, oracle-comparable result: stable ordering, rounded
+  * doubles, sha-derived hashing.
+  */
+object AnalyticsQueries {
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextAnalysis.avgTokenLen(col("text")), 4).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), GraftFunctions.langIdFast(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), GraftFunctions.fingerprintFast(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables(spark, dir).documents)
+      .select(col("text_hash"), col("keeper_id"), col("n_copies"))
+      .orderBy(col("keeper_id"))
+
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables(spark, dir).documents, minJaccard = 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables(spark, dir).documents, minJaccard = 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), GraftFunctions.simhashFast(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(Tables(spark, dir).embeddings, minCos = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def simTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def simLshBucket(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshBucketPairs(Tables(spark, dir).embeddings, minCos = 0.35, planes = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def mmDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaFeatures(spark, dir)
+      .select(col("doc_id"), col("format"), col("n_bytes"), col("first_byte"), col("checksum"))
+      .orderBy(col("doc_id"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens"      -> (textTokens(_, _)),
+    "text_langid"      -> (textLangId(_, _)),
+    "text_quality"     -> (textQuality(_, _)),
+    "text_fingerprint" -> (textFingerprint(_, _)),
+    "dedup_exact"      -> (dedupExact(_, _)),
+    "dedup_ngram"      -> (dedupNgram(_, _)),
+    "dedup_minhash"    -> (dedupMinhash(_, _)),
+    "dedup_simhash"    -> (dedupSimhash(_, _)),
+    "embed_neardup"    -> (embedNearDup(_, _)),
+    "sim_topk"         -> (simTopK(_, _)),
+    "sim_lsh_bucket"   -> (simLshBucket(_, _)),
+    "mm_decode"        -> (mmDecode(_, _)),
+  )
+}

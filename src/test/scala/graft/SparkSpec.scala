@@ -23,6 +23,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(s)
     s
   }
 }

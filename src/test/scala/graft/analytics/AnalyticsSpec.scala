@@ -1,0 +1,129 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("exact dedup collapses planted duplicates to the min-id keeper") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (7L, "x y z"), (3L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.exact(docs).orderBy("keeper_id")
+      .select("keeper_id", "n_copies").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 3L), (7L, 1L)))
+  }
+
+  test("shingles: distinct trigrams; short docs → empty") {
+    import spark.implicits._
+    val got = Seq("a b c d", "a b", "a b c a b c a b c")
+      .toDF("text").select(Dedup.shingles(col("text")).as("sh"))
+      .collect().map(_.getSeq[String](0).sorted)
+    assert(got(0).toSeq == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+    assert(got(2).toSeq == Seq("a b c", "b c a", "c a b")) // distinct
+  }
+
+  test("minhash LSH finds every planted high-jaccard pair that exact ngram finds (sf0.001)") {
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+    val exactPairs = Dedup.ngramJaccardPairs(docs, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = Dedup.minhashLshPairs(docs, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH is a candidate-pruned subset; at j>=0.8 with 4x4 bands the collision
+    // probability is 1-(1-0.8^4)^4 ≈ 0.92 per pair — on the planted dups it
+    // must find at least most of them, and never a false positive.
+    assert(lshPairs.subsetOf(exactPairs))
+    assert(exactPairs.isEmpty || lshPairs.size >= (exactPairs.size * 0.5).toInt)
+    assert(exactPairs.nonEmpty, "corpus should contain planted near-dups")
+  }
+
+  test("simhash: near-identical texts have small hamming distance, random ones large") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different words about spark catalyst optimizer plans and shuffles"),
+    ).toDF("doc_id", "text")
+    val h = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(3L)))
+    assert(hamming(h(1L), h(2L)) <= 12)
+  }
+
+  test("cosine: unit parity and orthogonality") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), 1.0),
+                 (Seq(1.0, 0.0), Seq(0.0, 1.0), 0.0),
+                 (Seq(1.0, 1.0), Seq(-1.0, -1.0), -1.0))
+      .toDF("a", "b", "want")
+    val rows = df.select(Similarity.cosine(col("a"), col("b")).as("cos"), col("want")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query, no self-pairs") {
+    val emb = graft.Tables(spark, sf("sf0.001")).embeddings
+    val res = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 4).collect()
+    assert(res.length == 12)
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4))
+      rows.foreach(r => assert(r.getLong(2) != r.getLong(0)))
+      // ranks ordered by non-increasing cosine
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("multimodal stub decode: features match the bytes") {
+    val feats = Multimodal.mediaFeatures(spark, sf("sf0.001"))
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+    val joined = feats.join(docs, "doc_id")
+      .select(col("n_bytes"), length(col("text")).cast("long").as("n_chars_txt"),
+        col("first_byte"), ascii(substring(col("text"), 1, 1)).as("first_char"))
+    // ASCII corpus: byte length == char length, first byte == first char
+    assert(joined.filter(col("n_bytes") =!= col("n_chars_txt")).count() == 0)
+    assert(joined.filter(col("first_byte") =!= col("first_char")).count() == 0)
+  }
+
+  test("compiled expressions agree with their declarative HOF twins on the corpus") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+    val fpDiff = docs.select(
+      TextAnalysis.fingerprint(col("text")).as("hof"),
+      GraftFunctions.fingerprintFast(col("text")).as("fast"))
+      .filter(col("hof") =!= col("fast")).count()
+    assert(fpDiff == 0)
+    val shDiff = docs.select(
+      Dedup.simhash(col("text")).as("hof"),
+      GraftFunctions.simhashFast(col("text")).as("fast"))
+      .filter(col("hof") =!= col("fast")).count()
+    assert(shDiff == 0)
+    val liDiff = docs.select(
+      TextAnalysis.langId(col("text")).as("hof"),
+      GraftFunctions.langIdFast(col("text")).as("fast"))
+      .filter(col("hof") =!= col("fast")).count()
+    assert(liDiff == 0)
+    // WordShingles vs HOF shingle formulation
+    val toks = split(col("text"), "\\s+")
+    val hofShingles = array_sort(array_distinct(transform(
+      sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
+    val wsDiff = docs.filter(size(toks) >= 3)
+      .select(hofShingles.as("hof"), array_sort(Dedup.shingles(col("text"))).as("fast"))
+      .filter(to_json(col("hof")) =!= to_json(col("fast"))).count()
+    assert(wsDiff == 0)
+  }
+
+  test("langId returns a known label and fingerprint is deterministic") {
+    import spark.implicits._
+    val df = Seq("the cat of a house", "el gato de la casa y", "zzz qqq").toDF("text")
+    val langs = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(langs.toSeq == Seq("en", "es", "unknown"))
+    val fp1 = df.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
+    val fp2 = df.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
+    assert(fp1.toSeq == fp2.toSeq)
+  }
+}
