@@ -1,0 +1,106 @@
+package graft.pipeline
+
+/** Typed application config (SURVEY §2 O26).
+  *
+  * Mirrors the reference's `AppConfig`/`TenantConfig` structs
+  * (`/root/reference/src/main.rs:163-181`) with its two config bugs fixed
+  * rather than reproduced:
+  *   - `ENV` vs `RUST_ENV` drift (`Dockerfile:48` sets `RUST_ENV=prod`, code
+  *     reads `ENV` → prod silently loads dev config): we take the env name
+  *     explicitly and fail loudly when unset.
+  *   - example-YAML/struct drift (`config-dev.yml.example` lacks
+  *     `clickhouse_db`, `clickhouse_table_opt_out`, `batch_size` the structs
+  *     require): one schema, validated with explicit error messages.
+  */
+final case class TenantConfig(
+    name: String,
+    mongoUri: String,
+    mongoDb: String,
+    mongoCollection: String,
+    clickhouseUri: String,
+    clickhouseDb: String,
+    clickhouseTable: String,
+    clickhouseTableOptOut: String)
+
+final case class AppConfig(
+    tenants: Seq[TenantConfig],
+    encryptionSalt: String,
+    batchSize: Int,
+    clickhouseUri: String) {
+  require(tenants.nonEmpty, "config: at least one tenant required")
+  require(encryptionSalt.nonEmpty, "config: encryption_salt must be non-empty")
+  require(batchSize > 0, "config: batch_size must be positive")
+}
+
+object AppConfig {
+
+  /** Parse the minimal YAML subset the config uses (top-level scalars plus a
+    * `tenants:` list of flat maps). Not a general YAML parser — quoted
+    * scalars, comments, and the fixture shape in FIXTURES.md §5 only. */
+  def fromYaml(text: String): AppConfig = {
+    val lines = text.linesIterator
+      .map(l => l.takeWhile(_ != '#'))
+      .filter(_.trim.nonEmpty).toVector
+
+    val top = scala.collection.mutable.Map[String, String]()
+    val tenants = scala.collection.mutable.ArrayBuffer[Map[String, String]]()
+    var inTenants = false
+    var current: scala.collection.mutable.Map[String, String] = null
+
+    def unquote(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 && ((t.head == '"' && t.last == '"') || (t.head == '\'' && t.last == '\'')))
+        t.substring(1, t.length - 1)
+      else t
+    }
+
+    for (line <- lines) {
+      val indent = line.takeWhile(_ == ' ').length
+      val body = line.trim
+      if (indent == 0) {
+        inTenants = body == "tenants:"
+        if (!inTenants) {
+          val Array(k, v) = body.split(":", 2)
+          top(k.trim) = unquote(v)
+        }
+      } else if (inTenants) {
+        val item = if (body.startsWith("- ")) {
+          current = scala.collection.mutable.Map[String, String]()
+          tenants += Map() // placeholder, replaced below
+          body.drop(2)
+        } else body
+        val Array(k, v) = item.split(":", 2)
+        current(k.trim) = unquote(v)
+        tenants(tenants.length - 1) = current.toMap
+      }
+    }
+
+    def req(m: Map[String, String], k: String, ctx: String): String =
+      m.getOrElse(k, throw new IllegalArgumentException(s"config: missing '$k' in $ctx"))
+
+    AppConfig(
+      tenants = tenants.toSeq.map { t =>
+        val name = req(t, "name", "tenant")
+        TenantConfig(
+          name = name,
+          mongoUri = req(t, "mongo_uri", s"tenant $name"),
+          mongoDb = req(t, "mongo_db", s"tenant $name"),
+          mongoCollection = req(t, "mongo_collection", s"tenant $name"),
+          clickhouseUri = req(t, "clickhouse_uri", s"tenant $name"),
+          clickhouseDb = req(t, "clickhouse_db", s"tenant $name"),
+          clickhouseTable = req(t, "clickhouse_table", s"tenant $name"),
+          clickhouseTableOptOut = req(t, "clickhouse_table_opt_out", s"tenant $name"))
+      },
+      encryptionSalt = req(top.toMap, "encryption_salt", "top level"),
+      batchSize = req(top.toMap, "batch_size", "top level").toInt,
+      clickhouseUri = req(top.toMap, "clickhouse_uri", "top level"))
+  }
+
+  /** Load from the file named by env var `envVar` (explicit, O26 fix). */
+  def load(envVar: String = "GRAFT_CONFIG"): AppConfig = {
+    val path = sys.env.getOrElse(envVar,
+      throw new IllegalStateException(s"config: env var $envVar is not set"))
+    fromYaml(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+}

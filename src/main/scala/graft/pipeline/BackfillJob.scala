@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sinks.BatchSink
+import graft.streaming.{Dlq, StreamingPipeline}
+import graft.streaming.StreamingPipeline.{RetryPolicy, SinkTables}
+
+/** Historical backfill (SURVEY §3.2 — the `historical_data` binary).
+  *
+  * One batch job per (tenant, time range): bounded source scan with the
+  * timestamp predicate pushed down (O2), a progress count via `observe`
+  * (O3 — the reference's `count_documents` progress total plus the
+  * `failed_docs` skip accounting at `historical_data/src/main.rs:374,
+  * 511-513`), the shared O4–O9 transform chain, then the same routed
+  * dual-table write with retry + DLQ as the live pipeline. The reference's
+  * per-8000-row chunk loop disappears: partitions ARE the chunks, and the
+  * JDBC sink batches inside each partition.
+  */
+object BackfillJob {
+
+  /** O25: CLI date validation, reference format `%Y-%m-%dT%H:%M`
+    * (`historical_data/src/main.rs:875-878`), end must not precede start. */
+  private val CliFormat = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm")
+  def validateRange(start: String, end: String): (LocalDateTime, LocalDateTime) = {
+    val s = LocalDateTime.parse(start, CliFormat)
+    val e = LocalDateTime.parse(end, CliFormat)
+    require(!e.isBefore(s), s"end ($end) must not be before start ($start)")
+    (s, e)
+  }
+
+  final case class Result(input: Long, written: Long, skipped: Long)
+
+  /** Run the backfill over an already-loaded source DataFrame (tests inject
+    * a parquet scan; production injects [[graft.sources.Sources.mongoRangeScan]]). */
+  def run(source: DataFrame, start: String, end: String,
+          sink: BatchSink, tables: SinkTables, dlq: Dlq,
+          policy: RetryPolicy = RetryPolicy()): Result = {
+    validateRange(start, end): Unit
+    val startTs = start.replace('T', ' ') + ":00"
+    val endTs = end.replace('T', ' ') + ":00"
+    val tsType = source.schema("ts").dataType
+    val bounded = source.filter(
+      col("ts") >= lit(startTs).cast(tsType) && col("ts") <= lit(endTs).cast(tsType))
+
+    val input = bounded.count() // O3: reference's count_documents progress total
+    val statements = EventStatements.statements(bounded).persist()
+    try {
+      val written = statements.count()
+      StreamingPipeline.processBatch(
+        statements, EventStatements.optOutHashes(bounded), sink, tables, dlq, policy)
+      Result(input, written, input - written)
+    } finally { statements.unpersist(): Unit }
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sinks.BatchSink
+
+/** Dead-letter queue (SURVEY §2 O18/O19) as a directory of parquet batch
+  * drops — the Spark-native replacement for the reference's RocksDB
+  * `failed_batch:{tenant}:{db}:{table}:{opt_out}` keys
+  * (`/root/reference/src/main.rs:918-939`).
+  *
+  * One subdirectory per failed batch keeps append and delete atomic at
+  * batch granularity (replay removes exactly the batches that re-inserted
+  * successfully — the parquet analog of the reference's per-key delete at
+  * `src/main.rs:993-1001`). All four key parts travel as columns; we
+  * implement the historical binary's FIXED 5-part parse semantics
+  * (`historical_data/src/main.rs:808`), not the live binary's
+  * `splitn(4)`/`parts[4]` panic (`src/main.rs:952,961` — SURVEY §7.4).
+  *
+  * Uses the Hadoop FileSystem API throughout, so the same code runs on
+  * local disk in tests and HDFS/S3 in production.
+  */
+final class Dlq(spark: SparkSession, dir: String) extends Serializable {
+
+  private def fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** O18: persist a failed batch with its routing metadata. */
+  def append(batch: DataFrame, tenant: String, db: String, table: String, optOut: Boolean): Unit = {
+    val batchDir = new Path(dir, s"batch_${java.util.UUID.randomUUID().toString}")
+    batch
+      .withColumn("__tenant", lit(tenant))
+      .withColumn("__db", lit(db))
+      .withColumn("__table", lit(table))
+      .withColumn("__opt_out", lit(optOut))
+      .write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
+  }
+
+  /** Batches currently queued. */
+  def pending(): Seq[String] = {
+    val root = new Path(dir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.toString).filter(_.contains("batch_")).toSeq.sorted
+  }
+
+  /** O19 (fixed semantics): re-insert every queued batch; drop each batch
+    * directory only after ITS insert succeeded. Returns (replayed, failed)
+    * counts; callers loop this on the reference's 60 s cadence
+    * (`src/main.rs:1015`). */
+  def replayOnce(sink: BatchSink): (Int, Int) = {
+    var ok = 0
+    var failed = 0
+    pending().foreach { batchDir =>
+      try {
+        val df = spark.read.parquet(batchDir)
+        val meta = df.select("__tenant", "__db", "__table", "__opt_out").head()
+        val table = s"${meta.getString(1)}.${meta.getString(2)}"
+        sink.write(df.drop("__tenant", "__db", "__table", "__opt_out"), table)
+        fs.delete(new Path(batchDir), true)
+        ok += 1
+      } catch {
+        case _: Throwable => failed += 1 // stays queued for the next cycle
+      }
+    }
+    (ok, failed)
+  }
+}

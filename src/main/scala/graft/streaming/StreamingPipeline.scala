@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.pipeline.{EventStatements, OptOutRouting}
+import graft.sinks.BatchSink
+
+/** The live CDC pipeline (SURVEY §3.1) as Structured Streaming.
+  *
+  * Reference mapping:
+  *   - micro-batch trigger: flush on `size >= N || elapsed >= 5 s`
+  *     (`/root/reference/src/main.rs:405-407`) → `Trigger.ProcessingTime(5s)`
+  *     plus the source's rows-per-trigger cap (O15); the adaptive batch
+  *     sizing loop (O16, `src/main.rs:192-233`) is subsumed by AQE +
+  *     per-trigger admission control and intentionally not reimplemented.
+  *   - per-batch insert retry ×5 with doubling backoff from 1000 ms (O17,
+  *     consts `src/main.rs:40-41`).
+  *   - retry exhaustion → DLQ (O18), replayed on a 60 s cadence (O19).
+  *   - resume tokens (O20): the streaming checkpoint commits AFTER a
+  *     successful `foreachBatch`, same at-least-once contract as the
+  *     reference's token-after-insert (`src/main.rs:426-439`); replays are
+  *     absorbed by an idempotent sink (ReplacingMergeTree on `id` for
+  *     ClickHouse — SURVEY §7.4).
+  *   - opt-out dimension: re-resolved every micro-batch via `dimProvider`
+  *     (replaces the TCP invalidation control plane O22 — SURVEY §3.3:
+  *     per-micro-batch coherence needs no control plane).
+  *   - skip counters (O5): `observe` metrics on the transformed stream.
+  */
+object StreamingPipeline {
+
+  /** O17 constants (reference `MAX_RETRIES`/`INITIAL_RETRY_DELAY`). */
+  final case class RetryPolicy(maxRetries: Int = 5, initialDelayMs: Long = 1000)
+
+  final case class SinkTables(tenant: String, db: String, main: String, optOut: String)
+
+  /** Retrying write (O17). Returns true on success, false on exhaustion. */
+  def writeWithRetry(sink: BatchSink, df: DataFrame, table: String, policy: RetryPolicy): Boolean = {
+    var attempt = 0
+    var delay = policy.initialDelayMs
+    while (attempt <= policy.maxRetries) {
+      try { sink.write(df, table); return true }
+      catch {
+        case _: Throwable if attempt < policy.maxRetries =>
+          Thread.sleep(delay)
+          // saturating ×2, like the reference's `saturating_mul(2)` (src/main.rs:736)
+          delay = if (delay > Long.MaxValue / 2) Long.MaxValue else delay * 2
+        case _: Throwable => return false
+      }
+      attempt += 1
+    }
+    false
+  }
+
+  /** One micro-batch: route against the freshly resolved opt-out dimension,
+    * split, write both tables with retry, dead-letter on exhaustion. The
+    * batch is persisted so the split doesn't recompute the upstream. */
+  def processBatch(batch: DataFrame, dim: DataFrame, sink: BatchSink, tables: SinkTables,
+                   dlq: Dlq, policy: RetryPolicy): Unit = {
+    if (!batch.isEmpty) {
+      batch.persist()
+      try {
+        val routed = OptOutRouting.withOptOutFlag(batch, "hashed_id", dim, "hashed_id")
+        val (main, opt) = OptOutRouting.split(routed)
+        Seq((main, tables.main, false), (opt, tables.optOut, true)).foreach {
+          case (part, table, isOptOut) =>
+            if (!writeWithRetry(sink, part, s"${tables.db}.$table", policy))
+              dlq.append(part, tables.tenant, tables.db, table, isOptOut)
+        }
+      } finally { batch.unpersist(): Unit }
+    }
+  }
+
+  /** Build and start the per-tenant streaming query: O4–O9 transform chain
+    * on the stream, O11–O14 + O17/O18 in foreachBatch, O20 checkpointing. */
+  def start(source: DataFrame, dimProvider: () => DataFrame, sink: BatchSink,
+            tables: SinkTables, dlq: Dlq, checkpoint: String,
+            policy: RetryPolicy = RetryPolicy(),
+            trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    EventStatements.statements(source)
+      .observe("graft_metrics", count(lit(1)).as("rows_out"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, dimProvider(), sink, tables, dlq, policy)
+      }
+      .start()
+}

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.pipeline.{BackfillJob, EventStatements}
+import graft.sinks.{BatchSink, FlakySink, ParquetSink}
+import graft.sources.Sources
+import graft.streaming.StreamingPipeline.{RetryPolicy, SinkTables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val tables = SinkTables("tenant_a", "db", "statements", "statements_opt_out")
+  private val fastRetry = RetryPolicy(maxRetries = 2, initialDelayMs = 1)
+
+  private def eventsSlice(lo: Long, hi: Long): DataFrame =
+    graft.Tables(spark, sf("sf0.001")).events
+      .filter(col("event_id") >= lo && col("event_id") < hi)
+
+  private def sinkCount(dir: String, table: String): Long = {
+    val d = new java.io.File(s"$dir/db.$table")
+    if (!d.exists()) 0L else spark.read.parquet(d.toString).count()
+  }
+
+  test("streaming end-to-end: file stream -> transform -> routed dual-table sink") {
+    val (srcDir, sinkDir, ckpt, dlqDir) = (tmp("src"), tmp("sink"), tmp("ckpt"), tmp("dlq"))
+    val ev = eventsSlice(0, 200).persist()
+    ev.write.parquet(s"$srcDir/drop1")
+    val schema = spark.read.parquet(s"$srcDir/drop1").schema
+
+    val source = Sources.fileStream(spark, s"$srcDir/drop*", schema)
+    val dlq = new Dlq(spark, dlqDir)
+    val dim = EventStatements.optOutHashes(ev)
+    val q = StreamingPipeline.start(source, () => dim, new ParquetSink(sinkDir), tables,
+      dlq, ckpt, fastRetry, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val expected = EventStatements.routed(ev)
+    val expMain = expected.filter(!col("is_opt_out")).count()
+    val expOpt = expected.filter(col("is_opt_out")).count()
+    assert(sinkCount(sinkDir, "statements") == expMain)
+    assert(sinkCount(sinkDir, "statements_opt_out") == expOpt)
+    assert(expMain > 0 && expOpt > 0)
+    ev.unpersist()
+  }
+
+  test("retry exhaustion dead-letters the batch; replay drains it (O17/O18/O19)") {
+    val (sinkDir, dlqDir) = (tmp("sink"), tmp("dlq"))
+    val dlq = new Dlq(spark, dlqDir)
+    val good = new ParquetSink(sinkDir)
+    // fails first 6 writes: batch write (3 attempts), still failing on opt-out (3)
+    val flaky = new FlakySink(good, 6)
+    val batch = EventStatements.statements(eventsSlice(0, 100))
+    StreamingPipeline.processBatch(batch,
+      EventStatements.optOutHashes(eventsSlice(0, 100)), flaky, tables, dlq, fastRetry)
+    // both route-writes exhausted -> two DLQ batches, sink empty
+    assert(dlq.pending().size == 2)
+    assert(sinkCount(sinkDir, "statements") == 0)
+    // replay with the now-healthy sink: drains the queue
+    val (ok, failed) = dlq.replayOnce(good)
+    assert(ok == 2 && failed == 0)
+    assert(dlq.pending().isEmpty)
+    assert(sinkCount(sinkDir, "statements") + sinkCount(sinkDir, "statements_opt_out") ==
+      batch.count())
+  }
+
+  test("replay failure keeps the batch queued (no loss)") {
+    val dlqDir = tmp("dlq")
+    val dlq = new Dlq(spark, dlqDir)
+    dlq.append(EventStatements.statements(eventsSlice(0, 50)), "tenant_a", "db", "statements", optOut = false)
+    val alwaysFail = new BatchSink {
+      override def write(df: DataFrame, table: String): Unit = throw new RuntimeException("down")
+    }
+    val (ok, failed) = dlq.replayOnce(alwaysFail)
+    assert(ok == 0 && failed == 1)
+    assert(dlq.pending().size == 1)
+  }
+
+  test("checkpoint restart resumes without loss or duplication (O20)") {
+    val (srcDir, sinkDir, ckpt, dlqDir) = (tmp("src"), tmp("sink"), tmp("ckpt"), tmp("dlq"))
+    val dlq = new Dlq(spark, dlqDir)
+    val sink = new ParquetSink(sinkDir)
+    eventsSlice(0, 300).write.parquet(s"$srcDir/drop1")
+    val schema = spark.read.parquet(s"$srcDir/drop1").schema
+    val dim = EventStatements.optOutHashes(eventsSlice(0, 1000))
+
+    def runOnce(): Unit = {
+      val q = StreamingPipeline.start(Sources.fileStream(spark, s"$srcDir/drop*", schema),
+        () => dim, sink, tables, dlq, ckpt, fastRetry, Trigger.AvailableNow())
+      q.awaitTermination(120000): Unit
+    }
+    runOnce()
+    val afterFirst = sinkCount(sinkDir, "statements") + sinkCount(sinkDir, "statements_opt_out")
+    // second drop lands while the query is down; restart from the checkpoint
+    eventsSlice(300, 500).write.parquet(s"$srcDir/drop2")
+    runOnce()
+    val afterSecond = sinkCount(sinkDir, "statements") + sinkCount(sinkDir, "statements_opt_out")
+    val firstExpected = EventStatements.statements(eventsSlice(0, 300)).count()
+    val totalExpected = EventStatements.statements(eventsSlice(0, 500)).count()
+    assert(afterFirst == firstExpected)
+    assert(afterSecond == totalExpected) // drop1 not re-processed, drop2 not missed
+  }
+
+  test("backfill job: bounded range, skip accounting, routed write (O2/O3/O25)") {
+    val (sinkDir, dlqDir) = (tmp("sink"), tmp("dlq"))
+    val dlq = new Dlq(spark, dlqDir)
+    val source = graft.Tables(spark, sf("sf0.001")).events
+    val res = BackfillJob.run(source, "2024-01-01T00:00", "2024-01-05T00:00",
+      new ParquetSink(sinkDir), tables, dlq, fastRetry)
+    assert(res.input > 0)
+    assert(res.written == res.input - res.skipped)
+    assert(sinkCount(sinkDir, "statements") + sinkCount(sinkDir, "statements_opt_out") == res.written)
+    // O25 validation
+    intercept[IllegalArgumentException] {
+      BackfillJob.validateRange("2024-02-01T00:00", "2024-01-01T00:00")
+    }
+    intercept[java.time.format.DateTimeParseException] {
+      BackfillJob.validateRange("2024-01-01", "2024-02-01T00:00")
+    }
+  }
+
+  test("config: yaml parse round-trip and validation (O26)") {
+    val yaml =
+      """tenants:
+        |  - name: tenant_a
+        |    mongo_uri: mongodb://mongo:27017/?replicaSet=rs0
+        |    mongo_db: lrs
+        |    mongo_collection: statements
+        |    clickhouse_uri: tcp://user:pass@ch:9000
+        |    clickhouse_db: tenant_a
+        |    clickhouse_table: statements
+        |    clickhouse_table_opt_out: statements_opt_out
+        |encryption_salt: test-salt   # immutable once set
+        |batch_size: 1000
+        |clickhouse_uri: tcp://user:pass@ch:9000
+        |""".stripMargin
+    val cfg = graft.pipeline.AppConfig.fromYaml(yaml)
+    assert(cfg.tenants.map(_.name) == Seq("tenant_a"))
+    assert(cfg.tenants.head.clickhouseTableOptOut == "statements_opt_out")
+    assert(cfg.encryptionSalt == "test-salt")
+    assert(cfg.batchSize == 1000)
+    // missing required tenant field -> loud failure (the fixed O26 drift)
+    val bad = yaml.replace("    clickhouse_db: tenant_a\n", "")
+    val e = intercept[IllegalArgumentException](graft.pipeline.AppConfig.fromYaml(bad))
+    assert(e.getMessage.contains("clickhouse_db"))
+  }
+}
