@@ -61,25 +61,29 @@ object SparkEntry {
 
   /** O10 — the escape chain over adversarial inputs: two backslash runs of
     * varying parity, embedded single quotes, and wrapping double quotes. */
-  private def o10Escape(spark: SparkSession, dir: String): DataFrame =
+  private def o10Escape(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     EventStatements.extracted(Tables(spark, dir).events)
       .withColumn("raw",
         concat(lit("\"it's "), repeat(lit("\\"), (col("k") % 5).cast("int")),
           lit(" x"), repeat(lit("\\"), (col("k") % 3).cast("int")), lit(" end\"")))
-      .withColumn("escaped", StatementTransforms.processStatement(col("raw")))
+      .withColumn("escaped", graft.functions.GraftFunctions.processStatementFast(col("raw")))
       .select(col("id"), col("raw"), col("escaped"))
       .orderBy(col("id"))
+  }
 
   /** O14 — sink VALUES-tuple formatting (`src/main.rs:864-867`), minus the
     * server-side `now()` column which is non-deterministic by design. */
-  private def o14FormatValues(spark: SparkSession, dir: String): DataFrame =
+  private def o14FormatValues(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     EventStatements.statements(Tables(spark, dir).events)
       .withColumn("insert_values",
         concat(lit("('"), col("id").cast("string"), lit("','"),
-          StatementTransforms.processStatement(col("statement")), lit("','"),
+          graft.functions.GraftFunctions.processStatementFast(col("statement")), lit("','"),
           StatementTransforms.sinkTimestamp(col("ts")), lit("')")))
       .select(col("id"), col("insert_values"))
       .orderBy(col("id"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // reference-parity DAG operators

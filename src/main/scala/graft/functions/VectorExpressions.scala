@@ -101,6 +101,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHash60(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_process_statement", exprs => ProcessStatementExpr(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_langid", exprs => StopwordLangId(exprs(0),
         graft.analytics.TextAnalysis.StopwordsEn,
         graft.analytics.TextAnalysis.StopwordsEs,
@@ -112,6 +114,7 @@ object GraftFunctions {
   def minhashSigFast(sh: Column, k: Int): Column =
     call_function("graft_minhash_signature", sh, org.apache.spark.sql.functions.lit(k))
   def simhashFast(text: Column): Column = call_function("graft_simhash", text)
+  def processStatementFast(s: Column): Column = call_function("graft_process_statement", s)
   def langIdFast(text: Column): Column = call_function("graft_langid", text)
 
   /** Column API for the native dot product (requires [[register]]). */

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.net.{InetSocketAddress, ServerSocket}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.util.control.NonFatal
+
+/** Cache-invalidation control plane (SURVEY §2 O22).
+  *
+  * Reference: a TCP server on `0.0.0.0:8088` accepting the text command
+  * `invalidate`, which re-runs the opt-out dimension query and swaps the
+  * cached set (`/root/reference/src/main.rs:1019-1056, 800-822`); anything
+  * else answers `Unknown command`.
+  *
+  * The Spark pipeline normally doesn't need this — the dimension is
+  * re-resolved every micro-batch (SURVEY §3.3) — but the endpoint is kept
+  * for contract parity and for deployments that cache the dimension
+  * DataFrame between triggers: `onInvalidate` swaps whatever the
+  * `dimProvider` closure reads (e.g. an `AtomicReference[DataFrame]`).
+  *
+  * Unlike the reference, the refresh runs on the accept thread WITHOUT
+  * holding any lock visible to the insert path (the reference refreshes
+  * while holding the RwLock write guard, stalling all inserts — SURVEY
+  * §3.3); swapping an AtomicReference is the coherence boundary here.
+  */
+final class InvalidationServer(port: Int, onInvalidate: () => Unit) {
+
+  private val running = new AtomicBoolean(false)
+  @volatile private var server: ServerSocket = _
+  @volatile private var boundPort: Int = -1
+
+  /** Actual port after bind (use port=0 for ephemeral in tests). */
+  def listeningPort: Int = boundPort
+
+  def start(): Unit = {
+    if (!running.compareAndSet(false, true)) return
+    server = new ServerSocket()
+    server.bind(new InetSocketAddress(port))
+    boundPort = server.getLocalPort
+    val t = new Thread(() => {
+      while (running.get()) {
+        try {
+          val sock = server.accept()
+          try {
+            sock.setSoTimeout(5000)
+            val buf = new Array[Byte](1024) // reference reads ≤1024 bytes (src/main.rs:804)
+            val n = sock.getInputStream.read(buf)
+            val cmd = if (n <= 0) "" else new String(buf, 0, n, StandardCharsets.UTF_8).trim
+            val reply = cmd match {
+              case "invalidate" =>
+                onInvalidate()
+                "Cache invalidated successfully\nOK\n"
+              case _ => "Unknown command\n"
+            }
+            sock.getOutputStream.write(reply.getBytes(StandardCharsets.UTF_8))
+            sock.getOutputStream.flush()
+          } finally sock.close()
+        } catch {
+          case NonFatal(_) if running.get() => // keep serving
+          case _: Throwable => // socket closed during stop
+        }
+      }
+    }, "graft-invalidation-server")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  def stop(): Unit = {
+    running.set(false)
+    if (server != null) try server.close() catch { case NonFatal(_) => () }
+  }
+}

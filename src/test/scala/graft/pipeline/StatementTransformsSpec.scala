@@ -68,6 +68,25 @@ class StatementTransformsSpec extends SparkSpec {
     }
   }
 
+  test("compiled processStatement agrees with the regex chain on vectors and fuzz") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab\\'\" "
+    val fuzz = Seq.fill(500)(Seq.fill(rnd.nextInt(24))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val inputs = (escapeVectors.map(_._1) ++ fuzz).toDF("s")
+    val diff = inputs.select(
+      processStatement(col("s")).as("regex"),
+      graft.functions.GraftFunctions.processStatementFast(col("s")).as("fast"))
+      .filter(col("regex") =!= col("fast")).collect()
+    assert(diff.isEmpty, diff.take(3).mkString(";"))
+    for ((in, want) <- escapeVectors) {
+      val got = Seq(in).toDF("s")
+        .select(graft.functions.GraftFunctions.processStatementFast(col("s"))).collect()(0).getString(0)
+      assert(got == want, s"input=${in.replace(bs, "<bs>")}")
+    }
+  }
+
   test("sinkTimestamp: millisecond formatting parity with '%Y-%m-%d %H:%M:%S%.3f'") {
     import spark.implicits._
     val got = Seq(java.sql.Timestamp.valueOf("2024-04-25 14:03:22.1234")).toDF("ts")
