@@ -103,6 +103,8 @@ object SparkEntry {
     "w2_running_sum"   -> (Relational.w2RunningSum(_, _)),
     "set_except"       -> (Relational.setExcept(_, _)),
     "agg_stats"        -> (Relational.aggStats(_, _)),
+    "q6_rollup"        -> (Relational.q6Rollup(_, _)),
+    "asof_signup"      -> (Relational.asofSignup(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
   // DuckDB-dialect oracles over the same parquet tables (driver registers
@@ -240,5 +242,15 @@ object SparkEntry {
         |  round(avg(l_extendedprice), 4) AS avg_price,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q6_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "asof_signup" -> (anonCte +
+      """SELECT e.id, e.user_id, s.id AS signup_id
+        |FROM extracted e ASOF LEFT JOIN
+        |  (SELECT id, ts, user_id FROM extracted WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.id""".stripMargin),
   ) ++ graft.queries.AnalyticsOracles.all
 }

@@ -120,6 +120,31 @@ object Relational {
     purchasers.except(bigClickers).orderBy($"user_id")
   }
 
+  /** ROLLUP hierarchy aggregate (subtotals per returnflag + grand total) —
+    * Catalyst's Expand operator feeds one partial-agg pass; no extra scans. */
+  def q6Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** As-of join: attach the signup event that was current (latest at or
+    * before the event's timestamp) for the same user. See
+    * [[graft.operators.AsofJoin]] — one shuffle on user_id. */
+  def asofSignup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.EventStatements
+    val ev = EventStatements.extracted(Tables(spark, dir).events)
+    val left = ev.select(col("id"), col("ts"), col("user_id"))
+    val right = ev.filter(col("event_type") === "signup")
+      .select(col("id"), col("ts"), col("user_id"))
+    graft.operators.AsofJoin
+      .asofJoinLast(left, right, Seq("user_id"), "ts", "ts", Seq("id"), "id")
+      .select(col("id"), col("user_id"), col("asof_id").as("signup_id"))
+      .orderBy(col("id"))
+  }
+
   /** Multi-aggregate statistics incl. exact and approximate distinct counts.
     * At 100 TB, countDistinct is the shuffle-expensive one (expand + 2-phase
     * agg); approx_count_distinct (HLL++) is the scale path and is included
