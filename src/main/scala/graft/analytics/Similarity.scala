@@ -94,6 +94,53 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes, dims))
 
+  /** IVF (inverted-file) approximate top-k — the second scale path beside
+    * hyperplane LSH. Centroids are picked deterministically (every
+    * `centroidStep`-th vector), vectors are assigned to their
+    * highest-cosine centroid (inverted lists), and each query searches only
+    * its `nprobe` nearest centroids' lists.
+    *
+    * At 100 TB: centroids broadcast (they are the index's only global
+    * structure); assignment is one streaming pass over the corpus; the
+    * candidate search shuffles on `centroid_id` — i.e. the inverted lists
+    * are the co-location unit, and recall is tuned by `nprobe` without
+    * touching the stored lists. A production index would train centroids
+    * with k-means — the deterministic pick keeps the operator
+    * oracle-checkable without changing any dataflow shape. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroidStep: Int, nprobe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = withNorm(corpus, idCol, vecCol, "vec_id", "v", "nv")
+    val cent = withNorm(corpus.filter(col(idCol) % centroidStep === 0), idCol, vecCol,
+      "centroid_id", "cv", "nc")
+
+    // inverted lists: every vector → its highest-cosine centroid
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("centroid_id"))
+    val assigned = c.crossJoin(broadcast(cent))
+      .withColumn("ccos", round(cosPre(col("v"), col("cv"), col("nv"), col("nc")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nv"), col("centroid_id"))
+
+    // probe lists: every query → its nprobe nearest centroids
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "nq")
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", round(cosPre(col("qv"), col("cv"), col("nq"), col("nc")), 6))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("nq"), col("centroid_id"))
+
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assigned, "centroid_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosPre(col("qv"), col("v"), col("nq"), col("nv")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** LSH-pruned near-dup pairs: only same-bucket pairs are scored; exact
     * cosine then filters to `minCos`. Same output contract as
     * [[Dedup.embeddingNearDupPairs]] minus cross-bucket misses (recall is

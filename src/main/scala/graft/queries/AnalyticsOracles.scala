@@ -121,6 +121,36 @@ object AnalyticsOracles {
          |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, ${cosSql("x.v", "y.v")} AS cos
          |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin),
+    "sim_ivf_topk" -> (embCte +
+      s""", cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+         |ascore AS (
+         |  SELECT e.vec_id, e.v, cent.centroid_id, ${cosSql("e.v", "cent.cv")} AS ccos
+         |  FROM e, cent),
+         |assigned AS (
+         |  SELECT vec_id, v, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn FROM ascore)
+         |  WHERE rn = 1),
+         |qscore AS (
+         |  SELECT q.vec_id AS query_id, q.v AS qv, cent.centroid_id, ${cosSql("q.v", "cent.cv")} AS ccos
+         |  FROM e q, cent WHERE q.vec_id < 5),
+         |probes AS (
+         |  SELECT query_id, qv, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, centroid_id) AS rn FROM qscore)
+         |  WHERE rn <= 3),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id, ${cosSql("p.qv", "a.v")} AS cos
+         |  FROM probes p JOIN assigned a USING (centroid_id)
+         |  WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, rank, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "text_tokens_re" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_words,
+        |  len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_nums,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS n_punct,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_decode" ->
       """SELECT doc_id, source AS format,
         |  octet_length(encode(text))::BIGINT AS n_bytes,

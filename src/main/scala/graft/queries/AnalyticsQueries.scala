@@ -71,6 +71,25 @@ object AnalyticsQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  def simIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5, centroidStep = 50, nprobe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Token counting beyond whitespace: BPE-ish piece classes (letter runs,
+    * digit runs, single punctuation) via one regex scan. */
+  def textTokensRe(spark: SparkSession, dir: String): DataFrame = {
+    def n(pat: String) = size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        n("[A-Za-z]+").as("n_words"),
+        n("[0-9]+").as("n_nums"),
+        n("[^A-Za-z0-9\\s]").as("n_punct"),
+        n("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]").as("n_pieces"))
+      .orderBy(col("doc_id"))
+  }
+
   def simLshBucket(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshBucketPairs(Tables(spark, dir).embeddings, minCos = 0.35, planes = 4)
       .orderBy(col("id_a"), col("id_b"))
@@ -92,6 +111,8 @@ object AnalyticsQueries {
     "embed_neardup"    -> (embedNearDup(_, _)),
     "sim_topk"         -> (simTopK(_, _)),
     "sim_lsh_bucket"   -> (simLshBucket(_, _)),
+    "sim_ivf_topk"     -> (simIvfTopK(_, _)),
+    "text_tokens_re"   -> (textTokensRe(_, _)),
     "mm_decode"        -> (mmDecode(_, _)),
   )
 }

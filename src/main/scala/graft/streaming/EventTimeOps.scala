@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Event-time streaming operators beyond the reference's stateless chain
+  * (SURVEY §2.1 lists watermarks/windows as absences the Spark engine gets
+  * natively; these expose them deliberately).
+  *
+  * Scale notes: windowed counts shuffle on (window, key) with partial
+  * aggregation; state size is bounded by the watermark — late data beyond
+  * `delay` is dropped and its window state evicted. The stateful dedup
+  * keeps one tiny state entry per key with a processing-time TTL, the
+  * streaming analog of [[graft.analytics.Dedup.exact]] (SURVEY §7.4: state
+  * must be bucketed/TTL'd at 100 TB — here TTL; bucketing is the key space
+  * itself).
+  */
+object EventTimeOps {
+
+  /** Tumbling event-time counts per event_type with a watermark: the
+    * standard late-data-bounded windowed aggregate. */
+  def windowedCounts(events: DataFrame, delay: String = "10 minutes",
+                     windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class Keyed(key: Long, payload: String)
+  final case class SeenState(firstSeenMs: Long)
+
+  /** Exactly-once-per-key emission with TTL'd state
+    * (`mapGroupsWithState`): emits a key's payload only the first time the
+    * key is seen; the seen-marker expires after `ttlMs` of processing time
+    * so unbounded key spaces can't grow state forever. */
+  def firstSeen(events: Dataset[Keyed], ttlMs: Long)
+               (implicit spark: SparkSession): Dataset[Keyed] = {
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: Long, rows: Iterator[Keyed], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Keyed(key, null)
+          } else if (state.exists) {
+            state.setTimeoutDuration(ttlMs)
+            Keyed(key, null) // already emitted once
+          } else {
+            state.update(SeenState(System.currentTimeMillis()))
+            state.setTimeoutDuration(ttlMs)
+            rows.take(1).toSeq.headOption.getOrElse(Keyed(key, null))
+          }
+      }
+      .filter(_.payload != null)
+  }
+}
