@@ -159,12 +159,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** SimHash: 60-bit signature — bit i is the sign of the sum over tokens of
-    * ±1 depending on bit i of the token's 60-bit hash. Computed as a per-row
-    * fold over a 60-slot counter array: narrow, shuffle-free, codegen'd. */
+  /** SimHash: 60-bit signature — bit i is the sign of the sum over token
+    * OCCURRENCES of ±1 depending on bit i of the token's 60-bit hash
+    * (frequency-weighted, the textbook form — unweighted distinct-token
+    * simhash degenerates on small vocabularies where documents share token
+    * sets). Per-row fold: narrow, shuffle-free. */
   def simhash(text: Column): Column = {
     val bits = 60
-    val toks = array_distinct(split(text, "\\s+"))
+    val toks = split(text, "\\s+")
     val hashes = transform(toks, t => hash60(t))
     val counts = aggregate(
       hashes,
@@ -175,6 +177,36 @@ object Dedup {
       zip_with(counts, sequence(lit(0), lit(bits - 1)),
         (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(0L)),
       lit(0L), (acc, v) => acc + v)
+  }
+
+  /** SimHash near-dup pairs, sub-quadratic via signature banding: split the
+    * 60-bit signature into `bands` equal bit-bands; a pair with hamming
+    * distance ≤ `maxHamming < bands` must share at least one exact band
+    * (pigeonhole), so candidates = same-band-value pairs, then verify
+    * `bit_count(xor) <= maxHamming`. One shuffle on (band, value) keys;
+    * all-pairs structure only inside a band bucket. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int, bands: Int = 6,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming < bands, "banding needs maxHamming < bands (pigeonhole guarantee)")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val bitsPerBand = 60 / bands
+    val mask = (1L << bitsPerBand) - 1
+    val sig = docs.select(col(idCol).as("doc_id"),
+      graft.functions.GraftFunctions.simhashFast(col(textCol)).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bv"))
+    val x = banded.as("x"); val y = banded.as("y")
+    x.join(y, col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
   /** Exact embedding near-dup pairs: all pairs with cosine ≥ `minCos`.

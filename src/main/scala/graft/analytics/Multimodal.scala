@@ -65,4 +65,48 @@ object Multimodal {
     implicit val s: SparkSession = spark
     extractFeatures(asMediaTable(graft.Tables(spark, dir).documents)).toDF()
   }
+
+  /** One sampled frame's features. */
+  final case class FrameFeature(doc_id: Long, frame_idx: Long, frame_checksum: Long)
+
+  /** STUB resize: deterministic byte decimation (every `factor`-th byte) in
+    * place of a real image resampler — the Spark-side contract (binary in,
+    * smaller binary out, applied per partition) is what a real kernel
+    * would slot into. */
+  def resizeStub(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+    out
+  }
+
+  /** STUB frame sampling: treat the payload as fixed-size frames
+    * (`frameSize` bytes), emit every `stride`-th frame's checksum — the
+    * video-frame-sampling dataflow shape (one row in, N feature rows out,
+    * batched per partition) with a deterministic fake in place of a real
+    * demuxer. */
+  def sampleFrames(media: DataFrame, frameSize: Int = 64, stride: Int = 2)
+                  (implicit spark: SparkSession): Dataset[FrameFeature] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // real pipeline: init the demuxer/decoder once per partition here
+      rows.flatMap { row =>
+        val bytes = row.media
+        val nFrames = (bytes.length + frameSize - 1) / frameSize
+        (0 until nFrames).iterator.filter(_ % stride == 0).map { k =>
+          var sum = 0L
+          var i = k * frameSize
+          val end = math.min((k + 1) * frameSize, bytes.length)
+          while (i < end) { sum = (sum + (bytes(i) & 0xff)) % 2147483647L; i += 1 }
+          FrameFeature(row.doc_id, k.toLong, sum)
+        }
+      }
+    }
+  }
+
+  /** End-to-end: documents → media binary → sampled frame features. */
+  def frameFeatures(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    sampleFrames(asMediaTable(graft.Tables(spark, dir).documents)).toDF()
+  }
 }

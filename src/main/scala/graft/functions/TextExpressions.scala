@@ -50,10 +50,12 @@ case class PolyFingerprint(child: Expression) extends StringUnary {
     copy(child = newChild)
 }
 
-/** 60-bit SimHash over distinct `\s+` tokens; token hash = first 15 hex
-  * chars of sha256 as int64 (identical to [[graft.analytics.Dedup.hash60]]
-  * and the oracle's `('0x'||substr(sha256(t),1,15))::BIGINT`). Bit i of the
-  * result is set iff more distinct tokens have bit i set than clear. */
+/** 60-bit frequency-weighted SimHash over `\s+` token occurrences; token
+  * hash = first 15 hex chars of sha256 as int64 (identical to
+  * [[graft.analytics.Dedup.hash60]] and the oracle's
+  * `('0x'||substr(sha256(t),1,15))::BIGINT`). Bit i of the result is set
+  * iff more token occurrences have bit i set than clear. The sha256 per
+  * DISTINCT token is memoized per row (tokens repeat heavily). */
 case class SimHash60(child: Expression) extends StringUnary {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
@@ -62,13 +64,14 @@ case class SimHash60(child: Expression) extends StringUnary {
 
   override def nullSafeEval(input: Any): Any = {
     val toks = ws.split(input.asInstanceOf[UTF8String].toString, -1)
-    val seen = new java.util.HashSet[String](toks.length * 2)
+    val memo = new java.util.HashMap[String, java.lang.Long](toks.length * 2)
     val counts = new Array[Int](60)
     val md = MessageDigest.getInstance("SHA-256")
     var t = 0
     while (t < toks.length) {
       val tok = toks(t)
-      if (seen.add(tok)) {
+      var hBoxed = memo.get(tok)
+      if (hBoxed == null) {
         val digest = md.digest(tok.getBytes(StandardCharsets.UTF_8))
         // first 15 hex chars = high 60 bits of the first 8 bytes, shifted:
         // hex[0..14] == digest bits [0, 60)
@@ -76,12 +79,15 @@ case class SimHash60(child: Expression) extends StringUnary {
         var b = 0
         while (b < 8) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
         h = h >>> 4 // drop the 16th hex char of the first 8 bytes
-        var i = 0
-        while (i < 60) {
-          counts(i) += (if (((h >> i) & 1L) == 1L) 1 else -1)
-          i += 1
-        }
         md.reset()
+        hBoxed = java.lang.Long.valueOf(h)
+        memo.put(tok, hBoxed): Unit
+      }
+      val h = hBoxed.longValue()
+      var i = 0
+      while (i < 60) {
+        counts(i) += (if (((h >> i) & 1L) == 1L) 1 else -1)
+        i += 1
       }
       t += 1
     }

@@ -88,12 +88,24 @@ object AnalyticsOracles {
          |  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
          |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin),
     "dedup_simhash" -> (tokCte +
-      """, td AS (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM tok),
+      """, td AS (SELECT doc_id, unnest(toks) AS t FROM tok),
         |hv AS (SELECT doc_id, ('0x'||substr(sha256(t),1,15))::BIGINT AS h FROM td),
         |bits AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS tot
         |         FROM hv, generate_series(0, 59) g(i) GROUP BY doc_id, i)
         |SELECT doc_id, sum(CASE WHEN tot > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "dedup_simhash_pairs" -> (tokCte +
+      """, td AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+        |hv AS (SELECT doc_id, ('0x'||substr(sha256(t),1,15))::BIGINT AS h FROM td),
+        |bits AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS tot
+        |         FROM hv, generate_series(0, 59) g(i) GROUP BY doc_id, i),
+        |sg AS (SELECT doc_id, sum(CASE WHEN tot > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END)::BIGINT AS sig
+        |       FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, sig, b, (sig >> (b*10)) & 1023 AS bv FROM sg, generate_series(0, 5) g(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.sig AS sa, y.sig AS sb
+        |         FROM banded x JOIN banded y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin),
     "embed_neardup" -> (embCte +
       s"""SELECT id_a, id_b, cos FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos
@@ -151,6 +163,19 @@ object AnalyticsOracles {
         |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS n_punct,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """WITH chars AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT) AS cs
+        |  FROM documents),
+        |ks AS (
+        |  SELECT doc_id, cs, unnest(generate_series(0, (len(cs)+63)//64 - 1)) AS k
+        |  FROM chars),
+        |frames AS (
+        |  SELECT doc_id, k AS frame_idx,
+        |    list_reduce(list_prepend(0::BIGINT, cs[(k*64+1):((k+1)*64)]), (a,b) -> (a+b) % 2147483647) AS frame_checksum
+        |  FROM ks)
+        |SELECT doc_id, frame_idx, frame_checksum FROM frames
+        |WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_decode" ->
       """SELECT doc_id, source AS format,
         |  octet_length(encode(text))::BIGINT AS n_bytes,

@@ -61,6 +61,10 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables(spark, dir).documents, maxHamming = 3, bands = 6)
+      .orderBy(col("id_a"), col("id_b"))
+
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(Tables(spark, dir).embeddings, minCos = 0.4)
       .orderBy(col("id_a"), col("id_b"))
@@ -94,6 +98,10 @@ object AnalyticsQueries {
     Similarity.lshBucketPairs(Tables(spark, dir).embeddings, minCos = 0.35, planes = 4)
       .orderBy(col("id_a"), col("id_b"))
 
+  def mmFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameFeatures(spark, dir)
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   def mmDecode(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mediaFeatures(spark, dir)
       .select(col("doc_id"), col("format"), col("n_bytes"), col("first_byte"), col("checksum"))
@@ -108,11 +116,13 @@ object AnalyticsQueries {
     "dedup_ngram"      -> (dedupNgram(_, _)),
     "dedup_minhash"    -> (dedupMinhash(_, _)),
     "dedup_simhash"    -> (dedupSimhash(_, _)),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),
     "embed_neardup"    -> (embedNearDup(_, _)),
     "sim_topk"         -> (simTopK(_, _)),
     "sim_lsh_bucket"   -> (simLshBucket(_, _)),
     "sim_ivf_topk"     -> (simIvfTopK(_, _)),
     "text_tokens_re"   -> (textTokensRe(_, _)),
     "mm_decode"        -> (mmDecode(_, _)),
+    "mm_frames"        -> (mmFrames(_, _)),
   )
 }
