@@ -179,6 +179,17 @@ object Dedup {
       lit(0L), (acc, v) => acc + v)
   }
 
+  /** Materialize a deduplicated corpus from a near-dup pair set: greedy
+    * keep-lowest-id — every doc appearing on the `id_b` (higher-id) side of
+    * a pair is dropped via one broadcast anti-join. For transitive clusters
+    * this keeps at least one representative per cluster and may keep more
+    * than one (greedy, not connected components — the standard trade at
+    * corpus scale, where CC would need iterative joins). */
+  def keepAfterNearDup(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id"): DataFrame =
+    docs.join(broadcast(pairs.select(col("id_b")).distinct()),
+      docs(idCol) === col("id_b"), "left_anti")
+
   /** SimHash near-dup pairs, sub-quadratic via signature banding: split the
     * 60-bit signature into `bands` equal bit-bands; a pair with hamming
     * distance ≤ `maxHamming < bands` must share at least one exact band

@@ -71,6 +71,14 @@ object AnalyticsOracles {
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin),
+    "dedup_ngram_keepers" -> (tokCte +
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (
+         |  SELECT id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.6)
+         |ORDER BY doc_id""".stripMargin),
     "dedup_minhash" -> (tokCte +
       s""", seeds AS (SELECT unnest(generate_series(0, 15)) AS j),
          |hb AS (SELECT doc_id,

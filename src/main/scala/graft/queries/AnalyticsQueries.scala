@@ -61,6 +61,15 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end dedup: corpus minus the higher-id side of every near-dup
+    * pair (greedy keep-lowest-id). */
+  def dedupNgramKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Dedup.keepAfterNearDup(docs, Dedup.ngramJaccardPairs(docs, minJaccard = 0.6))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables(spark, dir).documents, maxHamming = 3, bands = 6)
       .orderBy(col("id_a"), col("id_b"))
@@ -114,6 +123,7 @@ object AnalyticsQueries {
     "text_fingerprint" -> (textFingerprint(_, _)),
     "dedup_exact"      -> (dedupExact(_, _)),
     "dedup_ngram"      -> (dedupNgram(_, _)),
+    "dedup_ngram_keepers" -> (dedupNgramKeepers(_, _)),
     "dedup_minhash"    -> (dedupMinhash(_, _)),
     "dedup_simhash"    -> (dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),

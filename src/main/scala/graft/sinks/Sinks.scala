@@ -35,9 +35,12 @@ final class ParquetSink(baseDir: String) extends BatchSink {
   * `jdbc:clickhouse://host:8123/db`. Parameters are BOUND, so the O10
   * escaping layer is unnecessary here by construction (SURVEY §2 O10). */
 final class JdbcStatementsSink(url: String, user: String, password: String,
-                               batchSize: Int = 8000) extends BatchSink {
+                               batchSize: Int = 8000,
+                               nowSql: String = "now()") extends BatchSink {
   override def write(df: DataFrame, table: String): Unit = {
-    val sql = s"INSERT INTO $table (id, statement, created_at, timestamp) VALUES (?, ?, now(), ?)"
+    // `nowSql` is "now()" for ClickHouse (the reference's literal,
+    // src/main.rs:865); tests pass "CURRENT_TIMESTAMP" for Derby
+    val sql = s"INSERT INTO $table (id, statement, created_at, timestamp) VALUES (?, ?, $nowSql, ?)"
     val (u, usr, pw, bs) = (url, user, password, batchSize)
     df.select(col("id").cast("string"), col("statement"), col("ts"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
