@@ -28,7 +28,10 @@ object Bench {
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
+      try run(name) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -104,6 +104,7 @@ object SparkEntry {
     "set_except"       -> (Relational.setExcept(_, _)),
     "agg_stats"        -> (Relational.aggStats(_, _)),
     "q6_rollup"        -> (Relational.q6Rollup(_, _)),
+    "agg_approx"       -> (Relational.aggApprox(_, _)),
     "asof_signup"      -> (Relational.asofSignup(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 

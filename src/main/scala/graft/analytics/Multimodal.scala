@@ -44,11 +44,17 @@ object Multimodal {
   }
 
   /** Adapt the `documents` table into a media table: the UTF-8 bytes of
-    * `text` play the media payload; `source` plays the container format. */
+    * `text` play the media payload; `source` plays the container format.
+    * Restricted to non-empty ASCII payloads so the byte-level features the
+    * stub decoder computes are reproducible from the characters by the SQL
+    * oracle (multi-byte UTF-8 would diverge bytes from codepoints — a
+    * harness constraint, not an engine one: the decoder itself is
+    * byte-faithful for any payload). */
   def asMediaTable(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      encode(col("text"), "UTF-8").as("media"),
-      col("source").as("format"))
+    docs.filter(length(col("text")) > 0 && col("text").rlike("^[\\x20-\\x7e]*$"))
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("media"),
+        col("source").as("format"))
 
   /** The batched decode pass: binary in, feature struct out, one decoder
     * instantiation per partition. */

@@ -79,12 +79,17 @@ object Similarity {
     * projection of the vector on plane p is positive. */
   def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
     val w = planeWeights(planes, dims)
-    (0 until planes).map { p =>
+    val bucket = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vec, array(w(p).map(lit): _*), (x, c) => x * c),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce(_ + _)
+    // zip_with null-pads on length mismatch, which would silently collapse
+    // every vector into bucket 0 — make the contract violation loud instead
+    when(size(vec) === dims, bucket)
+      .otherwise(raise_error(concat(
+        lit(s"lshBucket: expected $dims-dim vector, got "), size(vec).cast("string"))))
   }
 
   /** Per-vector LSH bucket assignment (the scale-path index structure). */

@@ -22,6 +22,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 case class MinhashSignatureExpr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
 
+  override def nullable: Boolean = true
+
+
   private val M = 1073741789L
   private val as: Array[Long] = Array.tabulate(k)(j => (2654435761L * (j + 1)) % M)
   private val bs: Array[Long] = Array.tabulate(k)(j => (97531L * (j + 3)) % M)
@@ -37,6 +40,9 @@ case class MinhashSignatureExpr(child: Expression, k: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // empty shingle set -> null signature (a Long.MaxValue sentinel would
+    // make every short document band-collide with every other one)
+    if (n == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
     val md = MessageDigest.getInstance("SHA-256")
     var i = 0

@@ -38,8 +38,24 @@ object AppConfig {
     * `tenants:` list of flat maps). Not a general YAML parser — quoted
     * scalars, comments, and the fixture shape in FIXTURES.md §5 only. */
   def fromYaml(text: String): AppConfig = {
+    // strip comments quote-aware: a '#' inside single/double quotes is data
+    // (e.g. a '#' in a URI password), not a comment
+    def stripComment(l: String): String = {
+      var inS = false; var inD = false
+      val b = new StringBuilder
+      var i = 0
+      var done = false
+      while (i < l.length && !done) {
+        val c = l.charAt(i)
+        if (c == '\'' && !inD) inS = !inS
+        else if (c == '"' && !inS) inD = !inD
+        if (c == '#' && !inS && !inD) done = true else b.append(c)
+        i += 1
+      }
+      b.toString
+    }
     val lines = text.linesIterator
-      .map(l => l.takeWhile(_ != '#'))
+      .map(stripComment)
       .filter(_.trim.nonEmpty).toVector
 
     val top = scala.collection.mutable.Map[String, String]()

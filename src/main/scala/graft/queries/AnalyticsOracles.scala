@@ -174,7 +174,8 @@ object AnalyticsOracles {
     "mm_frames" ->
       """WITH chars AS (
         |  SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT) AS cs
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE length(text) > 0 AND regexp_matches(text, '^[ -~]*$')),
         |ks AS (
         |  SELECT doc_id, cs, unnest(generate_series(0, (len(cs)+63)//64 - 1)) AS k
         |  FROM chars),
@@ -190,6 +191,8 @@ object AnalyticsOracles {
         |  ascii(substr(text, 1, 1))::INT AS first_byte,
         |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
         |    (a, b) -> (a + b) % 2147483647) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents
+        |WHERE length(text) > 0 AND regexp_matches(text, '^[ -~]*$')
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -145,10 +145,11 @@ object Relational {
       .orderBy(col("id"))
   }
 
-  /** Multi-aggregate statistics incl. exact and approximate distinct counts.
-    * At 100 TB, countDistinct is the shuffle-expensive one (expand + 2-phase
-    * agg); approx_count_distinct (HLL++) is the scale path and is included
-    * here as its own column to keep both semantics exercised. */
+  /** Multi-aggregate statistics incl. an exact distinct count. At 100 TB,
+    * countDistinct is the shuffle-expensive aggregate (expand + 2-phase
+    * agg); the HLL++ scale path is exercised by [[aggApprox]] (rows-only
+    * check — sketch values are engine-specific and cannot hash-match an
+    * oracle). */
   def aggStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).lineitem
@@ -159,6 +160,18 @@ object Relational {
         round(max($"l_extendedprice"), 2).as("max_price"),
         round(avg($"l_extendedprice"), 4).as("avg_price"),
         count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** HLL++ approximate distinct counts — the countDistinct scale path.
+    * No SQL oracle (sketch estimates are engine-specific); the driver
+    * records a rows-only check. */
+  def aggApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey").as("approx_orders"),
+        approx_count_distinct($"l_partkey").as("approx_parts"))
       .orderBy($"l_returnflag")
   }
 }

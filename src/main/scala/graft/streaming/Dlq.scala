@@ -54,11 +54,17 @@ final class Dlq(spark: SparkSession, dir: String) extends Serializable {
     pending().foreach { batchDir =>
       try {
         val df = spark.read.parquet(batchDir)
-        val meta = df.select("__tenant", "__db", "__table", "__opt_out").head()
+        val metaRows = df.select("__tenant", "__db", "__table", "__opt_out").take(1)
+        if (metaRows.isEmpty) { // defensively drain empty drops
+          fs.delete(new Path(batchDir), true)
+          ok += 1
+        } else {
+        val meta = metaRows(0)
         val table = s"${meta.getString(1)}.${meta.getString(2)}"
         sink.write(df.drop("__tenant", "__db", "__table", "__opt_out"), table)
         fs.delete(new Path(batchDir), true)
         ok += 1
+        }
       } catch {
         case _: Throwable => failed += 1 // stays queued for the next cycle
       }

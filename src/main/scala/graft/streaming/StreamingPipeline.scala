@@ -34,20 +34,23 @@ object StreamingPipeline {
 
   final case class SinkTables(tenant: String, db: String, main: String, optOut: String)
 
-  /** Retrying write (O17). Returns true on success, false on exhaustion. */
+  /** Retrying write (O17): `maxRetries` TOTAL attempts with a doubling
+    * sleep between them (reference gives up once `retry_count >=
+    * MAX_RETRIES`, src/main.rs:717-739 — 5 attempts, 4 sleeps). Returns
+    * true on success, false on exhaustion. */
   def writeWithRetry(sink: BatchSink, df: DataFrame, table: String, policy: RetryPolicy): Boolean = {
-    var attempt = 0
+    var attempt = 1
     var delay = policy.initialDelayMs
-    while (attempt <= policy.maxRetries) {
+    while (true) {
       try { sink.write(df, table); return true }
       catch {
         case _: Throwable if attempt < policy.maxRetries =>
           Thread.sleep(delay)
           // saturating ×2, like the reference's `saturating_mul(2)` (src/main.rs:736)
           delay = if (delay > Long.MaxValue / 2) Long.MaxValue else delay * 2
+          attempt += 1
         case _: Throwable => return false
       }
-      attempt += 1
     }
     false
   }
@@ -64,7 +67,9 @@ object StreamingPipeline {
         val (main, opt) = OptOutRouting.split(routed)
         Seq((main, tables.main, false), (opt, tables.optOut, true)).foreach {
           case (part, table, isOptOut) =>
-            if (!writeWithRetry(sink, part, s"${tables.db}.$table", policy))
+            // skip fully-empty splits: nothing to insert, and an empty DLQ
+            // batch would carry no routing metadata row to replay
+            if (!part.isEmpty && !writeWithRetry(sink, part, s"${tables.db}.$table", policy))
               dlq.append(part, tables.tenant, tables.db, table, isOptOut)
         }
       } finally { batch.unpersist(): Unit }

@@ -31,6 +31,9 @@ final class TenantRunner(spark: SparkSession, restartDelayMs: Long = 60000) {
         try {
           val q = mkQuery()
           queries.put(tenant, q)
+          // close the start/stopAll race: if shutdown began while mkQuery was
+          // in flight, this query was invisible to stopAll's iteration
+          if (stopping.get()) q.stop()
           q.awaitTermination()
           if (!stopping.get()) Thread.sleep(restartDelayMs) // stream ended unexpectedly
         } catch {

@@ -15,6 +15,7 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     val docs = graft.Tables(spark, dir).documents
 
     def time(name: String)(f: => Long): Unit = {
