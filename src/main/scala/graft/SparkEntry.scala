@@ -105,6 +105,9 @@ object SparkEntry {
     "agg_stats"        -> (Relational.aggStats(_, _)),
     "q6_rollup"        -> (Relational.q6Rollup(_, _)),
     "agg_approx"       -> (Relational.aggApprox(_, _)),
+    "q7_percentile"    -> (Relational.q7Percentile(_, _)),
+    "q8_pivot"         -> (Relational.q8Pivot(_, _)),
+    "q9_exists"        -> (Relational.q9Exists(_, _)),
     "asof_signup"      -> (Relational.asofSignup(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
@@ -247,6 +250,25 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q7_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q8_pivot" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2) AS click,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value ELSE 0 END), 2) AS error,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value ELSE 0 END), 2) AS signup,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 2) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q9_exists" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000.0)
+        |ORDER BY o_orderkey""".stripMargin,
     "asof_signup" -> (anonCte +
       """SELECT e.id, e.user_id, s.id AS signup_id
         |FROM extracted e ASOF LEFT JOIN

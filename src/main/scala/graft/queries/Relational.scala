@@ -163,6 +163,47 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
+    * `quantile_cont` — both linear interpolation over the sorted set).
+    * At 100 TB the scale path is `approx_percentile` (KLL-ish sketch);
+    * exact percentile sorts per group and is kept for the oracle gate. */
+  def q7Percentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Pivot (wide aggregation): per-user value totals by event type. The
+    * explicit value list keeps the plan a single pass (no distinct-values
+    * pre-query); nulls→0 so the contract matches conditional-sum SQL. */
+  def q8Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables(spark, dir).events
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(round(sum($"value"), 2))
+    pivoted.select($"user_id" +: types.map(t => coalesce(col(t), lit(0.0)).as(t)): _*)
+      .orderBy($"user_id")
+  }
+
+  /** EXISTS / semi-join: orders containing at least one high-value line.
+    * Catalyst plans the distinct+semi-join as one broadcast/shuffled hash
+    * semi join — the fact side is scanned once. */
+  def q9Exists(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val bigLines = t.lineitem.filter($"l_extendedprice" > 90000.0).select($"l_orderkey")
+    t.orders.join(bigLines, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .select($"o_orderkey", round($"o_totalprice", 2).as("totalprice"))
+      .orderBy($"o_orderkey")
+  }
+
   /** HLL++ approximate distinct counts — the countDistinct scale path.
     * No SQL oracle (sketch estimates are engine-specific); the driver
     * records a rows-only check. */

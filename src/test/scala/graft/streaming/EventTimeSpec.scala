@@ -39,6 +39,39 @@ class EventTimeSpec extends SparkSpec {
     ev.unpersist()
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+      .filter(col("event_id") < 600).persist()
+    ev.filter(col("event_id") < 300).write.parquet(s"$srcDir/d0")
+    ev.filter(col("event_id") >= 300).write.parquet(s"$srcDir/d1")
+    val schema = spark.read.parquet(s"$srcDir/d0").schema
+
+    def joinPC(purchases: org.apache.spark.sql.DataFrame,
+               clicks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      purchases.alias("p").join(clicks.alias("c"),
+        expr("p.user_id = c.user_id AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTES AND p.ts"))
+        .select(col("p.event_id").as("purchase_id"), col("c.event_id").as("click_id"))
+
+    val stream = Sources.fileStream(spark, s"$srcDir/d*", schema)
+    val sJoined = joinPC(
+      stream.filter(col("event_type") === "purchase").withWatermark("ts", "1 hour"),
+      stream.filter(col("event_type") === "click").withWatermark("ts", "1 hour"))
+    val q = sJoined.writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir).start()
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = joinPC(ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    assert(got == want) // inner interval join: every match emitted, none duplicated
+    ev.unpersist()
+  }
+
   test("firstSeen: duplicate keys across micro-batches emit exactly once") {
     import spark.implicits._
     implicit val s: org.apache.spark.sql.SparkSession = spark
