@@ -49,6 +49,14 @@ object SparkEntry {
       .select(col("id"), col("statement"))
       .orderBy(col("id"))
 
+  /** O8 via nested-struct withField mutation + to_json (see
+    * EventStatements.withStatementStruct). */
+  private def o8WithField(spark: SparkSession, dir: String): DataFrame =
+    EventStatements.withStatementStruct(
+      EventStatements.anonymized(Tables(spark, dir).events))
+      .select(col("id"), col("statement"))
+      .orderBy(col("id"))
+
   private def o12OptOutDim(spark: SparkSession, dir: String): DataFrame =
     EventStatements.optOutDim(Tables(spark, dir).events)
       .select(col("user_id"), col("hashed_id"), col("k"), col("version"))
@@ -91,6 +99,7 @@ object SparkEntry {
     "o4_o5_extract"    -> (o4o5Extract(_, _)),
     "o6_o7_anonymize"  -> (o6o7Anonymize(_, _)),
     "o8_o9_statement_json" -> (o8o9StatementJson(_, _)),
+    "o8_withfield"     -> (o8WithField(_, _)),
     "o12_optout_dim"   -> (o12OptOutDim(_, _)),
     "o11_o13_route"    -> (o11o13Route(_, _)),
     "o10_escape"       -> (o10Escape(_, _)),
@@ -185,6 +194,11 @@ object SparkEntry {
       duckEscape("statement") + " || " +
       """chr(39) || ',' || chr(39) || strftime(ts, '%Y-%m-%d %H:%M:%S.%g') || chr(39) || ')' AS insert_values
         |FROM stmts ORDER BY id""".stripMargin),
+    "o8_withfield" -> (anonCte +
+      """SELECT id, to_json(struct_pack(
+        |    actor := struct_pack(account := struct_pack(name := hashed_id)),
+        |    verb := event_type, k := k)) AS statement
+        |FROM anon ORDER BY id""".stripMargin),
     "o12_optout_dim" -> (anonCte +
       """SELECT user_id, hashed_id, k, version FROM optout_dim ORDER BY user_id""".stripMargin),
     "o11_o13_route" -> (anonCte +

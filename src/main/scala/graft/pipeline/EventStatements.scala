@@ -71,6 +71,23 @@ object EventStatements {
         lit("\",\"k\":"), col("k").cast("string"),
         lit("}")))
 
+  /** O8 in its native mechanism: build the statement as a real NESTED
+    * STRUCT with the raw actor name, then overwrite the nested path with
+    * the hash via `withField` — the Column-API equivalent of the
+    * reference's in-place BSON mutation (`account.insert("name", hash)`,
+    * src/main.rs:643) — and serialize once with `to_json` (O9). The
+    * concat-based [[withStatementJson]] twin exists for byte-deterministic
+    * construction; this one exercises the struct path end-to-end. */
+  def withStatementStruct(df: DataFrame): DataFrame = {
+    val rawStatement = struct(
+      struct(struct(col("actor_name").as("name")).as("account")).as("actor"),
+      col("event_type").as("verb"),
+      col("k").as("k"))
+    df.withColumn("statement_struct",
+        rawStatement.withField("actor.account.name", col("hashed_id")))
+      .withColumn("statement", to_json(col("statement_struct")))
+  }
+
   /** Full anonymization chain O4–O9 over raw events. */
   def statements(events: DataFrame): DataFrame = withStatementJson(anonymized(events))
 
