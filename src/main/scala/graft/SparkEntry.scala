@@ -115,6 +115,7 @@ object SparkEntry {
     "q6_rollup"        -> (Relational.q6Rollup(_, _)),
     "agg_approx"       -> (Relational.aggApprox(_, _)),
     "q7_percentile"    -> (Relational.q7Percentile(_, _)),
+    "w3_sessionize"    -> (Relational.w3Sessionize(_, _)),
     "q8_pivot"         -> (Relational.q8Pivot(_, _)),
     "q9_exists"        -> (Relational.q9Exists(_, _)),
     "asof_signup"      -> (Relational.asofSignup(_, _)),
@@ -264,6 +265,18 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "w3_sessionize" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |g AS (
+        |  SELECT *, es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS gap FROM f),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN gap >= 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY es, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
     "q7_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -163,6 +163,24 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Batch sessionization: classic gap-based session assignment — a gap of
+    * ≥30 min starts a new session. Two windows over ONE shuffle on user_id
+    * (lag + running sum share the partitioning); epoch math on floored
+    * seconds so the oracle's arithmetic is identical. */
+  def w3Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"es", $"event_id")
+    Tables(spark, dir).events
+      .withColumn("es", col("ts").cast("long"))
+      .withColumn("gap", $"es" - lag($"es", 1).over(w))
+      .withColumn("new_s", when($"gap" >= 1800, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum($"new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
   /** Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
     * `quantile_cont` — both linear interpolation over the sorted set).
     * At 100 TB the scale path is `approx_percentile` (KLL-ish sketch);

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+
+  test("salted aggregation equals the unsalted aggregate exactly") {
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+    val plain = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val salted = Salting.saltedCountSum(ev, "user_id", "value", salts = 8)
+    // join on key and compare; doubles summed in different order → compare rounded
+    val joined = plain.alias("p").join(salted.alias("s"), Seq("user_id"))
+      .filter(col("p.n") =!= col("s.n") ||
+        round(col("p.sum_value"), 6) =!= round(col("s.sum_value"), 6))
+    assert(joined.count() == 0)
+    assert(plain.count() == salted.count())
+  }
+
+  test("salted join equals the plain join exactly (row multiset)") {
+    import spark.implicits._
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+      .select(col("event_id"), col("user_id"))
+    val dim = (0L until 150L).map(u => (u, s"seg${u % 7}")).toDF("u", "segment")
+    val plain = ev.join(dim, col("user_id") === col("u"))
+      .select(col("event_id"), col("segment"))
+    val salted = Salting.saltedJoin(ev, dim, "user_id", "u", salts = 8)
+      .select(col("event_id"), col("segment"))
+    assert(plain.count() == salted.count())
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("asof join: rows with no earlier right row get null") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 5L, 101L), (2L, 20L, 102L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 7L, 900L), (1L, 10L, 901L), (3L, 1L, 902L))
+      .toDF("k", "t", "rid")
+    val got = AsofJoin.asofJoinLast(left, right, Seq("k"), "t", "t", Seq("rid"), "rid")
+      .select(col("lid"), col("asof_rid")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got(101L) == -1L)  // t=5 before any right row for k=1
+    assert(got(100L) == 901L) // t=10 ties with right t=10 → included
+    assert(got(102L) == -1L)  // k=2 has no right rows at all
+  }
+}
