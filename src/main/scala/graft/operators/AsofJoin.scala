@@ -57,10 +57,17 @@ object AsofJoin {
       .orderBy(col("__ts").asc, col("__prio").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // Pack the right values into ONE struct that is non-null for every right
+    // row: `last(value, ignoreNulls)` per column would skip a right row whose
+    // value is genuinely NULL and resurrect a stale older value — the packed
+    // struct keeps the true as-of row, nulls and all (matching DuckDB ASOF).
+    val packed = when(col("__prio") === 0,
+      struct(valueCols.map(c => col(s"__r_$c").as(c)): _*))
     lAligned.unionByName(rAligned)
+      .withColumn("__rpack", last(packed, ignoreNulls = true).over(w))
       .select(col("*") +: valueCols.map(c =>
-        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+        col("__rpack").getField(c).as(s"asof_$c")): _*)
       .filter(col("__prio") === 1)
-      .drop(("__ts" +: "__prio" +: "__tie" +: valueCols.map(c => s"__r_$c")): _*)
+      .drop(("__ts" +: "__prio" +: "__tie" +: "__rpack" +: valueCols.map(c => s"__r_$c")): _*)
   }
 }

@@ -32,7 +32,25 @@ object BackfillJob {
     (s, e)
   }
 
-  final case class Result(input: Long, written: Long, skipped: Long)
+  final case class Result(input: Long, written: Long, skipped: Long, deadLettered: Long)
+
+  /** Variant for an already-transformed statement frame (the production
+    * Mongo path: [[MongoStatements.statements]] over a range scan whose
+    * time bounds were pushed to the source). Routes + writes against the
+    * provided dimension; `skipped` is unknown here (malformed docs were
+    * dropped inside the source transform) and reported as 0. */
+  def runTransformed(statements: DataFrame, start: String, end: String,
+                     sink: BatchSink, tables: SinkTables, dlq: Dlq,
+                     dim: () => DataFrame,
+                     policy: RetryPolicy = RetryPolicy()): Result = {
+    validateRange(start, end): Unit
+    statements.persist()
+    try {
+      val transformed = statements.count()
+      val res = StreamingPipeline.processBatch(statements, dim(), sink, tables, dlq, policy)
+      Result(transformed, res.written, 0, res.deadLettered)
+    } finally { statements.unpersist(): Unit }
+  }
 
   /** Run the backfill over an already-loaded source DataFrame (tests inject
     * a parquet scan; production injects [[graft.sources.Sources.mongoRangeScan]]). */
@@ -49,10 +67,12 @@ object BackfillJob {
     val input = bounded.count() // O3: reference's count_documents progress total
     val statements = EventStatements.statements(bounded).persist()
     try {
-      val written = statements.count()
-      StreamingPipeline.processBatch(
+      val transformed = statements.count()
+      val res = StreamingPipeline.processBatch(
         statements, EventStatements.optOutHashes(bounded), sink, tables, dlq, policy)
-      Result(input, written, input - written)
+      // `written` counts rows the SINK accepted; dead-lettered rows are
+      // reported separately (not silently claimed as written)
+      Result(input, res.written, input - transformed, res.deadLettered)
     } finally { statements.unpersist(): Unit }
   }
 }

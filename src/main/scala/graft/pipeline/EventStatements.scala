@@ -49,13 +49,15 @@ object EventStatements {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .filter(col("id").isNotNull && col("ts").isNotNull && col("user_id").isNotNull && col("k").isNotNull)
 
-  /** O6+O7: normalized actor name and its salted tenant-scoped hash. */
-  def anonymized(events: DataFrame): DataFrame = {
+  /** O6+O7: normalized actor name and its salted tenant-scoped hash.
+    * `salt`/`tenant` default to the fixture constants for the oracle
+    * queries; production passes `cfg.encryptionSalt` and the tenant name. */
+  def anonymized(events: DataFrame, salt: String = Salt, tenant: String = Tenant): DataFrame = {
     val withActor = extracted(events).withColumn("actor_name", syntheticActorName(col("user_id")))
     withActor
       .filter(isValidActorName(col("actor_name")))
       .withColumn("normalized_name", normalizeActorName(col("actor_name")))
-      .withColumn("hashed_id", anonymizeActor(col("actor_name"), Salt, Tenant))
+      .withColumn("hashed_id", anonymizeActor(col("actor_name"), salt, tenant))
   }
 
   /** O8+O9: rebuild the statement JSON with the hash swapped into
@@ -90,6 +92,10 @@ object EventStatements {
 
   /** Full anonymization chain O4–O9 over raw events. */
   def statements(events: DataFrame): DataFrame = withStatementJson(anonymized(events))
+
+  /** Config-driven variant for production tenants. */
+  def statements(events: DataFrame, salt: String, tenant: String): DataFrame =
+    withStatementJson(anonymized(events, salt, tenant))
 
   /** O12 over events: the opt-out dimension is derived from `signup` events —
     * (key=user_id, version=event_id, payload=k); a user is opted out iff

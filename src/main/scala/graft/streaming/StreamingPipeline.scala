@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -44,36 +46,50 @@ object StreamingPipeline {
     while (true) {
       try { sink.write(df, table); return true }
       catch {
-        case _: Throwable if attempt < policy.maxRetries =>
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt() // shutdown in flight: fail fast
+          return false
+        case NonFatal(_) if attempt < policy.maxRetries =>
           Thread.sleep(delay)
           // saturating ×2, like the reference's `saturating_mul(2)` (src/main.rs:736)
           delay = if (delay > Long.MaxValue / 2) Long.MaxValue else delay * 2
           attempt += 1
-        case _: Throwable => return false
+        case NonFatal(_) => return false
       }
     }
     false
   }
 
+  /** Per-micro-batch outcome (feeds backfill reporting + metrics). */
+  final case class BatchResult(written: Long, deadLettered: Long)
+
   /** One micro-batch: route against the freshly resolved opt-out dimension,
     * split, write both tables with retry, dead-letter on exhaustion. The
-    * batch is persisted so the split doesn't recompute the upstream. */
+    * ROUTED frame is persisted: the broadcast join (and the dimProvider's
+    * dimension query, often a remote read) must run once per batch, not once
+    * per downstream action — and both splits must see the same dimension
+    * snapshot. */
   def processBatch(batch: DataFrame, dim: DataFrame, sink: BatchSink, tables: SinkTables,
-                   dlq: Dlq, policy: RetryPolicy): Unit = {
+                   dlq: Dlq, policy: RetryPolicy): BatchResult = {
+    var written = 0L
+    var dead = 0L
     if (!batch.isEmpty) {
-      batch.persist()
+      val routed = OptOutRouting.withOptOutFlag(batch, "hashed_id", dim, "hashed_id").persist()
       try {
-        val routed = OptOutRouting.withOptOutFlag(batch, "hashed_id", dim, "hashed_id")
         val (main, opt) = OptOutRouting.split(routed)
         Seq((main, tables.main, false), (opt, tables.optOut, true)).foreach {
           case (part, table, isOptOut) =>
+            val n = part.count()
             // skip fully-empty splits: nothing to insert, and an empty DLQ
             // batch would carry no routing metadata row to replay
-            if (!part.isEmpty && !writeWithRetry(sink, part, s"${tables.db}.$table", policy))
-              dlq.append(part, tables.tenant, tables.db, table, isOptOut)
+            if (n > 0) {
+              if (writeWithRetry(sink, part, s"${tables.db}.$table", policy)) written += n
+              else { dlq.append(part, tables.tenant, tables.db, table, isOptOut); dead += n }
+            }
         }
-      } finally { batch.unpersist(): Unit }
+      } finally { routed.unpersist(): Unit }
     }
+    BatchResult(written, dead)
   }
 
   /** Build and start the per-tenant streaming query: O4–O9 transform chain
@@ -81,14 +97,15 @@ object StreamingPipeline {
   def start(source: DataFrame, dimProvider: () => DataFrame, sink: BatchSink,
             tables: SinkTables, dlq: Dlq, checkpoint: String,
             policy: RetryPolicy = RetryPolicy(),
-            trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
-    EventStatements.statements(source)
+            trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+            transform: DataFrame => DataFrame = EventStatements.statements(_)): StreamingQuery =
+    transform(source)
       .observe("graft_metrics", count(lit(1)).as("rows_out"))
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, dimProvider(), sink, tables, dlq, policy)
+        processBatch(batch, dimProvider(), sink, tables, dlq, policy): Unit
       }
       .start()
 }

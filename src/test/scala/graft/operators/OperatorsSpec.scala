@@ -32,6 +32,17 @@ class OperatorsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0)
   }
 
+  test("asof join: a NULL right value is kept, not replaced by a stale older value") {
+    import spark.implicits._
+    val left = Seq((1L, 25L, 100L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, Some(5L)), (1L, 20L, None))
+      .toDF("k", "t", "rid")
+    val row = AsofJoin.asofJoinLast(left, right, Seq("k"), "t", "t", Seq("rid"), "t")
+      .select(col("asof_rid")).collect()(0)
+    // the true as-of match (t=20) has rid=NULL; DuckDB ASOF would return NULL
+    assert(row.isNullAt(0), s"expected NULL, got ${row}")
+  }
+
   test("asof join: rows with no earlier right row get null") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (1L, 5L, 101L), (2L, 20L, 102L))

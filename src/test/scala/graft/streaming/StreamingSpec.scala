@@ -114,6 +114,7 @@ class StreamingSpec extends SparkSpec {
     val res = BackfillJob.run(source, "2024-01-01T00:00", "2024-01-05T00:00",
       new ParquetSink(sinkDir), tables, dlq, fastRetry)
     assert(res.input > 0)
+    assert(res.deadLettered == 0)
     assert(res.written == res.input - res.skipped)
     assert(sinkCount(sinkDir, "statements") + sinkCount(sinkDir, "statements_opt_out") == res.written)
     // O25 validation
