@@ -118,6 +118,8 @@ object SparkEntry {
     "w3_sessionize"    -> (Relational.w3Sessionize(_, _)),
     "q8_pivot"         -> (Relational.q8Pivot(_, _)),
     "q9_exists"        -> (Relational.q9Exists(_, _)),
+    "q10_cube"         -> (Relational.q10Cube(_, _)),
+    "set_intersect"    -> (Relational.setIntersect(_, _)),
     "asof_signup"      -> (Relational.asofSignup(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
@@ -291,6 +293,16 @@ object SparkEntry {
         |  round(sum(CASE WHEN event_type = 'signup' THEN value ELSE 0 END), 2) AS signup,
         |  round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 2) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q10_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "set_intersect" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id""".stripMargin,
     "q9_exists" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem

@@ -130,6 +130,25 @@ object Relational {
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** CUBE over two dimensions: all four grouping combinations in one
+    * Expand + single aggregation pass. */
+  def q10Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(round(sum($"o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** Set intersection: users who both purchased and signed up. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    ev.filter($"event_type" === "purchase").select($"user_id").distinct()
+      .intersect(ev.filter($"event_type" === "signup").select($"user_id").distinct())
+      .orderBy($"user_id")
+  }
+
   /** As-of join: attach the signup event that was current (latest at or
     * before the event's timestamp) for the same user. See
     * [[graft.operators.AsofJoin]] — one shuffle on user_id. */
