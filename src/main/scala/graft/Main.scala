@@ -86,6 +86,7 @@ object Main {
     val ckptBase = sys.env.getOrElse("GRAFT_CHECKPOINT_DIR", "/tmp/graft-ckpt")
     val runner = new TenantRunner(spark)
     runner.installShutdownHook()
+    spark.streams.addListener(new graft.streaming.MetricsListener())
     val dim = dimProvider(spark, cfg)
 
     cfg.tenants.foreach { t =>

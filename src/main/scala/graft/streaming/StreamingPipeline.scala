@@ -73,22 +73,23 @@ object StreamingPipeline {
                    dlq: Dlq, policy: RetryPolicy): BatchResult = {
     var written = 0L
     var dead = 0L
-    if (!batch.isEmpty) {
-      val routed = OptOutRouting.withOptOutFlag(batch, "hashed_id", dim, "hashed_id").persist()
-      try {
-        val (main, opt) = OptOutRouting.split(routed)
-        Seq((main, tables.main, false), (opt, tables.optOut, true)).foreach {
-          case (part, table, isOptOut) =>
-            val n = part.count()
-            // skip fully-empty splits: nothing to insert, and an empty DLQ
-            // batch would carry no routing metadata row to replay
-            if (n > 0) {
-              if (writeWithRetry(sink, part, s"${tables.db}.$table", policy)) written += n
-              else { dlq.append(part, tables.tenant, tables.db, table, isOptOut); dead += n }
-            }
-        }
-      } finally { routed.unpersist(): Unit }
-    }
+    // no up-front isEmpty probe: every extra action on the un-persisted
+    // batch re-executes the streaming plan (inflating observe() counters);
+    // the per-split counts below already handle the empty case
+    val routed = OptOutRouting.withOptOutFlag(batch, "hashed_id", dim, "hashed_id").persist()
+    try {
+      val (main, opt) = OptOutRouting.split(routed)
+      Seq((main, tables.main, false), (opt, tables.optOut, true)).foreach {
+        case (part, table, isOptOut) =>
+          val n = part.count()
+          // skip fully-empty splits: nothing to insert, and an empty DLQ
+          // batch would carry no routing metadata row to replay
+          if (n > 0) {
+            if (writeWithRetry(sink, part, s"${tables.db}.$table", policy)) written += n
+            else { dlq.append(part, tables.tenant, tables.db, table, isOptOut); dead += n }
+          }
+      }
+    } finally { routed.unpersist(): Unit }
     BatchResult(written, dead)
   }
 

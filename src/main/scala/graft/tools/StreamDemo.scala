@@ -49,6 +49,8 @@ object StreamDemo {
     val tables = SinkTables("tenant_a", "db", "statements", "statements_opt_out")
     val dlq = new Dlq(spark, dlqDir)
     val dim = EventStatements.optOutHashes(ev)
+    val metrics = new graft.streaming.MetricsListener()
+    spark.streams.addListener(metrics)
     val runner = new TenantRunner(spark, restartDelayMs = 1000)
     runner.installShutdownHook()
     runner.run("tenant_a") { () =>
@@ -67,7 +69,8 @@ object StreamDemo {
     val main = spark.read.parquet(s"$sinkDir/db.statements").count()
     val opt = spark.read.parquet(s"$sinkDir/db.statements_opt_out").count()
     val expected = EventStatements.statements(ev).count()
-    println(s"""{"events":$total,"statements":$expected,"main":$main,"opt_out":$opt,"dlq":${dlq.pending().size}}""")
+    val observedRows = metrics.recent.flatMap(_.observed.get("graft_metrics.rows_out")).map(_.toLong).sum
+    println(s"""{"events":$total,"statements":$expected,"main":$main,"opt_out":$opt,"dlq":${dlq.pending().size},"observed_rows":$observedRows}""")
     assert(main + opt == expected, "routed output must equal transformed input")
     spark.stop()
   }
