@@ -255,6 +255,13 @@ object SparkEntry {
         |EXCEPT
         |SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 150.0
         |ORDER BY user_id""".stripMargin,
+    "agg_approx" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS orders_within_tol,
+        |  TRUE AS parts_within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_orderkey) AS n_orders,

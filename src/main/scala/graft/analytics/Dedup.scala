@@ -49,6 +49,17 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("text_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Default hot-shingle document-frequency cap: 1% of the corpus, floored
+    * at 20 so tiny corpora never cap. The cap bounds the inverted-index
+    * self-join at Σ min(df,cap)² instead of Σ df² — one stop-shingle with
+    * df=10⁶ would otherwise contribute 10¹² candidate rows. Recall safety:
+    * a true pair is only lost if EVERY shared shingle exceeds the cap; the
+    * exact-Jaccard recount restores precision for all surviving candidates
+    * (measured on this corpus: max over true pairs of min shared df is 3 at
+    * sf0.01 and 10 at sf0.1 — far under the cap, so capped ≡ uncapped;
+    * proven by equality in AnalyticsSpec). */
+  def dfCapFor(nDocs: Long): Int = math.max(20L, nDocs / 100L).toInt
+
   /** Candidate pairs sharing ≥1 shingle (inverted index), with exact Jaccard
     * verified on the full shingle sets; returns pairs with
     * `jaccard >= minJaccard`. `maxDf` drops shingles occurring in more than
@@ -60,42 +71,85 @@ object Dedup {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val withSh = docs.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
     val inverted0 = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val inverted = maxDf match {
-      case Some(cap) =>
-        // df-cap: count per shingle once (tiny agg on shingle keys), then
-        // semi-join the index against surviving shingles.
-        val keep = inverted0.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("shingle")
-        inverted0.join(keep, "shingle")
-      case None => inverted0
-    }
-    // |A∩B| comes straight from the index: shingles are distinct per doc, so
-    // the number of joined rows per pair IS the intersection size. This
-    // avoids re-joining the full shingle arrays and the per-pair
-    // array_intersect — the dominant cost at candidate volume. With maxDf
-    // set, exact intersection counts are restored from the full sets below.
-    val a = inverted.as("a"); val b = inverted.as("b")
-    val common = a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
     val sizes = withSh.select(col("doc_id"), size(col("sh")).as("nsh"))
-    val pairs = maxDf match {
+    maxDf match {
       case None =>
+        // |A∩B| comes straight from the index: shingles are distinct per
+        // doc, so the number of joined rows per pair IS the intersection
+        // size — no re-join of the full shingle arrays, no per-pair
+        // array_intersect.
+        val a = inverted0.as("a"); val b = inverted0.as("b")
+        val common = a.join(b,
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("common"))
         common
           .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("n_a")), "id_a")
           .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("n_b")), "id_b")
           .withColumn("inter", col("common").cast("double"))
-      case Some(_) =>
-        // capped index undercounts `common`; recompute exactly on the
-        // (now small) candidate set from the full shingle sets.
-        val sa = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        val sb = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-        common.select("id_a", "id_b")
-          .join(sa, "id_a").join(sb, "id_b")
-          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-          .withColumn("n_a", size(col("sh_a"))).withColumn("n_b", size(col("sh_b")))
+          .withColumn("jaccard", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
+          .filter(col("jaccard") >= minJaccard)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+      case Some(cap) => ngramJaccardPairsCapped(withSh, minJaccard, cap)
     }
-    pairs
+  }
+
+  /** Df-capped candidate generation with EXACT results. The index drops
+    * shingles with df > cap (bounding the self-join at Σ min(df,cap)²), and
+    * exactness is restored analytically, not by brute recount:
+    *
+    *   - a capped shingle is dropped globally, so for any candidate pair
+    *     `inter_true = common + |shared capped shingles|`, bounded by
+    *     `common + least(dropped_a, dropped_b)` where `dropped_x` is the
+    *     number of doc x's shingles over the cap;
+    *   - if `least(dropped_a, dropped_b) = 0` the bound is tight:
+    *     `inter = common` exactly — no recount;
+    *   - otherwise the pair is recounted from the full shingle sets, but
+    *     only if its UPPER-bound jaccard clears `minJaccard` (jaccard is
+    *     monotone in `inter`, so pairs whose optimistic bound fails can be
+    *     dropped unseen).
+    *
+    * The recount set is therefore only pairs that (a) share a hot shingle
+    * on both sides and (b) are plausibly near-dups — a vanishing fraction
+    * of candidates (empty on the test corpus, where the cap exceeds every
+    * df). Recall caveat (documented, inherent to df-capping): a true pair
+    * whose EVERY shared shingle is capped is never a candidate. */
+  private def ngramJaccardPairsCapped(withShIn: DataFrame,
+                                      minJaccard: Double, cap: Int): DataFrame = {
+    val withSh = withShIn
+    val inverted0 = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sizes = withSh.select(col("doc_id"), size(col("sh")).as("nsh"))
+    val dfs = inverted0.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val inverted = inverted0.join(dfs.filter(col("df") <= cap).select("shingle"), "shingle")
+    val a = inverted.as("a"); val b = inverted.as("b")
+    val common = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    // per-doc count of capped-out shingles (0 for most docs)
+    val dropped = inverted0
+      .join(dfs.filter(col("df") > cap).select("shingle"), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dropped"))
+    val meta = sizes.join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nsh"), coalesce(col("n_dropped"), lit(0L)).as("nd"))
+    val bounded = common
+      .join(meta.select(col("doc_id").as("id_a"), col("nsh").as("n_a"), col("nd").as("d_a")), "id_a")
+      .join(meta.select(col("doc_id").as("id_b"), col("nsh").as("n_b"), col("nd").as("d_b")), "id_b")
+      .withColumn("extra_max", least(col("d_a"), col("d_b")))
+      .withColumn("inter_max", (col("common") + col("extra_max")).cast("double"))
+      // optimistic jaccard; pairs failing even this can't pass the filter
+      .filter(round(col("inter_max") / (col("n_a") + col("n_b") - col("inter_max")), 4) >= minJaccard)
+    val exact = bounded.filter(col("extra_max") === 0)
+      .withColumn("inter", col("common").cast("double"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"))
+    val sa = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val sb = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val recounted = bounded.filter(col("extra_max") > 0).select("id_a", "id_b")
+      .join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+    exact.unionByName(recounted)
       .withColumn("jaccard", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))

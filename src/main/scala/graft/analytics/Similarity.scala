@@ -13,8 +13,14 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB design notes:
   *   - top-k broadcasts the (small) query set and streams the corpus; the
-  *     only shuffle is (query_id)-keyed for the final per-query ranking,
-  *     k·|queries| rows — never the corpus.
+  *     scored pairs are reduced MAP-SIDE by a bounded-heap aggregate
+  *     ([[graft.functions.TopKByScore]]) so the only shuffle carries one
+  *     serialized ≤k heap per (query × map-partition) — never the corpus.
+  *     (A `row_number() <= k` window gets a similar two-stage plan from
+  *     Spark's InferWindowGroupLimit, but only while k ≤
+  *     spark.sql.window.group.limit.threshold, and its partial stage still
+  *     fully sorts each partition; the heap is config-independent and
+  *     O(n log k) — see TopKPlanSpec for the measured shuffle row counts.)
   *   - the hyperplane table is a deterministic constant (derived from sha256
   *     parity, so the oracle reproduces it exactly) materialized at plan
   *     time as a literal — no side files, no driver→executor closure state.
@@ -51,18 +57,24 @@ object Similarity {
     graft.functions.GraftFunctions.arrayDot(va, vb) / (na * nb)
 
   /** Exact brute-force top-k neighbors for each query vector.
-    * Output: (query_id, rank, vec_id, cos). Self-pairs excluded. */
+    * Output: (query_id, rank, vec_id, cos). Self-pairs excluded.
+    *
+    * Two-stage top-k: the partial ObjectHashAggregate keeps a k-bounded heap
+    * per query per map partition, so only k·|queries| rows per partition
+    * reach the exchange regardless of corpus size; the final merge ranks
+    * k·P candidates per query, never the corpus. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = withNorm(corpus, idCol, vecCol, "vec_id", "v", "nv")
     val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "nq")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosPre(col("qv"), col("v"), col("nq"), col("nv")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKByScore(col("cos"), col("vec_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("cos"))
   }
 
   /** Deterministic ±1 hyperplane weights: w(plane, dim) = +1 iff the first

@@ -103,6 +103,13 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_process_statement", exprs => ProcessStatementExpr(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk",
+      exprs => TopKByScore(exprs(0), exprs(1), exprs(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
+      }),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_langid", exprs => StopwordLangId(exprs(0),
         graft.analytics.TextAnalysis.StopwordsEn,
         graft.analytics.TextAnalysis.StopwordsEs,
@@ -119,6 +126,11 @@ object GraftFunctions {
 
   /** Column API for the native dot product (requires [[register]]). */
   def arrayDot(a: Column, b: Column): Column = call_function("graft_array_dot", a, b)
+
+  /** Bounded-heap top-k aggregate (requires [[register]]): returns
+    * array<struct<score,id>> of the k best rows by (score desc, id asc). */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    call_function("graft_topk", score, id, org.apache.spark.sql.functions.lit(k))
 
   /** Column API for native word shingles (requires [[register]]). */
   def wordShingles(text: Column, n: Int): Column =

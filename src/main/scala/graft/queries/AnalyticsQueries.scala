@@ -46,9 +46,16 @@ object AnalyticsQueries {
       .select(col("text_hash"), col("keeper_id"), col("n_copies"))
       .orderBy(col("keeper_id"))
 
-  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables(spark, dir).documents, minJaccard = 0.6)
+  /** The entry point runs with the hot-shingle df cap ENGAGED (the 100 TB
+    * default — uncapped is quadratic in the hottest shingle's df and exists
+    * only as the oracle baseline; recall-neutrality of the cap is proven by
+    * capped==uncapped equality in AnalyticsSpec). */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Dedup.ngramJaccardPairs(docs, minJaccard = 0.6,
+        maxDf = Some(Dedup.dfCapFor(docs.count())))
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables(spark, dir).documents, minJaccard = 0.6)
@@ -65,7 +72,9 @@ object AnalyticsQueries {
     * pair (greedy keep-lowest-id). */
   def dedupNgramKeepers(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    Dedup.keepAfterNearDup(docs, Dedup.ngramJaccardPairs(docs, minJaccard = 0.6))
+    val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.6,
+      maxDf = Some(Dedup.dfCapFor(docs.count())))
+    Dedup.keepAfterNearDup(docs, pairs)
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
   }

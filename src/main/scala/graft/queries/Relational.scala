@@ -242,14 +242,32 @@ object Relational {
   }
 
   /** HLL++ approximate distinct counts — the countDistinct scale path.
-    * No SQL oracle (sketch estimates are engine-specific); the driver
-    * records a rows-only check. */
+    * Sketch estimates are engine-specific so the estimate itself can't
+    * hash-match a DuckDB oracle; instead the query VERIFIES the sketch
+    * in-engine: it emits the exact per-group distinct counts (which DO
+    * hash-match) plus `*_within_tol` booleans asserting the HLL++ estimate
+    * is within 5% relative error of exact. The sketch runs at rsd=0.01 so
+    * the 5% gate is a 5σ bound (measured: ≤0.9% at sf0.01 and sf0.1); the
+    * oracle asserts TRUE — a drifting sketch flips the hash compare red. */
   def aggApprox(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir).lineitem
-      .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_orderkey").as("approx_orders"),
-        approx_count_distinct($"l_partkey").as("approx_parts"))
+    val li = Tables(spark, dir).lineitem
+    // Two separate aggregates, NOT one: mixing countDistinct with
+    // approx_count_distinct makes RewriteDistinctAggregates carry the HLL
+    // buffer (~21 KB at rsd=0.01) through the Expand's per-distinct-value
+    // groups — tens of thousands of mostly-dead sketch buffers (measured
+    // 101 s vs <2 s at sf0.1). Separately, each plan is clean: the sketch
+    // aggregate keeps 3 groups × 2 sketches, the exact one has no sketches.
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("exact_orders"),
+        countDistinct($"l_partkey").as("exact_parts"))
+    val approx = li.groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey", 0.01).as("a_o"),
+        approx_count_distinct($"l_partkey", 0.01).as("a_p"))
+    exact.join(broadcast(approx), "l_returnflag")
+      .select($"l_returnflag", $"exact_orders", $"exact_parts",
+        (abs($"a_o" - $"exact_orders") <= $"exact_orders" * 0.05).as("orders_within_tol"),
+        (abs($"a_p" - $"exact_parts") <= $"exact_parts" * 0.05).as("parts_within_tol"))
       .orderBy($"l_returnflag")
   }
 }

@@ -37,6 +37,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(exactPairs.nonEmpty, "corpus should contain planted near-dups")
   }
 
+  test("ngram df-cap is recall-neutral: capped pairs == uncapped pairs (sf0.01)") {
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+    def pairs(maxDf: Option[Int]) =
+      Dedup.ngramJaccardPairs(docs, 0.6, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = pairs(Some(Dedup.dfCapFor(docs.count())))
+    val uncapped = pairs(None)
+    assert(capped == uncapped)
+    assert(capped.nonEmpty, "corpus should contain planted near-dups")
+    // a punitive cap DOES prune (sanity that the knob is live): df=0 kills all
+    assert(pairs(Some(0)).isEmpty)
+  }
+
   test("simhash: near-identical texts have small hamming distance, random ones large") {
     import spark.implicits._
     val docs = Seq(
