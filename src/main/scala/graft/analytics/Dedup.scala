@@ -235,14 +235,63 @@ object Dedup {
 
   /** Materialize a deduplicated corpus from a near-dup pair set: greedy
     * keep-lowest-id — every doc appearing on the `id_b` (higher-id) side of
-    * a pair is dropped via one broadcast anti-join. For transitive clusters
-    * this keeps at least one representative per cluster and may keep more
-    * than one (greedy, not connected components — the standard trade at
-    * corpus scale, where CC would need iterative joins). */
+    * a pair is dropped via one anti-join. No broadcast hint: on a dirty
+    * corpus the drop-id set can be a large fraction of the corpus (well past
+    * driver/broadcast limits), so the join strategy is left to AQE, which
+    * broadcasts exactly when the measured build side is small. For
+    * transitive clusters this keeps at least one representative per cluster
+    * and may keep more than one (greedy, not connected components — see
+    * [[connectedComponentKeepers]] for the cluster-exact variant). */
   def keepAfterNearDup(docs: DataFrame, pairs: DataFrame,
                        idCol: String = "doc_id"): DataFrame =
-    docs.join(broadcast(pairs.select(col("id_b")).distinct()),
+    docs.join(pairs.select(col("id_b")).distinct(),
       docs(idCol) === col("id_b"), "left_anti")
+
+  /** Connected-components dedup materializer: keep exactly ONE document (the
+    * minimum id) per transitive near-dup cluster — the cluster-exact variant
+    * of the greedy [[keepAfterNearDup]] (which can keep >1 representative
+    * when a∼b, b∼c but a≁c).
+    *
+    * Algorithm: capped-round min-label propagation over the pair graph —
+    * each round every vertex takes the min label among itself and its
+    * neighbors; converged when no label changes (exact components), capped
+    * at `maxRounds` (bounds cost on adversarial long-chain graphs; rounds
+    * needed = cluster diameter, and near-dup clusters are dense/shallow in
+    * practice). Each round is one shuffle join + one aggregate — the
+    * standard scalable CC loop (GraphX/Pregel shape) expressed in
+    * DataFrames; per-round results are persisted and the previous round
+    * unpersisted so lineage stays O(1). The final label table remains
+    * persisted (vertices of the pair graph only — pairs-scale, not
+    * corpus-scale); callers doing one materialization per job can ignore it.
+    *
+    * Output: `docs` minus every clustered doc that is not its cluster's
+    * minimum id. */
+  def connectedComponentKeepers(docs: DataFrame, pairs: DataFrame,
+                                maxRounds: Int = 10, idCol: String = "doc_id"): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist(lvl)
+    var round = 0
+    var changed = 1L
+    while (round < maxRounds && changed > 0) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("label").as("label")).persist(lvl)
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    val dropped = labels.filter(col("label") =!= col("id")).select(col("id").as("__drop_id"))
+    val out = docs.join(dropped, docs(idCol) === col("__drop_id"), "left_anti")
+    edges.unpersist()
+    out
+  }
 
   /** SimHash near-dup pairs, sub-quadratic via signature banding: split the
     * 60-bit signature into `bands` equal bit-bands; a pair with hamming

@@ -70,14 +70,22 @@ object AppConfig {
       else t
     }
 
+    // every parse failure names the offending line — the whole point of O26
+    // is that config errors are explicit, never NPE/MatchError
+    def kv(s: String, line: String): (String, String) = s.split(":", 2) match {
+      case Array(k, v) => (k.trim, unquote(v))
+      case _ => throw new IllegalArgumentException(
+        s"config: expected 'key: value', got '$line'")
+    }
+
     for (line <- lines) {
       val indent = line.takeWhile(_ == ' ').length
       val body = line.trim
       if (indent == 0) {
         inTenants = body == "tenants:"
         if (!inTenants) {
-          val Array(k, v) = body.split(":", 2)
-          top(k.trim) = unquote(v)
+          val (k, v) = kv(body, line)
+          top(k) = v
         }
       } else if (inTenants) {
         val item = if (body.startsWith("- ")) {
@@ -85,8 +93,10 @@ object AppConfig {
           tenants += Map() // placeholder, replaced below
           body.drop(2)
         } else body
-        val Array(k, v) = item.split(":", 2)
-        current(k.trim) = unquote(v)
+        if (current == null) throw new IllegalArgumentException(
+          s"config: tenant fields must start with a '- ' list item, got '$line'")
+        val (k, v) = kv(item, line)
+        current(k) = v
         tenants(tenants.length - 1) = current.toMap
       }
     }

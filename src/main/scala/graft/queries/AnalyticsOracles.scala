@@ -79,6 +79,24 @@ object AnalyticsOracles {
          |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |  WHERE jaccard >= 0.6)
          |ORDER BY doc_id""".stripMargin),
+    // true components via recursive CTE (fixpoint reachability — the oracle
+    // for the capped-round label propagation, which must converge here)
+    "dedup_cc_keepers" -> (tokCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.6),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT src AS id, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+         |minlab AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM minlab WHERE label <> id)
+         |ORDER BY doc_id""".stripMargin),
     "dedup_minhash" -> (tokCte +
       s""", seeds AS (SELECT unnest(generate_series(0, 15)) AS j),
          |hb AS (SELECT doc_id,

@@ -79,6 +79,17 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cluster-exact dedup: one keeper (min id) per transitive near-dup
+    * component, vs the greedy drop-higher-id of [[dedupNgramKeepers]]. */
+  def dedupCcKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.6,
+      maxDf = Some(Dedup.dfCapFor(docs.count())))
+    Dedup.connectedComponentKeepers(docs, pairs)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables(spark, dir).documents, maxHamming = 3, bands = 6)
       .orderBy(col("id_a"), col("id_b"))
@@ -133,6 +144,7 @@ object AnalyticsQueries {
     "dedup_exact"      -> (dedupExact(_, _)),
     "dedup_ngram"      -> (dedupNgram(_, _)),
     "dedup_ngram_keepers" -> (dedupNgramKeepers(_, _)),
+    "dedup_cc_keepers" -> (dedupCcKeepers(_, _)),
     "dedup_minhash"    -> (dedupMinhash(_, _)),
     "dedup_simhash"    -> (dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),

@@ -66,7 +66,14 @@ final class Dlq(spark: SparkSession, dir: String) extends Serializable {
         ok += 1
         }
       } catch {
-        case _: Throwable => failed += 1 // stays queued for the next cycle
+        // NonFatal only: a fatal error (OOM, linkage) must propagate, and an
+        // interrupt (shutdown asking the replay thread to stop) must both
+        // stop the loop and leave the flag set for the caller.
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt()
+          return (ok, failed + 1)
+        case scala.util.control.NonFatal(_) =>
+          failed += 1 // stays queued for the next cycle
       }
     }
     (ok, failed)

@@ -44,8 +44,22 @@ final class InvalidationServer(port: Int, onInvalidate: () => Unit) {
           val sock = server.accept()
           try {
             sock.setSoTimeout(5000)
-            val buf = new Array[Byte](1024) // reference reads ≤1024 bytes (src/main.rs:804)
-            val n = sock.getInputStream.read(buf)
+            // Read to newline/EOF/1024-byte cap (reference caps at 1024,
+            // src/main.rs:804) — a single read() would misparse a command
+            // split across TCP segments as 'Unknown command'.
+            val buf = new Array[Byte](1024)
+            val in = sock.getInputStream
+            var n = 0
+            var eof = false
+            try {
+              while (!eof && n < buf.length && !buf.take(n).contains('\n'.toByte)) {
+                val r = in.read(buf, n, buf.length - n)
+                if (r < 0) eof = true else n += r
+              }
+            } catch {
+              // no newline, no EOF, client idle: parse what arrived
+              case _: java.net.SocketTimeoutException => ()
+            }
             val cmd = if (n <= 0) "" else new String(buf, 0, n, StandardCharsets.UTF_8).trim
             val reply = cmd match {
               case "invalidate" =>

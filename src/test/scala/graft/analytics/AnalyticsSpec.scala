@@ -50,6 +50,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(pairs(Some(0)).isEmpty)
   }
 
+  test("connected-components keepers: one keeper per transitive cluster, greedy keeps more") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // cluster {1,2,3} via 2~3 and 1~3 (transitive through 3), cluster {4,5}
+    val pairs = Seq((2L, 3L, 0.9), (1L, 3L, 0.9), (4L, 5L, 0.9)).toDF("id_a", "id_b", "jaccard")
+    val cc = Dedup.connectedComponentKeepers(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cc == Set(1L, 4L, 9L)) // min id per cluster + untouched 9
+    // greedy only drops id_b-side docs: 2 survives even though it's clustered with 1
+    val greedy = Dedup.keepAfterNearDup(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(greedy == Set(1L, 2L, 4L, 9L))
+  }
+
+  test("connected-components converges on a 6-chain within the round cap") {
+    import spark.implicits._
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = (1L to 5L).map(i => (i, i + 1, 0.9)).toDF("id_a", "id_b", "jaccard")
+    val cc = Dedup.connectedComponentKeepers(docs, pairs, maxRounds = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cc == Set(1L))
+  }
+
   test("simhash: near-identical texts have small hamming distance, random ones large") {
     import spark.implicits._
     val docs = Seq(

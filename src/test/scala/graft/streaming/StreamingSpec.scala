@@ -82,6 +82,20 @@ class StreamingSpec extends SparkSpec {
     assert(dlq.pending().size == 1)
   }
 
+  test("replay interrupt stops the loop and restores the interrupt flag") {
+    val dlqDir = tmp("dlq")
+    val dlq = new Dlq(spark, dlqDir)
+    dlq.append(EventStatements.statements(eventsSlice(0, 20)), "tenant_a", "db", "statements", optOut = false)
+    dlq.append(EventStatements.statements(eventsSlice(20, 40)), "tenant_a", "db", "statements", optOut = false)
+    val interrupting = new BatchSink {
+      override def write(df: DataFrame, table: String): Unit = throw new InterruptedException("shutdown")
+    }
+    val (ok, failed) = dlq.replayOnce(interrupting)
+    assert(Thread.interrupted(), "interrupt flag must be restored (and cleared here for the next test)")
+    assert(ok == 0 && failed == 1) // stopped at the first batch, did not keep looping
+    assert(dlq.pending().size == 2) // nothing lost
+  }
+
   test("checkpoint restart resumes without loss or duplication (O20)") {
     val (srcDir, sinkDir, ckpt, dlqDir) = (tmp("src"), tmp("sink"), tmp("ckpt"), tmp("dlq"))
     val dlq = new Dlq(spark, dlqDir)
@@ -150,5 +164,12 @@ class StreamingSpec extends SparkSpec {
     val bad = yaml.replace("    clickhouse_db: tenant_a\n", "")
     val e = intercept[IllegalArgumentException](graft.pipeline.AppConfig.fromYaml(bad))
     assert(e.getMessage.contains("clickhouse_db"))
+    // malformed lines name the offending line instead of NPE/MatchError
+    val noColon = intercept[IllegalArgumentException](
+      graft.pipeline.AppConfig.fromYaml("batch_size 1000\n"))
+    assert(noColon.getMessage.contains("batch_size 1000"))
+    val noDash = intercept[IllegalArgumentException](
+      graft.pipeline.AppConfig.fromYaml("tenants:\n    name: t\n"))
+    assert(noDash.getMessage.contains("list item"))
   }
 }
