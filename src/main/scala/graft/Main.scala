@@ -104,7 +104,9 @@ object Main {
       }, s"graft-dlq-${t.name}")
       replay.setDaemon(true); replay.start()
 
-      runner.run(t.name) { () =>
+      // recoverCheckpoint: on a resume-token-expired failure (code 280) the
+      // checkpoint is cleared and the stream restarts from now (O24 recovery)
+      runner.run(t.name, recoverCheckpoint = Some(s"$ckptBase/${t.name}")) { () =>
         StreamingPipeline.start(
           Sources.mongoChangeStream(spark, t),
           dim, sink, tablesFor(t), dlq, s"$ckptBase/${t.name}",

@@ -200,18 +200,19 @@ object Relational {
       .orderBy($"user_id", $"session_idx")
   }
 
-  /** Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
-    * `quantile_cont` — both linear interpolation over the sorted set).
-    * At 100 TB the scale path is `approx_percentile` (KLL-ish sketch);
-    * exact percentile sorts per group and is kept for the oracle gate. */
+  /** Exact interpolated percentiles per group (≡ DuckDB `quantile_cont`),
+    * via the scale-gated [[graft.operators.Percentiles]] entry point: below
+    * the row limit it computes exact through a disk-backed window sort (no
+    * aggregation buffer holding N/groups values in one task — the old
+    * `percentile(...)` shape); above it, the mergeable approx sketch. The
+    * oracle exercises the exact path. */
   def q7Percentile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir).lineitem
-      .groupBy($"l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    graft.operators.Percentiles
+      .perGroup(Tables(spark, dir).lineitem, "l_returnflag", "l_extendedprice", ps)
+      .select($"l_returnflag",
+        round($"p50", 4).as("p50"), round($"p90", 4).as("p90"), round($"p99", 4).as("p99"))
       .orderBy($"l_returnflag")
   }
 

@@ -7,12 +7,16 @@ package graft.streaming
   * rate of the last batch; above `targetRate` double the size, otherwise
   * halve it; always clamp to `[minSize, maxSize]`.
   *
-  * On Spark this is a *driver-side admission knob*, not an operator: feed
-  * [[suggest]] into the streaming source's rows-per-trigger option
-  * (`maxFilesPerTrigger` / `maxDocsPerBatch` analog) between restarts, or
-  * simply rely on AQE + trigger-time backpressure (SURVEY §4: the mechanism
-  * is subsumed; this exists for contract parity and for sources whose
-  * connectors lack native backpressure).
+  * On Spark this is a *driver-side admission knob*, not an operator. Live
+  * wiring (O16): an [[AdmissionListener]] feeds every micro-batch's measured
+  * throughput into [[adjust]], and [[suggest]] is read by the query-building
+  * closure (`TenantRunner.run`'s `mkQuery`) as the source's per-trigger cap
+  * (`maxFilesPerTrigger` / rows-per-trigger analog). Spark fixes source
+  * options for the lifetime of a query, so the new cap takes effect at the
+  * next (re)start — supervision restarts and deliberate rolling restarts,
+  * NOT mid-query (that niche is covered natively by AQE + trigger-time
+  * backpressure; SURVEY §4). StreamingSpec asserts the loop end-to-end:
+  * measured rate → adjusted cap → picked up at restart.
   *
   * Reference defaults: live `(initial, 1, 10000, 5000 rec/s)`; historical
   * `(initial, 5000, 8000, 10000 rec/s)` (`src/main.rs:350-351`,
@@ -42,4 +46,26 @@ object BatchSizeManager {
   def live(initial: Int): BatchSizeManager = new BatchSizeManager(initial, 1, 10000, 5000.0)
   /** Reference historical-binary defaults. */
   def historical(initial: Int): BatchSizeManager = new BatchSizeManager(initial, 5000, 8000, 10000.0)
+}
+
+/** Feeds each micro-batch's measured throughput (input rows over trigger
+  * execution time) into the [[BatchSizeManager]] — the Spark seam for the
+  * reference's post-batch `adjust_batch_size` call (src/main.rs:441-443).
+  * Scoped to one query by name so concurrent tenants each drive their own
+  * manager. */
+final class AdmissionListener(manager: BatchSizeManager, queryName: String)
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    if (queryName == p.name && p.numInputRows > 0) {
+      val ms = Option(p.durationMs.get("triggerExecution")).map(_.longValue()).getOrElse(1L)
+      manager.adjust(p.numInputRows, java.time.Duration.ofMillis(math.max(ms, 1L))): Unit
+    }
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
 }

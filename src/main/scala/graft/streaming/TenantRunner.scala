@@ -24,8 +24,19 @@ final class TenantRunner(spark: SparkSession, restartDelayMs: Long = 60000) {
 
   /** Start + supervise one tenant's query in a daemon thread. `mkQuery` is
     * re-invoked after every failure (fresh query, same checkpoint → resumes
-    * from the last committed micro-batch, O20). */
-  def run(tenant: String)(mkQuery: () => StreamingQuery): Unit = {
+    * from the last committed micro-batch, O20).
+    *
+    * `recoverCheckpoint`: the code-280 recovery path (reference
+    * `src/main.rs:323-332,458-501` — on ChangeStreamHistoryLost, clear the
+    * stored resume token and restart from now). When set and a failure
+    * matches [[CheckpointRecovery.isPositionLost]], the named checkpoint is
+    * deleted and the query restarts IMMEDIATELY (no restart delay — the
+    * position is unrecoverable, waiting only widens the gap); the fresh
+    * checkpoint makes the source start at its "latest" position. Without
+    * recovery such a failure would restart-loop forever against the same
+    * dead resume point. */
+  def run(tenant: String, recoverCheckpoint: Option[String] = None)
+         (mkQuery: () => StreamingQuery): Unit = {
     val t = new Thread(() => {
       while (!stopping.get()) {
         try {
@@ -40,7 +51,15 @@ final class TenantRunner(spark: SparkSession, restartDelayMs: Long = 60000) {
           case _: InterruptedException => // shutdown
           case e: Throwable =>
             System.err.println(s"[graft] tenant $tenant query failed: ${e.getMessage}")
-            if (!stopping.get()) Thread.sleep(restartDelayMs)
+            val recovered = recoverCheckpoint.exists { ckpt =>
+              CheckpointRecovery.isPositionLost(e) && {
+                System.err.println(s"[graft] tenant $tenant: source position lost " +
+                  s"(code-280 analog) — clearing checkpoint $ckpt, restarting from now")
+                CheckpointRecovery.clearPosition(spark, ckpt)
+                true
+              }
+            }
+            if (!recovered && !stopping.get()) Thread.sleep(restartDelayMs)
         }
       }
     }, s"graft-tenant-$tenant")
@@ -63,4 +82,48 @@ final class TenantRunner(spark: SparkSession, restartDelayMs: Long = 60000) {
   /** Install a JVM shutdown hook mirroring the reference's signal handling. */
   def installShutdownHook(): Unit =
     sys.addShutdownHook { stopAll() }: Unit
+}
+
+/** Classification + repair for "the source can no longer serve our
+  * checkpointed position" failures — the Spark analog of MongoDB server
+  * error 280 (ChangeStreamHistoryLost), which the reference handles by
+  * clearing the saved resume token and re-opening the stream at the
+  * current time (`/root/reference/src/main.rs:323-332,458-501`). */
+object CheckpointRecovery {
+
+  /** Failure signatures across the sources this engine reads: the Mongo
+    * connector surfaces server 280/286 resume failures with these phrases;
+    * Kafka-style sources say "failOnDataLoss"/"out of range"; file sources
+    * report deleted input. Matched case-insensitively over the cause chain. */
+  private val positionLostSignatures = Seq(
+    "changestreamhistorylost",
+    "error 280", "code 280", "error 286",
+    "resume of change stream was not possible",
+    "resume point may no longer be in the oplog",
+    "failondataloss", "offsets out of range", "out of range offset")
+
+  def isPositionLost(e: Throwable): Boolean = {
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 10) {
+      val m = cur.getMessage
+      if (m != null) {
+        val lower = m.toLowerCase(java.util.Locale.ROOT)
+        if (positionLostSignatures.exists(lower.contains)) return true
+      }
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** Delete the query checkpoint so the next start has no stored position
+    * (source begins at its "latest"/now default — the reference's
+    * `start_at_operation_time(now)`). Hadoop FS so it works on
+    * local/HDFS/S3 checkpoints alike. */
+  def clearPosition(spark: SparkSession, checkpointDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true): Unit
+  }
 }

@@ -32,6 +32,38 @@ class OperatorsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0)
   }
 
+  test("window-sorted exact percentiles equal percentile() at the oracle boundary") {
+    val li = graft.Tables(spark, sf("sf0.01")).lineitem
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    // compare at the round(4) output boundary (same as the DuckDB oracle):
+    // the interpolation double arithmetic differs by ≤1 ULP from the
+    // imperative aggregate's evaluation order
+    def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+    val viaWindow = Percentiles.exactByWindow(li, "l_returnflag", "l_extendedprice", ps)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r4(r.getDouble(1)), r4(r.getDouble(2)), r4(r.getDouble(3))))
+    val viaAgg = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r4(r.getDouble(1)), r4(r.getDouble(2)), r4(r.getDouble(3))))
+    assert(viaWindow.toSeq == viaAgg.toSeq)
+  }
+
+  test("percentile edge cases: single-row group, two-row interpolation, approx gate") {
+    import spark.implicits._
+    val df = Seq(("a", 10.0), ("b", 1.0), ("b", 3.0)).toDF("g", "v")
+    val got = Percentiles.exactByWindow(df, "g", "v", Seq("p50" -> 0.5))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == Seq(("a", 10.0), ("b", 2.0)))
+    // above the row limit the entry point switches to the sketch; at this
+    // tiny accuracy the sketch is still rank-exact on 3 rows
+    val approx = Percentiles.perGroup(df, "g", "v", Seq("p50" -> 0.5), exactRowLimit = 0)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(approx.length == 2 && approx(0)._1 == "a")
+  }
+
   test("asof join: a NULL right value is kept, not replaced by a stale older value") {
     import spark.implicits._
     val left = Seq((1L, 25L, 100L)).toDF("k", "t", "lid")

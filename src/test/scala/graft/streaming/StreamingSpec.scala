@@ -96,6 +96,67 @@ class StreamingSpec extends SparkSpec {
     assert(dlq.pending().size == 2) // nothing lost
   }
 
+  test("O16 admission loop: measured throughput adjusts the cap; restart applies it") {
+    val (srcDir, ckpt) = (tmp("src"), tmp("ckpt"))
+    (0 until 4).foreach(i => eventsSlice(i * 50, i * 50 + 50).write.parquet(s"$srcDir/drop$i"))
+    val schema = spark.read.parquet(s"$srcDir/drop0").schema
+    // targetRate 1 row/s: any healthy local batch clears it → cap doubles
+    val manager = new BatchSizeManager(initialSize = 2, minSize = 1, maxSize = 16, targetRate = 1.0)
+    val listener = new AdmissionListener(manager, "o16_q")
+    spark.streams.addListener(listener)
+    try {
+      def runOnce(cap: Int): Unit = {
+        val q = Sources.fileStream(spark, s"$srcDir/drop*", schema, maxFilesPerTrigger = cap)
+          .writeStream.queryName("o16_q").format("noop")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000): Unit
+      }
+      val cap0 = manager.suggest
+      runOnce(cap0)
+      // progress events are delivered async — poll for the adjustment
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (manager.suggest == cap0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(manager.suggest > cap0, "rate above target must raise the cap")
+      // the supervision restart path re-invokes mkQuery, which reads the
+      // NEW suggest — same shape as this second start
+      runOnce(manager.suggest)
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("code-280 analog: position-lost failure clears the checkpoint, restart is immediate") {
+    val ckpt = tmp("ckpt")
+    // seed stale position state that a plain restart would reuse
+    val stale = new java.io.File(s"$ckpt/offsets")
+    assert(stale.mkdirs())
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$ckpt/offsets/0"), "{}")
+    val calls = new java.util.concurrent.atomic.AtomicInteger()
+    val restarted = new java.util.concurrent.CountDownLatch(1)
+    // restart delay far beyond the await below: the test passes only if the
+    // recovery path restarts WITHOUT the delay
+    val runner = new TenantRunner(spark, restartDelayMs = 120000)
+    runner.run("t280", recoverCheckpoint = Some(ckpt)) { () =>
+      if (calls.getAndIncrement() == 0)
+        throw new RuntimeException("Command failed with error 280 (ChangeStreamHistoryLost): " +
+          "the resume point may no longer be in the oplog")
+      else {
+        restarted.countDown()
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$ckpt/q")
+          .trigger(Trigger.AvailableNow()).start()
+      }
+    }
+    assert(restarted.await(30, java.util.concurrent.TimeUnit.SECONDS),
+      "query must restart immediately after position-loss recovery")
+    assert(!stale.exists(), "stale checkpoint position must be cleared")
+    runner.stopAll()
+    // a generic failure is NOT treated as position loss
+    assert(!CheckpointRecovery.isPositionLost(new RuntimeException("connection refused")))
+    assert(CheckpointRecovery.isPositionLost(
+      new RuntimeException("wrapper", new RuntimeException("ChangeStreamHistoryLost"))))
+  }
+
   test("checkpoint restart resumes without loss or duplication (O20)") {
     val (srcDir, sinkDir, ckpt, dlqDir) = (tmp("src"), tmp("sink"), tmp("ckpt"), tmp("dlq"))
     val dlq = new Dlq(spark, dlqDir)
