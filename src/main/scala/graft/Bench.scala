@@ -76,8 +76,17 @@ object Bench {
       case (k, v) if baselineR01.get(k).exists(b => v > b * 1.3 && v - b > 0.5) =>
         "\"" + k + "\":" + f"${v / baselineR01(k)}%.2f"
     }.mkString("{", ",", "}")
+    // queries whose r02 semantics do strictly more work than their r01
+    // baseline — a flagged ratio on these is a known trade, not a regression
+    val notes = Map(
+      "agg_approx" -> "r01 was approx-only rows-check; r02 adds exact countDistinct verification",
+      "dedup_ngram" -> "r01 ran uncapped; r02 engages the maxDf hot-shingle cap by default",
+      "dedup_ngram_keepers" -> "same df-cap trade as dedup_ngram")
+      .collect { case (k, n) if regressions.contains("\"" + k + "\"") => "\"" + k + "\":\"" + n + "\"" }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedJson,"regressions_vs_r01":$regressions,"sf":"$sfDir"}""")
+      s""""failed":$failedJson,"regressions_vs_r01":$regressions,""" +
+      s""""regression_notes":$notes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -274,15 +274,24 @@ object Dedup {
       .persist(lvl)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist(lvl)
+    // Convergence via monotonicity, one action per round: next(v) =
+    // min(label(v), labels of neighbors) never increases, so Σlabel is
+    // strictly decreasing until the fixpoint — a stationary sum IS
+    // convergence, with no extra change-detection join. Decimal(38) keeps
+    // the sum exact for any realistic id space.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
-    var changed = 1L
-    while (round < maxRounds && changed > 0) {
+    var converged = false
+    while (round < maxRounds && !converged) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label")).persist(lvl)
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
+      val s = labelSum(next) // also materializes the persist
+      converged = s == prevSum
+      prevSum = s
       labels.unpersist()
       labels = next
       round += 1

@@ -18,6 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * (shingle, slot). Here: one sha256 per shingle, k affine updates each, one
   * pass. Constants match [[graft.analytics.Dedup]]'s `MinhashM`/`minhashA`/
   * `minhashB` and the DuckDB oracle.
+  *
+  * Deliberately CodegenFallback, by measurement: the win is the single-pass
+  * algorithm (fast `eval`), not codegen — per-row cost is sha256-dominated,
+  * and the fallback's one boxed call per ROW is bounded above by ~30 µs/doc
+  * total pass cost (sf0.1: full signature pass 0.26 s vs 0.11 s for a
+  * trivial codegen'd projection of the same rows — the entire possible
+  * doGenCode win is under 0.15 s while sha256 stays).
   */
 case class MinhashSignatureExpr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {

@@ -4,11 +4,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Compiled twin of
+/** Single-pass native twin of
   * [[graft.pipeline.StatementTransforms.processStatement]] (SURVEY §2 O10 —
   * the reference's `process_statement`, `/root/reference/src/main.rs:647-672`).
+  * CodegenFallback by measurement: the speedup comes from replacing eight
+  * regex scans with four builder passes (fast `eval`), and per-row cost is
+  * the char scan itself — a doGenCode would save only the one boxed call
+  * per row (see MinhashSignatureExpr's measured bound; o14 already runs
+  * 2.6× under its r01 baseline).
   *
-  * Applies the composed semantics in four compiled passes over a builder
+  * Applies the composed semantics in four builder passes
   * instead of eight regex scans per row:
   *   A. normalize each maximal backslash run: odd length → 2, even → 4
   *   B. strip ALL leading/trailing `"` characters

@@ -28,6 +28,22 @@ object EventTimeOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Native gap-based session windows — the streaming analog of the batch
+    * lag/cumsum sessionization (`w3_sessionize`, same 30-minute gap rule: an
+    * event exactly `gap` after the previous one starts a NEW session, since
+    * a session's window ends at last_ts + gap exclusive). In streaming,
+    * state is one open session per (user, session) merged incrementally;
+    * the watermark closes sessions and evicts their state, so append mode
+    * emits each session exactly once. */
+  def sessionAggregates(events: DataFrame, gap: String = "30 minutes",
+                        delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_events"), col("sum_value"))
+
   final case class Keyed(key: Long, payload: String)
   final case class SeenState(firstSeenMs: Long)
 

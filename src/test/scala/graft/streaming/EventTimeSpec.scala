@@ -39,6 +39,53 @@ class EventTimeSpec extends SparkSpec {
     ev.unpersist()
   }
 
+  test("streaming session_window matches batch sessions and the w3 lag-based rule") {
+    val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+      .filter(col("event_id") < 600).persist()
+    ev.filter(col("event_id") < 300).write.parquet(s"$srcDir/d0")
+    ev.filter(col("event_id") >= 300).write.parquet(s"$srcDir/d1")
+    val schema = spark.read.parquet(s"$srcDir/d0").schema
+
+    val q = EventTimeOps.sessionAggregates(Sources.fileStream(spark, s"$srcDir/d*", schema))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir).start()
+    q.awaitTermination(120000)
+
+    // append emits watermark-closed sessions; the batch run over the same
+    // data restricted to those sessions must agree exactly
+    val got = spark.read.parquet(outDir)
+    assert(got.count() > 0)
+    val maxEnd = got.agg(max("session_end")).head().getTimestamp(0)
+    val batch = EventTimeOps.sessionAggregates(ev).filter(col("session_end") <= maxEnd)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "session_start", "n_events", "sum_value")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(key(got) == key(batch))
+
+    // native session_window ≡ the oracled lag/cumsum sessionization: same
+    // per-user session sizes and totals over the full batch
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"es", $"event_id")
+    val viaLag = ev.withColumn("es", col("ts").cast("long"))
+      .withColumn("gap", $"es" - lag($"es", 1).over(w))
+      .withColumn("new_s", when($"gap" >= 1800, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum($"new_s").over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+    val a = EventTimeOps.sessionAggregates(ev)
+      .select($"user_id", $"n_events", $"sum_value")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = viaLag.select($"user_id", $"n_events", $"sum_value")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b)
+    ev.unpersist()
+  }
+
   test("stream-stream interval join matches the batch equivalent") {
     val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
     val ev = graft.Tables(spark, sf("sf0.001")).events
