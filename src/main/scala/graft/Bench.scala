@@ -74,7 +74,8 @@ object Bench {
     // over a 32-thread local cluster doesn't page anyone)
     val regressions = results.collect {
       case (k, v) if baselineR01.get(k).exists(b => v > b * 1.3 && v - b > 0.5) =>
-        "\"" + k + "\":" + f"${v / baselineR01(k)}%.2f"
+        // Locale.ROOT: a comma decimal separator would corrupt the JSON
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", v / baselineR01(k))
     }.mkString("{", ",", "}")
     // queries whose r02 semantics do strictly more work than their r01
     // baseline — a flagged ratio on these is a known trade, not a regression

@@ -104,13 +104,26 @@ object Main {
       }, s"graft-dlq-${t.name}")
       replay.setDaemon(true); replay.start()
 
+      // O16 admission loop: per-tenant manager fed by measured micro-batch
+      // throughput (AdmissionListener keyed on the query name). The
+      // suggested cap is read inside mkQuery at every (re)start; the Mongo
+      // v10 connector exposes no per-trigger row cap, so for that source
+      // the suggestion reaches operations via the listener's log line and
+      // is consumed directly by admission-capable sources (the file-stream
+      // analog threads it into maxFilesPerTrigger — StreamingSpec).
+      val admission = graft.streaming.BatchSizeManager.live(cfg.batchSize)
+      spark.streams.addListener(new graft.streaming.AdmissionListener(admission, t.name))
+
       // recoverCheckpoint: on a resume-token-expired failure (code 280) the
       // checkpoint is cleared and the stream restarts from now (O24 recovery)
       runner.run(t.name, recoverCheckpoint = Some(s"$ckptBase/${t.name}")) { () =>
+        val cap = admission.suggest // applied by sources that accept a cap
+        System.err.println(s"[graft] tenant ${t.name}: starting with admission cap $cap")
         StreamingPipeline.start(
           Sources.mongoChangeStream(spark, t),
           dim, sink, tablesFor(t), dlq, s"$ckptBase/${t.name}",
-          transform = MongoStatements.statements(_, cfg.encryptionSalt, t.name))
+          transform = MongoStatements.statements(_, cfg.encryptionSalt, t.name),
+          queryName = Some(t.name))
       }
     }
     // O22 parity endpoint (dimension is re-read per micro-batch — ack only)

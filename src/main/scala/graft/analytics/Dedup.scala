@@ -58,7 +58,8 @@ object Dedup {
     * (measured on this corpus: max over true pairs of min shared df is 3 at
     * sf0.01 and 10 at sf0.1 — far under the cap, so capped ≡ uncapped;
     * proven by equality in AnalyticsSpec). */
-  def dfCapFor(nDocs: Long): Int = math.max(20L, nDocs / 100L).toInt
+  def dfCapFor(nDocs: Long): Int =
+    math.min(math.max(20L, nDocs / 100L), Int.MaxValue.toLong).toInt
 
   /** Candidate pairs sharing ≥1 shingle (inverted index), with exact Jaccard
     * verified on the full shingle sets; returns pairs with
@@ -296,6 +297,11 @@ object Dedup {
       labels = next
       round += 1
     }
+    if (!converged)
+      // a silent cap-out would yield >1 keeper in long-chain clusters while
+      // still CLAIMING cluster-exactness — make it loud
+      System.err.println(s"[graft] connectedComponentKeepers: round cap $maxRounds hit " +
+        "before convergence — components with diameter > cap keep extra representatives")
     val dropped = labels.filter(col("label") =!= col("id")).select(col("id").as("__drop_id"))
     val out = docs.join(dropped, docs(idCol) === col("__drop_id"), "left_anti")
     edges.unpersist()

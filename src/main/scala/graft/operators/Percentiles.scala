@@ -37,6 +37,9 @@ object Percentiles {
     def lo(p: Double): Column = floor((col("n") - 1) * p) + 1 // 1-based lower rank
     def hi(p: Double): Column = least(lo(p) + 1, col("n"))
     val counted = df.select(col(groupCol), col(valueCol).cast("double").as("v"))
+      // percentile()/approx_percentile ignore NULL values — drop them before
+      // ranking so both perGroup paths agree (and n counts non-null only)
+      .filter(col("v").isNotNull)
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(wn))
       // keep only rows that are a lower/upper rank for SOME requested p:
@@ -69,11 +72,15 @@ object Percentiles {
         ps.zipWithIndex.map { case ((name, _), i) => col("__qs")(i).as(name) }: _*)
 
   /** Library entry point: exact (window-sorted) below `exactRowLimit` input
-    * rows, sketch above. The one count() action is a metadata-cheap scan
-    * and is what makes the choice measured rather than guessed. */
+    * rows, sketch above. The gate is measured, not guessed: `sizeHint` if
+    * the caller already knows it, else one count() action — metadata-cheap
+    * for file-backed frames; callers passing an expensive derived frame
+    * should persist it first or supply the hint (the frame is computed
+    * again by the chosen percentile plan). */
   def perGroup(df: DataFrame, groupCol: String, valueCol: String,
                ps: Seq[(String, Double)],
-               exactRowLimit: Long = 10000000L, accuracy: Int = 10000): DataFrame =
-    if (df.count() <= exactRowLimit) exactByWindow(df, groupCol, valueCol, ps)
+               exactRowLimit: Long = 10000000L, accuracy: Int = 10000,
+               sizeHint: Option[Long] = None): DataFrame =
+    if (sizeHint.getOrElse(df.count()) <= exactRowLimit) exactByWindow(df, groupCol, valueCol, ps)
     else approxPerGroup(df, groupCol, valueCol, ps, accuracy)
 }

@@ -8,15 +8,19 @@ package graft.streaming
   * halve it; always clamp to `[minSize, maxSize]`.
   *
   * On Spark this is a *driver-side admission knob*, not an operator. Live
-  * wiring (O16): an [[AdmissionListener]] feeds every micro-batch's measured
-  * throughput into [[adjust]], and [[suggest]] is read by the query-building
-  * closure (`TenantRunner.run`'s `mkQuery`) as the source's per-trigger cap
-  * (`maxFilesPerTrigger` / rows-per-trigger analog). Spark fixes source
-  * options for the lifetime of a query, so the new cap takes effect at the
-  * next (re)start — supervision restarts and deliberate rolling restarts,
-  * NOT mid-query (that niche is covered natively by AQE + trigger-time
-  * backpressure; SURVEY §4). StreamingSpec asserts the loop end-to-end:
-  * measured rate → adjusted cap → picked up at restart.
+  * wiring (O16): `Main.live` builds one manager per tenant and registers an
+  * [[AdmissionListener]] (keyed on the query name) that feeds every
+  * micro-batch's measured throughput into [[adjust]]; [[suggest]] is read
+  * by the query-building closure (`TenantRunner.run`'s `mkQuery`) at every
+  * (re)start. Spark fixes source options for a query's lifetime, so the
+  * cap takes effect at the next restart — supervision restarts and rolling
+  * restarts, NOT mid-query (that niche is covered natively by AQE +
+  * trigger-time backpressure; SURVEY §4). The cap lands in the source's
+  * admission option where one exists (`maxFilesPerTrigger` on the
+  * file-stream analog — asserted end-to-end in StreamingSpec); the Mongo
+  * v10 connector exposes no per-trigger row cap, so there the measured
+  * suggestion is surfaced operationally (logged per restart) rather than
+  * enforced.
   *
   * Reference defaults: live `(initial, 1, 10000, 5000 rec/s)`; historical
   * `(initial, 5000, 8000, 10000 rec/s)` (`src/main.rs:350-351`,

@@ -68,8 +68,10 @@ final class Dlq(spark: SparkSession, dir: String) extends Serializable {
       } catch {
         // NonFatal only: a fatal error (OOM, linkage) must propagate, and an
         // interrupt (shutdown asking the replay thread to stop) must both
-        // stop the loop and leave the flag set for the caller.
-        case _: InterruptedException =>
+        // stop the loop and leave the flag set for the caller. Spark wraps
+        // an interrupt that lands mid-job in SparkException — check the
+        // cause chain, not just the outer type.
+        case e: Throwable if isInterrupt(e) =>
           Thread.currentThread().interrupt()
           return (ok, failed + 1)
         case scala.util.control.NonFatal(_) =>
@@ -77,5 +79,16 @@ final class Dlq(spark: SparkSession, dir: String) extends Serializable {
       }
     }
     (ok, failed)
+  }
+
+  private def isInterrupt(e: Throwable): Boolean = {
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 10) {
+      if (cur.isInstanceOf[InterruptedException]) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
   }
 }

@@ -51,8 +51,21 @@ final class InvalidationServer(port: Int, onInvalidate: () => Unit) {
             val in = sock.getInputStream
             var n = 0
             var eof = false
+            def parsed: String = {
+              // parse up to the first newline only
+              val upto = buf.take(n).indexOf('\n'.toByte) match {
+                case -1 => n
+                case i => i
+              }
+              new String(buf, 0, upto, StandardCharsets.UTF_8).trim
+            }
             try {
-              while (!eof && n < buf.length && !buf.take(n).contains('\n'.toByte)) {
+              // stop as soon as a full command is decidable: newline, EOF,
+              // cap, or the accumulated bytes already ARE the known command
+              // (reference clients single-write "invalidate" with no newline
+              // and no shutdownOutput — they must not wait out SoTimeout)
+              while (!eof && n < buf.length &&
+                  !buf.take(n).contains('\n'.toByte) && parsed != "invalidate") {
                 val r = in.read(buf, n, buf.length - n)
                 if (r < 0) eof = true else n += r
               }
@@ -60,7 +73,7 @@ final class InvalidationServer(port: Int, onInvalidate: () => Unit) {
               // no newline, no EOF, client idle: parse what arrived
               case _: java.net.SocketTimeoutException => ()
             }
-            val cmd = if (n <= 0) "" else new String(buf, 0, n, StandardCharsets.UTF_8).trim
+            val cmd = parsed
             val reply = cmd match {
               case "invalidate" =>
                 onInvalidate()

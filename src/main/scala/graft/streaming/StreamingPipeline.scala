@@ -99,8 +99,9 @@ object StreamingPipeline {
             tables: SinkTables, dlq: Dlq, checkpoint: String,
             policy: RetryPolicy = RetryPolicy(),
             trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-            transform: DataFrame => DataFrame = EventStatements.statements(_)): StreamingQuery =
-    transform(source)
+            transform: DataFrame => DataFrame = EventStatements.statements(_),
+            queryName: Option[String] = None): StreamingQuery = {
+    val writer = transform(source)
       .observe("graft_metrics", count(lit(1)).as("rows_out"))
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -108,5 +109,6 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch, dimProvider(), sink, tables, dlq, policy): Unit
       }
-      .start()
+    queryName.fold(writer)(writer.queryName).start()
+  }
 }

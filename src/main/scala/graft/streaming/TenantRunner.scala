@@ -94,13 +94,17 @@ object CheckpointRecovery {
   /** Failure signatures across the sources this engine reads: the Mongo
     * connector surfaces server 280/286 resume failures with these phrases;
     * Kafka-style sources say "failOnDataLoss"/"out of range"; file sources
-    * report deleted input. Matched case-insensitively over the cause chain. */
-  private val positionLostSignatures = Seq(
+    * report deleted input. Matched case-insensitively over the cause chain.
+    * Numeric codes are boundary-anchored regexes — a false positive here
+    * DELETES a checkpoint and skips data, so "error 280" must not match
+    * "error 28012". */
+  private val positionLostSignatures: Seq[scala.util.matching.Regex] = Seq(
     "changestreamhistorylost",
-    "error 280", "code 280", "error 286",
+    """(error|code) 280\b""", """(error|code) 286\b""",
     "resume of change stream was not possible",
     "resume point may no longer be in the oplog",
     "failondataloss", "offsets out of range", "out of range offset")
+    .map(p => new scala.util.matching.Regex(p))
 
   def isPositionLost(e: Throwable): Boolean = {
     var cur = e
@@ -109,7 +113,7 @@ object CheckpointRecovery {
       val m = cur.getMessage
       if (m != null) {
         val lower = m.toLowerCase(java.util.Locale.ROOT)
-        if (positionLostSignatures.exists(lower.contains)) return true
+        if (positionLostSignatures.exists(_.findFirstIn(lower).isDefined)) return true
       }
       cur = cur.getCause
       depth += 1

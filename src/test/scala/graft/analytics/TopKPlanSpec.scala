@@ -20,6 +20,15 @@ class TopKPlanSpec extends SparkSpec {
     case p => p
   }
 
+  /** All physical nodes including those inside materialized AQE query
+    * stages (QueryStageExec is a tree leaf — plain collect won't descend). */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case x => x }.flatMap {
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(s) ++ allNodes(s.plan)
+      case x => Seq(x)
+    }
+
   test("bruteForceTopK matches the windowed formulation exactly") {
     val emb = graft.Tables(spark, sf("sf0.01")).embeddings
     val q = emb.filter(col("vec_id") < 10)
@@ -41,21 +50,24 @@ class TopKPlanSpec extends SparkSpec {
     val emb = graft.Tables(spark, sf("sf0.01")).embeddings
     val nQueries = 10
     val df = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < nQueries), k = 5)
-    assert(df.count() == 5L * nQueries)
+    // execute THIS df's QueryExecution (collect, not count — count builds a
+    // separate QueryExecution and would leave these metrics at zero)
+    assert(df.collect().length == 5 * nQueries)
 
-    val plan = finalPlan(df)
-    val partials = plan.collect {
+    val nodes = allNodes(finalPlan(df))
+    val partials = nodes.collect {
       case o: ObjectHashAggregateExec if o.aggregateExpressions.exists(_.mode == Partial) => o
     }
-    val finals = plan.collect {
+    val finals = nodes.collect {
       case o: ObjectHashAggregateExec if o.aggregateExpressions.exists(_.mode == Final) => o
     }
-    assert(partials.nonEmpty && finals.nonEmpty, plan.toString)
+    assert(partials.nonEmpty && finals.nonEmpty, finalPlan(df).toString)
 
     // Partial-side output = rows entering the exchange: ≤ |queries| heaps per
     // map partition, and orders of magnitude below the ~5000 scored pairs.
     val mapParts = emb.rdd.getNumPartitions
     val shuffled = partials.map(_.metrics("numOutputRows").value).sum
+    assert(shuffled > 0, "metrics must reflect a real execution (not a fresh plan)")
     assert(shuffled <= nQueries.toLong * mapParts, s"shuffled=$shuffled mapParts=$mapParts")
     val corpusPairs = (emb.count() - 1) * nQueries
     assert(shuffled < corpusPairs / 10, s"shuffled=$shuffled vs scored=$corpusPairs")
