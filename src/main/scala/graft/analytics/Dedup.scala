@@ -339,9 +339,12 @@ object Dedup {
   }
 
   /** Exact embedding near-dup pairs: all pairs with cosine ≥ `minCos`.
-    * Quadratic by construction — correct at test scale and the oracle
-    * baseline; at 100 TB use [[Similarity.lshBucketPairs]] (same output
-    * contract, bucket-pruned candidate set). */
+    * Naive non-equi self-join — plans as BroadcastNestedLoopJoin, meaning
+    * ONE ENTIRE SIDE is broadcast (driver + executor memory bound on the
+    * corpus). Kept only as the simplest-possible reference for tests; the
+    * entry query runs [[embeddingNearDupPairsBlocked]] (same results,
+    * distributable plan) and the sub-quadratic paths are
+    * [[Similarity.lshBucketPairs]] / minhash banding. */
   def embeddingNearDupPairs(emb: DataFrame, minCos: Double,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = Similarity.withNorm(emb, idCol, vecCol, "id_a", "v_a", "n_a")
@@ -350,5 +353,41 @@ object Dedup {
       .withColumn("cos", round(Similarity.cosPre(col("v_a"), col("v_b"), col("n_a"), col("n_b")), 6))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Exact all-pairs as a block-partitioned (triangle) theta-join: rows are
+    * hashed into `blocks` buckets, and each unordered block pair (p ≤ q)
+    * becomes ONE equi-join key — the left side replicates a block-b row to
+    * keys {(b,q): q ≥ b}, the right side to {(p,b): p ≤ b}, so every
+    * unordered row pair meets at exactly one key (same-block pairs only at
+    * (b,b)). The n² comparison work is spread over blocks·(blocks+1)/2
+    * hash-join reducers with NO corpus broadcast and per-task input of
+    * ~2·|corpus|/blocks rows — the memory-bounded exact form of the
+    * all-pairs baseline (still quadratic compute: use LSH/minhash banding
+    * when recall < 100% is acceptable). Output ≡ [[embeddingNearDupPairs]]
+    * row-for-row. */
+  def embeddingNearDupPairsBlocked(emb: DataFrame, minCos: Double, blocks: Int = 8,
+                                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = Similarity.withNorm(emb, idCol, vecCol, "id", "v", "nrm")
+      .withColumn("blk", pmod(hash(col("id")), lit(blocks)))
+    val left = e.withColumn("bp", explode(array((0 until blocks).map(x => lit(x)): _*)))
+      .filter(col("bp") >= col("blk"))
+      .select(col("blk").as("kp"), col("bp").as("kq"),
+        col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val right = e.withColumn("bp", explode(array((0 until blocks).map(x => lit(x)): _*)))
+      .filter(col("bp") <= col("blk"))
+      .select(col("bp").as("kp"), col("blk").as("kq"),
+        col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    left.join(right, Seq("kp", "kq"))
+      // same-block keys see both orientations → dedup by id order there;
+      // cross-block keys see each unordered pair exactly once (in block
+      // orientation, not id orientation) → keep all, normalize ids below
+      .filter(col("kp") =!= col("kq") || col("id_a") < col("id_b"))
+      .withColumn("cos", round(Similarity.cosPre(col("v_a"), col("v_b"), col("n_a"), col("n_b")), 6))
+      .filter(col("cos") >= minCos)
+      // cosine is orientation-symmetric bit-for-bit (same index-order fold),
+      // so sorting the ids is pure relabeling
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
   }
 }

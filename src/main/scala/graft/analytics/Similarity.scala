@@ -132,15 +132,23 @@ object Similarity {
     val cent = withNorm(corpus.filter(col(idCol) % centroidStep === 0), idCol, vecCol,
       "centroid_id", "cv", "nc")
 
-    // inverted lists: every vector → its highest-cosine centroid
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("centroid_id"))
+    // inverted lists: every vector → its highest-cosine centroid, via
+    // max_by with a (ccos, -centroid_id) ordering struct — an ordinary
+    // hash aggregate whose map-side partial collapses the |centroids|
+    // scored copies of each vector BEFORE the shuffle, so one row per
+    // vector moves (a row_number window here would shuffle and sort the
+    // full corpus×centroids score table instead). Tie-break identical to
+    // ORDER BY ccos DESC, centroid_id.
     val assigned = c.crossJoin(broadcast(cent))
       .withColumn("ccos", round(cosPre(col("v"), col("cv"), col("nv"), col("nc")), 6))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nv"), col("centroid_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("nv"), col("centroid_id")),
+        struct(col("ccos"), (-col("centroid_id")).as("nid"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.nv").as("nv"),
+        col("best.centroid_id").as("centroid_id"))
 
-    // probe lists: every query → its nprobe nearest centroids
+    // probe lists: every query → its nprobe nearest centroids (queries are
+    // few — the window over |queries|×|centroids| rows is already tiny)
     val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "nq")
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("centroid_id"))
     val probes = q.crossJoin(broadcast(cent))
@@ -149,13 +157,16 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("nq"), col("centroid_id"))
 
-    val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    // final ranking through the bounded heap (same two-stage shape as
+    // bruteForceTopK): only ≤k candidates per (query × partition) shuffle
     probes.join(assigned, "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosPre(col("qv"), col("v"), col("nq"), col("nv")), 6))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKByScore(col("cos"), col("vec_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("cos"))
   }
 
   /** LSH-pruned near-dup pairs: only same-bucket pairs are scored; exact

@@ -94,8 +94,11 @@ object AnalyticsQueries {
     Dedup.simhashPairs(Tables(spark, dir).documents, maxHamming = 3, bands = 6)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Exact all-pairs runs the block-partitioned theta-join (identical
+    * results to the naive non-equi join, but distributable: no corpus
+    * broadcast, bounded per-task memory). */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDupPairs(Tables(spark, dir).embeddings, minCos = 0.4)
+    Dedup.embeddingNearDupPairsBlocked(Tables(spark, dir).embeddings, minCos = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
   def simTopK(spark: SparkSession, dir: String): DataFrame = {

@@ -50,6 +50,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(pairs(Some(0)).isEmpty)
   }
 
+  test("blocked all-pairs equals the naive non-equi join row-for-row (sf0.01)") {
+    val emb = graft.Tables(spark, sf("sf0.01")).embeddings
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naive = rows(Dedup.embeddingNearDupPairs(emb, minCos = 0.4))
+    val blocked = rows(Dedup.embeddingNearDupPairsBlocked(emb, minCos = 0.4))
+    assert(blocked == naive)
+    assert(naive.nonEmpty)
+    // no BroadcastNestedLoopJoin in the blocked plan
+    val plan = Dedup.embeddingNearDupPairsBlocked(emb, minCos = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("connected-components keepers: one keeper per transitive cluster, greedy keeps more") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
