@@ -1,0 +1,56 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / corpus-statistics operators for training-data
+  * curation: stratified down-sampling (data mixing), corpus token
+  * frequencies (vocab stats), and length histograms (filter design).
+  *
+  * Sampling is HASH-deterministic, not `rand()`-based: membership is a pure
+  * function of the row id, so a sample is reproducible across runs,
+  * executors, and retries (a `rand()` sample re-drawn per task breaks
+  * at-least-once sinks and is impossible to oracle). Per-row decision,
+  * zero shuffle — at 100 TB the sample is one narrow scan.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, 1000) from the sha256 of the id — identical in
+    * DuckDB as `('0x'||substr(sha256(id::VARCHAR),1,15))::BIGINT % 1000`. */
+  def hashBucket(id: Column): Column =
+    conv(substring(sha2(id.cast("string"), 256), 1, 15), 16, 10).cast("long") % 1000
+
+  /** Stratified deterministic sample: keep a row iff its hash bucket falls
+    * under its stratum's per-mille rate (`rates`, default `defaultPerMille`
+    * for unlisted strata). The data-mixing primitive: e.g. keep 50% of
+    * `en`, 10% of everything else. */
+  def stratified(df: DataFrame, stratumCol: String, idCol: String,
+                 rates: Map[String, Int], defaultPerMille: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPerMille)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < rate)
+  }
+
+  /** Exact corpus-wide top-k tokens by frequency (vocab head): explode,
+    * count, rank. The groupBy shuffles (token, partial-count) pairs —
+    * map-side combine bounds the shuffle at |vocab| per partition — and the
+    * final top-k is TakeOrderedAndProject (per-partition heaps, k-row
+    * driver merge), never a global sort. */
+  def topTokens(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Document-length histogram: bucket by `bucketWidth` chars; per-bucket
+    * count and mean token count (rounded at the output boundary). One
+    * narrow pass + a tiny aggregate on bucket keys. */
+  def lengthHistogram(docs: DataFrame, bucketWidth: Int,
+                      lenCol: String = "n_chars", textCol: String = "text"): DataFrame =
+    docs.select((col(lenCol) / bucketWidth).cast("long").as("bucket"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("toks"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("toks")), 4).as("avg_tokens"))
+}

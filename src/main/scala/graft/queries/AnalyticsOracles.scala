@@ -33,6 +33,20 @@ object AnalyticsOracles {
       |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)""".stripMargin
 
   val all: Map[String, String] = Map(
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 <
+        |  CASE WHEN lang = 'en' THEN 500 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin,
+    "text_top_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "doc_len_histogram" ->
+      """SELECT n_chars // 50 AS bucket, count(*) AS n_docs,
+        |  round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
     "text_tokens" -> (tokCte +
       """SELECT doc_id, len(toks)::BIGINT AS n_tokens,
         |  round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks), 4) AS avg_token_len

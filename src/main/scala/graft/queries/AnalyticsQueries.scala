@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.analytics.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions
 
 /** Driver-facing entry points for the training-data-pipeline operators
@@ -139,7 +139,26 @@ object AnalyticsQueries {
       .select(col("doc_id"), col("format"), col("n_bytes"), col("first_byte"), col("checksum"))
       .orderBy(col("doc_id"))
 
+  /** Data-mixing primitive: keep 50% of `en` docs, 10% of the rest —
+    * hash-deterministic (reproducible across runs/retries, oracled). */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(Tables(spark, dir).documents, "lang", "doc_id",
+        rates = Map("en" -> 500), defaultPerMille = 100)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  def textTopTokens(spark: SparkSession, dir: String): DataFrame =
+    Sampling.topTokens(Tables(spark, dir).documents, k = 20)
+      .orderBy(col("n").desc, col("token"))
+
+  def docLenHistogram(spark: SparkSession, dir: String): DataFrame =
+    Sampling.lengthHistogram(Tables(spark, dir).documents, bucketWidth = 50)
+      .orderBy(col("bucket"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (sampleStratified(_, _)),
+    "text_top_tokens"  -> (textTopTokens(_, _)),
+    "doc_len_histogram" -> (docLenHistogram(_, _)),
     "text_tokens"      -> (textTokens(_, _)),
     "text_langid"      -> (textLangId(_, _)),
     "text_quality"     -> (textQuality(_, _)),

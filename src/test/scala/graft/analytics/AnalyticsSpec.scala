@@ -50,6 +50,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(pairs(Some(0)).isEmpty)
   }
 
+  test("stratified sampling: deterministic, rate-faithful per stratum; histogram covers all docs") {
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+    val s1 = Sampling.stratified(docs, "lang", "doc_id", Map("en" -> 500), 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.stratified(docs, "lang", "doc_id", Map("en" -> 500), 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "hash sampling must be reproducible")
+    val byLang = docs.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val en = byLang.count(_._2 == "en")
+    val enKept = s1.count(byLang(_) == "en")
+    val restKept = s1.size - enKept
+    val rest = byLang.size - en
+    // 500/1000 and 100/1000 within generous binomial slack at n≈218/282
+    assert(math.abs(enKept.toDouble / en - 0.5) < 0.15, s"en kept $enKept/$en")
+    assert(math.abs(restKept.toDouble / rest - 0.1) < 0.08, s"rest kept $restKept/$rest")
+
+    val top = Sampling.topTokens(docs, 5).collect()
+    assert(top.length == 5)
+    assert(top.map(_.getLong(1)).toSeq == top.map(_.getLong(1)).sorted(Ordering[Long].reverse).toSeq)
+
+    val hist = Sampling.lengthHistogram(docs, 50)
+    assert(hist.agg(sum("n_docs")).head().getLong(0) == docs.count())
+  }
+
   test("blocked all-pairs equals the naive non-equi join row-for-row (sf0.01)") {
     val emb = graft.Tables(spark, sf("sf0.01")).embeddings
     def rows(df: org.apache.spark.sql.DataFrame) =
