@@ -270,11 +270,17 @@ object Dedup {
   def connectedComponentKeepers(docs: DataFrame, pairs: DataFrame,
                                 maxRounds: Int = 10, idCol: String = "doc_id"): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // persist the pair set BEFORE the symmetric union: edges scans it twice,
+    // and the pair query upstream (inverted-index join) is the expensive part
+    val pr = pairs.select(col("id_a"), col("id_b")).persist(lvl)
+    val edges = pr.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pr.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(lvl)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist(lvl)
+    // seed with the first propagation step applied: label₀(v) = min(v,
+    // neighbors(v)) — one aggregate (same shuffle the distinct() would
+    // cost) that saves an entire loop round on shallow clusters
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(first(col("src")), min(col("dst"))).as("label")).persist(lvl)
     // Convergence via monotonicity, one action per round: next(v) =
     // min(label(v), labels of neighbors) never increases, so Σlabel is
     // strictly decreasing until the fixpoint — a stationary sum IS
@@ -304,6 +310,7 @@ object Dedup {
         "before convergence — components with diameter > cap keep extra representatives")
     val dropped = labels.filter(col("label") =!= col("id")).select(col("id").as("__drop_id"))
     val out = docs.join(dropped, docs(idCol) === col("__drop_id"), "left_anti")
+    pr.unpersist()
     edges.unpersist()
     out
   }
