@@ -33,6 +33,36 @@ object AnalyticsOracles {
       |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)""".stripMargin
 
   val all: Map[String, String] = Map(
+    "pipeline_curate" -> (tokCte +
+      s""", scored AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'unknown'
+         |         WHEN en >= es AND en >= de THEN 'en'
+         |         WHEN es >= de THEN 'es' ELSE 'de' END AS lang_pred,
+         |    round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+         |        + 0.3 * (1.0 - punct)
+         |        + 0.2 * (en::DOUBLE / len(toks))
+         |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+         |  FROM (
+         |    SELECT *,
+         |      len(list_filter(toks, t -> t IN ('the','a','of','to','and'))) AS en,
+         |      len(list_filter(toks, t -> t IN ('el','la','de','los','y'))) AS es,
+         |      len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS de,
+         |      length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text) AS punct
+         |    FROM tok)),
+         |kept0 AS (SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.55),
+         |kept1 AS (
+         |  SELECT * FROM kept0 WHERE doc_id IN (
+         |    SELECT min(doc_id) FROM kept0 GROUP BY sha256(text))),
+         |ksh AS (SELECT sh.doc_id, sh.sh FROM sh JOIN kept1 USING (doc_id)),
+         |neardup AS (
+         |  SELECT id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
+         |    FROM ksh a JOIN ksh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.6)
+         |SELECT doc_id, lang_pred, quality FROM kept1
+         |WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+         |ORDER BY doc_id""".stripMargin),
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 <

@@ -155,7 +155,31 @@ object AnalyticsQueries {
     Sampling.lengthHistogram(Tables(spark, dir).documents, bucketWidth = 50)
       .orderBy(col("bucket"))
 
+  /** The end-to-end curation pipeline — the flagship composition a
+    * training-data team actually runs, as ONE Spark DAG: language-ID →
+    * quality gate → exact dedup (min-id keeper per identical text) →
+    * greedy near-dup dedup over the survivors. Every stage is narrow or
+    * hash-keyed; the only corpus shuffles are the two dedup group-bys and
+    * the inverted-index join, all on hash/shingle keys. */
+  def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables(spark, dir).documents
+    val scored = docs.select(col("doc_id"), col("text"),
+        GraftFunctions.langIdFast(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .filter(col("lang_pred") === "en" && col("quality") >= 0.55)
+    val exactKeepers = scored.groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val kept = scored.join(exactKeepers, Seq("doc_id"), "left_semi")
+    val pairs = Dedup.ngramJaccardPairs(kept.select(col("doc_id"), col("text")),
+      minJaccard = 0.6, maxDf = Some(Dedup.dfCapFor(docs.count())))
+    Dedup.keepAfterNearDup(kept, pairs)
+      .select(col("doc_id"), col("lang_pred"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate"  -> (pipelineCurate(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
     "text_top_tokens"  -> (textTopTokens(_, _)),
     "doc_len_histogram" -> (docLenHistogram(_, _)),
