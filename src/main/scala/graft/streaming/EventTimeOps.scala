@@ -47,6 +47,69 @@ object EventTimeOps {
   final case class Keyed(key: Long, payload: String)
   final case class SeenState(firstSeenMs: Long)
 
+  final case class BandRow(band: Int, bv: Long, doc_id: Long, sig: Long)
+  final case class BucketState(members: List[(Long, Long)])
+  final case class DupPair(id_a: Long, id_b: Long, hamming: Long)
+
+  /** Streaming near-dup detection — the stateful streaming form of
+    * [[graft.analytics.Dedup.simhashPairs]] (SURVEY §7.4: state must be
+    * bucketed + TTL'd at scale; here the bucketing IS the simhash band
+    * key, so each state entry holds only one band-bucket's members).
+    *
+    * Each document fans out to `bands` rows keyed by (band, band-value);
+    * `flatMapGroupsWithState` keeps the (doc_id, sig) members per bucket,
+    * compares every arriving doc against the bucket's members (pigeonhole:
+    * a pair with hamming ≤ maxHamming < bands shares ≥1 exact band), and
+    * emits verified pairs. State is TTL'd (processing time) and size-capped
+    * at `maxBucket` most-recent members, so unbounded streams can't grow
+    * state forever. Output is at-least-once per pair (a pair sharing >1
+    * band emits from each shared bucket — dedupe downstream, e.g.
+    * `dropDuplicates` or an idempotent sink). */
+  def streamingSimhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 6,
+                            ttlMs: Long = 3600000L, maxBucket: Int = 1000)
+                           (implicit spark: SparkSession): Dataset[DupPair] = {
+    require(maxHamming < bands, "banding needs maxHamming < bands (pigeonhole guarantee)")
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val bitsPerBand = 60 / bands
+    val mask = (1L << bitsPerBand) - 1
+    val banded = docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhashFast(col("text")).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask).as("bv"))): _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bv").as("bv"), col("doc_id"), col("sig"))
+      .as[BandRow]
+    banded.groupByKey(r => (r.band, r.bv))
+      .flatMapGroupsWithState[BucketState, DupPair](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            val out = List.newBuilder[DupPair]
+            rows.foreach { r =>
+              members.foreach { case (id, sig) =>
+                val h = java.lang.Long.bitCount(r.sig ^ sig)
+                if (h <= maxHamming && id != r.doc_id) {
+                  val (a, b) = if (id < r.doc_id) (id, r.doc_id) else (r.doc_id, id)
+                  out += DupPair(a, b, h.toLong)
+                }
+              }
+              members = (r.doc_id, r.sig) :: members
+            }
+            state.update(BucketState(members.take(maxBucket)))
+            state.setTimeoutDuration(ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Exactly-once-per-key emission with TTL'd state
     * (`mapGroupsWithState`): emits a key's payload only the first time the
     * key is seen; the seen-marker expires after `ttlMs` of processing time

@@ -119,6 +119,33 @@ class EventTimeSpec extends SparkSpec {
     ev.unpersist()
   }
 
+  test("streaming simhash near-dup pairs match the batch operator across micro-batches") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+      .select("doc_id", "text").persist()
+    // split so planted near-dup pairs can straddle the batch boundary
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$srcDir/d0")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$srcDir/d1")
+    val schema = spark.read.parquet(s"$srcDir/d0").schema
+
+    val q = EventTimeOps.streamingSimhashPairs(
+        Sources.fileStream(spark, s"$srcDir/d*", schema))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir).start()
+    q.awaitTermination(180000)
+
+    // at-least-once per pair (multi-band emits) → compare as sets
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.analytics.Dedup.simhashPairs(docs, maxHamming = 3, bands = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "corpus should contain planted near-dups")
+    assert(got == want)
+    docs.unpersist()
+  }
+
   test("firstSeen: duplicate keys across micro-batches emit exactly once") {
     import spark.implicits._
     implicit val s: org.apache.spark.sql.SparkSession = spark
