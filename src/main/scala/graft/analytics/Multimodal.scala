@@ -72,6 +72,36 @@ object Multimodal {
     extractFeatures(asMediaTable(graft.Tables(spark, dir).documents)).toDF()
   }
 
+  /** Features of a resized payload (stub-resample → re-extract). */
+  final case class ResizedFeatures(doc_id: Long, n_bytes_in: Long,
+                                   n_bytes_out: Long, checksum_out: Long)
+
+  /** The resize dataflow: binary in → [[resizeStub]] (deterministic
+    * decimation standing in for a real resampler) → features of the
+    * RESIZED payload, batched per partition like every media pass. The
+    * payload is never shuffled: resize and re-extract happen in one narrow
+    * stage and only the small feature row survives. */
+  def resizeFeatures(media: DataFrame, factor: Int = 4)
+                    (implicit spark: SparkSession): Dataset[ResizedFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // real pipeline: init the resample kernel once per partition here
+      rows.map { r =>
+        val out = resizeStub(r.media, factor)
+        var sum = 0L
+        var i = 0
+        while (i < out.length) { sum = (sum + (out(i) & 0xff)) % 2147483647L; i += 1 }
+        ResizedFeatures(r.doc_id, r.media.length.toLong, out.length.toLong, sum)
+      }
+    }
+  }
+
+  /** End-to-end: documents → media binary → resized-payload features. */
+  def resizedFeatures(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    resizeFeatures(asMediaTable(graft.Tables(spark, dir).documents)).toDF()
+  }
+
   /** One sampled frame's features. */
   final case class FrameFeature(doc_id: Long, frame_idx: Long, frame_checksum: Long)
 

@@ -247,6 +247,18 @@ object AnalyticsOracles {
         |  FROM ks)
         |SELECT doc_id, frame_idx, frame_checksum FROM frames
         |WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text))::BIGINT AS n_bytes_in,
+        |  ((octet_length(encode(text)) + 3) // 4)::BIGINT AS n_bytes_out,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    [cs[i] for i in generate_series(1, len(cs)) if (i-1) % 4 = 0]),
+        |    (a, b) -> (a + b) % 2147483647) AS checksum_out
+        |FROM (SELECT doc_id, text,
+        |        list_transform(string_split(text, ''), c -> ascii(c)::BIGINT) AS cs
+        |      FROM documents)
+        |WHERE length(text) > 0 AND regexp_matches(text, '^[ -~]*$')
+        |ORDER BY doc_id""".stripMargin,
     "mm_decode" ->
       """SELECT doc_id, source AS format,
         |  octet_length(encode(text))::BIGINT AS n_bytes,

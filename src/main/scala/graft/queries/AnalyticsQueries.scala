@@ -134,6 +134,10 @@ object AnalyticsQueries {
     Multimodal.frameFeatures(spark, dir)
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizedFeatures(spark, dir)
+      .orderBy(col("doc_id"))
+
   def mmDecode(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mediaFeatures(spark, dir)
       .select(col("doc_id"), col("format"), col("n_bytes"), col("first_byte"), col("checksum"))
@@ -200,6 +204,7 @@ object AnalyticsQueries {
     "sim_ivf_topk"     -> (simIvfTopK(_, _)),
     "text_tokens_re"   -> (textTokensRe(_, _)),
     "mm_decode"        -> (mmDecode(_, _)),
+    "mm_resize"        -> (mmResize(_, _)),
     "mm_frames"        -> (mmFrames(_, _)),
   )
 }
