@@ -214,6 +214,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: drop every corpus doc that shares at least
+    * one word n-gram with the probe (benchmark/eval) set — the standard
+    * pre-training hygiene pass. The probe shingle set is tiny relative to
+    * the corpus (eval suites are small), so the membership check is a
+    * broadcast LEFT ANTI join against the distinct probe shingles: the
+    * corpus streams, nothing corpus-sized shuffles. */
+  def decontaminate(docs: DataFrame, probes: DataFrame, n: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val probeSh = probes.select(explode(shingles(col(textCol), n)).as("shingle")).distinct()
+    val contaminated = docs
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+      .join(broadcast(probeSh), "shingle")
+      .select(idCol).distinct()
+    docs.join(contaminated.withColumnRenamed(idCol, "__cid"),
+      docs(idCol) === col("__cid"), "left_anti")
+  }
+
   /** SimHash: 60-bit signature — bit i is the sign of the sum over token
     * OCCURRENCES of ±1 depending on bit i of the token's 60-bit hash
     * (frequency-weighted, the textbook form — unweighted distinct-token

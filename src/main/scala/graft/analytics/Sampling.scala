@@ -44,6 +44,30 @@ object Sampling {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Per-doc token-frequency statistics against the corpus vocabulary — a
+    * rarity/quality signal (the exact-arithmetic proxy for LM-surprisal
+    * filtering: docs of very common tokens score high avg frequency, docs
+    * of rare garbage score low with many hapaxes). All-integer aggregates,
+    * so parity with the oracle is exact by construction. Two passes over
+    * the token stream: the vocab count (shuffles (token, partial-count)),
+    * then a shuffle join token→count and a per-doc aggregate. */
+  def tokenFrequencyStats(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    toks.join(vocab, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_freq"),
+        min(col("cnt")).as("min_freq"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"),
+        round(col("sum_freq").cast("double") / col("n_tokens"), 4).as("avg_freq"),
+        col("min_freq"), col("n_hapax"))
+  }
+
   /** Document-length histogram: bucket by `bucketWidth` chars; per-bucket
     * count and mean token count (rounded at the output boundary). One
     * narrow pass + a tiny aggregate on bucket keys. */

@@ -63,6 +63,25 @@ object AnalyticsOracles {
          |SELECT doc_id, lang_pred, quality FROM kept1
          |WHERE doc_id NOT IN (SELECT id_b FROM neardup)
          |ORDER BY doc_id""".stripMargin),
+    "decontaminate" -> (tokCte +
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id >= 5 AND doc_id NOT IN (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id >= 5) c
+        |  JOIN (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id < 5) p
+        |    USING (shingle))
+        |ORDER BY doc_id""".stripMargin),
+    "text_tok_freq" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+        |t AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+        |vocab AS (SELECT token, count(*) AS cnt FROM t GROUP BY token)
+        |SELECT doc_id,
+        |  round(sum(cnt)::DOUBLE / count(*), 4) AS avg_freq,
+        |  min(cnt) AS min_freq,
+        |  sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+        |FROM t JOIN vocab USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 <

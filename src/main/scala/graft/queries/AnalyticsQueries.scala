@@ -182,8 +182,23 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Decontamination vs a fake "benchmark": docs 0–4 play the eval set;
+    * survivors share NO trigram with them. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Dedup.decontaminate(docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  def textTokFreq(spark: SparkSession, dir: String): DataFrame =
+    Sampling.tokenFrequencyStats(Tables(spark, dir).documents)
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate"  -> (pipelineCurate(_, _)),
+    "decontaminate"    -> (decontaminate(_, _)),
+    "text_tok_freq"    -> (textTokFreq(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
     "text_top_tokens"  -> (textTopTokens(_, _)),
     "doc_len_histogram" -> (docLenHistogram(_, _)),
