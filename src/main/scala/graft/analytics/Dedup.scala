@@ -339,18 +339,26 @@ object Dedup {
     * (pigeonhole), so candidates = same-band-value pairs, then verify
     * `bit_count(xor) <= maxHamming`. One shuffle on (band, value) keys;
     * all-pairs structure only inside a band bucket. */
+  /** The (band, band-value) fan-out of a 60-bit signature — THE shared
+    * banding layout: batch pairing ([[simhashPairs]]) and the streaming
+    * state operator key on it, and their cross-parity depends on both
+    * using this one definition. Emits `bands` structs (band, bv). */
+  def signatureBands(sig: Column, bands: Int): Column = {
+    val bitsPerBand = 60 / bands
+    val mask = (1L << bitsPerBand) - 1
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * bitsPerBand).bitwiseAND(mask).as("bv"))): _*)
+  }
+
   def simhashPairs(docs: DataFrame, maxHamming: Int, bands: Int = 6,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming < bands, "banding needs maxHamming < bands (pigeonhole guarantee)")
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val bitsPerBand = 60 / bands
-    val mask = (1L << bitsPerBand) - 1
     val sig = docs.select(col(idCol).as("doc_id"),
       graft.functions.GraftFunctions.simhashFast(col(textCol)).as("sig"))
     val banded = sig.select(col("doc_id"), col("sig"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask).as("bv"))): _*)).as("bb"))
+      explode(signatureBands(col("sig"), bands)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bv"))
     val x = banded.as("x"); val y = banded.as("y")
     x.join(y, col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&

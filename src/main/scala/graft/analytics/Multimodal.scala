@@ -29,17 +29,24 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
                                  first_byte: Int, checksum: Long)
 
+  /** The ONE additive mod-2^31 checksum every stub feature derives from —
+    * the oracle reproduces this exact fold, so all call sites must share
+    * this definition. */
+  private def checksum(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var sum = 0L
+    var i = from
+    while (i < until) { sum = (sum + (bytes(i) & 0xff)) % 2147483647L; i += 1 }
+    sum
+  }
+
   /** STUB decoder — deterministic pseudo-decode in place of the real
     * image/audio library (`???` boundary): byte length, first byte, and a
     * mod-2^31 additive checksum stand in for width/height/fft features. */
   object FakeDecoder {
     def decode(row: MediaRow): MediaFeatures = {
       val bytes = row.media
-      var sum = 0L
-      var i = 0
-      while (i < bytes.length) { sum = (sum + (bytes(i) & 0xff)) % 2147483647L; i += 1 }
-      MediaFeatures(row.doc_id, row.format,
-        bytes.length.toLong, if (bytes.nonEmpty) bytes(0) & 0xff else -1, sum)
+      MediaFeatures(row.doc_id, row.format, bytes.length.toLong,
+        if (bytes.nonEmpty) bytes(0) & 0xff else -1, checksum(bytes, 0, bytes.length))
     }
   }
 
@@ -88,10 +95,8 @@ object Multimodal {
       // real pipeline: init the resample kernel once per partition here
       rows.map { r =>
         val out = resizeStub(r.media, factor)
-        var sum = 0L
-        var i = 0
-        while (i < out.length) { sum = (sum + (out(i) & 0xff)) % 2147483647L; i += 1 }
-        ResizedFeatures(r.doc_id, r.media.length.toLong, out.length.toLong, sum)
+        ResizedFeatures(r.doc_id, r.media.length.toLong, out.length.toLong,
+          checksum(out, 0, out.length))
       }
     }
   }
@@ -130,11 +135,8 @@ object Multimodal {
         val bytes = row.media
         val nFrames = (bytes.length + frameSize - 1) / frameSize
         (0 until nFrames).iterator.filter(_ % stride == 0).map { k =>
-          var sum = 0L
-          var i = k * frameSize
-          val end = math.min((k + 1) * frameSize, bytes.length)
-          while (i < end) { sum = (sum + (bytes(i) & 0xff)) % 2147483647L; i += 1 }
-          FrameFeature(row.doc_id, k.toLong, sum)
+          FrameFeature(row.doc_id, k.toLong,
+            checksum(bytes, k * frameSize, math.min((k + 1) * frameSize, bytes.length)))
         }
       }
     }

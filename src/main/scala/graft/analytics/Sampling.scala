@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform bucket in [0, 1000) from the sha256 of the id — identical in
-    * DuckDB as `('0x'||substr(sha256(id::VARCHAR),1,15))::BIGINT % 1000`. */
-  def hashBucket(id: Column): Column =
-    conv(substring(sha2(id.cast("string"), 256), 1, 15), 16, 10).cast("long") % 1000
+  /** Uniform bucket in [0, 1000) from the sha256 of the id — built on the
+    * one oracle-reproducible hash idiom ([[Dedup.hash60]] ≡ DuckDB
+    * `('0x'||substr(sha256(x),1,15))::BIGINT`). */
+  def hashBucket(id: Column): Column = Dedup.hash60(id.cast("string")) % 1000
 
   /** Stratified deterministic sample: keep a row iff its hash bucket falls
     * under its stratum's per-mille rate (`rates`, default `defaultPerMille`
@@ -38,7 +38,7 @@ object Sampling {
     * final top-k is TakeOrderedAndProject (per-partition heaps, k-row
     * driver merge), never a global sort. */
   def topTokens(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
-    docs.select(explode(split(col(textCol), "\\s+")).as("token"))
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
@@ -54,7 +54,7 @@ object Sampling {
   def tokenFrequencyStats(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), "\\s+")).as("token"))
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
     toks.join(vocab, "token")

@@ -165,16 +165,27 @@ object AnalyticsQueries {
     * greedy near-dup dedup over the survivors. Every stage is narrow or
     * hash-keyed; the only corpus shuffles are the two dedup group-bys and
     * the inverted-index join, all on hash/shingle keys. */
-  def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
+  /** The pipeline's language+quality+exact-dedup survivor set (exposed so
+    * tests can prove properties — e.g. df-cap recall-neutrality — on the
+    * EXACT frame the pipeline deduplicates). Persisted: it feeds three DAG
+    * branches (pair generation, the anti-join's left side, the output
+    * projection), so the scan + scoring subtree runs once, not per branch. */
+  def curateKept(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val docs = Tables(spark, dir).documents
-    val scored = docs.select(col("doc_id"), col("text"),
+    val scored = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"),
         GraftFunctions.langIdFast(col("text")).as("lang_pred"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
       .filter(col("lang_pred") === "en" && col("quality") >= 0.55)
     val exactKeepers = scored.groupBy(sha2(col("text"), 256))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val kept = scored.join(exactKeepers, Seq("doc_id"), "left_semi")
+    scored.join(exactKeepers, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val kept = curateKept(spark, dir)
     val pairs = Dedup.ngramJaccardPairs(kept.select(col("doc_id"), col("text")),
       minJaccard = 0.6, maxDf = Some(Dedup.dfCapFor(docs.count())))
     Dedup.keepAfterNearDup(kept, pairs)

@@ -60,32 +60,35 @@ object EventTimeOps {
     * `flatMapGroupsWithState` keeps the (doc_id, sig) members per bucket,
     * compares every arriving doc against the bucket's members (pigeonhole:
     * a pair with hamming ≤ maxHamming < bands shares ≥1 exact band), and
-    * emits verified pairs. State is TTL'd (processing time) and size-capped
-    * at `maxBucket` most-recent members, so unbounded streams can't grow
-    * state forever. Output is at-least-once per pair (a pair sharing >1
-    * band emits from each shared bucket — dedupe downstream, e.g.
+    * emits verified pairs. State is size-capped at `maxBucket` most-recent
+    * members, and TTL'd when `ttlMs` is set — set it on CONTINUOUS streams
+    * (ProcessingTime trigger) so unbounded key spaces can't grow state
+    * forever; leave it None for bounded replays/backfills, because a
+    * processing-time timeout makes Trigger.AvailableNow spin empty
+    * timer-poll micro-batches after the data is exhausted instead of
+    * terminating. Output is at-least-once per pair (a pair sharing >1 band
+    * emits from each shared bucket — dedupe downstream, e.g.
     * `dropDuplicates` or an idempotent sink). */
   def streamingSimhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 6,
-                            ttlMs: Long = 3600000L, maxBucket: Int = 1000)
+                            ttlMs: Option[Long] = None, maxBucket: Int = 1000)
                            (implicit spark: SparkSession): Dataset[DupPair] = {
     require(maxHamming < bands, "banding needs maxHamming < bands (pigeonhole guarantee)")
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val bitsPerBand = 60 / bands
-    val mask = (1L << bitsPerBand) - 1
     val banded = docs
       .select(col("doc_id"),
         graft.functions.GraftFunctions.simhashFast(col("text")).as("sig"))
       .select(col("doc_id"), col("sig"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask).as("bv"))): _*)).as("bb"))
+        // shared banding layout — batch/streaming parity by construction
+        explode(graft.analytics.Dedup.signatureBands(col("sig"), bands)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bv").as("bv"), col("doc_id"), col("sig"))
       .as[BandRow]
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded.groupByKey(r => (r.band, r.bv))
       .flatMapGroupsWithState[BucketState, DupPair](
-        org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.ProcessingTimeTimeout) {
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeoutConf) {
         (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -104,7 +107,7 @@ object EventTimeOps {
               members = (r.doc_id, r.sig) :: members
             }
             state.update(BucketState(members.take(maxBucket)))
-            state.setTimeoutDuration(ttlMs)
+            ttlMs.foreach(state.setTimeoutDuration)
             out.result().iterator
           }
       }

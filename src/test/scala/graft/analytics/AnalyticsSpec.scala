@@ -37,6 +37,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(exactPairs.nonEmpty, "corpus should contain planted near-dups")
   }
 
+  test("pipeline_curate's df-cap is recall-neutral on its kept subset (sf0.01)") {
+    val keptFull = graft.queries.AnalyticsQueries.curateKept(spark, sf("sf0.01"))
+    val kept = keptFull.select("doc_id", "text")
+    val cap = Dedup.dfCapFor(graft.Tables(spark, sf("sf0.01")).documents.count())
+    def pairs(maxDf: Option[Int]) =
+      Dedup.ngramJaccardPairs(kept, 0.6, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Some(cap)) == pairs(None))
+    keptFull.unpersist(): Unit
+  }
+
   test("ngram df-cap is recall-neutral: capped pairs == uncapped pairs (sf0.01)") {
     val docs = graft.Tables(spark, sf("sf0.01")).documents
     def pairs(maxDf: Option[Int]) =

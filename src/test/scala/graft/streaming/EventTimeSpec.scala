@@ -124,9 +124,11 @@ class EventTimeSpec extends SparkSpec {
     val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
     val docs = graft.Tables(spark, sf("sf0.01")).documents
       .select("doc_id", "text").persist()
-    // split so planted near-dup pairs can straddle the batch boundary
-    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$srcDir/d0")
-    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$srcDir/d1")
+    // split so planted near-dup pairs can straddle the batch boundary;
+    // one file per drop → exactly two micro-batches (maxFilesPerTrigger=1
+    // over multi-file drops would pay a state checkpoint per part-file)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/d0")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/d1")
     val schema = spark.read.parquet(s"$srcDir/d0").schema
 
     val q = EventTimeOps.streamingSimhashPairs(
@@ -134,7 +136,7 @@ class EventTimeSpec extends SparkSpec {
       .writeStream.option("checkpointLocation", ckpt)
       .outputMode("append").trigger(Trigger.AvailableNow())
       .format("parquet").option("path", outDir).start()
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "streaming dedup query did not finish in time")
 
     // at-least-once per pair (multi-band emits) → compare as sets
     val got = spark.read.parquet(outDir)
