@@ -89,11 +89,18 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id (0..2^planes-1): bit p set iff the
     * projection of the vector on plane p is positive. */
-  def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
-    val w = planeWeights(planes, dims)
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column =
+    lshBucketAt(vec, 0, planes, dims)
+
+  /** Bucket from planes [firstPlane, firstPlane+planes) of the global
+    * deterministic plane family — the building block for OR-amplified
+    * (banded-repetition) LSH, where each repetition uses a disjoint plane
+    * slice. */
+  def lshBucketAt(vec: Column, firstPlane: Int, planes: Int, dims: Int): Column = {
+    val w = planeWeights(firstPlane + planes, dims)
     val bucket = (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(vec, array(w(p).map(lit): _*), (x, c) => x * c),
+        zip_with(vec, array(w(firstPlane + p).map(lit): _*), (x, c) => x * c),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce(_ + _)
@@ -181,6 +188,35 @@ object Similarity {
     val a = bucketed.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"), col("bucket"))
     val b = bucketed.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosPre(col("v_a"), col("v_b"), col("n_a"), col("n_b")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** OR-amplified hyperplane LSH: `reps` independent repetitions, each
+    * bucketing on a disjoint `planes`-plane slice of the deterministic
+    * plane family; a pair is a candidate if it collides in ANY repetition.
+    * Per-pair recall goes from (1−θ/π)^planes to
+    * 1−(1−(1−θ/π)^planes)^reps — the standard recall knob that costs
+    * reps× index size, not reps× comparisons (candidates are deduped
+    * before the exact-cosine verify). Same output contract as
+    * [[lshBucketPairs]] / [[Dedup.embeddingNearDupPairsBlocked]]. */
+  def lshBucketPairsBanded(emb: DataFrame, minCos: Double, reps: Int = 3,
+                           planes: Int = 4, dims: Int = 64,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = withNorm(emb, idCol, vecCol, "vec_id", "v", "n")
+      .select(col("vec_id"), col("v"), col("n"),
+        posexplode(array((0 until reps).map(r =>
+          lshBucketAt(col("v"), r * planes, planes, dims)): _*)))
+      .withColumnRenamed("pos", "rep").withColumnRenamed("col", "bucket")
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"),
+      col("rep"), col("bucket"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"),
+      col("rep"), col("bucket"))
+    a.join(b, Seq("rep", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"), col("n_a"), col("n_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cos", round(cosPre(col("v_a"), col("v_b"), col("n_a"), col("n_b")), 6))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))

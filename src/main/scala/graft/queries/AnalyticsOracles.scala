@@ -222,6 +222,23 @@ object AnalyticsOracles {
          |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, ${cosSql("x.v", "y.v")} AS cos
          |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin),
+    "sim_lsh_banded" -> (embCte +
+      s""", proj AS (
+         |  SELECT vec_id, p,
+         |    list_reduce(list_prepend(0.0, [v[d] *
+         |      (CASE WHEN ('0x'||substr(sha256(p||'_'||(d-1)),1,2))::INT % 2 = 0 THEN 1.0 ELSE -1.0 END)
+         |      for d in generate_series(1, len(v))]), (x,y) -> x+y) AS proj
+         |  FROM e, generate_series(0, 11) t(p)),
+         |bkt AS (SELECT vec_id, p // 4 AS rep,
+         |          sum(CASE WHEN proj > 0 THEN 1::BIGINT << (p % 4) ELSE 0::BIGINT END)::BIGINT AS bucket
+         |        FROM proj GROUP BY vec_id, p // 4),
+         |b AS (SELECT e.vec_id, v, rep, bucket FROM e JOIN bkt USING (vec_id)),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |         FROM b x JOIN b y ON x.rep = y.rep AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT id_a, id_b, cos FROM (
+         |  SELECT id_a, id_b, ${cosSql("a.v", "b.v")} AS cos
+         |  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)
+         |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin),
     "sim_ivf_topk" -> (embCte +
       s""", cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
          |ascore AS (

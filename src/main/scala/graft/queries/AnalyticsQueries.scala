@@ -130,6 +130,13 @@ object AnalyticsQueries {
     Similarity.lshBucketPairs(Tables(spark, dir).embeddings, minCos = 0.35, planes = 4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** OR-amplified LSH: 3 repetitions × 4 planes — the recall knob over
+    * [[simLshBucket]]'s single repetition. */
+  def simLshBanded(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshBucketPairsBanded(Tables(spark, dir).embeddings,
+        minCos = 0.35, reps = 3, planes = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameFeatures(spark, dir)
       .orderBy(col("doc_id"), col("frame_idx"))
@@ -227,6 +234,7 @@ object AnalyticsQueries {
     "embed_neardup"    -> (embedNearDup(_, _)),
     "sim_topk"         -> (simTopK(_, _)),
     "sim_lsh_bucket"   -> (simLshBucket(_, _)),
+    "sim_lsh_banded"   -> (simLshBanded(_, _)),
     "sim_ivf_topk"     -> (simIvfTopK(_, _)),
     "text_tokens_re"   -> (textTokensRe(_, _)),
     "mm_decode"        -> (mmDecode(_, _)),

@@ -85,6 +85,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(hist.agg(sum("n_docs")).head().getLong(0) == docs.count())
   }
 
+  test("banded LSH: recall ⊇ single repetition, precision-exact vs all-pairs (sf0.01)") {
+    val emb = graft.Tables(spark, sf("sf0.01")).embeddings
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = ids(Similarity.lshBucketPairs(emb, minCos = 0.35, planes = 4))
+    val banded = ids(Similarity.lshBucketPairsBanded(emb, minCos = 0.35, reps = 3, planes = 4))
+    val exact = ids(Dedup.embeddingNearDupPairsBlocked(emb, minCos = 0.35))
+    // rep 0 uses the same plane slice as the single-rep form → superset
+    assert(single.subsetOf(banded))
+    assert(banded.subsetOf(exact)) // verify step keeps precision exact
+    assert(banded.size > single.size, s"amplification should add recall: ${banded.size} vs ${single.size}")
+  }
+
   test("blocked all-pairs equals the naive non-equi join row-for-row (sf0.01)") {
     val emb = graft.Tables(spark, sf("sf0.01")).embeddings
     def rows(df: org.apache.spark.sql.DataFrame) =
