@@ -121,6 +121,8 @@ object SparkEntry {
     "q10_cube"         -> (Relational.q10Cube(_, _)),
     "set_intersect"    -> (Relational.setIntersect(_, _)),
     "asof_signup"      -> (Relational.asofSignup(_, _)),
+    "q11_full_outer"   -> (Relational.q11FullOuter(_, _)),
+    "w4_ntile"         -> (Relational.w4Ntile(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
   // DuckDB-dialect oracles over the same parquet tables (driver registers
@@ -310,6 +312,27 @@ object SparkEntry {
         |INTERSECT
         |SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
         |ORDER BY user_id""".stripMargin,
+    "q11_full_outer" ->
+      """WITH p AS (
+        |  SELECT user_id, round(sum(value), 2) AS purchase_sum FROM events
+        |  WHERE event_type = 'purchase' AND value > 180.0 GROUP BY user_id),
+        |s AS (
+        |  SELECT user_id, count(*) AS signup_cnt FROM events
+        |  WHERE event_type = 'signup' AND value > 180.0 GROUP BY user_id)
+        |SELECT coalesce(p.user_id, s.user_id) AS user_id,
+        |  coalesce(purchase_sum, -1.0) AS purchase_sum,
+        |  coalesce(signup_cnt, -1) AS signup_cnt
+        |FROM p FULL OUTER JOIN s ON p.user_id = s.user_id
+        |ORDER BY user_id""".stripMargin,
+    "w4_ntile" ->
+      """SELECT o_orderpriority, tile, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ntile(4) OVER (PARTITION BY o_orderpriority
+        |                   ORDER BY o_totalprice, o_orderkey) AS tile
+        |  FROM orders)
+        |GROUP BY o_orderpriority, tile ORDER BY o_orderpriority, tile""".stripMargin,
     "q9_exists" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem

@@ -120,6 +120,41 @@ object Relational {
     purchasers.except(bigClickers).orderBy($"user_id")
   }
 
+  /** FULL OUTER join of two sparse per-user aggregates (high-value
+    * purchasers ⟗ high-value signups): both null sides exercised, sentinel
+    * coalesce keeps the output null-free for exact hashing. Plans as one
+    * sort-merge/shuffled-hash full-outer on user_id — neither side is
+    * assumed broadcastable. */
+  def q11FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    val p = ev.filter($"event_type" === "purchase" && $"value" > 180.0)
+      .groupBy($"user_id").agg(round(sum($"value"), 2).as("purchase_sum"))
+    val s = ev.filter($"event_type" === "signup" && $"value" > 180.0)
+      .groupBy($"user_id").agg(count(lit(1)).as("signup_cnt"))
+    p.join(s, Seq("user_id"), "full_outer")
+      .select($"user_id",
+        coalesce($"purchase_sum", lit(-1.0)).as("purchase_sum"),
+        coalesce($"signup_cnt", lit(-1L)).as("signup_cnt"))
+      .orderBy($"user_id")
+  }
+
+  /** NTILE quartiles per group: orders bucketed into totalprice quartiles
+    * within each priority; per-tile count + bounds. The ordering includes
+    * the key so tile assignment is total (deterministic under ties). */
+  def w4Ntile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables(spark, dir).orders
+      .withColumn("tile", ntile(4).over(w))
+      .groupBy($"o_orderpriority", $"tile")
+      .agg(count(lit(1)).as("n"),
+        round(min($"o_totalprice"), 2).as("lo"),
+        round(max($"o_totalprice"), 2).as("hi"))
+      .orderBy($"o_orderpriority", $"tile")
+  }
+
   /** ROLLUP hierarchy aggregate (subtotals per returnflag + grand total) —
     * Catalyst's Expand operator feeds one partial-agg pass; no extra scans. */
   def q6Rollup(spark: SparkSession, dir: String): DataFrame = {
