@@ -181,42 +181,39 @@ object Similarity {
     * [[Dedup.embeddingNearDupPairs]] minus cross-bucket misses (recall is
     * governed by `planes`). */
   def lshBucketPairs(emb: DataFrame, minCos: Double, planes: Int = 12, dims: Int = 64,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
-    val bucketed = withLshBucket(emb, planes, dims, idCol, vecCol)
-      .withColumn("n", norm(col("v")))
-    val a = bucketed.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"), col("bucket"))
-    val b = bucketed.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosPre(col("v_a"), col("v_b"), col("n_a"), col("n_b")), 6))
-      .filter(col("cos") >= minCos)
-      .select(col("id_a"), col("id_b"), col("cos"))
-  }
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lshBucketPairsBanded(emb, minCos, reps = 1, planes = planes, dims = dims,
+      idCol = idCol, vecCol = vecCol)
 
   /** OR-amplified hyperplane LSH: `reps` independent repetitions, each
     * bucketing on a disjoint `planes`-plane slice of the deterministic
     * plane family; a pair is a candidate if it collides in ANY repetition.
     * Per-pair recall goes from (1−θ/π)^planes to
-    * 1−(1−(1−θ/π)^planes)^reps — the standard recall knob that costs
-    * reps× index size, not reps× comparisons (candidates are deduped
-    * before the exact-cosine verify). Same output contract as
-    * [[lshBucketPairs]] / [[Dedup.embeddingNearDupPairsBlocked]]. */
+    * 1−(1−(1−θ/π)^planes)^reps — the standard recall knob.
+    *
+    * Shuffle economics: the bucket join and the candidate dedup move only
+    * (rep, bucket, id) / (id, id) rows — the vectors re-join AFTER the
+    * distinct, so OR-amplification costs reps× the id-level index, never
+    * reps× vector payloads or comparisons. Same output contract as
+    * [[Dedup.embeddingNearDupPairsBlocked]]; the single-repetition form
+    * ([[lshBucketPairs]]) is `reps = 1` of this plan. */
   def lshBucketPairsBanded(emb: DataFrame, minCos: Double, reps: Int = 3,
                            planes: Int = 4, dims: Int = 64,
                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = withNorm(emb, idCol, vecCol, "vec_id", "v", "n")
-      .select(col("vec_id"), col("v"), col("n"),
+    val bucketed = e.select(col("vec_id"),
         posexplode(array((0 until reps).map(r =>
           lshBucketAt(col("v"), r * planes, planes, dims)): _*)))
       .withColumnRenamed("pos", "rep").withColumnRenamed("col", "bucket")
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"),
-      col("rep"), col("bucket"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"),
-      col("rep"), col("bucket"))
-    a.join(b, Seq("rep", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"), col("n_a"), col("n_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.rep") === col("y.rep") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b")), "id_b")
       .withColumn("cos", round(cosPre(col("v_a"), col("v_b"), col("n_a"), col("n_b")), 6))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
