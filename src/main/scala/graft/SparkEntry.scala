@@ -123,6 +123,8 @@ object SparkEntry {
     "asof_signup"      -> (Relational.asofSignup(_, _)),
     "q11_full_outer"   -> (Relational.q11FullOuter(_, _)),
     "w4_ntile"         -> (Relational.w4Ntile(_, _)),
+    "q12_corr_subquery" -> (Relational.q12CorrSubquery(_, _)),
+    "q13_grouping_sets" -> (Relational.q13GroupingSets(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
   // DuckDB-dialect oracles over the same parquet tables (driver registers
@@ -312,6 +314,18 @@ object SparkEntry {
         |INTERSECT
         |SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
         |ORDER BY user_id""".stripMargin,
+    "q12_corr_subquery" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |  round(o_totalprice, 2) AS totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders i
+        |                      WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY custkey, orderkey""".stripMargin,
+    "q13_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q11_full_outer" ->
       """WITH p AS (
         |  SELECT user_id, round(sum(value), 2) AS purchase_sum FROM events

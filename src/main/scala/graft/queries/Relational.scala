@@ -155,6 +155,32 @@ object Relational {
       .orderBy($"o_orderpriority", $"tile")
   }
 
+  /** Correlated scalar subquery — orders above their own customer's average
+    * — through the `spark.sql` surface (the rest of the suite is DataFrame
+    * API; this proves the SQL entry path end-to-end). Catalyst decorrelates
+    * to an aggregate + join: no per-row re-execution. */
+  def q12CorrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders.createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |  round(o_totalprice, 2) AS totalprice
+        |FROM orders_v o
+        |WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders_v i
+        |                      WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY custkey, orderkey""".stripMargin)
+  }
+
+  /** GROUPING SETS beyond rollup/cube: the two single-dimension marginals
+    * only (no grand total, no cross product) — one Expand + one agg pass. */
+  def q13GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .groupingSets(Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority")),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(round(sum($"o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
   /** ROLLUP hierarchy aggregate (subtotals per returnflag + grand total) —
     * Catalyst's Expand operator feeds one partial-agg pass; no extra scans. */
   def q6Rollup(spark: SparkSession, dir: String): DataFrame = {
