@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -66,6 +66,62 @@ object TextAnalysis {
         lit(0.2) * stopwordRatio(text, StopwordsEn) +
         lit(0.2) * least(lit(1.0), avgTokenLen(text) / 8.0),
       4)
+
+  /** PII redaction: emails, dashed/dotted phone numbers, and IPv4 literals
+    * replaced with typed placeholders, in that order (emails first — an
+    * address contains digit runs a later pass could half-match). Patterns
+    * are RE2-safe (no lookaround/backrefs) so the redaction is portable
+    * across regex engines; three `regexp_replace` passes, fully
+    * codegen-friendly, zero shuffle at any scale. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+      "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>")
+
+  /** Sliding word bigrams WITH multiplicity (unlike [[Dedup.shingles]],
+    * which dedups for Jaccard) — repetition measurement needs the counts. */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition signals per document: fraction of tokens that
+    * are repeats of an earlier token, the most-frequent token's share, and
+    * the repeated-bigram fraction. Computed distributed — explode to a
+    * (doc, term) stream, two-level aggregate — rather than per-row lambda
+    * folds: partial aggregation combines map-side, the only shuffle is
+    * doc_id-keyed, and doc_id is skew-free by construction, so the shape
+    * holds at 100 TB where a per-row O(tokens²) HOF would not. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val uni = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("max_cnt"))
+    val bi = docs.select(col(idCol).as("doc_id"),
+        explode(bigrams(col(textCol))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bi"))
+    uni.join(bi, Seq("doc_id"))
+      .select(col("doc_id"),
+        round((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"), 4)
+          .as("dup_tok_frac"),
+        round(col("max_cnt").cast("double") / col("n_tokens"), 4).as("top_tok_frac"),
+        round((col("n_bigrams") - col("n_distinct_bi")).cast("double") / col("n_bigrams"), 4)
+          .as("dup_2gram_frac"))
+  }
 
   /** Rolling polynomial fingerprint over the character stream:
     * `fp = fold(chars)(acc*31 + ascii(c)) mod 1e9+7`. Left-fold order matches

@@ -82,6 +82,47 @@ object AnalyticsOracles {
         |  sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
         |FROM t JOIN vocab USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_pii_redact" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' reach user' || doc_id ||
+        |    '@mail.example.org or 555-867-' ||
+        |    lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+        |    ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ||
+        |    ' end' AS raw
+        |  FROM documents)
+        |SELECT doc_id, raw,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(raw,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS redacted
+        |FROM raw ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |t AS (
+        |  SELECT doc_id, unnest(toks) AS tok FROM tok),
+        |uni AS (
+        |  SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_distinct,
+        |         max(cnt) AS max_cnt
+        |  FROM (SELECT doc_id, tok, count(*) AS cnt FROM t
+        |        WHERE length(tok) > 0 GROUP BY doc_id, tok)
+        |  GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, unnest([toks[i]||' '||toks[i+1]
+        |    for i in generate_series(1, len(toks)-1)]) AS bg
+        |  FROM tok WHERE len(toks) >= 2),
+        |bi AS (
+        |  SELECT doc_id, sum(cnt) AS n_bigrams, count(*) AS n_distinct_bi
+        |  FROM (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg)
+        |  GROUP BY doc_id)
+        |SELECT doc_id,
+        |  round((n_tokens - n_distinct)::DOUBLE / n_tokens, 4) AS dup_tok_frac,
+        |  round(max_cnt::DOUBLE / n_tokens, 4) AS top_tok_frac,
+        |  round((n_bigrams - n_distinct_bi)::DOUBLE / n_bigrams, 4) AS dup_2gram_frac
+        |FROM uni JOIN bi USING (doc_id) ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 <

@@ -209,6 +209,28 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction over adversarial constructed inputs: every doc gets a
+    * deterministic email + phone + IPv4 spliced into real text (the corpus
+    * itself is synthetic word-salad with no PII, so the fixture builds the
+    * worst case the way o10_escape does for the escape chain). */
+  def textPiiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("raw", concat(
+        substring(col("text"), 1, 40),
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or 555-867-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"), lit(" end")))
+      .select(col("doc_id"), col("raw"),
+        TextAnalysis.redactPii(col("raw")).as("redacted"))
+      .orderBy(col("doc_id"))
+
+  /** Per-doc repetition ratios (the Gopher repetition quality gates). */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables(spark, dir).documents)
+      .orderBy(col("doc_id"))
+
   def textTokFreq(spark: SparkSession, dir: String): DataFrame =
     Sampling.tokenFrequencyStats(Tables(spark, dir).documents)
       .orderBy(col("doc_id"))
@@ -217,6 +239,8 @@ object AnalyticsQueries {
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
     "text_tok_freq"    -> (textTokFreq(_, _)),
+    "text_pii_redact"  -> (textPiiRedact(_, _)),
+    "text_repetition"  -> (textRepetition(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
     "text_top_tokens"  -> (textTopTokens(_, _)),
     "doc_len_histogram" -> (docLenHistogram(_, _)),
