@@ -68,6 +68,45 @@ object Sampling {
         col("min_freq"), col("n_hapax"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the sequence-prep
+    * primitive that turns documents into training-window candidates. Chunk
+    * `i` covers tokens `[i·stride, i·stride + size)`; windows start while
+    * `i·stride < n_tokens`, so the tail emits a partial chunk rather than
+    * dropping text. Pure narrow explode — rows fan out 1→⌈n/stride⌉ with
+    * ZERO shuffle, so at 100 TB this is scan-bound; chunk identity is the
+    * sha256 prefix, not the chunk text, keeping output rows small. */
+  def docChunks(docs: DataFrame, size: Int, stride: Int,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(stride > 0 && size >= stride, s"need 0 < stride <= size, got size=$size stride=$stride")
+    val t = TextAnalysis.tokens(col(textCol))
+    docs
+      .withColumn("__chunk",
+        explode(transform(
+          sequence(lit(0), floor((org.apache.spark.sql.functions.size(t) - 1) / stride).cast("int")),
+          i => {
+            val sl = slice(t, i * stride + 1, lit(size))
+            struct(i.as("chunk_idx"),
+              org.apache.spark.sql.functions.size(sl).as("n_tok"),
+              substring(sha2(concat_ws(" ", sl), 256), 1, 16).as("chunk_hash"))
+          })))
+      .select(col(idCol).as("doc_id"),
+        col("__chunk.chunk_idx"), col("__chunk.n_tok"), col("__chunk.chunk_hash"))
+  }
+
+  /** Deterministic shard assignment (training-shard routing): shard =
+    * 60-bit id hash mod `nShards`, plus the per-shard balance stats a
+    * pipeline checks before writing (doc count, token mass, id range).
+    * The hash is uniform, so shards stay balanced no matter how ids were
+    * produced; the aggregate is nShards-keyed — tiny at any corpus size. */
+  def shardStats(docs: DataFrame, nShards: Int, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select((Dedup.hash60(col(idCol).cast("string")) % nShards).as("shard"),
+        col(idCol).as("id"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("toks"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+        min("id").as("min_id"), max("id").as("max_id"))
+
   /** Document-length histogram: bucket by `bucketWidth` chars; per-bucket
     * count and mean token count (rounded at the output boundary). One
     * narrow pass + a tiny aggregate on bucket keys. */

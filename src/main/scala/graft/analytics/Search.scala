@@ -1,0 +1,99 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus search / term-weighting operators: TF-IDF term extraction and
+  * BM25 ranking — the retrieval half of a training-data pipeline (nearest
+  * queries, quality-weighted sampling, topic surfacing).
+  *
+  * Cross-engine determinism: the only transcendental in either scorer is
+  * `ln`, and libm implementations differ in the last ulp, so idf is
+  * QUANTIZED at the contract boundary — `idf_micro = round(ln((N+1)/(df+1))
+  * · 1e6)` as an integer. Every comparison and ranking downstream is then
+  * integer-exact (TF-IDF) or a fixed-parenthesization IEEE chain over
+  * identical inputs (BM25), so Spark and any SQL oracle agree bit-for-bit.
+  * A 1-ulp `ln` difference can only flip the quantized value when the
+  * product lands within ~1e-9 of a .5 boundary — vanishing, and confined
+  * to a single df value if it ever happens.
+  */
+object Search {
+
+  /** Smoothed idf in integer micro-units: `round(ln((N+1)/(df+1)) * 1e6)`. */
+  def idfMicro(df: Column, nDocs: Long): Column =
+    round(log((lit(nDocs + 1).cast("double")) / (df + lit(1))) * 1e6).cast("long")
+
+  /** Per-doc top-k terms by tf·idf.
+    *
+    * Shape at scale: the token stream aggregates to (doc, token, tf) with
+    * map-side combine; df is a vocab-keyed aggregate of that frame (vocab ≪
+    * corpus, so the tf⋈df join broadcasts under AQE at any realistic vocab);
+    * the per-doc ranking is a (doc_id)-keyed window with k ≤ the group-limit
+    * threshold, so Spark plans the two-stage InferWindowGroupLimit — no
+    * per-doc full sorts beyond the partial stage. score_micro = tf·idf_micro
+    * stays integer-exact. */
+  def tfidfTopTerms(docs: DataFrame, k: Int, nDocs: Long,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "token")
+      .withColumn("score_micro", col("tf") * idfMicro(col("df"), nDocs))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+        col("score_micro"))
+  }
+
+  /** BM25 ranking of the corpus against a small fixed query-term set.
+    *
+    * k1/b are the standard Robertson defaults. Per query term the score
+    * contribution is
+    *   idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with idf quantized (see [[idfMicro]]) and the sum over query terms
+    * taken in FIXED term order (explicit `+` chain, not an aggregate), so
+    * the double arithmetic is the same IEEE chain on both engines.
+    *
+    * Shape at scale: one narrow pass computes per-doc tf for each query
+    * term (a handful of `size(filter(tokens))` counters — no explode, no
+    * shuffle); N, avgdl, and per-term dfs are one tiny corpus aggregate
+    * broadcast back as literals; ranking is a global top-k =
+    * TakeOrderedAndProject. The corpus is scanned exactly twice (stats +
+    * scoring), both scans narrow. */
+  def bm25TopDocs(docs: DataFrame, queryTerms: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.sorted,
+      "queryTerms must be non-empty and sorted (fixed summation order is the determinism contract)")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val perDoc = docs.select(
+      (Seq(col(idCol).as("doc_id"), size(toks).cast("long").as("dl")) ++
+        queryTerms.map(t =>
+          size(filter(toks, x => x === t)).cast("long").as(s"tf_$t"))): _*)
+    // one tiny aggregate: N, total token mass, per-term document frequencies
+    val statsRow = perDoc.agg(
+      count(lit(1)).as("n"),
+      (Seq(sum(col("dl")).as("dl_sum")) ++
+        queryTerms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
+      .head()
+    val n = statsRow.getAs[Long]("n")
+    val avgdl = statsRow.getAs[Long]("dl_sum").toDouble / n
+    val score = queryTerms.map { t =>
+      val df = statsRow.getAs[Long](s"df_$t")
+      val tf = col(s"tf_$t").cast("double")
+      (idfMicro(lit(df), n).cast("double") / 1e6) *
+        (tf * (k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    }.reduce(_ + _) // fixed left-to-right term order == the oracle's chain
+    perDoc.withColumn("score", round(score, 4))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select((Seq(col("doc_id"), col("dl")) ++
+        queryTerms.map(t => col(s"tf_$t")) ++ Seq(col("score"))): _*)
+  }
+}

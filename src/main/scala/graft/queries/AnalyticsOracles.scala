@@ -123,6 +123,68 @@ object AnalyticsOracles {
         |  round(max_cnt::DOUBLE / n_tokens, 4) AS top_tok_frac,
         |  round((n_bigrams - n_distinct_bi)::DOUBLE / n_bigrams, 4) AS dup_2gram_frac
         |FROM uni JOIN bi USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "doc_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, (len(toks)-1) // 24)) AS chunk_idx
+        |  FROM tok),
+        |sl AS (
+        |  SELECT doc_id, chunk_idx,
+        |    toks[chunk_idx*24+1 : least(chunk_idx*24+32, len(toks))] AS sl
+        |  FROM c)
+        |SELECT doc_id, chunk_idx, len(sl) AS n_tok,
+        |  substr(sha256(array_to_string(sl, ' ')), 1, 16) AS chunk_hash
+        |FROM sl ORDER BY doc_id, chunk_idx""".stripMargin,
+    "shard_stats" ->
+      """SELECT ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 64 AS shard,
+        |  count(*) AS n_docs,
+        |  sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM t
+        |  WHERE length(token) > 0 GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf, df,
+        |    tf * round(ln((n+1)::DOUBLE / (df+1)) * 1000000)::BIGINT AS score_micro
+        |  FROM tf JOIN df USING (token), n)
+        |SELECT doc_id, rank, token, tf, df, score_micro FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, token) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "bm25_search" ->
+      """WITH p AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS dl,
+        |    len(list_filter(toks, x -> x = 'data'))::BIGINT AS tf_data,
+        |    len(list_filter(toks, x -> x = 'fast'))::BIGINT AS tf_fast,
+        |    len(list_filter(toks, x -> x = 'query'))::BIGINT AS tf_query
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)),
+        |s AS (
+        |  SELECT count(*) AS n, sum(dl) AS dl_sum,
+        |    sum(CASE WHEN tf_data > 0 THEN 1 ELSE 0 END) AS df_data,
+        |    sum(CASE WHEN tf_fast > 0 THEN 1 ELSE 0 END) AS df_fast,
+        |    sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS df_query
+        |  FROM p),
+        |scored AS (
+        |  SELECT doc_id, dl, tf_data, tf_fast, tf_query,
+        |    round(
+        |      (round(ln((n+1)::DOUBLE / (df_data+1)) * 1000000)::BIGINT::DOUBLE / 1000000.0)
+        |        * (tf_data::DOUBLE * (1.2 + 1)) / (tf_data::DOUBLE + 1.2 * (0.25 + 0.75 * dl / (dl_sum::DOUBLE / n)))
+        |      + (round(ln((n+1)::DOUBLE / (df_fast+1)) * 1000000)::BIGINT::DOUBLE / 1000000.0)
+        |        * (tf_fast::DOUBLE * (1.2 + 1)) / (tf_fast::DOUBLE + 1.2 * (0.25 + 0.75 * dl / (dl_sum::DOUBLE / n)))
+        |      + (round(ln((n+1)::DOUBLE / (df_query+1)) * 1000000)::BIGINT::DOUBLE / 1000000.0)
+        |        * (tf_query::DOUBLE * (1.2 + 1)) / (tf_query::DOUBLE + 1.2 * (0.25 + 0.75 * dl / (dl_sum::DOUBLE / n))), 4) AS score
+        |  FROM p, s)
+        |SELECT * FROM scored WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 <

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.analytics.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.analytics.{Dedup, Multimodal, Sampling, Search, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions
 
 /** Driver-facing entry points for the training-data-pipeline operators
@@ -231,6 +231,26 @@ object AnalyticsQueries {
     TextAnalysis.repetitionStats(Tables(spark, dir).documents)
       .orderBy(col("doc_id"))
 
+  /** Sequence prep: 32-token chunks, stride 24 (8-token overlap). */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    Sampling.docChunks(Tables(spark, dir).documents, size = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Training-shard routing: 64 shards, balance stats per shard. */
+  def shardStats(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shardStats(Tables(spark, dir).documents, nShards = 64)
+      .orderBy(col("shard"))
+
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Search.tfidfTopTerms(docs, k = 3, nDocs = docs.count())
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    Search.bm25TopDocs(Tables(spark, dir).documents,
+      queryTerms = Seq("data", "fast", "query"), k = 20)
+
   def textTokFreq(spark: SparkSession, dir: String): DataFrame =
     Sampling.tokenFrequencyStats(Tables(spark, dir).documents)
       .orderBy(col("doc_id"))
@@ -241,6 +261,10 @@ object AnalyticsQueries {
     "text_tok_freq"    -> (textTokFreq(_, _)),
     "text_pii_redact"  -> (textPiiRedact(_, _)),
     "text_repetition"  -> (textRepetition(_, _)),
+    "doc_chunks"       -> (docChunks(_, _)),
+    "shard_stats"      -> (shardStats(_, _)),
+    "tfidf_top_terms"  -> (tfidfTopTerms(_, _)),
+    "bm25_search"      -> (bm25Search(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
     "text_top_tokens"  -> (textTopTokens(_, _)),
     "doc_len_histogram" -> (docLenHistogram(_, _)),

@@ -1,0 +1,68 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit semantics for chunking, sharding, and the search scorers (corpus
+  * parity is the DuckDB oracle; these pin edge-case behavior). */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("docChunks: stride windows cover every token; tail partial kept") {
+    // 7 tokens, size 3, stride 2 -> starts 0,2,4,6 -> lengths 3,3,3,1
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val ch = Sampling.docChunks(df, size = 3, stride = 2)
+      .orderBy("chunk_idx").collect()
+    assert(ch.map(_.getAs[Int]("n_tok")).toSeq == Seq(3, 3, 3, 1))
+    assert(ch.map(_.getAs[Int]("chunk_idx")).toSeq == Seq(0, 1, 2, 3))
+    // distinct windows hash distinctly
+    assert(ch.map(_.getAs[String]("chunk_hash")).distinct.length == 4)
+  }
+
+  test("docChunks: doc shorter than one window emits exactly one chunk") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val ch = Sampling.docChunks(df, size = 32, stride = 24).collect()
+    assert(ch.length == 1 && ch.head.getAs[Int]("n_tok") == 2)
+  }
+
+  test("shardStats: every doc lands in exactly one shard; counts add up") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val stats = Sampling.shardStats(docs, nShards = 16).collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // uniform hash: no shard holds more than 4x the mean at 500 docs / 16 shards
+    val counts = stats.map(_.getAs[Long]("n_docs"))
+    assert(counts.max <= 4 * (docs.count() / 16).max(1L))
+  }
+
+  test("tfidf: rarer term outranks commoner term at equal tf") {
+    val docs = Seq(
+      (1L, "apple banana"), (2L, "apple banana"), (3L, "apple cherry"))
+      .toDF("doc_id", "text")
+    val top = Search.tfidfTopTerms(docs, k = 2, nDocs = 3)
+    val d3 = top.filter(col("doc_id") === 3).orderBy("rank")
+      .select("token").as[String].collect()
+    // cherry (df=1) must outrank apple (df=3) for doc 3
+    assert(d3.toSeq == Seq("cherry", "apple"))
+  }
+
+  test("bm25: doc containing more query terms scores higher; absent terms score zero") {
+    val docs = Seq(
+      (1L, "data fast query data"), (2L, "data slow other words"),
+      (3L, "nothing relevant here at all")).toDF("doc_id", "text")
+    val out = Search.bm25TopDocs(docs, Seq("data", "fast", "query"), k = 10).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq.startsWith(Seq(1L, 2L)))
+    assert(!out.map(_.getAs[Long]("doc_id")).contains(3L))
+  }
+
+  test("bm25 saturation: tf doubling increases score sublinearly (k1 bound)") {
+    // doc 4 lacks the term: df < N, so idf > 0 (a term in EVERY doc has
+    // smoothed idf ln(1)=0 and is correctly filtered as signal-free)
+    val docs = Seq(
+      (1L, "data x x x x x x x"), (2L, "data data x x x x x x"),
+      (3L, "data data data data x x x x"), (4L, "y y y y y y y y")).toDF("doc_id", "text")
+    val s = Search.bm25TopDocs(docs, Seq("data"), k = 10)
+      .orderBy("doc_id").select("score").as[Double].collect()
+    assert(s(1) > s(0) && s(2) > s(1))          // monotone in tf
+    assert(s(1) - s(0) > s(2) - s(1))            // saturating increments
+  }
+}
