@@ -125,6 +125,13 @@ object SparkEntry {
     "w4_ntile"         -> (Relational.w4Ntile(_, _)),
     "q12_corr_subquery" -> (Relational.q12CorrSubquery(_, _)),
     "q13_grouping_sets" -> (Relational.q13GroupingSets(_, _)),
+    "q14_range_frame"  -> (Relational.q14RangeFrame(_, _)),
+    "q15_explode"      -> (Relational.q15Explode(_, _)),
+    "q16_anti"         -> (Relational.q16Anti(_, _)),
+    "q17_window_nav"   -> (Relational.q17WindowNav(_, _)),
+    "q18_month_series" -> (Relational.q18MonthSeries(_, _)),
+    "q19_sorted_collect" -> (Relational.q19SortedCollect(_, _)),
+    "q20_cond_agg"     -> (Relational.q20CondAgg(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
   // DuckDB-dialect oracles over the same parquet tables (driver registers
@@ -352,6 +359,65 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000.0)
         |ORDER BY o_orderkey""".stripMargin,
+    "q14_range_frame" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  (sum(cents) OVER w)::BIGINT AS sum_1h_cents
+        |FROM f
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q15_explode" ->
+      """WITH t AS (SELECT string_split(p_name, ' ') AS toks FROM part),
+        |x AS (
+        |  SELECT toks, unnest(generate_series(1, len(toks))) AS i FROM t)
+        |SELECT toks[i] AS token, count(*) AS n,
+        |  min(i - 1) AS min_pos, max(i - 1) AS max_pos
+        |FROM x GROUP BY token ORDER BY token""".stripMargin,
+    "q16_anti" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000.0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q17_window_nav" ->
+      """SELECT event_id, user_id,
+        |  coalesce(lag(value, 1) OVER w, -1.0) AS prev_val,
+        |  coalesce(lead(value, 1) OVER w, -1.0) AS next_val,
+        |  first_value(value) OVER wf AS first_val,
+        |  last_value(value) OVER wf AS last_val,
+        |  coalesce(nth_value(value, 3) OVER wf, -1.0) AS third_val
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+        |  wf AS (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+    "q18_month_series" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate)::DATE AS month,
+        |    round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |  FROM orders GROUP BY month)
+        |SELECT month, revenue, n_orders,
+        |  CASE WHEN lag(revenue, 1) OVER (ORDER BY month) IS NULL THEN 0.0
+        |       ELSE round((revenue - lag(revenue, 1) OVER (ORDER BY month))
+        |                  / lag(revenue, 1) OVER (ORDER BY month) * 100, 4)
+        |  END AS mom_pct
+        |FROM monthly ORDER BY month""".stripMargin,
+    "q19_sorted_collect" ->
+      """SELECT user_id, count(*) AS n_purchases,
+        |  array_to_string(list_sort(list(event_id))[1:3], ',') AS first3
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q20_cond_agg" ->
+      """SELECT event_type, count(*) AS n_total,
+        |  count(CASE WHEN value > 150.0 THEN 1 END) AS n_high,
+        |  round(count(CASE WHEN value > 150.0 THEN 1 END)::DOUBLE / count(*), 4) AS share_high,
+        |  round(avg(CASE WHEN value > 150.0 THEN value END), 4) AS avg_high,
+        |  max(value) > 190.0 AS has_extreme
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "asof_signup" -> (anonCte +
       """SELECT e.id, e.user_id, s.id AS signup_id
         |FROM extracted e ASOF LEFT JOIN

@@ -303,6 +303,119 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Time-RANGE window frame: per event, the count and cent-exact sum of
+    * the same user's events in the trailing hour (frame bounds by VALUE,
+    * not row offsets — the moving-aggregate shape row frames can't
+    * express). One shuffle on user_id. Values aggregate as integer cents:
+    * a float sum over a value-bounded frame would depend on peer order
+    * (equal-timestamp rows), which neither engine defines. */
+  def q14RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"es").rangeBetween(-3600L, 0L)
+    Tables(spark, dir).events
+      .withColumn("es", col("ts").cast("long"))
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h_cents", sum($"cents").over(w))
+      .select($"event_id", $"user_id", $"n_1h", $"sum_1h_cents")
+      .orderBy($"event_id")
+  }
+
+  /** Lateral explode with position (posexplode ≡ UNNEST WITH ORDINALITY):
+    * token/position inventory over part names. Narrow fan-out then a
+    * token-keyed aggregate — the explode itself never shuffles. */
+  def q15Explode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).part
+      .select(posexplode(split($"p_name", " ")).as(Seq("pos", "token")))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"), min($"pos").as("min_pos"), max($"pos").as("max_pos"))
+      .orderBy($"token")
+  }
+
+  /** NOT EXISTS / anti join: orders with NO high-value line — the exact
+    * complement of [[q9Exists]]'s semi join (non-vacuous at every SF by
+    * construction: q9 ∪ q16 = orders). Plans as one left-anti hash join on
+    * orderkey; no distinct pre-aggregate needed on the right side. */
+  def q16Anti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val bigLines = t.lineitem.filter($"l_extendedprice" > 90000.0).select($"l_orderkey")
+    t.orders.join(bigLines, $"o_orderkey" === $"l_orderkey", "left_anti")
+      .select($"o_orderkey", round($"o_totalprice", 2).as("totalprice"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Window navigation functions — lag/lead/first/last/nth over one
+    * user-keyed window (value COPIES, not arithmetic, so doubles hash
+    * exactly with no rounding contract). last/nth use the full-partition
+    * frame; all five share a single shuffle + sort. */
+  def q17WindowNav(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir).events
+      .select($"event_id", $"user_id",
+        coalesce(lag($"value", 1).over(w), lit(-1.0)).as("prev_val"),
+        coalesce(lead($"value", 1).over(w), lit(-1.0)).as("next_val"),
+        first($"value").over(wFull).as("first_val"),
+        last($"value").over(wFull).as("last_val"),
+        coalesce(nth_value($"value", 3).over(wFull), lit(-1.0)).as("third_val"))
+      .orderBy($"event_id")
+  }
+
+  /** Time-series rollup: monthly order revenue with month-over-month delta.
+    * date_trunc buckets at the scan (pushdown-friendly), the month table is
+    * tiny, and the MoM window runs over that tiny frame — the fact table is
+    * aggregated exactly once. The pct change divides already-rounded sums,
+    * so both engines divide identical doubles. */
+  def q18MonthSeries(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Tables(spark, dir).orders
+      .groupBy(to_date(date_trunc("month", $"o_orderdate")).as("month"))
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+    val w = Window.orderBy($"month")
+    monthly
+      .withColumn("prev", lag($"revenue", 1).over(w))
+      .withColumn("mom_pct",
+        when($"prev".isNull, lit(0.0))
+          .otherwise(round(($"revenue" - $"prev") / $"prev" * 100, 4)))
+      .select($"month", $"revenue", $"n_orders", $"mom_pct")
+      .orderBy($"month")
+  }
+
+  /** Ordered collect: per purchasing user, purchase count and the three
+    * earliest purchase event ids as a joined string. collect_list is
+    * unordered by contract — sort_array AFTER collecting is what makes the
+    * result deterministic (never rely on arrival order); string-joined
+    * integers sidestep cross-engine array formatting. */
+  def q19SortedCollect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        concat_ws(",",
+          slice(sort_array(collect_list($"event_id")), 1, 3)).as("first3"))
+      .orderBy($"user_id")
+  }
+
+  /** Conditional aggregation: per event type, the high-value share and an
+    * extremum flag — one scan, one tiny aggregate; the share divides two
+    * exact counts. */
+  def q20CondAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_total"),
+        count(when($"value" > 150.0, 1)).as("n_high"),
+        round(avg(when($"value" > 150.0, $"value")), 4).as("avg_high"),
+        (max($"value") > 190.0).as("has_extreme"))
+      .withColumn("share_high", round($"n_high".cast("double") / $"n_total", 4))
+      .select($"event_type", $"n_total", $"n_high", $"share_high", $"avg_high", $"has_extreme")
+      .orderBy($"event_type")
+  }
+
   /** HLL++ approximate distinct counts — the countDistinct scale path.
     * Sketch estimates are engine-specific so the estimate itself can't
     * hash-match a DuckDB oracle; instead the query VERIFIES the sketch
