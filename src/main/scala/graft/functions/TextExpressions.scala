@@ -137,3 +137,59 @@ case class StopwordLangId(child: Expression, en: Seq[String], es: Seq[String], d
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Single-pass quality score; exact twin of
+  * [[graft.analytics.TextAnalysis.qualityScore]] — identical component
+  * formulas, identical left-associated double addition, identical HALF_UP
+  * rounding at 4 decimals — so the DuckDB oracle written against the HOF
+  * form stays valid bit-for-bit. The declarative form pays interpreted
+  * lambda dispatch per token (and CollapseProject re-inlines it into every
+  * consumer); this evaluates one token scan + one code-point scan per row. */
+case class QualityScore(child: Expression, stopwords: Seq[String])
+    extends StringUnary {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_quality"
+
+  @transient private lazy val ws = Pattern.compile("\\s+")
+  @transient private lazy val stopSet = stopwords.toSet
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val toks = ws.split(s, -1)
+    var sumLen = 0L
+    var hits = 0
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      sumLen += tok.codePointCount(0, tok.length)
+      if (stopSet.contains(tok)) hits += 1
+      t += 1
+    }
+    // punct = code points outside [A-Za-z0-9] and \s (Java ASCII class)
+    var punct = 0
+    var total = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val isAlnum = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= '0' && cp <= '9')
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (!isAlnum && !isWs) punct += 1
+      total += 1
+      i += Character.charCount(cp)
+    }
+    val nTok = toks.length.toDouble
+    val m1 = 0.3 * math.min(1.0, nTok / 100.0)
+    val m2 = 0.3 * (1.0 - punct.toDouble / total.toDouble)
+    val m3 = 0.2 * (hits.toDouble / nTok)
+    val m4 = 0.2 * math.min(1.0, (sumLen.toDouble / nTok) / 8.0)
+    val q = ((m1 + m2) + m3) + m4
+    if (java.lang.Double.isNaN(q)) q
+    else java.math.BigDecimal.valueOf(q)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

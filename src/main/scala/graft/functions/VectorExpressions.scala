@@ -110,6 +110,9 @@ object GraftFunctions {
       }),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quality", exprs => QualityScore(exprs(0),
+        graft.analytics.TextAnalysis.StopwordsEn), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_langid", exprs => StopwordLangId(exprs(0),
         graft.analytics.TextAnalysis.StopwordsEn,
         graft.analytics.TextAnalysis.StopwordsEs,
@@ -123,6 +126,7 @@ object GraftFunctions {
   def simhashFast(text: Column): Column = call_function("graft_simhash", text)
   def processStatementFast(s: Column): Column = call_function("graft_process_statement", s)
   def langIdFast(text: Column): Column = call_function("graft_langid", text)
+  def qualityFast(text: Column): Column = call_function("graft_quality", text)
 
   /** Column API for the native dot product (requires [[register]]). */
   def arrayDot(a: Column, b: Column): Column = call_function("graft_array_dot", a, b)

@@ -27,12 +27,14 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
-  def textQuality(spark: SparkSession, dir: String): DataFrame =
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     Tables(spark, dir).documents
       .select(col("doc_id"),
         round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
+        GraftFunctions.qualityFast(col("text")).as("quality"))
       .orderBy(col("doc_id"))
+  }
 
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -182,7 +184,7 @@ object AnalyticsQueries {
     val scored = Tables(spark, dir).documents
       .select(col("doc_id"), col("text"),
         GraftFunctions.langIdFast(col("text")).as("lang_pred"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
+        GraftFunctions.qualityFast(col("text")).as("quality"))
       .filter(col("lang_pred") === "en" && col("quality") >= 0.55)
     val exactKeepers = scored.groupBy(sha2(col("text"), 256))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")

@@ -204,6 +204,11 @@ class AnalyticsSpec extends SparkSpec {
       GraftFunctions.langIdFast(col("text")).as("fast"))
       .filter(col("hof") =!= col("fast")).count()
     assert(liDiff == 0)
+    val qDiff = docs.select(
+      TextAnalysis.qualityScore(col("text")).as("hof"),
+      GraftFunctions.qualityFast(col("text")).as("fast"))
+      .filter(col("hof") =!= col("fast")).count()
+    assert(qDiff == 0)
     // WordShingles vs HOF shingle formulation
     val toks = split(col("text"), "\\s+")
     val hofShingles = array_sort(array_distinct(transform(
