@@ -433,9 +433,16 @@ object Relational {
     // groups — tens of thousands of mostly-dead sketch buffers (measured
     // 101 s vs <2 s at sf0.1). Separately, each plan is clean: the sketch
     // aggregate keeps 3 groups × 2 sketches, the exact one has no sketches.
-    val exact = li.groupBy($"l_returnflag")
-      .agg(countDistinct($"l_orderkey").as("exact_orders"),
-        countDistinct($"l_partkey").as("exact_parts"))
+    // Two single-distinct aggregates joined, NOT one double-distinct: two
+    // distincts in one agg trigger RewriteDistinctAggregates' Expand (every
+    // input row duplicated per distinct column — 2x the shuffle). Each
+    // single-distinct plans as a clean two-level partial-distinct aggregate
+    // over a 2-column pruned scan; the join is 3 rows.
+    val exOrders = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("exact_orders"))
+    val exParts = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact_parts"))
+    val exact = exOrders.join(broadcast(exParts), "l_returnflag")
     val approx = li.groupBy($"l_returnflag")
       .agg(approx_count_distinct($"l_orderkey", 0.01).as("a_o"),
         approx_count_distinct($"l_partkey", 0.01).as("a_p"))

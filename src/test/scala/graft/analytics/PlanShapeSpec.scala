@@ -1,0 +1,65 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+
+/** Physical-plan shape assertions for the round-3 operators — the scale
+  * claims in their scaladocs, checked against the executed plan (AQE-safe:
+  * run the SAME QueryExecution, then descend into materialized stages). */
+class PlanShapeSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case p => p
+  }
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case x => x }.flatMap {
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(s) ++ allNodes(s.plan)
+      case x => Seq(x)
+    }
+
+  private def exchanges(df: DataFrame): Seq[SparkPlan] =
+    allNodes(finalPlan(df)).collect { case e: ShuffleExchangeLike => e }
+
+  test("docChunks is shuffle-free: a pure narrow explode") {
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+    val df = Sampling.docChunks(docs, size = 32, stride = 24)
+    assert(df.collect().nonEmpty)
+    assert(exchanges(df).isEmpty, finalPlan(df).toString)
+  }
+
+  test("bm25 scoring pass is narrow: no explode, no join, one final top-k") {
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+    val df = Search.bm25TopDocs(docs, Seq("data", "fast", "query"), k = 20)
+    assert(df.collect().length == 20)
+    val nodes = allNodes(finalPlan(df))
+    // scoring never joins or explodes the corpus...
+    assert(!nodes.exists(_.nodeName.contains("Generate")), finalPlan(df).toString)
+    assert(!nodes.exists(_.nodeName.contains("Join")), finalPlan(df).toString)
+    // ...and the global top-k is TakeOrderedAndProject, not a full sort
+    assert(nodes.exists(_.nodeName.contains("TakeOrderedAndProject")), finalPlan(df).toString)
+  }
+
+  test("tfidf per-doc ranking gets the two-stage window group limit") {
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+    val df = Search.tfidfTopTerms(docs, k = 3, nDocs = docs.count())
+    assert(df.collect().nonEmpty)
+    val limits = allNodes(finalPlan(df)).collect { case w: WindowGroupLimitExec => w }
+    // Partial (pre-shuffle) + Final — rank pruning happens map-side first
+    assert(limits.size >= 2, finalPlan(df).toString)
+  }
+
+  test("q14 range-frame window runs on exactly one user_id shuffle") {
+    val df = graft.queries.Relational.q14RangeFrame(spark, sf("sf0.001"))
+    assert(df.collect().nonEmpty)
+    // one exchange for the window (user_id), plus at most the output sort
+    val ex = exchanges(df)
+    assert(ex.size <= 2, finalPlan(df).toString)
+  }
+}
