@@ -44,6 +44,21 @@ object EventTimeOps {
       .select(col("user_id"), col("s.start").as("session_start"),
         col("s.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Native watermark-bounded streaming dedup
+    * (`dropDuplicatesWithinWatermark`): duplicates of a key arriving within
+    * the watermark window are dropped; state for a key is evicted once the
+    * watermark passes its event time, so state is bounded by (arrival rate ×
+    * delay), not by the total key space — the event-time complement of
+    * [[firstSeen]]'s processing-time TTL. Exactly-once semantics hold for
+    * any duplicate arriving within `delay` of the original (the stream
+    * contract: duplicates are retries/replays, which cluster in time). */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           tsCol: String = "ts",
+                           delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Keyed(key: Long, payload: String)
   final case class SeenState(firstSeenMs: Long)
 

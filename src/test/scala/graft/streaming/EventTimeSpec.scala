@@ -181,4 +181,34 @@ class EventTimeSpec extends SparkSpec {
     assert(Set("a", "a2").contains(out.find(_.key == 1L).get.payload))
     assert(out.find(_.key == 3L).get.payload == "c")
   }
+
+  test("dropDuplicatesWithinWatermark: replayed event_ids emit once across micro-batches") {
+    val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+      .filter(col("event_id") < 400).persist()
+    // drop 0: originals; drop 1: a replay of half of them (same event_ids)
+    // plus fresh events — the retry/replay shape the operator exists for
+    ev.filter(col("event_id") < 200).write.parquet(s"$srcDir/d0")
+    ev.filter(col("event_id") < 100).write.parquet(s"$srcDir/d1")
+    ev.filter(col("event_id") >= 200).write.parquet(s"$srcDir/d2")
+    val schema = spark.read.parquet(s"$srcDir/d0").schema
+
+    val stream = Sources.fileStream(spark, s"$srcDir/d*", schema)
+    val q = EventTimeOps.dedupWithinWatermark(stream, Seq("event_id"), delay = "365 days")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination(120000)
+
+    val ids = spark.read.parquet(outDir).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // every id exactly once despite the replay drop
+    assert(ids == ids.distinct, "replayed ids must not re-emit")
+    assert(ids.toSet == ev.select("event_id").collect().map(_.getLong(0)).toSet)
+    ev.unpersist()
+  }
 }
