@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.analytics.{Dedup, Multimodal, Sampling, Search, Similarity, TextAnalysis}
+import graft.analytics.{Clustering, Dedup, Multimodal, Sampling, Search, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions
 
 /** Driver-facing entry points for the training-data-pipeline operators
@@ -113,6 +113,14 @@ object AnalyticsQueries {
     val emb = Tables(spark, dir).embeddings
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5, centroidStep = 50, nprobe = 3)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Two-round Lloyd k-means over the embedding corpus (deterministic
+    * id-step seeding, integer-exact quantized arithmetic). */
+  def embedKmeans(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Clustering.kmeansStats(Tables(spark, dir).embeddings, centroidStep = 40, rounds = 2)
+      .orderBy(col("centroid_id"))
   }
 
   /** Token counting beyond whitespace: BPE-ish piece classes (letter runs,
@@ -267,6 +275,7 @@ object AnalyticsQueries {
     "shard_stats"      -> (shardStats(_, _)),
     "tfidf_top_terms"  -> (tfidfTopTerms(_, _)),
     "bm25_search"      -> (bm25Search(_, _)),
+    "embed_kmeans"     -> (embedKmeans(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
     "text_top_tokens"  -> (textTopTokens(_, _)),
     "doc_len_histogram" -> (docLenHistogram(_, _)),

@@ -54,6 +54,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out.map(_.getAs[Long]("doc_id")).contains(3L))
   }
 
+  test("kmeans: two planted clusters separate; members partition the corpus") {
+    val docs = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.1f, 0.0f)),
+      (2L, Seq(10.0f, 10.0f)), (3L, Seq(10.1f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.kmeansStats(docs, centroidStep = 2, rounds = 2)
+      .orderBy("centroid_id").collect()
+    assert(out.map(_.getAs[Long]("centroid_id")).toSeq == Seq(0L, 2L))
+    assert(out.map(_.getAs[Long]("n_members")).toSeq == Seq(2L, 2L))
+    assert(out.map(_.getAs[Long]("min_member")).toSeq == Seq(0L, 2L))
+    // mean of first quantized component: (0 + 100000)/2 and (1e7 + 1.01e7)/2
+    assert(out.map(_.getAs[Double]("mean_q0")).toSeq == Seq(50000.0, 1.005e7))
+  }
+
+  test("kmeans stats partition the real corpus and are run-deterministic") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val a = Clustering.kmeansStats(emb, centroidStep = 40, rounds = 2)
+      .orderBy("centroid_id").collect().toSeq
+    assert(a.map(_.getAs[Long]("n_members")).sum == emb.count())
+    val b = Clustering.kmeansStats(emb, centroidStep = 40, rounds = 2)
+      .orderBy("centroid_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("bm25 saturation: tf doubling increases score sublinearly (k1 bound)") {
     // doc 4 lacks the term: df < N, so idf > 0 (a term in EVERY doc has
     // smoothed idf ln(1)=0 and is correctly filtered as signal-free)
