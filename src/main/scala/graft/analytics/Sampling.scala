@@ -68,6 +68,31 @@ object Sampling {
         col("min_freq"), col("n_hapax"))
   }
 
+  /** Deterministic k-per-group sample (the distributed reservoir): rank
+    * rows within each stratum by id hash and keep the first k. Equivalent
+    * in distribution to a uniform reservoir but reproducible across runs,
+    * executors, and retries. The window is per-stratum with k far below
+    * the group-limit threshold, so Spark plans the two-stage
+    * WindowGroupLimit — map-side rank pruning caps the shuffle at
+    * k·partitions rows per stratum. */
+  def perGroupSample(df: DataFrame, stratumCol: String, idCol: String,
+                     k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(Dedup.hash60(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Quality-weighted deterministic sample: keep probability proportional
+    * to a per-row weight in [0,1] (e.g. a quality score) — keep iff
+    * hash_bucket(id) < weight·1000. Pure per-row decision, zero shuffle;
+    * the high-quality tail survives at full rate while junk is thinned,
+    * which is exactly the data-mixing curve a training pipeline wants. */
+  def weightedSample(df: DataFrame, weightCol: Column, idCol: String): DataFrame =
+    df.filter(hashBucket(col(idCol)) < weightCol * 1000)
+
   /** Fixed-size token-window chunking with overlap — the sequence-prep
     * primitive that turns documents into training-window candidates. Chunk
     * `i` covers tokens `[i·stride, i·stride + size)`; windows start while

@@ -234,6 +234,25 @@ object AnalyticsOracles {
         |WHERE ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 <
         |  CASE WHEN lang = 'en' THEN 500 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
+    "sample_per_group" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin,
+    "sample_weighted" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+        |        + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text))
+        |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
+        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+        |  FROM tok)
+        |SELECT doc_id, quality FROM q
+        |WHERE ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 < quality * 1000
+        |ORDER BY doc_id""".stripMargin,
     "text_top_tokens" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)

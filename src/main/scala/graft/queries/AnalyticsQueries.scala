@@ -168,6 +168,22 @@ object AnalyticsQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic 5-per-language reservoir sample. */
+  def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
+    Sampling.perGroupSample(Tables(spark, dir).documents, "lang", "doc_id", k = 5)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  /** Quality-weighted sample: keep probability = the doc's quality score. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val scored = Tables(spark, dir).documents
+      .withColumn("quality", GraftFunctions.qualityFast(col("text")))
+    Sampling.weightedSample(scored, col("quality"), "doc_id")
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   def textTopTokens(spark: SparkSession, dir: String): DataFrame =
     Sampling.topTokens(Tables(spark, dir).documents, k = 20)
       .orderBy(col("n").desc, col("token"))
@@ -277,6 +293,8 @@ object AnalyticsQueries {
     "bm25_search"      -> (bm25Search(_, _)),
     "embed_kmeans"     -> (embedKmeans(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
+    "sample_per_group" -> (samplePerGroup(_, _)),
+    "sample_weighted"  -> (sampleWeighted(_, _)),
     "text_top_tokens"  -> (textTopTokens(_, _)),
     "doc_len_histogram" -> (docLenHistogram(_, _)),
     "text_tokens"      -> (textTokens(_, _)),

@@ -54,6 +54,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out.map(_.getAs[Long]("doc_id")).contains(3L))
   }
 
+  test("perGroupSample: at most k per stratum, deterministic, subset of corpus") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val s1 = Sampling.perGroupSample(docs, "lang", "doc_id", k = 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val s2 = Sampling.perGroupSample(docs, "lang", "doc_id", k = 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1 == s2)
+    val perLang = Sampling.perGroupSample(docs, "lang", "doc_id", k = 5)
+      .groupBy("lang").count().collect()
+    assert(perLang.forall(_.getAs[Long]("count") <= 5))
+  }
+
+  test("weightedSample: weight 1 keeps everything, weight 0 keeps nothing") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    assert(Sampling.weightedSample(docs, lit(1.0), "doc_id").count() == docs.count())
+    assert(Sampling.weightedSample(docs, lit(0.0), "doc_id").count() == 0)
+  }
+
   test("kmeans: two planted clusters separate; members partition the corpus") {
     val docs = Seq(
       (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.1f, 0.0f)),
