@@ -103,19 +103,25 @@ object Sampling {
   def docChunks(docs: DataFrame, size: Int, stride: Int,
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(stride > 0 && size >= stride, s"need 0 < stride <= size, got size=$size stride=$stride")
+    import org.apache.spark.sql.functions.{size => asize}
     val t = TextAnalysis.tokens(col(textCol))
+    // Projection boundaries on purpose: tokenize ONCE into an attribute,
+    // then slice/hash read that attribute. Building the slice inside a
+    // transform-lambda over the raw split() re-tokenizes the document per
+    // chunk (interpreted HOF lambdas re-evaluate captured expressions, no
+    // CSE) — O(tokens·chunks) instead of O(tokens). CollapseProject keeps
+    // these projections because the aliased arrays are non-cheap and
+    // multiply referenced.
     docs
-      .withColumn("__chunk",
-        explode(transform(
-          sequence(lit(0), floor((org.apache.spark.sql.functions.size(t) - 1) / stride).cast("int")),
-          i => {
-            val sl = slice(t, i * stride + 1, lit(size))
-            struct(i.as("chunk_idx"),
-              org.apache.spark.sql.functions.size(sl).as("n_tok"),
-              substring(sha2(concat_ws(" ", sl), 256), 1, 16).as("chunk_hash"))
-          })))
-      .select(col(idCol).as("doc_id"),
-        col("__chunk.chunk_idx"), col("__chunk.n_tok"), col("__chunk.chunk_hash"))
+      .select(col(idCol).as("doc_id"), t.as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0), floor((asize(col("__toks")) - 1) / stride).cast("int")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("__toks"), col("chunk_idx") * stride + 1, lit(size)).as("__sl"))
+      .select(col("doc_id"), col("chunk_idx"),
+        asize(col("__sl")).as("n_tok"),
+        substring(sha2(concat_ws(" ", col("__sl")), 256), 1, 16).as("chunk_hash"))
   }
 
   /** Deterministic shard assignment (training-shard routing): shard =

@@ -82,12 +82,21 @@ object TextAnalysis {
       "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>")
 
   /** Sliding word bigrams WITH multiplicity (unlike [[Dedup.shingles]],
-    * which dedups for Jaccard) — repetition measurement needs the counts. */
+    * which dedups for Jaccard) — repetition measurement needs the counts.
+    *
+    * Built by zipping two row-level slices, NOT by indexing into the token
+    * array inside a lambda: interpreted HOF lambdas re-evaluate captured
+    * expressions per ELEMENT (no common-subexpression elimination), so
+    * `element_at(split(text), i)` re-tokenizes the document once per
+    * bigram — O(tokens²) per row (measured 6 s vs 1.4 s at sf0.1). The
+    * slices evaluate `split` a fixed number of times per ROW. */
   def bigrams(text: Column): Column = {
     val t = tokens(text)
     when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
   }
 
