@@ -64,6 +64,30 @@ final class JdbcStatementsSink(url: String, user: String, password: String,
   }
 }
 
+/** Training-shard writer: partitioned parquet layout
+  * `baseDir/<table>/shard=<k>/...` with a deterministic 60-bit-hash shard
+  * column (same routing as [[graft.analytics.Sampling.shardStats]]).
+  *
+  * Why this shape at 100 TB: `partitionBy` gives partition-pruned reads
+  * (a trainer pulls its shard without scanning others), the hash keeps
+  * shards balanced regardless of id distribution, and
+  * `maxRecordsPerFile` bounds file sizes so downstream loaders see
+  * uniform chunks. The write itself is narrow — rows route to shard
+  * directories without a pre-shuffle; callers who want exactly one file
+  * per shard can `repartition(nShards, col("shard"))` first, trading one
+  * shuffle for file-count control. */
+final class ShardedParquetSink(baseDir: String, nShards: Int,
+                               idCol: String = "doc_id",
+                               maxRecordsPerFile: Int = 1000000) extends BatchSink {
+  override def write(df: DataFrame, table: String): Unit =
+    df.withColumn("shard",
+        graft.analytics.Dedup.hash60(col(idCol).cast("string")) % nShards)
+      .write.mode(SaveMode.Append)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("shard")
+      .parquet(s"$baseDir/$table")
+}
+
 /** Test double: fails the first `failures` writes then delegates —
   * exercises the O17 retry / O18 DLQ paths deterministically. */
 final class FlakySink(delegate: BatchSink, failures: Int) extends BatchSink {
