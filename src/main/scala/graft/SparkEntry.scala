@@ -132,6 +132,7 @@ object SparkEntry {
     "q18_month_series" -> (Relational.q18MonthSeries(_, _)),
     "q19_sorted_collect" -> (Relational.q19SortedCollect(_, _)),
     "q20_cond_agg"     -> (Relational.q20CondAgg(_, _)),
+    "q21_range_join"   -> (Relational.q21RangeJoin(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
   // DuckDB-dialect oracles over the same parquet tables (driver registers
@@ -418,6 +419,19 @@ object SparkEntry {
         |  round(avg(CASE WHEN value > 150.0 THEN value END), 4) AS avg_high,
         |  max(value) > 190.0 AS has_extreme
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q21_range_join" ->
+      """WITH iv AS (
+        |  SELECT event_id AS win_id, CAST(floor(epoch(ts)) AS BIGINT) AS w_start,
+        |         CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS w_end
+        |  FROM events ORDER BY value DESC, event_id LIMIT 20),
+        |p AS (
+        |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events)
+        |SELECT win_id, w_start, count(*) AS n_events,
+        |  (sum(cents))::BIGINT AS sum_cents
+        |FROM p JOIN iv ON es >= w_start AND es < w_end
+        |GROUP BY win_id, w_start ORDER BY win_id""".stripMargin,
     "asof_signup" -> (anonCte +
       """SELECT e.id, e.user_id, s.id AS signup_id
         |FROM extracted e ASOF LEFT JOIN

@@ -416,6 +416,29 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** Point-in-interval RANGE JOIN via [[graft.operators.RangeJoin]]: events
+    * falling inside the 7-day windows of the top-20 orders. The naive
+    * inequality join plans BroadcastNestedLoopJoin; the bucketed form is a
+    * hash equi-join on day buckets with the exact containment as a residual
+    * filter (result-equality + plan shape proven in OperatorsSpec /
+    * PlanShapeSpec). Cent-exact sums, same contract as q14. */
+  def q21RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    // intervals: the 2-hour windows opened by the top-20 highest-value
+    // events (non-vacuous by construction — each anchor contains itself)
+    val iv = t.events.orderBy($"value".desc, $"event_id").limit(20)
+      .select($"event_id".as("win_id"), col("ts").cast("long").as("w_start"))
+      .withColumn("w_end", $"w_start" + lit(7200L))
+    val pts = t.events.select($"event_id", col("ts").cast("long").as("es"),
+      round($"value" * 100).cast("long").as("cents"))
+    graft.operators.RangeJoin
+      .pointInInterval(pts, "es", iv, "w_start", "w_end", bucketSec = 3600L)
+      .groupBy($"win_id", $"w_start")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("sum_cents"))
+      .orderBy($"win_id")
+  }
+
   /** HLL++ approximate distinct counts — the countDistinct scale path.
     * Sketch estimates are engine-specific so the estimate itself can't
     * hash-match a DuckDB oracle; instead the query VERIFIES the sketch

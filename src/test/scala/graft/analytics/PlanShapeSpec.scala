@@ -55,6 +55,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(limits.size >= 2, finalPlan(df).toString)
   }
 
+  test("range join: bucketed form equals the naive inequality join, no nested loop") {
+    import org.apache.spark.sql.functions._
+    val t = graft.Tables(spark, sf("sf0.001"))
+    val iv = t.events.orderBy(col("value").desc, col("event_id")).limit(20)
+      .select(col("event_id").as("win_id"), col("ts").cast("long").as("w_start"))
+      .withColumn("w_end", col("w_start") + lit(7200L))
+    val pts = t.events.select(col("event_id"), col("ts").cast("long").as("es"))
+    val bucketed = graft.operators.RangeJoin
+      .pointInInterval(pts, "es", iv, "w_start", "w_end", bucketSec = 3600L)
+      .select("event_id", "win_id")
+    val naive = pts.join(iv, col("es") >= col("w_start") && col("es") < col("w_end"))
+      .select("event_id", "win_id")
+    val got = bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got.nonEmpty, "fixture must produce matches")
+    assert(got == naive.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    assert(!allNodes(finalPlan(bucketed)).exists(_.nodeName.contains("BroadcastNestedLoop")),
+      finalPlan(bucketed).toString)
+    // the naive plan IS the nested loop — the thing the operator exists to avoid
+    assert(allNodes(finalPlan(naive)).exists(_.nodeName.contains("BroadcastNestedLoop")))
+  }
+
   test("q14 range-frame window runs on exactly one user_id shuffle") {
     val df = graft.queries.Relational.q14RangeFrame(spark, sf("sf0.001"))
     assert(df.collect().nonEmpty)
