@@ -4,44 +4,47 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
-  /** Round-2 per-query seconds (sf0.1, local[32], uncontended box) — the
-    * regression baseline. Round N+1 compares against round N's recording;
-    * >1.3× slowdowns are flagged in the output JSON so a regression can't
-    * hide inside the total.
-    *
-    * NOTE: the driver's BENCH_r02.json recording (total 145 s, o10/o11 at
-    * ~25 s each) does not reproduce: the same commit on the same 32-CPU box
-    * re-measures at 75.7 s total with o10_escape at 1.7 s (r01 parity) and
-    * the o10/o11 code paths byte-identical to r01. That recording caught
-    * transient machine contention, so the baseline here is the clean local
-    * re-measurement of the identical code. */
+  /** Round-3 per-query seconds (sf0.1, local[32], uncontended box) — the
+    * regression baseline for the next round. The map is this round's full
+    * clean local recording; flagged slowdowns are re-measured once before
+    * being reported (see below). */
   val baselinePrev: Map[String, Double] = Map(
-    "agg_approx" -> 5.547, "agg_stats" -> 1.651,
-    "asof_signup" -> 2.263, "decontaminate" -> 1.249,
-    "dedup_cc_keepers" -> 6.546, "dedup_exact" -> 0.429,
-    "dedup_minhash" -> 1.623, "dedup_ngram" -> 3.689,
-    "dedup_ngram_keepers" -> 3.304, "dedup_simhash" -> 0.476,
-    "dedup_simhash_pairs" -> 1.082, "doc_len_histogram" -> 0.425,
-    "embed_neardup" -> 3.424, "mm_decode" -> 0.476,
-    "mm_frames" -> 0.383, "mm_resize" -> 0.293, "o10_escape" -> 1.7,
-    "o11_o13_route" -> 3.103, "o12_optout_dim" -> 1.133,
-    "o14_format_values" -> 2.699, "o3_count_range" -> 0.209,
-    "o4_o5_extract" -> 1.461, "o6_o7_anonymize" -> 1.132,
-    "o8_o9_statement_json" -> 1.7, "o8_withfield" -> 1.83,
-    "pipeline_curate" -> 6.318, "q10_cube" -> 0.551,
-    "q11_full_outer" -> 0.496, "q12_corr_subquery" -> 0.88,
-    "q13_grouping_sets" -> 0.361, "q1_agg" -> 0.54, "q3_topk" -> 1.049,
-    "q5_multijoin" -> 1.32, "q6_rollup" -> 0.512,
-    "q7_percentile" -> 2.28, "q8_pivot" -> 0.511, "q9_exists" -> 0.582,
-    "sample_stratified" -> 0.253, "set_except" -> 0.525,
-    "set_intersect" -> 0.52, "sim_ivf_topk" -> 1.104,
-    "sim_lsh_banded" -> 1.885, "sim_lsh_bucket" -> 0.812,
-    "sim_topk" -> 0.447, "text_fingerprint" -> 0.235,
-    "text_langid" -> 0.297, "text_quality" -> 0.758,
-    "text_tok_freq" -> 0.731, "text_tokens" -> 0.411,
-    "text_tokens_re" -> 0.788, "text_top_tokens" -> 0.232,
-    "w1_topn_per_group" -> 0.911, "w2_running_sum" -> 0.778,
-    "w3_sessionize" -> 0.846, "w4_ntile" -> 0.939)
+    "agg_approx" -> 4.787, "agg_stats" -> 2.037,
+    "asof_signup" -> 2.878, "bm25_search" -> 1.827,
+    "decontaminate" -> 1.447, "dedup_cc_keepers" -> 7.253,
+    "dedup_exact" -> 0.447, "dedup_minhash" -> 1.69,
+    "dedup_ngram" -> 3.378, "dedup_ngram_keepers" -> 2.911,
+    "dedup_simhash" -> 0.419, "dedup_simhash_pairs" -> 1.101,
+    "doc_chunks" -> 0.573, "doc_len_histogram" -> 0.401,
+    "embed_kmeans" -> 2.131, "embed_neardup" -> 3.137,
+    "mm_decode" -> 0.502, "mm_frames" -> 0.357, "mm_resize" -> 0.334,
+    "o10_escape" -> 1.491, "o11_o13_route" -> 2.396,
+    "o12_optout_dim" -> 0.823, "o14_format_values" -> 2.293,
+    "o3_count_range" -> 0.175, "o4_o5_extract" -> 1.297,
+    "o6_o7_anonymize" -> 1.004, "o8_o9_statement_json" -> 1.681,
+    "o8_withfield" -> 1.839, "pipeline_curate" -> 5.074,
+    "q10_cube" -> 0.517, "q11_full_outer" -> 0.479,
+    "q12_corr_subquery" -> 0.823, "q13_grouping_sets" -> 0.311,
+    "q14_range_frame" -> 0.906, "q15_explode" -> 0.313,
+    "q16_anti" -> 0.615, "q17_window_nav" -> 0.708,
+    "q18_month_series" -> 0.712, "q19_sorted_collect" -> 0.449,
+    "q1_agg" -> 0.473, "q20_cond_agg" -> 0.333,
+    "q21_range_join" -> 0.914, "q3_topk" -> 1.076,
+    "q5_multijoin" -> 1.139, "q6_rollup" -> 0.54,
+    "q7_percentile" -> 2.168, "q8_pivot" -> 0.565,
+    "q9_exists" -> 0.593, "sample_per_group" -> 0.426,
+    "sample_stratified" -> 0.228, "sample_weighted" -> 0.427,
+    "set_except" -> 0.533, "set_intersect" -> 0.453,
+    "shard_stats" -> 0.382, "sim_ivf_topk" -> 1.016,
+    "sim_lsh_banded" -> 2.08, "sim_lsh_bucket" -> 0.894,
+    "sim_topk" -> 0.512, "text_fingerprint" -> 0.254,
+    "text_langid" -> 0.334, "text_pii_redact" -> 0.511,
+    "text_quality" -> 0.641, "text_repetition" -> 1.851,
+    "text_tok_freq" -> 0.816, "text_tokens" -> 0.491,
+    "text_tokens_re" -> 0.887, "text_top_tokens" -> 0.27,
+    "tfidf_top_terms" -> 1.539, "w1_topn_per_group" -> 0.827,
+    "w2_running_sum" -> 0.897, "w3_sessionize" -> 1.089,
+    "w4_ntile" -> 1.014)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
