@@ -133,6 +133,7 @@ object SparkEntry {
     "q19_sorted_collect" -> (Relational.q19SortedCollect(_, _)),
     "q20_cond_agg"     -> (Relational.q20CondAgg(_, _)),
     "q21_range_join"   -> (Relational.q21RangeJoin(_, _)),
+    "q22_map_agg"      -> (Relational.q22MapAgg(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
   // DuckDB-dialect oracles over the same parquet tables (driver registers
@@ -432,6 +433,18 @@ object SparkEntry {
         |  (sum(cents))::BIGINT AS sum_cents
         |FROM p JOIN iv ON es >= w_start AND es < w_end
         |GROUP BY win_id, w_start ORDER BY win_id""".stripMargin,
+    "q22_map_agg" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt FROM events
+        |  GROUP BY user_id, event_type),
+        |m AS (
+        |  SELECT user_id,
+        |    map_from_entries(list((event_type, cnt) ORDER BY event_type)) AS m
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, to_json(m) AS type_counts,
+        |  cardinality(m) AS n_types,
+        |  coalesce(m['click'][1], 0) AS clicks
+        |FROM m ORDER BY user_id""".stripMargin,
     "asof_signup" -> (anonCte +
       """SELECT e.id, e.user_id, s.id AS signup_id
         |FROM extracted e ASOF LEFT JOIN

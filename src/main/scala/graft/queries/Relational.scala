@@ -439,6 +439,25 @@ object Relational {
       .orderBy($"win_id")
   }
 
+  /** MapType aggregation: per-user event-type→count map, serialized to
+    * JSON. Map entries are SORTED before construction (`array_sort` on the
+    * entry structs) — map iteration order is otherwise undefined, and
+    * to_json would leak it; element lookup + cardinality exercise the map
+    * accessor surface. Same two-level aggregate shape as q8_pivot with a
+    * dynamic (data-driven) column space instead of a fixed one. */
+  def q22MapAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(array_sort(collect_list(struct($"event_type", $"cnt")))).as("m"))
+      .select($"user_id",
+        to_json($"m").as("type_counts"),
+        size($"m").as("n_types"),
+        coalesce(element_at($"m", "click"), lit(0L)).as("clicks"))
+      .orderBy($"user_id")
+  }
+
   /** HLL++ approximate distinct counts — the countDistinct scale path.
     * Sketch estimates are engine-specific so the estimate itself can't
     * hash-match a DuckDB oracle; instead the query VERIFIES the sketch
