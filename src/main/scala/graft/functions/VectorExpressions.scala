@@ -68,8 +68,12 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   * `spark.sql.extensions=graft.functions.GraftExtensions`) and as a runtime
   * helper for sessions created without the extension. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.arrayDotDescriptor)
+    // auto-bucket pure point-in-interval inequality joins (kills the
+    // nested-loop plan; see graft.plans.RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
+  }
 }
 
 object GraftFunctions {

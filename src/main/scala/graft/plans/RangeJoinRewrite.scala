@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Optimizer rule: rewrite a pure point-in-interval inequality join into
+  * the bucketed equi-join of [[graft.operators.RangeJoin]], automatically.
+  *
+  * A join whose ONLY condition is `p >= s AND p < e` (point from one side,
+  * both bounds from the other) has no equi keys, so Spark plans a
+  * nested-loop join — one side fully broadcast, per-row interval scans.
+  * This rule inserts the interval-bucketing decomposition at the logical
+  * level: intervals explode to the fixed-width buckets they overlap, points
+  * compute their bucket, and the join becomes `bucket = bucket AND
+  * <original condition>` — which the planner then executes as a hash join.
+  *
+  * Deliberately narrow: it matches exactly the half-open containment shape
+  * (the common time-interval join), leaves any other inequality join
+  * untouched, and preserves the original output attributes/order via a
+  * final Project. Inject with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` or
+  * `spark.experimental.extraOptimizations`.
+  *
+  * The rewritten plan computes exactly the original condition as a residual
+  * filter, so results are identical row-for-row (proven against the naive
+  * join in RangeJoinRuleSpec).
+  */
+case class RangeJoinRewrite(bucketWidth: Long = 86400L) extends Rule[LogicalPlan] {
+
+  /** floor(x / width) as a LongType bucket id (matches RangeJoin). */
+  private def bucketOf(x: Expression): Expression =
+    Floor(Divide(Cast(x, DoubleType), Literal(bucketWidth.toDouble)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
+    case j @ Join(left, right, Inner,
+        Some(cond @ And(GreaterThanOrEqual(p1, s), LessThan(p2, e))), hint)
+        if p1.semanticEquals(p2) && p1.deterministic && s.deterministic && e.deterministic =>
+      val pFromLeft = p1.references.subsetOf(left.outputSet) &&
+        (s.references ++ e.references).subsetOf(right.outputSet)
+      val pFromRight = p1.references.subsetOf(right.outputSet) &&
+        (s.references ++ e.references).subsetOf(left.outputSet)
+      if (!pFromLeft && !pFromRight) j
+      else {
+        val (points, intervals) = if (pFromLeft) (left, right) else (right, left)
+        // intervals side: explode to every covered bucket [s/w .. (e-1)/w]
+        // Sequence is TimeZoneAwareExpression: without an explicit zone it
+        // stays unresolved even over longs, and the optimizer rejects the
+        // plan ("previously resolved and now became unresolved")
+        val seq = Sequence(
+          bucketOf(s), bucketOf(Subtract(e, Literal(1L))), Some(Literal(1L)),
+          Some(conf.sessionLocalTimeZone))
+        val bIv = AttributeReference("__rjb_iv", LongType, nullable = false)()
+        val gen = Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
+          qualifier = None, generatorOutput = Seq(bIv), child = intervals)
+        // points side: one bucket per row
+        val bPt = Alias(bucketOf(p1), "__rjb_pt")()
+        val ptProj = Project(points.output :+ bPt, points)
+        val newJoin = Join(ptProj, gen, Inner,
+          Some(And(EqualTo(bPt.toAttribute, bIv), cond)), hint)
+        // restore the original schema (attribute order and no helper cols)
+        Project(j.output, newJoin)
+      }
+  }
+}

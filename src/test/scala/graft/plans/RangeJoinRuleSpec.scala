@@ -1,0 +1,52 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The optimizer rule version of the RangeJoin contract: a NAIVE inequality
+  * join, written by a user who never heard of interval bucketing, comes out
+  * of the optimizer as a hash equi-join with identical results. */
+class RangeJoinRuleSpec extends SparkSpec {
+
+  private def naiveJoin() = {
+    val t = graft.Tables(spark, sf("sf0.001"))
+    val iv = t.events.orderBy(col("value").desc, col("event_id")).limit(20)
+      .select(col("event_id").as("win_id"), col("ts").cast("long").as("w_start"))
+      .withColumn("w_end", col("w_start") + lit(7200L))
+    val pts = t.events.select(col("event_id"), col("ts").cast("long").as("es"))
+    pts.join(iv, col("es") >= col("w_start") && col("es") < col("w_end"))
+      .select("event_id", "win_id")
+  }
+
+  private def collectPairs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+  test("rule rewrites the naive inequality join to a hash join with identical results") {
+    val before = collectPairs(naiveJoin())
+    assert(before.nonEmpty)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RangeJoinRewrite(bucketWidth = 3600L)
+    try {
+      val df = naiveJoin()
+      assert(collectPairs(df) == before)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("HashJoin"), plan)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("rule leaves joins with extra or different conditions untouched") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RangeJoinRewrite(bucketWidth = 3600L)
+    try {
+      import spark.implicits._
+      val a = Seq((1L, 5L), (2L, 15L)).toDF("id", "x")
+      val b = Seq((10L, 0L, 10L)).toDF("bid", "lo", "hi")
+      // strict > on the lower bound — NOT the half-open shape; must stay a
+      // nested loop and still be correct
+      val df = a.join(b, $"x" > $"lo" && $"x" < $"hi")
+      assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L))
+      assert(df.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+}
