@@ -134,6 +134,7 @@ object SparkEntry {
     "q20_cond_agg"     -> (Relational.q20CondAgg(_, _)),
     "q21_range_join"   -> (Relational.q21RangeJoin(_, _)),
     "q22_map_agg"      -> (Relational.q22MapAgg(_, _)),
+    "q23_corr"         -> (Relational.q23Corr(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
   // DuckDB-dialect oracles over the same parquet tables (driver registers
@@ -445,6 +446,20 @@ object SparkEntry {
         |  cardinality(m) AS n_types,
         |  coalesce(m['click'][1], 0) AS clicks
         |FROM m ORDER BY user_id""".stripMargin,
+    "q23_corr" ->
+      """WITH xy AS (
+        |  SELECT event_type, round(value * 100)::BIGINT AS x,
+        |    CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM xy GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((n*sxy - sx*sy)::DOUBLE / (n*(n-1))::DOUBLE, 4) AS covar,
+        |  round((n*sxy - sx*sy)::DOUBLE /
+        |    (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 6) AS corr
+        |FROM m ORDER BY event_type""".stripMargin,
     "asof_signup" -> (anonCte +
       """SELECT e.id, e.user_id, s.id AS signup_id
         |FROM extracted e ASOF LEFT JOIN

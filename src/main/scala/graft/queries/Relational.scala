@@ -458,6 +458,36 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Correlation / covariance per group, computed from EXACT integer
+    * moment sums (value in cents × seconds-of-day, both bounded so every
+    * Σx, Σy, Σxy, Σx², Σy² and n·Σ stays below 2^63) with one fixed IEEE
+    * formula at the end. Built-in `corr`/`covar_samp` accumulate floating
+    * co-moments whose merge order varies run-to-run and engine-to-engine;
+    * the integer-moment form is a single map-side-combinable aggregate
+    * with a deterministic result. */
+  def q23Corr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withXY = Tables(spark, dir).events
+      .select($"event_type",
+        round($"value" * 100).cast("long").as("x"),
+        (col("ts").cast("long") % 86400L).as("y"))
+    val m = withXY.groupBy($"event_type").agg(
+      count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+      sum($"x" * $"y").as("sxy"))
+    // products in decimal(38,0): n·Σyy at big group sizes overflows int64;
+    // decimal stays exact (DuckDB's HUGEINT sums match), and the final
+    // exact-integer→double conversions round identically in both engines
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val num = (d($"n") * d($"sxy") - d($"sx") * d($"sy")).cast("double")
+    m.select($"event_type", $"n",
+        round(num / (d($"n") * (d($"n") - 1)).cast("double"), 4).as("covar"),
+        round(num /
+          (sqrt((d($"n") * d($"sxx") - d($"sx") * d($"sx")).cast("double")) *
+            sqrt((d($"n") * d($"syy") - d($"sy") * d($"sy")).cast("double"))), 6).as("corr"))
+      .orderBy($"event_type")
+  }
+
   /** HLL++ approximate distinct counts — the countDistinct scale path.
     * Sketch estimates are engine-specific so the estimate itself can't
     * hash-match a DuckDB oracle; instead the query VERIFIES the sketch
