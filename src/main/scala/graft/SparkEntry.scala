@@ -135,6 +135,7 @@ object SparkEntry {
     "q21_range_join"   -> (Relational.q21RangeJoin(_, _)),
     "q22_map_agg"      -> (Relational.q22MapAgg(_, _)),
     "q23_corr"         -> (Relational.q23Corr(_, _)),
+    "q24_null_safe"    -> (Relational.q24NullSafe(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
   // DuckDB-dialect oracles over the same parquet tables (driver registers
@@ -460,6 +461,17 @@ object SparkEntry {
         |  round((n*sxy - sx*sy)::DOUBLE /
         |    (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 6) AS corr
         |FROM m ORDER BY event_type""".stripMargin,
+    "q24_null_safe" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN event_type = 'view' THEN NULL ELSE event_type END AS k,
+        |         value
+        |  FROM events),
+        |hi AS (SELECT k AS k_hi, count(*) AS n_hi FROM e WHERE value > 100.0 GROUP BY k),
+        |lo AS (SELECT k AS k_lo, count(*) AS n_lo FROM e WHERE value <= 100.0 GROUP BY k)
+        |SELECT coalesce(k_hi, k_lo, '(null)') AS k,
+        |  coalesce(n_hi, 0) AS n_hi, coalesce(n_lo, 0) AS n_lo
+        |FROM hi FULL OUTER JOIN lo ON k_hi IS NOT DISTINCT FROM k_lo
+        |ORDER BY k""".stripMargin,
     "asof_signup" -> (anonCte +
       """SELECT e.id, e.user_id, s.id AS signup_id
         |FROM extracted e ASOF LEFT JOIN

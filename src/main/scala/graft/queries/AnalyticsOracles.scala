@@ -361,6 +361,23 @@ object AnalyticsOracles {
         |         FROM banded x JOIN banded y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
         |SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin),
+    "dedup_fuzzy_verify" -> (tokCte +
+      """, td AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+        |hv AS (SELECT doc_id, ('0x'||substr(sha256(t),1,15))::BIGINT AS h FROM td),
+        |bits AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS tot
+        |         FROM hv, generate_series(0, 59) g(i) GROUP BY doc_id, i),
+        |sg AS (SELECT doc_id, sum(CASE WHEN tot > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END)::BIGINT AS sig
+        |       FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, sig, b, (sig >> (b*10)) & 1023 AS bv FROM sg, generate_series(0, 5) g(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.sig AS sa, y.sig AS sb
+        |         FROM banded x JOIN banded y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        |prs AS (SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+        |        FROM cand WHERE bit_count(xor(sa, sb)) <= 3)
+        |SELECT id_a, id_b, hamming,
+        |  levenshtein(substr(a.text, 1, 48), substr(b.text, 1, 48))::BIGINT AS lev
+        |FROM prs JOIN documents a ON a.doc_id = id_a
+        |         JOIN documents b ON b.doc_id = id_b
+        |ORDER BY id_a, id_b""".stripMargin),
     "embed_neardup" -> (embCte +
       s"""SELECT id_a, id_b, cos FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos

@@ -96,6 +96,25 @@ object AnalyticsQueries {
     Dedup.simhashPairs(Tables(spark, dir).documents, maxHamming = 3, bands = 6)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Near-dup verification stage: simhash candidate pairs annotated with
+    * the edit distance of their 48-char prefixes — the cheap
+    * second-opinion filter a curation pipeline applies before dropping a
+    * document (hamming says "similar signature", levenshtein says "similar
+    * text"). The join fans only the PAIR table (pairs ≪ corpus) through
+    * two id-keyed hash joins; levenshtein runs on bounded prefixes so the
+    * O(m·n) DP stays constant-cost per pair. */
+  def dedupFuzzyVerify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3, bands = 6)
+    val pref = docs.select(col("doc_id"), substring(col("text"), 1, 48).as("pref"))
+    pairs
+      .join(pref.select(col("doc_id").as("id_a"), col("pref").as("pa")), "id_a")
+      .join(pref.select(col("doc_id").as("id_b"), col("pref").as("pb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("lev"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Exact all-pairs runs the block-partitioned theta-join (identical
     * results to the naive non-equi join, but distributable: no corpus
     * broadcast, bounded per-task memory). */
@@ -308,6 +327,7 @@ object AnalyticsQueries {
     "dedup_minhash"    -> (dedupMinhash(_, _)),
     "dedup_simhash"    -> (dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),
+    "dedup_fuzzy_verify" -> (dedupFuzzyVerify(_, _)),
     "embed_neardup"    -> (embedNearDup(_, _)),
     "sim_topk"         -> (simTopK(_, _)),
     "sim_lsh_bucket"   -> (simLshBucket(_, _)),

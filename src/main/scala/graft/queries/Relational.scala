@@ -488,6 +488,26 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** Null-safe equality (`<=>` / IS NOT DISTINCT FROM): two sparse
+    * aggregates over a NULLABLE key (event_type nulled for 'view') joined
+    * full-outer with null-safe matching, so the NULL groups MEET instead of
+    * producing two dangling rows — the semantics a plain `=` join silently
+    * gets wrong. Sentinel-coalesced output for exact hashing. */
+  def q24NullSafe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .withColumn("k", when($"event_type" === "view", lit(null)).otherwise($"event_type"))
+    val hi = ev.filter($"value" > 100.0).groupBy($"k".as("k_hi"))
+      .agg(count(lit(1)).as("n_hi"))
+    val lo = ev.filter($"value" <= 100.0).groupBy($"k".as("k_lo"))
+      .agg(count(lit(1)).as("n_lo"))
+    hi.join(lo, $"k_hi" <=> $"k_lo", "full_outer")
+      .select(coalesce($"k_hi", $"k_lo", lit("(null)")).as("k"),
+        coalesce($"n_hi", lit(0L)).as("n_hi"),
+        coalesce($"n_lo", lit(0L)).as("n_lo"))
+      .orderBy($"k")
+  }
+
   /** HLL++ approximate distinct counts — the countDistinct scale path.
     * Sketch estimates are engine-specific so the estimate itself can't
     * hash-match a DuckDB oracle; instead the query VERIFIES the sketch
