@@ -68,6 +68,21 @@ object Sampling {
         col("min_freq"), col("n_hapax"))
   }
 
+  /** Deterministic train/val/test assignment: hash the id into per-mille
+    * buckets and split at the cumulative boundaries (e.g. 800/100/100).
+    * Pure per-row decision — reproducible, leakage-free (a doc can never
+    * migrate between splits across runs), zero shuffle. */
+  def splitAssign(df: DataFrame, idCol: String,
+                  trainPerMille: Int = 800, valPerMille: Int = 100): DataFrame = {
+    require(trainPerMille > 0 && valPerMille > 0 &&
+      trainPerMille + valPerMille < 1000, "need 0 < train, 0 < val, train+val < 1000")
+    val b = hashBucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPerMille, lit("train"))
+        .when(b < trainPerMille + valPerMille, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Deterministic k-per-group sample (the distributed reservoir): rank
     * rows within each stratum by id hash and keep the first k. Equivalent
     * in distribution to a uniform reservoir but reproducible across runs,

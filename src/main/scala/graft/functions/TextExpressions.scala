@@ -193,3 +193,48 @@ case class QualityScore(child: Expression, stopwords: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Credit-card redaction with Luhn verification: maximal ASCII-digit runs
+  * of exactly 16 digits that pass the Luhn checksum are replaced with
+  * `<CARD>`; everything else (shorter/longer runs, Luhn-invalid numbers,
+  * separated groups like phone numbers) is preserved byte-for-byte. A
+  * pattern alone cannot distinguish a card from any other 16-digit id —
+  * the checksum is the discriminator, and it needs a per-digit fold, which
+  * is exactly what a compiled expression does in one pass with zero
+  * allocation per run. */
+case class CardRedact(child: Expression) extends StringUnary {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_card_redact"
+
+  private def luhnValid16(s: String, from: Int): Boolean = {
+    // positions from the right, 1-based: odd as-is, even doubled (−9 if >9)
+    var sum = 0
+    var k = 0
+    while (k < 16) {
+      val d = s.charAt(from + 15 - k) - '0'
+      sum += (if (k % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d)
+      k += 1
+    }
+    sum % 10 == 0
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var j = i
+        while (j < s.length && { val d = s.charAt(j); d >= '0' && d <= '9' }) j += 1
+        if (j - i == 16 && luhnValid16(s, i)) sb.append("<CARD>")
+        else sb.append(s, i, j)
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -114,6 +114,8 @@ object GraftFunctions {
       }),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_card_redact", exprs => CardRedact(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_quality", exprs => QualityScore(exprs(0),
         graft.analytics.TextAnalysis.StopwordsEn), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -131,6 +133,7 @@ object GraftFunctions {
   def processStatementFast(s: Column): Column = call_function("graft_process_statement", s)
   def langIdFast(text: Column): Column = call_function("graft_langid", text)
   def qualityFast(text: Column): Column = call_function("graft_quality", text)
+  def cardRedactFast(text: Column): Column = call_function("graft_card_redact", text)
 
   /** Column API for the native dot product (requires [[register]]). */
   def arrayDot(a: Column, b: Column): Column = call_function("graft_array_dot", a, b)

@@ -99,6 +99,33 @@ object AnalyticsOracles {
         |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
         |    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS redacted
         |FROM raw ORDER BY doc_id""".stripMargin,
+    "text_card_redact" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    lpad(((doc_id * 37) % 1000000000)::VARCHAR, 15, '0') AS base
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, text, base,
+        |    list_sum([CASE WHEN i % 2 = 1
+        |      THEN CASE WHEN 2*substr(reverse(base), i, 1)::INT > 9
+        |           THEN 2*substr(reverse(base), i, 1)::INT - 9
+        |           ELSE 2*substr(reverse(base), i, 1)::INT END
+        |      ELSE substr(reverse(base), i, 1)::INT END
+        |      for i in generate_series(1, 15)])::BIGINT AS s
+        |  FROM f),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    base || ((10 - (s % 10)) % 10)::VARCHAR AS valid,
+        |    base || (((10 - (s % 10)) % 10 + 1) % 10)::VARCHAR AS invalid
+        |  FROM l),
+        |r AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 32) || ' pay ' || valid || ' ref ' || invalid ||
+        |      ' tel 555-867-5309 end' AS raw,
+        |    valid
+        |  FROM c)
+        |SELECT doc_id, raw, replace(raw, valid, '<CARD>') AS redacted
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
@@ -234,6 +261,16 @@ object AnalyticsOracles {
         |WHERE ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 <
         |  CASE WHEN lang = 'en' THEN 500 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
+    "split_assign" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 < 800 THEN 'train'
+        |         WHEN ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |  min(doc_id) AS min_id
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
     "sample_per_group" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang

@@ -203,6 +203,14 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Train/val/test split with per-split balance stats. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Sampling.splitAssign(Tables(spark, dir).documents, "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"))
+      .orderBy(col("split"))
+
   def textTopTokens(spark: SparkSession, dir: String): DataFrame =
     Sampling.topTokens(Tables(spark, dir).documents, k = 20)
       .orderBy(col("n").desc, col("token"))
@@ -271,6 +279,31 @@ object AnalyticsQueries {
         TextAnalysis.redactPii(col("raw")).as("redacted"))
       .orderBy(col("doc_id"))
 
+  /** Card-number redaction over a constructed fixture: each row carries a
+    * Luhn-VALID 16-digit number (must be redacted) and its Luhn-INVALID
+    * twin (same 15-digit base, check digit + 1 — must survive), plus a
+    * phone-shaped number (separated 3/3/4 runs — must survive). Both
+    * engines derive the pair arithmetically from doc_id, so the oracle
+    * knows exactly which substring disappears. */
+  def textCardRedact(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val base = lpad(((col("doc_id") * 37) % 1000000000L).cast("string"), 15, "0")
+    val ds = transform(split(reverse(base), ""), x => x.cast("int"))
+    val mapped = transform(ds, (d, i) =>
+      when(i % 2 === 0, when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d))
+    val luhnSum = aggregate(mapped, lit(0), (a, x) => a + x)
+    val cd = (lit(10) - (luhnSum % 10)) % 10
+    val valid = concat(base, cd.cast("string"))
+    val invalid = concat(base, ((cd + 1) % 10).cast("string"))
+    Tables(spark, dir).documents
+      .withColumn("raw", concat(
+        substring(col("text"), 1, 32), lit(" pay "), valid,
+        lit(" ref "), invalid, lit(" tel 555-867-5309 end")))
+      .select(col("doc_id"), col("raw"),
+        GraftFunctions.cardRedactFast(col("raw")).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-doc repetition ratios (the Gopher repetition quality gates). */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(Tables(spark, dir).documents)
@@ -305,6 +338,7 @@ object AnalyticsQueries {
     "decontaminate"    -> (decontaminate(_, _)),
     "text_tok_freq"    -> (textTokFreq(_, _)),
     "text_pii_redact"  -> (textPiiRedact(_, _)),
+    "text_card_redact" -> (textCardRedact(_, _)),
     "text_repetition"  -> (textRepetition(_, _)),
     "doc_chunks"       -> (docChunks(_, _)),
     "shard_stats"      -> (shardStats(_, _)),
@@ -313,6 +347,7 @@ object AnalyticsQueries {
     "embed_kmeans"     -> (embedKmeans(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
     "sample_per_group" -> (samplePerGroup(_, _)),
+    "split_assign"     -> (splitAssign(_, _)),
     "sample_weighted"  -> (sampleWeighted(_, _)),
     "text_top_tokens"  -> (textTopTokens(_, _)),
     "doc_len_histogram" -> (docLenHistogram(_, _)),

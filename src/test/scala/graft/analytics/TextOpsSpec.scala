@@ -28,6 +28,23 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(5) == "v1.2.3.4 release")
   }
 
+  test("cardRedact: Luhn-valid 16-digit runs only; phones, ids, and longer runs survive") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val rows = Seq(
+      "pay 4539578763621486 now",         // Luhn-valid 16 digits
+      "ref 4539578763621487 now",         // same digits, bad check digit
+      "tel 555-867-5309 id 12345",        // separated runs, short runs
+      "big 45395787636214860 run",        // 17-digit run — not a card
+      "two 4539578763621486 and 4111111111111111 cards").toDF("t")
+      .select(GraftFunctions.cardRedactFast(col("t")).as("r")).as[String].collect()
+    assert(rows(0) == "pay <CARD> now")
+    assert(rows(1) == "ref 4539578763621487 now")
+    assert(rows(2) == "tel 555-867-5309 id 12345")
+    assert(rows(3) == "big 45395787636214860 run")
+    assert(rows(4) == "two <CARD> and <CARD> cards")
+  }
+
   test("repetitionStats: exact fractions on a constructed doc") {
     // tokens: a a a b  -> n=4, distinct=2, max=3
     // bigrams: "a a","a a","a b" -> n=3, distinct=2
