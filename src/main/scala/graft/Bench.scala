@@ -9,42 +9,45 @@ object Bench {
     * clean local recording; flagged slowdowns are re-measured once before
     * being reported (see below). */
   val baselinePrev: Map[String, Double] = Map(
-    "agg_approx" -> 4.787, "agg_stats" -> 2.037,
-    "asof_signup" -> 2.878, "bm25_search" -> 1.827,
-    "decontaminate" -> 1.447, "dedup_cc_keepers" -> 7.253,
-    "dedup_exact" -> 0.447, "dedup_minhash" -> 1.69,
-    "dedup_ngram" -> 3.378, "dedup_ngram_keepers" -> 2.911,
-    "dedup_simhash" -> 0.419, "dedup_simhash_pairs" -> 1.101,
-    "doc_chunks" -> 0.573, "doc_len_histogram" -> 0.401,
-    "embed_kmeans" -> 2.131, "embed_neardup" -> 3.137,
-    "mm_decode" -> 0.502, "mm_frames" -> 0.357, "mm_resize" -> 0.334,
-    "o10_escape" -> 1.491, "o11_o13_route" -> 2.396,
-    "o12_optout_dim" -> 0.823, "o14_format_values" -> 2.293,
-    "o3_count_range" -> 0.175, "o4_o5_extract" -> 1.297,
-    "o6_o7_anonymize" -> 1.004, "o8_o9_statement_json" -> 1.681,
-    "o8_withfield" -> 1.839, "pipeline_curate" -> 5.074,
-    "q10_cube" -> 0.517, "q11_full_outer" -> 0.479,
-    "q12_corr_subquery" -> 0.823, "q13_grouping_sets" -> 0.311,
-    "q14_range_frame" -> 0.906, "q15_explode" -> 0.313,
-    "q16_anti" -> 0.615, "q17_window_nav" -> 0.708,
-    "q18_month_series" -> 0.712, "q19_sorted_collect" -> 0.449,
-    "q1_agg" -> 0.473, "q20_cond_agg" -> 0.333,
-    "q21_range_join" -> 0.914, "q3_topk" -> 1.076,
-    "q5_multijoin" -> 1.139, "q6_rollup" -> 0.54,
-    "q7_percentile" -> 2.168, "q8_pivot" -> 0.565,
-    "q9_exists" -> 0.593, "sample_per_group" -> 0.426,
-    "sample_stratified" -> 0.228, "sample_weighted" -> 0.427,
-    "set_except" -> 0.533, "set_intersect" -> 0.453,
-    "shard_stats" -> 0.382, "sim_ivf_topk" -> 1.016,
-    "sim_lsh_banded" -> 2.08, "sim_lsh_bucket" -> 0.894,
-    "sim_topk" -> 0.512, "text_fingerprint" -> 0.254,
-    "text_langid" -> 0.334, "text_pii_redact" -> 0.511,
-    "text_quality" -> 0.641, "text_repetition" -> 1.851,
-    "text_tok_freq" -> 0.816, "text_tokens" -> 0.491,
-    "text_tokens_re" -> 0.887, "text_top_tokens" -> 0.27,
-    "tfidf_top_terms" -> 1.539, "w1_topn_per_group" -> 0.827,
-    "w2_running_sum" -> 0.897, "w3_sessionize" -> 1.089,
-    "w4_ntile" -> 1.014)
+    "agg_approx" -> 4.649, "agg_stats" -> 1.452,
+    "asof_signup" -> 2.148, "bm25_search" -> 1.492,
+    "decontaminate" -> 1.202, "dedup_cc_keepers" -> 6.954,
+    "dedup_exact" -> 0.427, "dedup_fuzzy_verify" -> 1.479,
+    "dedup_minhash" -> 1.782, "dedup_ngram" -> 3.896,
+    "dedup_ngram_keepers" -> 2.863, "dedup_simhash" -> 0.369,
+    "dedup_simhash_pairs" -> 1.103, "doc_chunks" -> 0.474,
+    "doc_len_histogram" -> 0.385, "embed_kmeans" -> 2.225,
+    "embed_neardup" -> 3.595, "mm_decode" -> 0.549,
+    "mm_frames" -> 0.424, "mm_resize" -> 0.344, "o10_escape" -> 1.951,
+    "o11_o13_route" -> 2.824, "o12_optout_dim" -> 0.784,
+    "o14_format_values" -> 2.591, "o3_count_range" -> 0.214,
+    "o4_o5_extract" -> 1.618, "o6_o7_anonymize" -> 1.316,
+    "o8_o9_statement_json" -> 1.629, "o8_withfield" -> 2.083,
+    "pipeline_curate" -> 4.698, "q10_cube" -> 0.546,
+    "q11_full_outer" -> 0.445, "q12_corr_subquery" -> 0.788,
+    "q13_grouping_sets" -> 0.301, "q14_range_frame" -> 0.851,
+    "q15_explode" -> 0.389, "q16_anti" -> 0.775,
+    "q17_window_nav" -> 0.887, "q18_month_series" -> 0.537,
+    "q19_sorted_collect" -> 0.437, "q1_agg" -> 0.526,
+    "q20_cond_agg" -> 0.364, "q21_range_join" -> 1.131,
+    "q22_map_agg" -> 0.543, "q23_corr" -> 0.42,
+    "q24_null_safe" -> 0.466, "q3_topk" -> 0.85,
+    "q5_multijoin" -> 1.135, "q6_rollup" -> 0.62,
+    "q7_percentile" -> 2.243, "q8_pivot" -> 0.531,
+    "q9_exists" -> 0.564, "sample_per_group" -> 0.353,
+    "sample_stratified" -> 0.216, "sample_weighted" -> 0.406,
+    "set_except" -> 0.612, "set_intersect" -> 0.432,
+    "shard_stats" -> 0.34, "sim_ivf_topk" -> 0.897,
+    "sim_lsh_banded" -> 1.92, "sim_lsh_bucket" -> 1.009,
+    "sim_topk" -> 0.47, "split_assign" -> 0.401,
+    "text_card_redact" -> 0.477, "text_fingerprint" -> 0.218,
+    "text_langid" -> 0.349, "text_pii_redact" -> 0.53,
+    "text_quality" -> 0.616, "text_repetition" -> 1.546,
+    "text_tok_freq" -> 0.709, "text_tokens" -> 0.438,
+    "text_tokens_re" -> 0.847, "text_top_tokens" -> 0.245,
+    "tfidf_top_terms" -> 1.402, "w1_topn_per_group" -> 0.858,
+    "w2_running_sum" -> 0.775, "w3_sessionize" -> 0.928,
+    "w4_ntile" -> 0.919)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
