@@ -136,6 +136,7 @@ object SparkEntry {
     "q22_map_agg"      -> (Relational.q22MapAgg(_, _)),
     "q23_corr"         -> (Relational.q23Corr(_, _)),
     "q24_null_safe"    -> (Relational.q24NullSafe(_, _)),
+    "q25_array_ops"    -> (Relational.q25ArrayOps(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
   // DuckDB-dialect oracles over the same parquet tables (driver registers
@@ -472,6 +473,19 @@ object SparkEntry {
         |  coalesce(n_hi, 0) AS n_hi, coalesce(n_lo, 0) AS n_lo
         |FROM hi FULL OUTER JOIN lo ON k_hi IS NOT DISTINCT FROM k_lo
         |ORDER BY k""".stripMargin,
+    "q25_array_ops" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS toks,
+        |    ['data','fast','query','slow','table'] AS vocab
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(toks) AS n_distinct,
+        |  len(list_intersect(toks, vocab)) AS n_in_vocab,
+        |  len(list_filter(toks, x -> NOT list_contains(vocab, x))) AS n_out_vocab,
+        |  len(list_distinct(list_concat(toks, vocab))) AS n_union,
+        |  coalesce(array_to_string(list_sort(list_intersect(toks, vocab)), ','), '') AS vocab_hits,
+        |  len(flatten([toks, vocab])) AS n_flat
+        |FROM t ORDER BY doc_id""".stripMargin,
     "asof_signup" -> (anonCte +
       """SELECT e.id, e.user_id, s.id AS signup_id
         |FROM extracted e ASOF LEFT JOIN

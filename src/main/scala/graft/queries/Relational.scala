@@ -508,6 +508,26 @@ object Relational {
       .orderBy($"k")
   }
 
+  /** Array-function surface in one narrow pass: per document, set algebra
+    * between the doc's distinct tokens and a constant vocabulary
+    * (intersect/except/union), plus flatten and a sorted projection —
+    * integer/string outputs only, deterministic by sorting before any
+    * serialization. */
+  def q25ArrayOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = array(Seq("data", "fast", "query", "slow", "table").map(lit): _*)
+    val toks = array_distinct(split($"text", "\\s+"))
+    Tables(spark, dir).documents
+      .select($"doc_id",
+        size(toks).as("n_distinct"),
+        size(array_intersect(toks, vocab)).as("n_in_vocab"),
+        size(array_except(toks, vocab)).as("n_out_vocab"),
+        size(array_union(toks, vocab)).as("n_union"),
+        concat_ws(",", array_sort(array_intersect(toks, vocab))).as("vocab_hits"),
+        size(flatten(array(toks, vocab))).as("n_flat"))
+      .orderBy($"doc_id")
+  }
+
   /** HLL++ approximate distinct counts — the countDistinct scale path.
     * Sketch estimates are engine-specific so the estimate itself can't
     * hash-match a DuckDB oracle; instead the query VERIFIES the sketch
