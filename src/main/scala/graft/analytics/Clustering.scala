@@ -84,13 +84,22 @@ object Clustering {
       assigned = assign(corpus, recompute(assigned, quantized))
       r += 1
     }
-    // NOTE: quantized/corpus stay persisted — the caller's single action
-    // materializes them on first use and reuses them across every round's
-    // branches; unpersisting here (before any action) would disable that.
-    assigned.join(quantized, "vec_id")
+    val out = assigned.join(quantized, "vec_id")
       .groupBy(col("cid").as("centroid_id"))
       .agg(count(lit(1)).as("n_members"),
         min(col("vec_id")).as("min_member"),
         round(sum(element_at(col("qi"), 1)).cast("double") / count(lit(1)), 4).as("mean_q0"))
+      .persist(lvl)
+    // Materialize NOW, while quantized/corpus are cached (every round's
+    // branches re-read them), then release the corpus-sized caches. Only
+    // the k-row result stays persisted — without this, either the inputs
+    // leak cache for the session lifetime (never unpersisted) or the
+    // caller's action recomputes every round uncached (unpersisted too
+    // early). The result is small and the eager materialization is the
+    // iterative-algorithm norm (same pattern as connectedComponentKeepers).
+    out.count(): Unit
+    quantized.unpersist()
+    corpus.unpersist()
+    out
   }
 }

@@ -20,6 +20,13 @@ object Sampling {
     * `('0x'||substr(sha256(x),1,15))::BIGINT`). */
   def hashBucket(id: Column): Column = Dedup.hash60(id.cast("string")) % 1000
 
+  /** Deterministic shard id in [0, nShards) — THE routing expression:
+    * [[shardStats]] reports balance with it and
+    * [[graft.sinks.ShardedParquetSink]] writes partitions with it, so a
+    * trainer reading `shard=k` sees exactly the rows the stats counted. */
+  def shardOf(id: Column, nShards: Int): Column =
+    Dedup.hash60(id.cast("string")) % nShards
+
   /** Stratified deterministic sample: keep a row iff its hash bucket falls
     * under its stratum's per-mille rate (`rates`, default `defaultPerMille`
     * for unlisted strata). The data-mixing primitive: e.g. keep 50% of
@@ -146,7 +153,7 @@ object Sampling {
     * produced; the aggregate is nShards-keyed — tiny at any corpus size. */
   def shardStats(docs: DataFrame, nShards: Int, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame =
-    docs.select((Dedup.hash60(col(idCol).cast("string")) % nShards).as("shard"),
+    docs.select(shardOf(col(idCol), nShards).as("shard"),
         col(idCol).as("id"),
         size(split(trim(col(textCol)), "\\s+")).cast("long").as("toks"))
       .groupBy("shard")

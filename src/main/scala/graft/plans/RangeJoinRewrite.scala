@@ -37,7 +37,13 @@ case class RangeJoinRewrite(bucketWidth: Long = 86400L) extends Rule[LogicalPlan
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
     case j @ Join(left, right, Inner,
         Some(cond @ And(GreaterThanOrEqual(p1, s), LessThan(p2, e))), hint)
-        if p1.semanticEquals(p2) && p1.deterministic && s.deterministic && e.deterministic =>
+        if p1.semanticEquals(p2) && p1.deterministic && s.deterministic && e.deterministic &&
+          // LongType only: the bucket/Sequence construction below is typed
+          // for integral epochs. Firing on timestamps/ints would build an
+          // unresolvable Subtract and crash the optimizer; on strings the
+          // numeric casts go NULL and the join would silently empty out.
+          // Post-analysis there is no coercion to save us — guard hard.
+          p1.dataType == LongType && s.dataType == LongType && e.dataType == LongType =>
       val pFromLeft = p1.references.subsetOf(left.outputSet) &&
         (s.references ++ e.references).subsetOf(right.outputSet)
       val pFromRight = p1.references.subsetOf(right.outputSet) &&
@@ -45,6 +51,11 @@ case class RangeJoinRewrite(bucketWidth: Long = 86400L) extends Rule[LogicalPlan
       if (!pFromLeft && !pFromRight) j
       else {
         val (points, intervals) = if (pFromLeft) (left, right) else (right, left)
+        // Degenerate intervals (e <= s, or NULL bounds) never match in the
+        // original join, but a start-bucket above the stop-bucket would make
+        // Sequence(step=1) THROW at runtime — drop those rows first
+        // (result-identical: inner join, unsatisfiable predicate).
+        val nonDegenerate = Filter(LessThan(s, e), intervals)
         // intervals side: explode to every covered bucket [s/w .. (e-1)/w]
         // Sequence is TimeZoneAwareExpression: without an explicit zone it
         // stays unresolved even over longs, and the optimizer rejects the
@@ -54,7 +65,7 @@ case class RangeJoinRewrite(bucketWidth: Long = 86400L) extends Rule[LogicalPlan
           Some(conf.sessionLocalTimeZone))
         val bIv = AttributeReference("__rjb_iv", LongType, nullable = false)()
         val gen = Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
-          qualifier = None, generatorOutput = Seq(bIv), child = intervals)
+          qualifier = None, generatorOutput = Seq(bIv), child = nonDegenerate)
         // points side: one bucket per row
         val bPt = Alias(bucketOf(p1), "__rjb_pt")()
         val ptProj = Project(points.output :+ bPt, points)

@@ -417,11 +417,11 @@ object Relational {
   }
 
   /** Point-in-interval RANGE JOIN via [[graft.operators.RangeJoin]]: events
-    * falling inside the 7-day windows of the top-20 orders. The naive
-    * inequality join plans BroadcastNestedLoopJoin; the bucketed form is a
-    * hash equi-join on day buckets with the exact containment as a residual
-    * filter (result-equality + plan shape proven in OperatorsSpec /
-    * PlanShapeSpec). Cent-exact sums, same contract as q14. */
+    * falling inside the 2-hour windows opened by the top-20 highest-value
+    * events. The naive inequality join plans BroadcastNestedLoopJoin; the
+    * bucketed form is a hash equi-join on hour buckets with the exact
+    * containment as a residual filter (result-equality + plan shape proven
+    * in PlanShapeSpec). Cent-exact sums, same contract as q14. */
   def q21RangeJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)

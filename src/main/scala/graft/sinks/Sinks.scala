@@ -80,8 +80,7 @@ final class ShardedParquetSink(baseDir: String, nShards: Int,
                                idCol: String = "doc_id",
                                maxRecordsPerFile: Int = 1000000) extends BatchSink {
   override def write(df: DataFrame, table: String): Unit =
-    df.withColumn("shard",
-        graft.analytics.Dedup.hash60(col(idCol).cast("string")) % nShards)
+    df.withColumn("shard", graft.analytics.Sampling.shardOf(col(idCol), nShards))
       .write.mode(SaveMode.Append)
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy("shard")

@@ -35,6 +35,39 @@ class RangeJoinRuleSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("degenerate intervals (e <= s) neither crash nor match") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RangeJoinRewrite(bucketWidth = 3600L)
+    try {
+      import spark.implicits._
+      val pts = Seq((1L, 86400L), (2L, 100L)).toDF("id", "p")
+      // second interval is zero-length ON a bucket boundary: bucket(s)=24 >
+      // bucket(e-1)=23 — a step-1 Sequence would throw without the guard
+      val iv = Seq((10L, 0L, 200L), (11L, 86400L, 86400L)).toDF("iid", "s", "e")
+      val out = pts.join(iv, $"p" >= $"s" && $"p" < $"e")
+        .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(out == Seq((2L, 10L)))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("non-long operands (timestamps) are left to the normal planner") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RangeJoinRewrite(bucketWidth = 3600L)
+    try {
+      import spark.implicits._
+      val pts = Seq(1L, 7200L).toDF("p0")
+        .select(col("p0"), col("p0").cast("timestamp").as("p"))
+      val iv = Seq((10L, 0L, 3600L)).toDF("iid", "s0", "e0")
+        .select(col("iid"), col("s0").cast("timestamp").as("s"),
+          col("e0").cast("timestamp").as("e"))
+      // must not fire (the rewrite is typed for integral epochs): the plain
+      // nested-loop result comes back, no optimizer crash
+      val out = pts.join(iv, col("p") >= col("s") && col("p") < col("e"))
+        .select("p0", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(out == Seq((1L, 10L)))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("rule leaves joins with extra or different conditions untouched") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ RangeJoinRewrite(bucketWidth = 3600L)
