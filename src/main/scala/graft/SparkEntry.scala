@@ -137,6 +137,8 @@ object SparkEntry {
     "q23_corr"         -> (Relational.q23Corr(_, _)),
     "q24_null_safe"    -> (Relational.q24NullSafe(_, _)),
     "q25_array_ops"    -> (Relational.q25ArrayOps(_, _)),
+    "q26_rank_dist"    -> (Relational.q26RankDist(_, _)),
+    "q27_datetime"     -> (Relational.q27Datetime(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
   // DuckDB-dialect oracles over the same parquet tables (driver registers
@@ -486,6 +488,24 @@ object SparkEntry {
         |  coalesce(array_to_string(list_sort(list_intersect(toks, vocab)), ','), '') AS vocab_hits,
         |  len(flatten([toks, vocab])) AS n_flat
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q26_rank_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderstatus)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q27_datetime" ->
+      """SELECT event_id,
+        |  date_trunc('week', ts)::DATE AS week_start,
+        |  year(ts)::INT AS y, month(ts)::INT AS m, day(ts)::INT AS d,
+        |  hour(ts)::INT AS h,
+        |  ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7 + 1) AS iso_dow,
+        |  datediff('day', ts::DATE, DATE '2025-01-01') AS days_to_2025,
+        |  last_day(ts::DATE) AS month_end
+        |FROM events ORDER BY event_id""".stripMargin,
     "asof_signup" -> (anonCte +
       """SELECT e.id, e.user_id, s.id AS signup_id
         |FROM extracted e ASOF LEFT JOIN

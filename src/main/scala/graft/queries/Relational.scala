@@ -528,6 +528,42 @@ object Relational {
       .orderBy($"doc_id")
   }
 
+  /** Rank-family completion: rank / dense_rank / percent_rank / cume_dist
+    * over one shared window. percent_rank = (rank−1)/(n−1) and cume_dist =
+    * peers≤/n are exact small-integer ratios — deterministic doubles with
+    * no rounding contract needed. Ties are real (value duplicates exist),
+    * so rank vs dense_rank genuinely diverge. */
+  def q26RankDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_orderstatus")
+    Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_orderpriority",
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cume"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Datetime-function family over the event stream: truncation, field
+    * extraction, date arithmetic. Day-of-week uses the ISO numbering
+    * (Monday=1) computed portably from the epoch day — Spark's dayofweek
+    * (Sunday=1) and DuckDB's dow (Sunday=0) disagree, so the contract pins
+    * the one convention both can derive exactly. */
+  def q27Datetime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .select($"event_id",
+        to_date(date_trunc("week", $"ts")).as("week_start"),
+        year($"ts").as("y"), month($"ts").as("m"), dayofmonth($"ts").as("d"),
+        hour($"ts").as("h"),
+        // ISO dow from epoch day: 1970-01-01 was a Thursday (ISO 4)
+        ((floor($"ts".cast("long") / 86400L) + 3) % 7 + 1).cast("long").as("iso_dow"),
+        datediff(to_date(lit("2025-01-01")), to_date($"ts")).cast("long").as("days_to_2025"),
+        to_date(last_day($"ts")).as("month_end"))
+      .orderBy($"event_id")
+  }
+
   /** HLL++ approximate distinct counts — the countDistinct scale path.
     * Sketch estimates are engine-specific so the estimate itself can't
     * hash-match a DuckDB oracle; instead the query VERIFIES the sketch
