@@ -182,6 +182,38 @@ class EventTimeSpec extends SparkSpec {
     assert(out.find(_.key == 3L).get.payload == "c")
   }
 
+  test("native stream-static join: streaming facts against a static dimension match batch") {
+    val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+      .filter(col("event_id") < 400).persist()
+    ev.filter(col("event_id") < 200).write.parquet(s"$srcDir/d0")
+    ev.filter(col("event_id") >= 200).write.parquet(s"$srcDir/d1")
+    val schema = spark.read.parquet(s"$srcDir/d0").schema
+    // static dimension: per-user tier derived from the full batch table
+    val dim = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n")).withColumn("tier", (col("n") % 3).cast("int"))
+      .select("user_id", "tier").persist()
+
+    // native stream⋈static (no foreachBatch re-read): Spark broadcasts the
+    // static side into every micro-batch
+    val joined = Sources.fileStream(spark, s"$srcDir/d*", schema)
+      .join(dim, "user_id")
+      .select("event_id", "user_id", "tier")
+    val q = joined.writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir)
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = ev.join(dim, "user_id").select("event_id", "user_id", "tier")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(want.nonEmpty && got == want)
+    ev.unpersist(); dim.unpersist()
+  }
+
   test("dropDuplicatesWithinWatermark: replayed event_ids emit once across micro-batches") {
     val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
     val ev = graft.Tables(spark, sf("sf0.001")).events
