@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional trailing args: run only these queries (dev iteration);
+    // the driver passes exactly two args, so its behavior is unchanged
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +24,9 @@ object Verify {
       if (f.isDirectory) f.listFiles().foreach(rmrf)
       f.delete(): Unit
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       // clear any stale output first so a failed query can't masquerade as
       // a previous run's (passing) result
       rmrf(new java.io.File(s"$outDir/$name"))

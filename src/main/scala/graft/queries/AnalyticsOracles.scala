@@ -415,6 +415,23 @@ object AnalyticsOracles {
         |FROM prs JOIN documents a ON a.doc_id = id_a
         |         JOIN documents b ON b.doc_id = id_b
         |ORDER BY id_a, id_b""".stripMargin),
+    // int8 affine quantization: same fixed-parenthesization IEEE chain as
+    // Quantization.int8Affine; every output is an integer, so this is a
+    // bit-exact reproduction, not an approximation.
+    "embed_quantize" -> (embCte +
+      """, m AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM e)
+        |SELECT vec_id AS id, len(v)::BIGINT AS n_dims,
+        |  CASE WHEN vmax = vmin THEN to_json([0 for x in v])::VARCHAR
+        |       ELSE to_json([CAST(floor((x - vmin) / (vmax - vmin) * 255.0) AS INT) for x in v])::VARCHAR
+        |  END AS qvec_json,
+        |  CASE WHEN vmax = vmin THEN 0::BIGINT
+        |       ELSE floor((vmax - vmin) / 255.0 * 1e9)::BIGINT END AS scale_nano,
+        |  CASE WHEN vmax = vmin THEN 0::BIGINT
+        |       ELSE list_reduce(list_prepend(0::BIGINT,
+        |         [floor(abs(x - (vmin + floor((x - vmin) / (vmax - vmin) * 255.0) *
+        |            ((vmax - vmin) / 255.0))) * 1000000.0)::BIGINT for x in v]),
+        |         (a,b) -> a+b) END AS err_micro
+        |FROM m ORDER BY id""".stripMargin),
     "embed_neardup" -> (embCte +
       s"""SELECT id_a, id_b, cos FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos

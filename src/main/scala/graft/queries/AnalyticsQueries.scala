@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.analytics.{Clustering, Dedup, Multimodal, Sampling, Search, Similarity, TextAnalysis}
+import graft.analytics.{Clustering, Dedup, Multimodal, Quantization, Sampling, Search, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions
 
 /** Driver-facing entry points for the training-data-pipeline operators
@@ -333,6 +333,10 @@ object AnalyticsQueries {
     Sampling.tokenFrequencyStats(Tables(spark, dir).documents)
       .orderBy(col("doc_id"))
 
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Quantization.int8Affine(Tables(spark, dir).embeddings)
+      .orderBy(col("id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
@@ -345,6 +349,7 @@ object AnalyticsQueries {
     "tfidf_top_terms"  -> (tfidfTopTerms(_, _)),
     "bm25_search"      -> (bm25Search(_, _)),
     "embed_kmeans"     -> (embedKmeans(_, _)),
+    "embed_quantize"   -> (embedQuantize(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
     "sample_per_group" -> (samplePerGroup(_, _)),
     "split_assign"     -> (splitAssign(_, _)),

@@ -229,4 +229,33 @@ class AnalyticsSpec extends SparkSpec {
     val fp2 = df.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
     assert(fp1.toSeq == fp2.toSeq)
   }
+
+  test("int8 quantization: codes in [0,255], extremes pinned, error bounded, degenerate is zero") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(0.0f, 1.0f, 0.5f, 0.25f)),  // spans [0,1]
+      (2L, Seq(-2.0f, 2.0f, 0.0f, 1.0f)),  // negative min
+      (3L, Seq(3.5f, 3.5f, 3.5f, 3.5f))    // degenerate constant vector
+    ).toDF("vec_id", "embedding")
+    val rows = Quantization.int8Affine(emb).orderBy("id").collect()
+
+    def codes(i: Int): Seq[Int] =
+      rows(i).getString(rows(i).fieldIndex("qvec_json"))
+        .stripPrefix("[").stripSuffix("]").split(",").map(_.trim.toInt).toSeq
+    // min element -> 0, max element -> exactly 255 (no clamp needed)
+    assert(codes(0) == Seq(0, 255, 127, 63))
+    assert(codes(1).head == 0 && codes(1)(1) == 255)
+    assert(codes(1).forall(c => c >= 0 && c <= 255))
+    // degenerate: zero codes, zero scale, zero error
+    assert(codes(2).forall(_ == 0))
+    assert(rows(2).getLong(rows(2).fieldIndex("scale_nano")) == 0L)
+    assert(rows(2).getLong(rows(2).fieldIndex("err_micro")) == 0L)
+    // reconstruction error: each element's |x - x̂| < scale, so the summed
+    // micro-units stay under n_dims * scale (scale_nano/1000 in micro-units)
+    rows.take(2).foreach { r =>
+      val scaleMicro = r.getLong(r.fieldIndex("scale_nano")) / 1000.0
+      val err = r.getLong(r.fieldIndex("err_micro"))
+      assert(err <= (4 * (scaleMicro + 1)).toLong, s"err=$err scaleMicro=$scaleMicro")
+    }
+  }
 }
