@@ -121,6 +121,7 @@ object SparkEntry {
     "q10_cube"         -> (Relational.q10Cube(_, _)),
     "set_intersect"    -> (Relational.setIntersect(_, _)),
     "asof_signup"      -> (Relational.asofSignup(_, _)),
+    "asof_native"      -> (Relational.asofSignupNative(_, _)),
     "q11_full_outer"   -> (Relational.q11FullOuter(_, _)),
     "w4_ntile"         -> (Relational.w4Ntile(_, _)),
     "q12_corr_subquery" -> (Relational.q12CorrSubquery(_, _)),
@@ -507,6 +508,12 @@ object SparkEntry {
         |  last_day(ts::DATE) AS month_end
         |FROM events ORDER BY event_id""".stripMargin,
     "asof_signup" -> (anonCte +
+      """SELECT e.id, e.user_id, s.id AS signup_id
+        |FROM extracted e ASOF LEFT JOIN
+        |  (SELECT id, ts, user_id FROM extracted WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.id""".stripMargin),
+    "asof_native" -> (anonCte +
       """SELECT e.id, e.user_id, s.id AS signup_id
         |FROM extracted e ASOF LEFT JOIN
         |  (SELECT id, ts, user_id FROM extracted WHERE event_type = 'signup') s

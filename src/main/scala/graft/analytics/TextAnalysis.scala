@@ -28,9 +28,12 @@ object TextAnalysis {
   }
 
   /** Ratio of non-alphanumeric, non-whitespace chars (punctuation density —
-    * a standard low-quality-text signal). */
+    * a standard low-quality-text signal). `try_divide` pins the
+    * empty-string contract to NULL — the DuckDB oracle's 0/0 is NULL too,
+    * while Spark's ANSI-mode `/` would throw DIVIDE_BY_ZERO instead. */
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") / length(text)
+    try_divide(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double"),
+      length(text))
 
   /** Fraction of tokens found in `stopwords` (quality + language signal). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {

@@ -179,6 +179,10 @@ case class QualityScore(child: Expression, stopwords: Seq[String])
       total += 1
       i += Character.charCount(cp)
     }
+    // Empty string: the declarative twin's punct/total Divide is 0/0, which
+    // Spark evaluates to NULL (not NaN) and NULL-propagates through the sum
+    // — return null here too so the twins agree under null-safe comparison.
+    if (total == 0) return null
     val nTok = toks.length.toDouble
     val m1 = 0.3 * math.min(1.0, nTok / 100.0)
     val m2 = 0.3 * (1.0 - punct.toDouble / total.toDouble)

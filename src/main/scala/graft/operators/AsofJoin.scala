@@ -44,7 +44,13 @@ object AsofJoin {
       keys.map(col) ++ Seq(col("__ts"), col("__prio"), col("__tie")) ++
         leftCols.filterNot(keys.contains).map(col) ++ valueCols.map(nullLit): _*)
 
+    // NULL right keys / timestamps can never be as-of candidates (SQL
+    // comparison semantics, matching DuckDB ASOF): drop them before the
+    // union — otherwise a null-keyed right row would land in the null-key
+    // window partition and "match" null-keyed left rows, and a null-ts
+    // right row would sort nulls-first and look current for every left row.
     val r = right
+      .filter((keys :+ rightTs).map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__ts", col(rightTs))
       .withColumn("__prio", lit(0))
       .withColumn("__tie", col(tieBreak))

@@ -32,9 +32,14 @@ object RangeJoin {
                       intervals: DataFrame, startSec: String, endSec: String,
                       bucketSec: Long): DataFrame = {
     require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
-    // an interval [s, e) covers buckets floor(s/w) .. floor((e-1)/w); the
-    // explode factor is bounded by span/width + 1
-    val iv = intervals.withColumn("__bucket",
+    // Degenerate intervals (endSec <= startSec) can never contain a point,
+    // but sequence(start, stop) with start > stop silently counts DOWN
+    // (default step -1) — up to span/width rows of fan-out per corrupt
+    // interval that the residual filter then throws away. Drop them first;
+    // result-identical for the inner join (same guard as RangeJoinRewrite).
+    // An interval [s, e) covers buckets floor(s/w) .. floor((e-1)/w); the
+    // explode factor is bounded by span/width + 1.
+    val iv = intervals.filter(col(startSec) < col(endSec)).withColumn("__bucket",
       explode(sequence(floor(col(startSec) / bucketSec).cast("long"),
         floor((col(endSec) - 1) / bucketSec).cast("long"))))
     val pt = points.withColumn("__bucket",

@@ -144,8 +144,12 @@ case class AsofJoinExec(
 
       new Iterator[InternalRow] {
         private var rNext: InternalRow = if (rIter.hasNext) rIter.next() else null
-        private var candidate: UnsafeRow = null // last right row ≤ current left
-        private var candidateKey: UnsafeRow = null
+        // last right row with non-null (key, time) at or before the current
+        // left (key, lts) in merge order — O(1) state, and because the right
+        // side is sorted (key, ts, tie) ascending, later overwrites at equal
+        // (key, ts) make the greatest tieBreak win automatically
+        private var candidate: InternalRow = null
+        private var candidateKey: InternalRow = null
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -154,15 +158,22 @@ case class AsofJoinExec(
           val lkt = lProj(lRow)
           // advance the right cursor through every row at or before (key, lts)
           while (rNext != null && keyTimeOrd.compare(rProj(rNext), lkt) <= 0) {
-            val rk = keyProjR(rNext)
-            // NULL right key/time can never be an as-of match
-            if (!rk.anyNull && !rNext.isNullAt(rOut.indexWhere(_.exprId ==
-                rightTime.asInstanceOf[Attribute].exprId))) {
-              candidate = rProj(rNext).copy().asInstanceOf[UnsafeRow] // placeholder, replaced below
+            // NULL right key/time (the first nKeys+1 slots of the tuple
+            // projection) can never be an as-of match — skip, don't buffer
+            if (!rProj(rNext).anyNull) {
+              candidate = rNext.copy()
+              candidateKey = keyProjR(rNext).copy()
             }
             rNext = if (rIter.hasNext) rIter.next() else null
           }
-          joined(lRow, nullRight)
+          // match iff the buffered candidate is from the SAME key group and
+          // the left (key, lts) tuple is fully non-null — a candidate left
+          // over from an earlier key group fails the key comparison, and a
+          // NULL left key/timestamp never matches (SQL comparison semantics)
+          val lk = keyProjL(lRow)
+          val matched = candidateKey != null && !lk.anyNull &&
+            !lkt.isNullAt(nKeys) && keyOrd.compare(candidateKey, lk) == 0
+          joined(lRow, if (matched) candidate else nullRight)
           resultProj(joined)
         }
       }

@@ -69,8 +69,13 @@ case class RangeJoinRewrite(bucketWidth: Long = 86400L) extends Rule[LogicalPlan
         // points side: one bucket per row
         val bPt = Alias(bucketOf(p1), "__rjb_pt")()
         val ptProj = Project(points.output :+ bPt, points)
+        // The rewritten join always puts the points side on the left. When
+        // the original had them on the right, side-specific hints
+        // (broadcast(left) etc.) must swap with their child or they'd pin
+        // the WRONG side — e.g. force-broadcasting the exploded intervals.
+        val newHint = if (pFromLeft) hint else JoinHint(hint.rightHint, hint.leftHint)
         val newJoin = Join(ptProj, gen, Inner,
-          Some(And(EqualTo(bPt.toAttribute, bIv), cond)), hint)
+          Some(And(EqualTo(bPt.toAttribute, bIv), cond)), newHint)
         // restore the original schema (attribute order and no helper cols)
         Project(j.output, newJoin)
       }

@@ -225,6 +225,25 @@ object Relational {
       .orderBy(col("id"))
   }
 
+  /** Same as [[asofSignup]] but through the NATIVE whole-plan operator
+    * ([[graft.plans.AsofJoinNative]]: LogicalPlan + Strategy + merge exec)
+    * instead of the union-window composition — both must hash-match the
+    * same DuckDB `ASOF LEFT JOIN` oracle. The native plan is the leaner
+    * shape at 100 TB: co-partitioned disk-backed sorts per side, then a
+    * single forward merge pass with O(1) state per partition (no unioned
+    * schema padding, no window frame materialization). */
+  def asofSignupNative(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.EventStatements
+    val ev = EventStatements.extracted(Tables(spark, dir).events)
+    val left = ev.select(col("id"), col("ts"), col("user_id"))
+    val right = ev.filter(col("event_type") === "signup")
+      .select(col("id"), col("ts"), col("user_id"))
+    graft.plans.AsofJoinNative
+      .join(left, right, Seq("user_id"), "ts", "ts", "id")
+      .select(col("id"), col("user_id"), col("asof_id").as("signup_id"))
+      .orderBy(col("id"))
+  }
+
   /** Multi-aggregate statistics incl. an exact distinct count. At 100 TB,
     * countDistinct is the shuffle-expensive aggregate (expand + 2-phase
     * agg); the HLL++ scale path is exercised by [[aggApprox]] (rows-only

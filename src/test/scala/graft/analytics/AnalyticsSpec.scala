@@ -204,11 +204,22 @@ class AnalyticsSpec extends SparkSpec {
       GraftFunctions.langIdFast(col("text")).as("fast"))
       .filter(col("hof") =!= col("fast")).count()
     assert(liDiff == 0)
-    val qDiff = docs.select(
+    // quality: NULL-SAFE comparison (=!= would swallow a null-vs-NaN
+    // divergence), over the corpus PLUS the empty/whitespace edge rows —
+    // both twins must yield NULL for "" (0/0 punct ratio) and agree on
+    // whitespace-only inputs.
+    import spark.implicits._
+    val qInputs = docs.select(col("text"))
+      .unionAll(Seq("", " ", " \t\n").toDF("text"))
+    val qDiff = qInputs.select(
       TextAnalysis.qualityScore(col("text")).as("hof"),
       GraftFunctions.qualityFast(col("text")).as("fast"))
-      .filter(col("hof") =!= col("fast")).count()
+      .filter(!(col("hof") <=> col("fast"))).count()
     assert(qDiff == 0)
+    val qEmpty = Seq("").toDF("text").select(
+      TextAnalysis.qualityScore(col("text")).as("hof"),
+      GraftFunctions.qualityFast(col("text")).as("fast")).head()
+    assert(qEmpty.isNullAt(0) && qEmpty.isNullAt(1))
     // WordShingles vs HOF shingle formulation
     val toks = split(col("text"), "\\s+")
     val hofShingles = array_sort(array_distinct(transform(
