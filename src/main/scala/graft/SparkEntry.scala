@@ -140,6 +140,10 @@ object SparkEntry {
     "q25_array_ops"    -> (Relational.q25ArrayOps(_, _)),
     "q26_rank_dist"    -> (Relational.q26RankDist(_, _)),
     "q27_datetime"     -> (Relational.q27Datetime(_, _)),
+    "q28_regr"         -> (Relational.q28Regr(_, _)),
+    "q29_mode"         -> (Relational.q29Mode(_, _)),
+    "q30_cum_distinct" -> (Relational.q30CumDistinct(_, _)),
+    "q31_variant"      -> (Relational.q31Variant(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
   // DuckDB-dialect oracles over the same parquet tables (driver registers
@@ -513,6 +517,54 @@ object SparkEntry {
         |  (SELECT id, ts, user_id FROM extracted WHERE event_type = 'signup') s
         |  ON e.user_id = s.user_id AND e.ts >= s.ts
         |ORDER BY e.id""".stripMargin),
+    "q28_regr" ->
+      """WITH xy AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS x,
+        |    round(value * 100)::BIGINT AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM xy GROUP BY event_type),
+        |c AS (
+        |  SELECT event_type, n,
+        |    (n*sxy - sx*sy)::DOUBLE AS num, (n*sxx - sx*sx)::DOUBLE AS den,
+        |    (n*syy - sy*sy)::DOUBLE AS deny, (sy*sxx - sx*sxy)::DOUBLE AS inum
+        |  FROM m)
+        |SELECT event_type, n,
+        |  round(num / den, 8) AS slope,
+        |  round(inum / den, 4) AS intercept,
+        |  round((num / (sqrt(den)*sqrt(deny))) * (num / (sqrt(den)*sqrt(deny))), 6) AS r2
+        |FROM c ORDER BY event_type""".stripMargin,
+    "q29_mode" ->
+      """WITH cnt AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY cnt DESC, o_orderpriority ASC) AS rn FROM cnt)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt::BIGINT AS cnt
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+    "q30_cum_distinct" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, ts, event_id, ts::DATE AS day FROM events),
+        |f AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+        |    ORDER BY ts ASC, event_id ASC) AS rn FROM e),
+        |d AS (
+        |  SELECT event_type, day, count(*) AS new_users FROM f WHERE rn = 1
+        |  GROUP BY 1, 2)
+        |SELECT event_type, day, new_users,
+        |  sum(new_users) OVER (PARTITION BY event_type ORDER BY day ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_users
+        |FROM d ORDER BY event_type, day""".stripMargin,
+    "q31_variant" ->
+      """SELECT event_type, count(k) AS n, sum(k)::BIGINT AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "asof_native" -> (anonCte +
       """SELECT e.id, e.user_id, s.id AS signup_id
         |FROM extracted e ASOF LEFT JOIN

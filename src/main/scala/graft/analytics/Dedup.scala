@@ -423,4 +423,22 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
   }
+
+  /** Prefix-hash duplicate candidates: documents sharing their first
+    * `nTokens` tokens verbatim (templated boilerplate, mirrored pages,
+    * re-crawls with divergent tails — the cheap first net a dedup cascade
+    * casts before the shingle/minhash stages). Key = sha256 of the joined
+    * prefix, so the self-join shuffles 32-byte digests, never text, and is
+    * equi-keyed — candidate volume is Σ(group²) over identical-prefix
+    * groups, sub-quadratic unless the corpus genuinely shares prefixes. */
+  def prefixDupPairs(docs: DataFrame, nTokens: Int = 8,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pfx = docs.select(col(idCol).as("doc_id"),
+      sha2(concat_ws(" ",
+        slice(TextAnalysis.tokens(col(textCol)), 1, nTokens)), 256).as("h"))
+    val a = pfx.toDF("id_a", "h")
+    val b = pfx.toDF("id_b", "hb")
+    a.join(b, col("h") === col("hb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h").as("prefix_hash"))
+  }
 }

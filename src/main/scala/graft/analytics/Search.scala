@@ -96,4 +96,46 @@ object Search {
       .select((Seq(col("doc_id"), col("dl")) ++
         queryTerms.map(t => col(s"tf_$t")) ++ Seq(col("score"))): _*)
   }
+
+  /** Per-document bigram language-model surprisal — the perplexity-style
+    * quality filter (CCNet-family): train add-one-smoothed bigram counts on
+    * the corpus itself, score every document by its mean negative log
+    * probability. High surprisal = off-distribution text (boilerplate,
+    * gibberish, wrong language); a training pipeline thresholds or buckets
+    * on it.
+    *
+    *   P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V),  V = |distinct tokens|
+    *   surprisal(doc) = mean over its bigram OCCURRENCES of −ln P
+    *
+    * Determinism: −ln P > 0 is quantized per bigram to integer micro-nats
+    * (the [[idfMicro]] pattern), summed exactly as int64, divided once at
+    * the output boundary — Spark and the DuckDB oracle agree bit-for-bit.
+    *
+    * Shape at 100 TB: the LM tables are VOCABULARY-sized, not corpus-sized
+    * — c2 is one map-side-combined aggregate over the bigram stream, c1
+    * and V the same over heads/tokens — so the scoring joins broadcast
+    * under AQE for any real vocabulary (≤ millions of types), and the only
+    * corpus-sized shuffle is the final doc_id aggregation. Documents with
+    * fewer than two tokens have no bigrams and no score (absent rows, not
+    * NULL — same construction in the oracle). */
+  def bigramSurprisal(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val bg = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.bigrams(col(textCol))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .agg(countDistinct(col("tok")).as("v"))
+    bg.join(c2, "bg").join(c1, "w1").crossJoin(broadcast(vocab))
+      .withColumn("s_micro",
+        round(log((col("c1") + col("v")).cast("double") /
+          (col("c2") + lit(1)).cast("double")) * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s_micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_micro").cast("double") / col("n_bigrams") / 1e6, 4)
+          .as("avg_surprisal"))
+  }
 }

@@ -231,6 +231,35 @@ object AnalyticsOracles {
         |    ORDER BY score_micro DESC, token) AS rank
         |  FROM scored)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest([toks[i]||' '||toks[i+1]
+        |    for i in generate_series(1, len(toks)-1)]) AS bg
+        |  FROM tok WHERE len(toks) >= 2),
+        |bgw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bgw GROUP BY bg),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bgw GROUP BY w1),
+        |v AS (
+        |  SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(toks) AS tok FROM tok)
+        |  WHERE length(tok) > 0),
+        |s AS (
+        |  SELECT doc_id,
+        |    round(ln((c1 + v)::DOUBLE / (c2 + 1)::DOUBLE) * 1000000)::BIGINT AS sm
+        |  FROM bgw JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(sm)::DOUBLE / count(*) / 1000000.0, 4) AS avg_surprisal
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_prefix" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    sha256(array_to_string(string_split_regex(text, '\s+')[1:8], ' ')) AS h
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.h AS prefix_hash
+        |FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
     "bm25_search" ->
       """WITH p AS (
         |  SELECT doc_id, len(toks)::BIGINT AS dl,

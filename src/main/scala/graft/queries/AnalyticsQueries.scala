@@ -337,6 +337,14 @@ object AnalyticsQueries {
     Quantization.int8Affine(Tables(spark, dir).embeddings)
       .orderBy(col("id"))
 
+  def textLmScore(spark: SparkSession, dir: String): DataFrame =
+    Search.bigramSurprisal(Tables(spark, dir).documents)
+      .orderBy(col("doc_id"))
+
+  def dedupPrefix(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixDupPairs(Tables(spark, dir).documents)
+      .orderBy(col("id_a"), col("id_b"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
@@ -348,6 +356,8 @@ object AnalyticsQueries {
     "shard_stats"      -> (shardStats(_, _)),
     "tfidf_top_terms"  -> (tfidfTopTerms(_, _)),
     "bm25_search"      -> (bm25Search(_, _)),
+    "text_lm_score"    -> (textLmScore(_, _)),
+    "dedup_prefix"     -> (dedupPrefix(_, _)),
     "embed_kmeans"     -> (embedKmeans(_, _)),
     "embed_quantize"   -> (embedQuantize(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),

@@ -619,4 +619,88 @@ object Relational {
         (abs($"a_p" - $"exact_parts") <= $"exact_parts" * 0.05).as("parts_within_tol"))
       .orderBy($"l_returnflag")
   }
+
+  /** Linear-regression aggregates (regr_slope / regr_intercept / r²) from
+    * integer moment sums — the q23_corr pattern: x = second-of-day, y =
+    * value in cents, both exact int64, products in decimal(38,0) (≡ DuckDB
+    * HUGEINT), one double division per output at the rounding boundary.
+    * One partial-aggregated shuffle on event_type; no per-row state, so
+    * the shape is scan-bound at any scale. */
+  def q28Regr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val xy = Tables(spark, dir).events.select($"event_type",
+      (col("ts").cast("long") % 86400L).as("x"),
+      round($"value" * 100).cast("long").as("y"))
+    val m = xy.groupBy($"event_type").agg(
+      count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+      sum($"x" * $"y").as("sxy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val num  = (d($"n") * d($"sxy") - d($"sx") * d($"sy")).cast("double")
+    val den  = (d($"n") * d($"sxx") - d($"sx") * d($"sx")).cast("double")
+    val deny = (d($"n") * d($"syy") - d($"sy") * d($"sy")).cast("double")
+    val inum = (d($"sy") * d($"sxx") - d($"sx") * d($"sxy")).cast("double")
+    val corrD = num / (sqrt(den) * sqrt(deny))
+    m.select($"event_type", $"n",
+        round(num / den, 8).as("slope"),
+        round(inum / den, 4).as("intercept"),
+        round(corrD * corrD, 6).as("r2"))
+      .orderBy($"event_type")
+  }
+
+  /** Deterministic MODE: the most frequent o_orderpriority per
+    * o_orderstatus, ties broken by the smallest value — count-aggregate
+    * then a per-group top-1 window (two-stage: partial counts combine
+    * map-side; the window input is |groups| rows, not the fact table). A
+    * bare `mode()` is nondeterministic on ties in both engines, so the
+    * explicit tie-break IS the operator contract. */
+  def q29Mode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables(spark, dir).orders
+      .groupBy($"o_orderstatus", $"o_orderpriority").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"cnt".desc, $"o_orderpriority".asc)
+    cnt.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"o_orderstatus", $"o_orderpriority".as("mode_priority"), $"cnt")
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Cumulative DISTINCT count over time without a distinct-in-window
+    * (which Spark does not support and which would buffer per-frame sets
+    * anyway): mark each user's FIRST occurrence per event_type with a
+    * row_number window, aggregate first-marks per day, then a running sum
+    * over the (tiny) per-day series. Distinct-tracking state is one window
+    * sort on (event_type, user_id) — the same single shuffle any
+    * sessionization pays — and the running sum runs over |days| rows. */
+  def q30CumDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select($"event_type", $"user_id", $"ts", $"event_id", col("ts").cast("date").as("day"))
+    val firstW = Window.partitionBy($"event_type", $"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val firsts = ev.withColumn("rn", row_number().over(firstW))
+      .filter($"rn" === 1)
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("new_users"))
+    val cumW = Window.partitionBy($"event_type").orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firsts.withColumn("cum_users", sum($"new_users").over(cumW))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** Semi-structured VARIANT path: `parse_json` the props payload into a
+    * VARIANT column, extract a typed field with `variant_get`, aggregate.
+    * Variant is the 100 TB answer to ragged JSON: one binary-encoded
+    * column, typed extraction pushed into the scan-side projection, no
+    * per-query string re-parsing of the whole payload (the open-format
+    * twin of a shredded struct). */
+  def q31Variant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select($"event_type",
+        variant_get(parse_json($"props"), "$.k", "long").as("k"))
+    ev.groupBy($"event_type").agg(
+        count($"k").as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
 }

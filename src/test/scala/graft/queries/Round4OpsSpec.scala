@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.analytics.{Dedup, Search}
+import org.apache.spark.sql.functions._
+
+/** Round-4 coverage operators: regression aggregates, deterministic mode,
+  * cumulative distinct, VARIANT extraction, bigram-LM surprisal, prefix
+  * dedup. The hash-exact oracle runs in the driver gate; these specs pin
+  * the semantic invariants a hash can't explain. */
+class Round4OpsSpec extends SparkSpec {
+  private val d = sf("sf0.001")
+
+  test("q28_regr: r2 bounded, group count and n partition the corpus") {
+    val res = Relational.q28Regr(spark, d).collect()
+    assert(res.length == 5)
+    val total = graft.Tables(spark, d).events.count()
+    assert(res.map(_.getAs[Long]("n")).sum == total)
+    res.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("q29_mode: the winner has the max count and is the smallest on ties") {
+    import spark.implicits._
+    val cnt = graft.Tables(spark, d).orders
+      .groupBy($"o_orderstatus", $"o_orderpriority").agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getString(0))
+    Relational.q29Mode(spark, d).collect().foreach { r =>
+      val (status, winner, c) =
+        (r.getString(0), r.getString(1), r.getAs[Long]("cnt"))
+      val group = cnt(status).map(x => (x.getString(1), x.getAs[Long]("c")))
+      val maxC = group.map(_._2).max
+      assert(c == maxC)
+      assert(winner == group.filter(_._2 == maxC).map(_._1).min)
+    }
+  }
+
+  test("q30_cum_distinct: final cumulative equals exact countDistinct, monotone") {
+    import spark.implicits._
+    val res = Relational.q30CumDistinct(spark, d).collect()
+    val exact = graft.Tables(spark, d).events
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("nd")).toMap
+    res.groupBy(_.getString(0)).foreach { case (et, rows) =>
+      val cums = rows.map(_.getAs[Long]("cum_users")).toSeq
+      assert(cums == cums.sorted)              // monotone non-decreasing
+      assert(cums.last == exact(et))           // converges to the exact distinct
+      assert(rows.map(_.getAs[Long]("new_users")).sum == exact(et))
+    }
+  }
+
+  test("q31_variant: variant extraction agrees with string JSON parsing") {
+    import spark.implicits._
+    val viaVariant = Relational.q31Variant(spark, d).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("sum_k")).toMap
+    val viaString = graft.Tables(spark, d).events
+      .groupBy($"event_type")
+      .agg(sum(get_json_object($"props", "$.k").cast("long")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("s")).toMap
+    assert(viaVariant == viaString)
+  }
+
+  test("bigram LM surprisal: repetitive in-distribution text scores below novel text") {
+    import spark.implicits._
+    // 10 copies of the same sentence (its bigrams dominate the LM) vs one
+    // document over disjoint vocabulary (every bigram is a singleton).
+    val common = (1 to 10).map(i => (i.toLong, "the cat sat on the mat"))
+    val novel = Seq((99L, "zq xw vr uk tn sm"))
+    val docs = (common ++ novel).toDF("doc_id", "text")
+    val res = Search.bigramSurprisal(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_surprisal")).toMap
+    assert(res(1L) < res(99L))
+    assert(res.values.forall(_ > 0.0))
+    // a one-token doc has no bigrams and no row
+    val res2 = Search.bigramSurprisal(
+      (common ++ Seq((100L, "solo"))).toDF("doc_id", "text")).collect()
+    assert(!res2.map(_.getAs[Long]("doc_id")).contains(100L))
+  }
+
+  test("prefix dedup: shared 8-token prefixes pair up, divergent tails don't matter") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h tail one"),
+      (2L, "a b c d e f g h completely different tail"),
+      (3L, "a b c d e f g X other"),   // differs inside the prefix
+      (4L, "short doc")).toDF("doc_id", "text")
+    val pairs = Dedup.prefixDupPairs(docs).collect()
+    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq == Seq((1L, 2L)))
+    // corpus yield is non-vacuous (planted near-dups share prefixes)
+    val corpus = Dedup.prefixDupPairs(graft.Tables(spark, d).documents).count()
+    assert(corpus > 0)
+  }
+}
