@@ -144,6 +144,8 @@ object SparkEntry {
     "q29_mode"         -> (Relational.q29Mode(_, _)),
     "q30_cum_distinct" -> (Relational.q30CumDistinct(_, _)),
     "q31_variant"      -> (Relational.q31Variant(_, _)),
+    "q32_lateral"      -> (Relational.q32Lateral(_, _)),
+    "q33_gapfill"      -> (Relational.q33Gapfill(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
   // DuckDB-dialect oracles over the same parquet tables (driver registers
@@ -565,6 +567,29 @@ object SparkEntry {
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q32_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.totalprice
+        |FROM customer c JOIN LATERAL (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t ON true
+        |ORDER BY c_custkey, totalprice DESC, o_orderkey""".stripMargin,
+    "q33_gapfill" ->
+      """WITH e AS (SELECT event_type, ts::DATE AS day FROM events),
+        |daily AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |days AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |grid AS (
+        |  SELECT event_type, day FROM (SELECT DISTINCT event_type FROM e)
+        |  CROSS JOIN days)
+        |SELECT g.event_type, g.day, coalesce(n, 0)::BIGINT AS n,
+        |  sum(coalesce(n, 0)) OVER (PARTITION BY g.event_type ORDER BY g.day ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_n
+        |FROM grid g LEFT JOIN daily USING (event_type, day)
+        |ORDER BY event_type, day""".stripMargin,
     "asof_native" -> (anonCte +
       """SELECT e.id, e.user_id, s.id AS signup_id
         |FROM extracted e ASOF LEFT JOIN

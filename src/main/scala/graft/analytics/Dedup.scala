@@ -117,7 +117,23 @@ object Dedup {
     * whose EVERY shared shingle is capped is never a candidate. */
   private def ngramJaccardPairsCapped(withShIn: DataFrame,
                                       minJaccard: Double, cap: Int): DataFrame = {
-    val withSh = withShIn
+    def jac(inter: Column, nA: Column, nB: Column): Column =
+      round(inter / (nA + nB - inter), 4)
+    exactIntersectionsCapped(withShIn, cap, jac(_, _, _) >= minJaccard)
+      .withColumn("jaccard", jac(col("inter"), col("n_a"), col("n_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Shared df-capped candidate core: all pairs with ≥1 shared (uncapped)
+    * shingle whose OPTIMISTIC score — `keep(inter_max, n_a, n_b)` with
+    * `inter_max` the analytical intersection upper bound — holds, with
+    * exact `inter` restored (bound-tight or recounted). `keep` must be
+    * monotone non-decreasing in its first argument, or the optimistic
+    * pre-filter would drop pairs the exact score admits.
+    * Returns (id_a, id_b, inter: double, n_a, n_b). */
+  private def exactIntersectionsCapped(withSh: DataFrame, cap: Int,
+      keep: (Column, Column, Column) => Column): DataFrame = {
     val inverted0 = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val sizes = withSh.select(col("doc_id"), size(col("sh")).as("nsh"))
     val dfs = inverted0.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -138,8 +154,8 @@ object Dedup {
       .join(meta.select(col("doc_id").as("id_b"), col("nsh").as("n_b"), col("nd").as("d_b")), "id_b")
       .withColumn("extra_max", least(col("d_a"), col("d_b")))
       .withColumn("inter_max", (col("common") + col("extra_max")).cast("double"))
-      // optimistic jaccard; pairs failing even this can't pass the filter
-      .filter(round(col("inter_max") / (col("n_a") + col("n_b") - col("inter_max")), 4) >= minJaccard)
+      // optimistic score; pairs failing even this can't pass the exact filter
+      .filter(keep(col("inter_max"), col("n_a"), col("n_b")))
     val exact = bounded.filter(col("extra_max") === 0)
       .withColumn("inter", col("common").cast("double"))
       .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"))
@@ -151,9 +167,26 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
         size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
     exact.unionByName(recounted)
-      .withColumn("jaccard", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Shingle CONTAINMENT near-dup pairs: `inter / min(|A|, |B|)` — the
+    * asymmetric companion to Jaccard that catches subset duplication
+    * (a document embedded verbatim inside a longer one scores containment
+    * ≈ 1 while its Jaccard can be arbitrarily low). Same df-capped
+    * inverted-index shape as [[ngramJaccardPairs]]; containment is monotone
+    * in the intersection, so the optimistic-bound pre-filter is sound. */
+  def ngramContainmentPairs(docs: DataFrame, minContainment: Double, n: Int = 3,
+                            maxDf: Option[Int] = None,
+                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val withSh = docs.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+    def cont(inter: Column, nA: Column, nB: Column): Column =
+      round(inter / least(nA, nB), 4)
+    val cap = maxDf.getOrElse(Int.MaxValue)
+    exactIntersectionsCapped(withSh, cap, cont(_, _, _) >= minContainment)
+      .withColumn("containment", cont(col("inter"), col("n_a"), col("n_b")))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("containment"))
   }
 
   /** Modulus for the minhash affine rehash family — prime below 2^30 so

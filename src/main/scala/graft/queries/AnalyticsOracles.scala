@@ -366,6 +366,13 @@ object AnalyticsOracles {
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin),
+    "dedup_containment" -> (tokCte +
+      """SELECT id_a, id_b, containment FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      least(len(a.sh), len(b.sh)), 4) AS containment
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE containment >= 0.9 ORDER BY id_a, id_b""".stripMargin),
     "dedup_ngram_keepers" -> (tokCte +
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (

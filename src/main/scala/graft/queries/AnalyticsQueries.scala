@@ -345,6 +345,16 @@ object AnalyticsQueries {
     Dedup.prefixDupPairs(Tables(spark, dir).documents)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Containment dedup with the df cap engaged (same 100 TB default as
+    * dedup_ngram; the oracle is the uncapped all-pairs form — equality
+    * holds because the cap exceeds every df on this corpus). */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Dedup.ngramContainmentPairs(docs, minContainment = 0.9,
+        maxDf = Some(Dedup.dfCapFor(docs.count())))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
@@ -358,6 +368,7 @@ object AnalyticsQueries {
     "bm25_search"      -> (bm25Search(_, _)),
     "text_lm_score"    -> (textLmScore(_, _)),
     "dedup_prefix"     -> (dedupPrefix(_, _)),
+    "dedup_containment" -> (dedupContainment(_, _)),
     "embed_kmeans"     -> (embedKmeans(_, _)),
     "embed_quantize"   -> (embedQuantize(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),

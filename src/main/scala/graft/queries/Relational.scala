@@ -687,6 +687,46 @@ object Relational {
       .orderBy($"event_type", $"day")
   }
 
+  /** Correlated LATERAL subquery: per-customer top-2 orders by price. The
+    * planner decorrelates the LIMIT'd lateral into a partitioned window
+    * top-k (DecorrelateInnerQuery) — no per-customer re-scan of orders, one
+    * shuffle on the correlation key; the SQL surface is the point (the
+    * DataFrame twin is w1_topn_per_group). */
+  def q32Lateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders.createOrReplaceTempView("orders_v")
+    Tables(spark, dir).customer.createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.totalprice
+        |FROM customer_v c JOIN LATERAL (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+        |  FROM orders_v o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t
+        |ORDER BY c_custkey, totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  /** Gap-filled daily time series: the day×type grid is generated (a
+    * two-sided bound aggregate + `sequence` explode, broadcast against the
+    * distinct types), LEFT-joined with the real daily counts, zero-filled,
+    * then cumulated. The grid is |days|·|types| rows at ANY corpus scale —
+    * the fact table aggregates once and never re-shuffles. */
+  def q33Gapfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events
+      .select($"event_type", col("ts").cast("date").as("day"))
+    val daily = e.groupBy($"event_type", $"day").agg(count(lit(1)).as("n_raw"))
+    val days = e.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("day"))
+    val grid = broadcast(e.select($"event_type").distinct()).crossJoin(days)
+    val filled = grid.join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"n_raw", lit(0L)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled.withColumn("cum_n", sum($"n").over(w))
+      .orderBy($"event_type", $"day")
+  }
+
   /** Semi-structured VARIANT path: `parse_json` the props payload into a
     * VARIANT column, extract a typed field with `variant_get`, aggregate.
     * Variant is the 100 TB answer to ragged JSON: one binary-encoded

@@ -80,6 +80,54 @@ class Round4OpsSpec extends SparkSpec {
     assert(!res2.map(_.getAs[Long]("doc_id")).contains(100L))
   }
 
+  test("q32_lateral: lateral top-2 equals the window-function formulation") {
+    import spark.implicits._
+    val viaLateral = Relational.q32Lateral(spark, d).collect()
+      .map(r => (r.getAs[Long](0), r.getAs[Long](1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val viaWindow = graft.Tables(spark, d).orders
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      .collect().map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"))).toSet
+    assert(viaLateral == viaWindow && viaLateral.nonEmpty)
+  }
+
+  test("q33_gapfill: full grid, zeros on gap days, cumulative ends at group total") {
+    import spark.implicits._
+    val res = Relational.q33Gapfill(spark, d).collect()
+    val types = res.map(_.getString(0)).distinct
+    val nDays = res.map(_.getDate(1)).distinct.length
+    assert(res.length == types.length * nDays)        // complete grid
+    val totals = graft.Tables(spark, d).events
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    res.groupBy(_.getString(0)).foreach { case (et, rows) =>
+      assert(rows.map(_.getAs[Long]("cum_n")).max == totals(et))
+      assert(rows.map(_.getAs[Long]("n")).sum == totals(et))
+    }
+  }
+
+  test("containment dedup: subset doc scores 1.0 where jaccard is low; cap is recall-neutral") {
+    import spark.implicits._
+    // doc 2 = doc 1's text embedded in a much longer wrapper: containment
+    // of doc 1 in doc 2 is 1.0 while jaccard is small
+    val inner = "alpha beta gamma delta epsilon zeta"
+    val wrapper = ("w" +: (1 to 40).map(i => s"pad$i") :+ inner)
+      .mkString(" ") + " " + (41 to 80).map(i => s"pad$i").mkString(" ")
+    val docs = Seq((1L, inner), (2L, wrapper)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramContainmentPairs(docs, minContainment = 0.9).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getAs[Double]("containment") == 1.0)
+    val jac = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5).count()
+    assert(jac == 0)                                   // jaccard misses it
+    // on the corpus: capped == uncapped (cap exceeds every df here)
+    val corpus = graft.Tables(spark, d).documents
+    val capped = Dedup.ngramContainmentPairs(corpus, 0.9,
+      maxDf = Some(Dedup.dfCapFor(corpus.count()))).collect().toSet
+    val uncapped = Dedup.ngramContainmentPairs(corpus, 0.9).collect().toSet
+    assert(capped == uncapped && capped.nonEmpty)
+  }
+
   test("prefix dedup: shared 8-token prefixes pair up, divergent tails don't matter") {
     import spark.implicits._
     val docs = Seq(
