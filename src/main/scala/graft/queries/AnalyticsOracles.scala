@@ -28,6 +28,56 @@ object AnalyticsOracles {
        |  (sqrt(list_reduce(list_prepend(0.0, [z*z for z in $a]), (x,y) -> x+y)) *
        |   sqrt(list_reduce(list_prepend(0.0, [z*z for z in $b]), (x,y) -> x+y))), 6)""".stripMargin
 
+  /** Shared PQ pipeline: 8 subspaces × 8 dims, integer micro-unit
+    * quantization, 2-round per-subspace Lloyd seeded by vec_id % 40 == 0 —
+    * the DuckDB re-implementation of analytics.ProductQuantization (same
+    * CTE skeleton as embed_kmeans, partitioned by subspace). */
+  private val pqCte =
+    """WITH q AS (
+      |  SELECT vec_id, [round(x*1000000)::BIGINT for x in embedding::DOUBLE[]] AS qi
+      |  FROM embeddings),
+      |sub0 AS (
+      |  SELECT vec_id, s.sub, qi[s.sub*8+1 : s.sub*8+8] AS sqi
+      |  FROM q CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s),
+      |sd AS (
+      |  SELECT vec_id, sub, sqi, [x::DOUBLE for x in sqi] AS sqd,
+      |    list_reduce(list_prepend(0.0, [x::DOUBLE * x::DOUBLE for x in sqi]),
+      |      (a,b) -> a+b) AS nq
+      |  FROM sub0),
+      |c0 AS (SELECT sub, vec_id AS cid, sqd AS m, nq AS nm FROM sd WHERE vec_id % 40 = 0),
+      |a1 AS (
+      |  SELECT vec_id, sub, cid FROM (
+      |    SELECT vec_id, sub, cid,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+      |    FROM (
+      |      SELECT vec_id, sub, cid,
+      |        nq + nm - 2.0 * list_reduce(list_prepend(0.0,
+      |          [sqd[i] * m[i] for i in generate_series(1, len(sqd))]), (a,b) -> a+b) AS dist
+      |      FROM sd JOIN c0 USING (sub)))
+      |  WHERE rn = 1),
+      |x1 AS (
+      |  SELECT sub, cid, unnest(generate_series(1, len(sqi))) AS i, sqi
+      |  FROM a1 JOIN sd USING (vec_id, sub)),
+      |s1 AS (SELECT sub, cid, i, sum(sqi[i]) AS s FROM x1 GROUP BY sub, cid, i),
+      |n1 AS (SELECT sub, cid, count(*) AS n FROM a1 GROUP BY sub, cid),
+      |c1 AS (
+      |  SELECT sub, cid, m,
+      |    list_reduce(list_prepend(0.0, [x*x for x in m]), (a,b) -> a+b) AS nm
+      |  FROM (
+      |    SELECT sub, cid, list(s::DOUBLE / n ORDER BY i) AS m
+      |    FROM s1 JOIN n1 USING (sub, cid) GROUP BY sub, cid, n)),
+      |a2 AS (
+      |  SELECT vec_id, sub, cid, dist FROM (
+      |    SELECT vec_id, sub, cid, dist,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+      |    FROM (
+      |      SELECT vec_id, sub, cid,
+      |        nq + nm - 2.0 * list_reduce(list_prepend(0.0,
+      |          [sqd[i] * m[i] for i in generate_series(1, len(sqd))]), (a,b) -> a+b) AS dist
+      |      FROM sd JOIN c1 USING (sub)))
+      |  WHERE rn = 1)
+      |""".stripMargin
+
   private val jaccardSql =
     """round(len(list_intersect(a.sh, b.sh))::DOUBLE /
       |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)""".stripMargin
@@ -194,6 +244,37 @@ object AnalyticsOracles {
         |  round(sum(qi[1])::DOUBLE / count(*), 4) AS mean_q0
         |FROM a2 JOIN q USING (vec_id)
         |GROUP BY cid ORDER BY centroid_id""".stripMargin,
+    "embed_pq" -> (pqCte +
+      """SELECT vec_id, sub, cid AS code, round(dist)::BIGINT AS err2
+        |FROM a2 ORDER BY vec_id, sub""".stripMargin),
+    "sim_pq_adc" -> (pqCte +
+      """, dt AS (
+        |  SELECT vec_id AS query_id, sub, cid,
+        |    nq + nm - 2.0 * list_reduce(list_prepend(0.0,
+        |      [sqd[i] * m[i] for i in generate_series(1, len(sqd))]), (a,b) -> a+b) AS d2
+        |  FROM sd JOIN c1 USING (sub) WHERE vec_id < 5),
+        |j AS (
+        |  SELECT dt.query_id, a2.vec_id, a2.sub, dt.d2
+        |  FROM a2 JOIN dt ON a2.sub = dt.sub AND a2.cid = dt.cid),
+        |p AS (
+        |  SELECT query_id, vec_id,
+        |    max(CASE WHEN sub = 0 THEN d2 END) AS d0,
+        |    max(CASE WHEN sub = 1 THEN d2 END) AS d1,
+        |    max(CASE WHEN sub = 2 THEN d2 END) AS d2c,
+        |    max(CASE WHEN sub = 3 THEN d2 END) AS d3,
+        |    max(CASE WHEN sub = 4 THEN d2 END) AS d4,
+        |    max(CASE WHEN sub = 5 THEN d2 END) AS d5,
+        |    max(CASE WHEN sub = 6 THEN d2 END) AS d6,
+        |    max(CASE WHEN sub = 7 THEN d2 END) AS d7
+        |  FROM j GROUP BY query_id, vec_id),
+        |t AS (
+        |  SELECT query_id, vec_id,
+        |    ((((((d0+d1)+d2c)+d3)+d4)+d5)+d6)+d7 AS adc FROM p)
+        |SELECT query_id, rank, vec_id, round(adc)::BIGINT AS adc FROM (
+        |  SELECT query_id, vec_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+        |  FROM t)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "doc_chunks" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.analytics.{Clustering, Dedup, Multimodal, Quantization, Sampling, Search, Similarity, TextAnalysis}
+import graft.analytics.{Clustering, Dedup, Multimodal, ProductQuantization, Quantization, Sampling, Search, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions
 
 /** Driver-facing entry points for the training-data-pipeline operators
@@ -337,6 +337,19 @@ object AnalyticsQueries {
     Quantization.int8Affine(Tables(spark, dir).embeddings)
       .orderBy(col("id"))
 
+  def embedPq(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    ProductQuantization.pqCodes(Tables(spark, dir).embeddings)
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
+  def simPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables(spark, dir).embeddings
+    ProductQuantization.adcTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def textLmScore(spark: SparkSession, dir: String): DataFrame =
     Search.bigramSurprisal(Tables(spark, dir).documents)
       .orderBy(col("doc_id"))
@@ -369,6 +382,8 @@ object AnalyticsQueries {
     "text_lm_score"    -> (textLmScore(_, _)),
     "dedup_prefix"     -> (dedupPrefix(_, _)),
     "dedup_containment" -> (dedupContainment(_, _)),
+    "embed_pq"         -> (embedPq(_, _)),
+    "sim_pq_adc"       -> (simPqAdc(_, _)),
     "embed_kmeans"     -> (embedKmeans(_, _)),
     "embed_quantize"   -> (embedQuantize(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),

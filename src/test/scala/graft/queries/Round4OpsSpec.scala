@@ -128,6 +128,22 @@ class Round4OpsSpec extends SparkSpec {
     assert(capped == uncapped && capped.nonEmpty)
   }
 
+  test("product quantization: complete code grid, self-query wins ADC, errors non-negative") {
+    import graft.analytics.ProductQuantization
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables(spark, d).embeddings
+    val n = emb.count()
+    val codes = ProductQuantization.pqCodes(emb).collect()
+    assert(codes.length == n * 8)                      // m rows per vector
+    assert(codes.forall(_.getAs[Long]("err2") >= 0L))
+    // asymmetric distance: a query that IS in the corpus must rank itself
+    // first — its ADC distance is just its own reconstruction error, far
+    // below any other random vector's distance on this corpus
+    val top = ProductQuantization.adcTopK(emb, emb.filter(col("vec_id") < 5), k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+    assert(top == (0L until 5L).map(q => q -> q).toMap)
+  }
+
   test("prefix dedup: shared 8-token prefixes pair up, divergent tails don't matter") {
     import spark.implicits._
     val docs = Seq(
