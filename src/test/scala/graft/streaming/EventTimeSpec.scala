@@ -119,6 +119,59 @@ class EventTimeSpec extends SparkSpec {
     ev.unpersist()
   }
 
+  test("stream-stream LEFT OUTER interval join: matches emit eagerly, nulls after the watermark") {
+    val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+      .filter(col("event_id") < 600).persist()
+    ev.filter(col("event_id") < 300).write.parquet(s"$srcDir/d0")
+    ev.filter(col("event_id") >= 300).write.parquet(s"$srcDir/d1")
+    val schema = spark.read.parquet(s"$srcDir/d0").schema
+
+    def joinPC(purchases: org.apache.spark.sql.DataFrame,
+               clicks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      purchases.alias("p").join(clicks.alias("c"),
+        expr("p.user_id = c.user_id AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTES AND p.ts"),
+        "left_outer")
+        .select(col("p.event_id").as("purchase_id"), col("p.ts").as("p_ts"),
+          col("c.event_id").as("click_id"))
+
+    // Outer-join nulls only emit in a batch processed AFTER the watermark
+    // passes them, and a drained AvailableNow stream does not run a
+    // flushing batch on its own — so a last file carries far-future
+    // sentinel rows on BOTH sides (the joint watermark is the min of the
+    // two) to push the watermark past every real purchase.
+    val maxTs = ev.agg(max(col("ts").cast("long"))).head().getLong(0)
+    def sentinel(eventType: String, id: Long) =
+      ev.filter(col("event_type") === eventType).limit(1)
+        .withColumn("event_id", lit(id))
+        .withColumn("user_id", lit(999999L))
+        .withColumn("ts", timestamp_seconds(lit(maxTs + 36000L)))
+    sentinel("purchase", 999999L).unionByName(sentinel("click", 999998L))
+      .write.parquet(s"$srcDir/d2")
+
+    val stream = Sources.fileStream(spark, s"$srcDir/d*", schema, maxFilesPerTrigger = 1)
+    val q = joinPC(
+        stream.filter(col("event_type") === "purchase").withWatermark("ts", "1 hour"),
+        stream.filter(col("event_type") === "click").withWatermark("ts", "1 hour"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir).start()
+    q.awaitTermination(180000)
+
+    def pair(r: org.apache.spark.sql.Row): (Long, Option[Long]) =
+      (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    val got = spark.read.parquet(outDir).collect().map(pair).toSet
+      .filter(_._1 < 999998L) // drop the sentinels themselves
+    val want = joinPC(ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"))
+      .collect().map(pair).toSet
+    assert(want.exists(_._2.isDefined) && want.exists(_._2.isEmpty))
+    // with the watermark pushed past all real data, streaming left-outer
+    // equals the batch left-outer exactly: eager matches + flushed nulls
+    assert(got == want)
+    ev.unpersist()
+  }
+
   test("streaming simhash near-dup pairs match the batch operator across micro-batches") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
