@@ -115,6 +115,42 @@ object Sampling {
   def weightedSample(df: DataFrame, weightCol: Column, idCol: String): DataFrame =
     df.filter(hashBucket(col(idCol)) < weightCol * 1000)
 
+  /** Temperature-scaled mixing weights per stratum — the data-mixing rule
+    * that upsamples small domains relative to proportional sampling
+    * (multilingual / multi-source training mixes): weight(s) =
+    * n_s^α / Σ n^α. α is FIXED at 0.5 so the power is IEEE `sqrt` —
+    * correctly rounded by the standard, hence bit-identical across
+    * engines, unlike libm `pow` whose last ulp varies. The normalizer
+    * folds the per-stratum terms in sorted stratum order (strata are few;
+    * unordered double summation is not cross-engine stable), and weights
+    * ship as integer micro-units. One tiny aggregate — the corpus scans
+    * once, strata-count rows move. */
+  def temperatureMixWeights(df: DataFrame, stratumCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("s", sqrt(col("n").cast("double")))
+    val total = counts
+      .agg(collect_list(struct(col("stratum"), col("s"))).as("terms"))
+      .select(aggregate(array_sort(col("terms")), lit(0.0),
+        (acc, x) => acc + x.getField("s")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("stratum"), col("n"),
+        round(col("s") / col("total") * 1e6).cast("long").as("weight_micro"))
+  }
+
+  /** Hashing-trick vectorizer (feature hashing): token → `dims` buckets by
+    * sha-derived hash, per-(doc, bucket) counts — the fixed-width feature
+    * map that needs NO vocabulary pass at any corpus size. Explode +
+    * map-side-combined aggregate on (doc_id, bucket); bucket keys are
+    * integers so the shuffle never carries token text. */
+  def hashingVectorize(docs: DataFrame, dims: Int = 16,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), (Dedup.hash60(col("tok")) % dims).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Fixed-size token-window chunking with overlap — the sequence-prep
     * primitive that turns documents into training-window candidates. Chunk
     * `i` covers tokens `[i·stride, i·stride + size)`; windows start while

@@ -244,6 +244,23 @@ object AnalyticsOracles {
         |  round(sum(qi[1])::DOUBLE / count(*), 4) AS mean_q0
         |FROM a2 JOIN q USING (vec_id)
         |GROUP BY cid ORDER BY centroid_id""".stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (
+        |  SELECT lang AS stratum, count(*) AS n, sqrt(count(*)::DOUBLE) AS s
+        |  FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT list_reduce(list_prepend(0.0, list(s ORDER BY stratum)),
+        |    (a,b) -> a+b) AS total FROM c)
+        |SELECT stratum, n, round(s / total * 1000000)::BIGINT AS weight_micro
+        |FROM c CROSS JOIN t ORDER BY stratum""".stripMargin,
+    "text_hash_vec" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents)
+        |SELECT doc_id, ('0x'||substr(sha256(tok),1,15))::BIGINT % 16 AS bucket,
+        |  count(*) AS cnt
+        |FROM t WHERE length(tok) > 0
+        |GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
     "embed_pq" -> (pqCte +
       """SELECT vec_id, sub, cid AS code, round(dist)::BIGINT AS err2
         |FROM a2 ORDER BY vec_id, sub""".stripMargin),

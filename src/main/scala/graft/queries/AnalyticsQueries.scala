@@ -350,6 +350,16 @@ object AnalyticsQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Temperature mixing over the lang strata (the non-uniform dimension of
+    * this corpus — sources are uniform by construction). */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMixWeights(Tables(spark, dir).documents, "lang")
+      .orderBy(col("stratum"))
+
+  def textHashVec(spark: SparkSession, dir: String): DataFrame =
+    Sampling.hashingVectorize(Tables(spark, dir).documents)
+      .orderBy(col("doc_id"), col("bucket"))
+
   def textLmScore(spark: SparkSession, dir: String): DataFrame =
     Search.bigramSurprisal(Tables(spark, dir).documents)
       .orderBy(col("doc_id"))
@@ -384,6 +394,8 @@ object AnalyticsQueries {
     "dedup_containment" -> (dedupContainment(_, _)),
     "embed_pq"         -> (embedPq(_, _)),
     "sim_pq_adc"       -> (simPqAdc(_, _)),
+    "sample_temperature" -> (sampleTemperature(_, _)),
+    "text_hash_vec"    -> (textHashVec(_, _)),
     "embed_kmeans"     -> (embedKmeans(_, _)),
     "embed_quantize"   -> (embedQuantize(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),

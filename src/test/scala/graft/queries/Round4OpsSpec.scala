@@ -144,6 +144,34 @@ class Round4OpsSpec extends SparkSpec {
     assert(top == (0L until 5L).map(q => q -> q).toMap)
   }
 
+  test("temperature mixing: weights sum to one and upsample small strata") {
+    import graft.analytics.Sampling
+    val docs = graft.Tables(spark, d).documents
+    val res = Sampling.temperatureMixWeights(docs, "lang").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("weight_micro")))
+    val totalN = res.map(_._2).sum.toDouble
+    assert(math.abs(res.map(_._3).sum - 1000000L) <= res.length) // rounding slack
+    res.foreach { case (_, n, w) =>
+      val proportional = n / totalN * 1e6
+      if (n / totalN < 1.0 / res.length) assert(w > proportional)  // small strata upsampled
+      else if (n / totalN > 1.0 / res.length) assert(w < proportional)
+    }
+  }
+
+  test("feature hashing: buckets bounded, counts conserve the token mass") {
+    import graft.analytics.Sampling
+    val docs = graft.Tables(spark, d).documents
+    val vec = Sampling.hashingVectorize(docs, dims = 16).collect()
+    assert(vec.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0 && b < 16
+    })
+    val massFromVec = vec.map(_.getAs[Long]("cnt")).sum
+    val massFromDocs = docs
+      .select(explode(graft.analytics.TextAnalysis.tokens(col("text"))).as("t"))
+      .filter(length(col("t")) > 0).count()
+    assert(massFromVec == massFromDocs && massFromVec > 0)
+  }
+
   test("prefix dedup: shared 8-token prefixes pair up, divergent tails don't matter") {
     import spark.implicits._
     val docs = Seq(
