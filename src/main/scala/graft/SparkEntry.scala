@@ -146,6 +146,7 @@ object SparkEntry {
     "q31_variant"      -> (Relational.q31Variant(_, _)),
     "q32_lateral"      -> (Relational.q32Lateral(_, _)),
     "q33_gapfill"      -> (Relational.q33Gapfill(_, _)),
+    "q34_interval_merge" -> (Relational.q34IntervalMerge(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
   // DuckDB-dialect oracles over the same parquet tables (driver registers
@@ -590,6 +591,28 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_n
         |FROM grid g LEFT JOIN daily USING (event_type, day)
         |ORDER BY event_type, day""".stripMargin,
+    "q34_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR s > max(e) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |    sum(new_island) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m)
+        |SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, island
+        |ORDER BY user_id, span_start""".stripMargin,
     "asof_native" -> (anonCte +
       """SELECT e.id, e.user_id, s.id AS signup_id
         |FROM extracted e ASOF LEFT JOIN

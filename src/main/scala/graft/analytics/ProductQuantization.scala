@@ -99,14 +99,32 @@ object ProductQuantization {
               m: Int = 8, subDim: Int = 8, centroidStep: Int = 40,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (subs, cents1, codes) = trainAndCodes(emb, m, subDim, centroidStep, idCol, vecCol)
-    val qIds = queries.select(col(idCol).as("vec_id"))
-    // query subvectors stay EXACT (asymmetric): reuse the subspace frame
-    val qSubs = subs.join(qIds, "vec_id")
+    val joined = codes.join(broadcast(distanceTables(subs, cents1, queries, idCol)),
+      Seq("sub", "cid"))
+    val out = adcRank(joined, m, k)
+    out.count(): Unit
+    subs.unpersist(); cents1.unpersist(); codes.unpersist()
+    out
+  }
+
+  /** Per-query subspace distance tables (query_id, sub, cid, d2): the
+    * query stays EXACT (asymmetric) — broadcast-sized, |queries| × m × k. */
+  private def distanceTables(subs: DataFrame, cents1: DataFrame,
+                             queries: DataFrame, idCol: String): DataFrame =
+    subs.join(queries.select(col(idCol).as("vec_id")), "vec_id")
       .select(col("vec_id").as("query_id"), col("sub"), col("sqd"), col("nq"))
-    val dtab = qSubs.join(cents1, "sub")
+      .join(cents1, "sub")
       .select(col("query_id"), col("sub"), col("cid"),
         (col("nq") + col("nm") - lit(2.0) * dot(col("sqd"), col("m"))).as("d2"))
-    val joined = codes.join(broadcast(dtab), Seq("sub", "cid"))
+
+  /** Pivot the (query_id, vec_id, sub, d2) stream to one row per pair,
+    * total the m terms in EXPLICIT subspace order (a fixed `+` chain —
+    * unordered double aggregation is not cross-engine stable), rank per
+    * query. Totals are ~1e12 (micro² scale): decimal-rounding a double
+    * there sits at the edge of the 15-16 significant digits a double
+    * carries, where engines' round() implementations legitimately
+    * disagree — emit the WHOLE-unit integer instead (exact below 2^53). */
+  private def adcRank(joined: DataFrame, m: Int, k: Int): DataFrame = {
     val dCols = (0 until m).map(s =>
       max(when(col("sub") === s, col("d2"))).as(s"d$s"))
     val pivoted = joined.groupBy(col("query_id"), col("vec_id"))
@@ -114,15 +132,49 @@ object ProductQuantization {
     val adc = (1 until m).foldLeft(col("d0")) { (acc, s) => acc + col(s"d$s") }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("adc_raw").asc, col("vec_id").asc)
-    val out = pivoted.withColumn("adc_raw", adc)
+    pivoted.withColumn("adc_raw", adc)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      // totals are ~1e12 (micro² scale): decimal-rounding a double there
-      // sits at the edge of the 15-16 significant digits a double carries,
-      // where engines' round() implementations legitimately disagree —
-      // emit the WHOLE-unit integer instead (exact below 2^53 in both)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), round(col("adc_raw"), 0).cast("long").as("adc"))
+  }
+
+  /** IVF-PQ: the composed production shape — IVF coarse lists prune the
+    * candidate set ([[Similarity.ivfTopK]]'s exact rules: deterministic
+    * centroid pick, highest-cosine assignment, `nprobe` probe lists), PQ
+    * ADC scores only the survivors. At 100 TB the scan touches codes for
+    * ~nprobe/|lists| of the corpus instead of every raw vector — the two
+    * knobs (nprobe for recall, m×k for precision) move independently. */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                coarseStep: Int = 50, nprobe: Int = 3,
+                m: Int = 8, subDim: Int = 8, centroidStep: Int = 40,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val cent = Similarity.withNorm(emb.filter(col(idCol) % coarseStep === 0),
+      idCol, vecCol, "centroid_id", "cv", "nc")
+    // inverted lists: map-side-combined argmax, one row per vector shuffles
+    val assigned = Similarity.withNorm(emb, idCol, vecCol, "vec_id", "v", "nv")
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", round(Similarity.cosPre(col("v"), col("cv"), col("nv"), col("nc")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("ccos"), (-col("centroid_id")).as("nid"))).as("centroid_id"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("ccos").desc, col("centroid_id"))
+    val probes = Similarity.withNorm(queries, idCol, vecCol, "query_id", "qv", "nq")
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", round(Similarity.cosPre(col("qv"), col("cv"), col("nq"), col("nc")), 6))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val cand = probes.join(assigned, "centroid_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val (subs, cents1, codes) = trainAndCodes(emb, m, subDim, centroidStep, idCol, vecCol)
+    val joined = cand.join(codes, "vec_id")
+      .join(broadcast(distanceTables(subs, cents1, queries, idCol)),
+        Seq("query_id", "sub", "cid"))
+    val out = adcRank(joined, m, k)
     out.count(): Unit
     subs.unpersist(); cents1.unpersist(); codes.unpersist()
     out

@@ -292,6 +292,54 @@ object AnalyticsOracles {
         |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
         |  FROM t)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "sim_ivfpq_topk" -> (pqCte +
+      s""", e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+         |ascore AS (
+         |  SELECT e.vec_id, cent.centroid_id, ${cosSql("e.v", "cent.cv")} AS ccos
+         |  FROM e, cent),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn FROM ascore)
+         |  WHERE rn = 1),
+         |qscore AS (
+         |  SELECT qq.vec_id AS query_id, cent.centroid_id, ${cosSql("qq.v", "cent.cv")} AS ccos
+         |  FROM e qq, cent WHERE qq.vec_id < 5),
+         |probes AS (
+         |  SELECT query_id, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, centroid_id) AS rn FROM qscore)
+         |  WHERE rn <= 3),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id FROM probes p JOIN assigned a USING (centroid_id)
+         |  WHERE a.vec_id <> p.query_id),
+         |dt AS (
+         |  SELECT vec_id AS query_id, sub, cid,
+         |    nq + nm - 2.0 * list_reduce(list_prepend(0.0,
+         |      [sqd[i] * m[i] for i in generate_series(1, len(sqd))]), (a,b) -> a+b) AS d2
+         |  FROM sd JOIN c1 USING (sub) WHERE vec_id < 5),
+         |jj AS (
+         |  SELECT c.query_id, c.vec_id, a2.sub, dt.d2
+         |  FROM cand c JOIN a2 USING (vec_id)
+         |  JOIN dt ON dt.query_id = c.query_id AND dt.sub = a2.sub AND dt.cid = a2.cid),
+         |pp AS (
+         |  SELECT query_id, vec_id,
+         |    max(CASE WHEN sub = 0 THEN d2 END) AS d0,
+         |    max(CASE WHEN sub = 1 THEN d2 END) AS d1,
+         |    max(CASE WHEN sub = 2 THEN d2 END) AS d2c,
+         |    max(CASE WHEN sub = 3 THEN d2 END) AS d3,
+         |    max(CASE WHEN sub = 4 THEN d2 END) AS d4,
+         |    max(CASE WHEN sub = 5 THEN d2 END) AS d5,
+         |    max(CASE WHEN sub = 6 THEN d2 END) AS d6,
+         |    max(CASE WHEN sub = 7 THEN d2 END) AS d7
+         |  FROM jj GROUP BY query_id, vec_id),
+         |tt AS (
+         |  SELECT query_id, vec_id,
+         |    ((((((d0+d1)+d2c)+d3)+d4)+d5)+d6)+d7 AS adc FROM pp)
+         |SELECT query_id, rank, vec_id, round(adc)::BIGINT AS adc FROM (
+         |  SELECT query_id, vec_id, adc,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+         |  FROM tt)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "doc_chunks" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),

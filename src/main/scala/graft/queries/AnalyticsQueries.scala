@@ -350,6 +350,12 @@ object AnalyticsQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  def simIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    ProductQuantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Temperature mixing over the lang strata (the non-uniform dimension of
     * this corpus — sources are uniform by construction). */
   def sampleTemperature(spark: SparkSession, dir: String): DataFrame =
@@ -396,6 +402,7 @@ object AnalyticsQueries {
     "sim_pq_adc"       -> (simPqAdc(_, _)),
     "sample_temperature" -> (sampleTemperature(_, _)),
     "text_hash_vec"    -> (textHashVec(_, _)),
+    "sim_ivfpq_topk"   -> (simIvfPqTopK(_, _)),
     "embed_kmeans"     -> (embedKmeans(_, _)),
     "embed_quantize"   -> (embedQuantize(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),

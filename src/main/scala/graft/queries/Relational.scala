@@ -727,6 +727,31 @@ object Relational {
       .orderBy($"event_type", $"day")
   }
 
+  /** Overlapping-interval merge (interval union / coverage): each event
+    * opens a 30-minute activity interval; overlapping intervals per user
+    * coalesce into maximal covered spans. The gaps-and-islands shape:
+    * a running max of prior interval ends marks island starts, a running
+    * sum of the marks numbers the islands, one aggregate collapses them —
+    * all on a SINGLE user_id shuffle + in-partition sort (two frames of
+    * the same window), integer-second arithmetic throughout. */
+  def q34IntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iv = Tables(spark, dir).events
+      .select($"user_id", col("ts").cast("long").as("s"))
+      .withColumn("e", $"s" + 1800L)
+    val w = Window.partitionBy($"user_id").orderBy($"s".asc, $"e".asc)
+    val prevMax = max($"e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = iv.withColumn("new_island",
+        when(prevMax.isNull || $"s" > prevMax, 1L).otherwise(0L))
+      .withColumn("island",
+        sum($"new_island").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy($"user_id", $"island")
+      .agg(min($"s").as("span_start"), max($"e").as("span_end"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"span_start", $"span_end", $"n_events")
+      .orderBy($"user_id", $"span_start")
+  }
+
   /** Semi-structured VARIANT path: `parse_json` the props payload into a
     * VARIANT column, extract a typed field with `variant_get`, aggregate.
     * Variant is the 100 TB answer to ragged JSON: one binary-encoded

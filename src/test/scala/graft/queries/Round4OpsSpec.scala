@@ -144,6 +144,40 @@ class Round4OpsSpec extends SparkSpec {
     assert(top == (0L until 5L).map(q => q -> q).toMap)
   }
 
+  test("q34_interval_merge: spans disjoint and sorted, event mass conserved") {
+    val res = Relational.q34IntervalMerge(spark, d).collect()
+    val total = graft.Tables(spark, d).events.count()
+    assert(res.map(_.getAs[Long]("n_events")).sum == total)
+    res.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+      val spans = rows.map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
+        .sortBy(_._1)
+      spans.foreach { case (s, e) => assert(e > s) }
+      spans.zip(spans.tail).foreach { case ((_, e1), (s2, _)) =>
+        assert(s2 > e1) // maximal merge: adjacent spans have a real gap
+      }
+    }
+  }
+
+  test("IVF-PQ: pruned ADC scores agree with full ADC, self excluded") {
+    import graft.analytics.ProductQuantization
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables(spark, d).embeddings
+    val queries = emb.filter(col("vec_id") < 3)
+    val ivfpq = ProductQuantization.ivfPqTopK(emb, queries, k = 5).collect()
+    assert(ivfpq.nonEmpty)
+    assert(ivfpq.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("vec_id")))
+    // same codebooks → a surviving candidate's ADC total must be identical
+    // to the unpruned ranking's total for that (query, vector) pair
+    val full = ProductQuantization.adcTopK(emb, queries, k = emb.count().toInt)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) -> r.getAs[Long]("adc"))
+      .toMap
+    ivfpq.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      assert(full(key) == r.getAs[Long]("adc"))
+    }
+  }
+
   test("temperature mixing: weights sum to one and upsample small strata") {
     import graft.analytics.Sampling
     val docs = graft.Tables(spark, d).documents
