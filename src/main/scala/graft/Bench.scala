@@ -4,50 +4,60 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
-  /** Round-3 per-query seconds (sf0.1, local[32], uncontended box) — the
+  /** Round-4 per-query seconds (sf0.1, local[8], uncontended box) — the
     * regression baseline for the next round. The map is this round's full
     * clean local recording; flagged slowdowns are re-measured once before
     * being reported (see below). */
   val baselinePrev: Map[String, Double] = Map(
-    "agg_approx" -> 4.649, "agg_stats" -> 1.452,
-    "asof_signup" -> 2.148, "bm25_search" -> 1.492,
-    "decontaminate" -> 1.202, "dedup_cc_keepers" -> 6.954,
-    "dedup_exact" -> 0.427, "dedup_fuzzy_verify" -> 1.479,
-    "dedup_minhash" -> 1.782, "dedup_ngram" -> 3.896,
-    "dedup_ngram_keepers" -> 2.863, "dedup_simhash" -> 0.369,
-    "dedup_simhash_pairs" -> 1.103, "doc_chunks" -> 0.474,
-    "doc_len_histogram" -> 0.385, "embed_kmeans" -> 2.225,
-    "embed_neardup" -> 3.595, "mm_decode" -> 0.549,
-    "mm_frames" -> 0.424, "mm_resize" -> 0.344, "o10_escape" -> 1.951,
-    "o11_o13_route" -> 2.824, "o12_optout_dim" -> 0.784,
-    "o14_format_values" -> 2.591, "o3_count_range" -> 0.214,
-    "o4_o5_extract" -> 1.618, "o6_o7_anonymize" -> 1.316,
-    "o8_o9_statement_json" -> 1.629, "o8_withfield" -> 2.083,
-    "pipeline_curate" -> 4.698, "q10_cube" -> 0.546,
-    "q11_full_outer" -> 0.445, "q12_corr_subquery" -> 0.788,
-    "q13_grouping_sets" -> 0.301, "q14_range_frame" -> 0.851,
-    "q15_explode" -> 0.389, "q16_anti" -> 0.775,
-    "q17_window_nav" -> 0.887, "q18_month_series" -> 0.537,
-    "q19_sorted_collect" -> 0.437, "q1_agg" -> 0.526,
-    "q20_cond_agg" -> 0.364, "q21_range_join" -> 1.131,
-    "q22_map_agg" -> 0.543, "q23_corr" -> 0.42,
-    "q24_null_safe" -> 0.466, "q3_topk" -> 0.85,
-    "q5_multijoin" -> 1.135, "q6_rollup" -> 0.62,
-    "q7_percentile" -> 2.243, "q8_pivot" -> 0.531,
-    "q9_exists" -> 0.564, "sample_per_group" -> 0.353,
-    "sample_stratified" -> 0.216, "sample_weighted" -> 0.406,
-    "set_except" -> 0.612, "set_intersect" -> 0.432,
-    "shard_stats" -> 0.34, "sim_ivf_topk" -> 0.897,
-    "sim_lsh_banded" -> 1.92, "sim_lsh_bucket" -> 1.009,
-    "sim_topk" -> 0.47, "split_assign" -> 0.401,
-    "text_card_redact" -> 0.477, "text_fingerprint" -> 0.218,
-    "text_langid" -> 0.349, "text_pii_redact" -> 0.53,
-    "text_quality" -> 0.616, "text_repetition" -> 1.546,
-    "text_tok_freq" -> 0.709, "text_tokens" -> 0.438,
-    "text_tokens_re" -> 0.847, "text_top_tokens" -> 0.245,
-    "tfidf_top_terms" -> 1.402, "w1_topn_per_group" -> 0.858,
-    "w2_running_sum" -> 0.775, "w3_sessionize" -> 0.928,
-    "w4_ntile" -> 0.919)
+    "agg_approx" -> 4.477, "agg_stats" -> 1.567,
+    "asof_native" -> 1.758, "asof_signup" -> 1.537,
+    "bm25_search" -> 1.321, "decontaminate" -> 1.127,
+    "dedup_cc_keepers" -> 6.331, "dedup_containment" -> 3.056,
+    "dedup_exact" -> 0.370, "dedup_fuzzy_verify" -> 1.372,
+    "dedup_minhash" -> 1.441, "dedup_ngram" -> 3.336,
+    "dedup_ngram_keepers" -> 3.105, "dedup_prefix" -> 0.644,
+    "dedup_simhash" -> 0.320, "dedup_simhash_pairs" -> 1.023,
+    "doc_chunks" -> 0.430, "doc_len_histogram" -> 0.314,
+    "embed_kmeans" -> 1.981, "embed_neardup" -> 3.214,
+    "embed_pq" -> 2.382, "embed_quantize" -> 4.565,
+    "mm_decode" -> 0.420, "mm_frames" -> 0.304,
+    "mm_resize" -> 0.261, "o10_escape" -> 1.459,
+    "o11_o13_route" -> 2.746, "o12_optout_dim" -> 0.641,
+    "o14_format_values" -> 2.047, "o3_count_range" -> 0.148,
+    "o4_o5_extract" -> 1.225, "o6_o7_anonymize" -> 1.159,
+    "o8_o9_statement_json" -> 1.657, "o8_withfield" -> 1.710,
+    "pipeline_curate" -> 4.617, "q10_cube" -> 0.518,
+    "q11_full_outer" -> 0.454, "q12_corr_subquery" -> 0.756,
+    "q13_grouping_sets" -> 0.315, "q14_range_frame" -> 0.997,
+    "q15_explode" -> 0.319, "q16_anti" -> 0.566,
+    "q17_window_nav" -> 0.596, "q18_month_series" -> 0.460,
+    "q19_sorted_collect" -> 0.355, "q1_agg" -> 0.482,
+    "q20_cond_agg" -> 0.307, "q21_range_join" -> 0.573,
+    "q22_map_agg" -> 0.465, "q23_corr" -> 0.470,
+    "q24_null_safe" -> 0.440, "q25_array_ops" -> 0.595,
+    "q26_rank_dist" -> 1.034, "q27_datetime" -> 0.354,
+    "q28_regr" -> 0.422, "q29_mode" -> 0.416,
+    "q30_cum_distinct" -> 0.671, "q31_variant" -> 0.650,
+    "q32_lateral" -> 1.069, "q33_gapfill" -> 0.422,
+    "q34_interval_merge" -> 0.848, "q3_topk" -> 0.778,
+    "q5_multijoin" -> 1.157, "q6_rollup" -> 0.557,
+    "q7_percentile" -> 2.016, "q8_pivot" -> 0.451,
+    "q9_exists" -> 0.477, "sample_per_group" -> 0.298,
+    "sample_stratified" -> 0.196, "sample_temperature" -> 0.392,
+    "sample_weighted" -> 0.350, "set_except" -> 0.402,
+    "set_intersect" -> 0.354, "shard_stats" -> 0.318,
+    "sim_ivf_topk" -> 0.870, "sim_ivfpq_topk" -> 5.428,
+    "sim_lsh_banded" -> 1.755, "sim_lsh_bucket" -> 0.719,
+    "sim_pq_adc" -> 5.109, "sim_topk" -> 0.423,
+    "split_assign" -> 0.349, "text_card_redact" -> 0.381,
+    "text_fingerprint" -> 0.174, "text_hash_vec" -> 0.699,
+    "text_langid" -> 0.283, "text_lm_score" -> 1.824,
+    "text_pii_redact" -> 0.452, "text_quality" -> 0.568,
+    "text_repetition" -> 1.756, "text_tok_freq" -> 0.568,
+    "text_tokens" -> 0.397, "text_tokens_re" -> 0.845,
+    "text_top_tokens" -> 0.200, "tfidf_top_terms" -> 1.311,
+    "w1_topn_per_group" -> 0.711, "w2_running_sum" -> 0.602,
+    "w3_sessionize" -> 0.836, "w4_ntile" -> 0.850)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
