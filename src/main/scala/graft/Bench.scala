@@ -9,7 +9,9 @@ object Bench {
     * clean local recording; flagged slowdowns are re-measured once before
     * being reported (see below). */
   val baselinePrev: Map[String, Double] = Map(
-    "agg_approx" -> 4.477, "agg_stats" -> 1.567,
+    "agg_approx" -> 4.477, "agg_approx_pct" -> 2.350,
+    "agg_stats" -> 1.567,
+    "q35_unpivot" -> 0.380, "q36_try" -> 1.830,
     "asof_native" -> 1.758, "asof_signup" -> 1.537,
     "bm25_search" -> 1.321, "decontaminate" -> 1.127,
     "dedup_cc_keepers" -> 6.331, "dedup_containment" -> 3.056,

@@ -147,6 +147,9 @@ object SparkEntry {
     "q32_lateral"      -> (Relational.q32Lateral(_, _)),
     "q33_gapfill"      -> (Relational.q33Gapfill(_, _)),
     "q34_interval_merge" -> (Relational.q34IntervalMerge(_, _)),
+    "q35_unpivot"      -> (Relational.q35Unpivot(_, _)),
+    "q36_try"          -> (Relational.q36Try(_, _)),
+    "agg_approx_pct"   -> (Relational.aggApproxPct(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
   // DuckDB-dialect oracles over the same parquet tables (driver registers
@@ -613,6 +616,31 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, island
         |ORDER BY user_id, span_start""".stripMargin,
+    "q35_unpivot" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, 'total_cents' AS metric,
+        |    round(o_totalprice * 100)::BIGINT AS v FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'custkey' AS metric,
+        |    o_custkey::BIGINT AS v FROM orders)
+        |SELECT metric, count(*) AS n, sum(v)::BIGINT AS sum_v,
+        |  min(v) AS min_v, max(v) AS max_v
+        |FROM u GROUP BY metric ORDER BY metric""".stripMargin,
+    "q36_try" -> (anonCte +
+      """SELECT event_type, count(*) AS n,
+        |  count(q) AS n_safe,
+        |  sum(round(q)::BIGINT)::BIGINT AS sum_q_cents,
+        |  count(TRY_CAST(event_type AS BIGINT)) AS n_numeric
+        |FROM (
+        |  SELECT event_type,
+        |    (value * 100) / nullif((k % 3)::DOUBLE, 0.0) AS q
+        |  FROM extracted)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "agg_approx_pct" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+        |  TRUE AS p50_within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "asof_native" -> (anonCte +
       """SELECT e.id, e.user_id, s.id AS signup_id
         |FROM extracted e ASOF LEFT JOIN

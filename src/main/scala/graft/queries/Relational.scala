@@ -752,6 +752,55 @@ object Relational {
       .orderBy($"user_id", $"span_start")
   }
 
+  /** UNPIVOT (melt) via `stack` — the inverse of q8_pivot: wide metric
+    * columns become (metric, value) rows in one narrow pass, then a tiny
+    * per-metric aggregate. Integer-cent values keep the sums exact. */
+  def q35Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .select($"o_orderkey",
+        expr("stack(2, 'total_cents', CAST(round(o_totalprice * 100) AS BIGINT), " +
+          "'custkey', CAST(o_custkey AS BIGINT))")
+          .as(Seq("metric", "v")))
+      .groupBy($"metric")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sum_v"),
+        min($"v").as("min_v"), max($"v").as("max_v"))
+      .orderBy($"metric")
+  }
+
+  /** try_-function semantics (ANSI-safe arithmetic): `try_divide` yields
+    * NULL where ANSI `/` throws, `try_cast` yields NULL where CAST errors.
+    * Per-quotient integer rounding before the sum keeps the aggregate
+    * exact (an unordered sum of raw double quotients would be
+    * order-dependent in both engines). */
+  def q36Try(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.pipeline.EventStatements.extracted(Tables(spark, dir).events)
+    val d = $"k" % 3
+    val q = try_divide($"value" * 100, d.cast("double"))
+    ev.groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        count(q).as("n_safe"),
+        sum(round(q, 0).cast("long")).as("sum_q_cents"),
+        count(expr("try_cast(event_type AS BIGINT)")).as("n_numeric"))
+      .orderBy($"event_type")
+  }
+
+  /** Verified approx percentile (the q7 scale path, oracle-checked the
+    * agg_approx way): exact median hash-matches the oracle, and the
+    * in-engine tolerance booleans assert the sketch lands within 1% —
+    * a drifting sketch flips the row red. */
+  def aggApproxPct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(round(percentile($"l_extendedprice", lit(0.5)), 2).as("p50_exact"),
+        approx_percentile($"l_extendedprice", lit(0.5), lit(10000)).as("a50"))
+      .select($"l_returnflag", $"p50_exact",
+        (abs($"a50" - $"p50_exact") <= $"p50_exact" * 0.01).as("p50_within_tol"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Semi-structured VARIANT path: `parse_json` the props payload into a
     * VARIANT column, extract a typed field with `variant_get`, aggregate.
     * Variant is the 100 TB answer to ragged JSON: one binary-encoded
