@@ -87,6 +87,23 @@ final class ShardedParquetSink(baseDir: String, nShards: Int,
       .parquet(s"$baseDir/$table")
 }
 
+/** Time-clustered parquet layout: range-partition on the cluster column,
+  * sort within partitions, write. Each output file then covers a TIGHT
+  * range of the cluster key, so parquet min/max statistics let any
+  * key-band predicate skip whole row groups at scan time — the
+  * sort-on-write data-layout optimization (Z-order's 1-D case). At 100 TB
+  * the one range shuffle at write time buys every downstream time-banded
+  * scan a proportional read reduction; `LayoutSpec` measures the pruning
+  * (clustered scan emits a fraction of the shuffled layout's rows for the
+  * same predicate, identical results). */
+final class ClusteredParquetSink(baseDir: String, partitions: Int,
+                                 clusterCol: String = "ts") extends BatchSink {
+  override def write(df: DataFrame, table: String): Unit =
+    df.repartitionByRange(partitions, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Append).parquet(s"$baseDir/$table")
+}
+
 /** Test double: fails the first `failures` writes then delegates —
   * exercises the O17 retry / O18 DLQ paths deterministically. */
 final class FlakySink(delegate: BatchSink, failures: Int) extends BatchSink {

@@ -83,6 +83,37 @@ class AsofNativeSpec extends SparkSpec {
     assert(sortedRows(comp) == sortedRows(bruteForce(l, r)))
   }
 
+  test("native as-of exec matches brute force on randomized corpora (seeded)") {
+    val lSchema = StructType(Seq(
+      StructField("k", StringType), StructField("lt", LongType),
+      StructField("lv", StringType)))
+    val rSchema = StructType(Seq(
+      StructField("k", StringType), StructField("rt", LongType),
+      StructField("tie", LongType), StructField("rv", StringType)))
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      // small key space + small time range force heavy key groups, ties at
+      // equal (key, ts), and both-null and no-match cases
+      def key(): String = if (rnd.nextInt(10) == 0) null else ("k" + rnd.nextInt(6))
+      def ts(): Any = if (rnd.nextInt(12) == 0) null else rnd.nextInt(40).toLong
+      val lRows = (1 to 200).map(i => Row(key(), ts(), f"l$i%03d"))
+      // tie = row index: unique per right row, so the greatest-(rt, tie)
+      // winner is well-defined on both sides even at equal (k, rt)
+      val rRows = (1 to 150).map(i =>
+        Row(key(), ts(), i.toLong,
+          if (rnd.nextInt(8) == 0) null else s"r$i"))
+      val l = spark.createDataFrame(
+        spark.sparkContext.parallelize(lRows, 5), lSchema)
+      val r = spark.createDataFrame(
+        spark.sparkContext.parallelize(rRows, 3), rSchema)
+      val native = AsofJoinNative.join(l, r, Seq("k"), "lt", "rt", "tie")
+        .select(col("k"), col("lt"), col("lv"),
+          col("asof_rt").as("m_rt"), col("asof_tie").as("m_tie"),
+          col("asof_rv").as("m_rv"))
+      assert(sortedRows(native) == sortedRows(bruteForce(l, r)), s"seed=$seed")
+    }
+  }
+
   test("native as-of exec matches the compositional operator on the events corpus") {
     import graft.queries.Relational
     val d = sf("sf0.001")
