@@ -56,4 +56,18 @@ object Sources {
   /** Test/local analog of O2. */
   def fileScan(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** Format-generic batch scan with an explicit schema: the same
+    * downstream dataflow runs off parquet, ORC, JSON-lines, or headered
+    * CSV (FormatMatrixSpec proves row-identical round trips). Schema is
+    * REQUIRED rather than inferred — inference re-reads the data and can
+    * drift (e.g. CSV integers widening to bigint), which silently changes
+    * downstream plans; at 100 TB only the columnar formats prune columns
+    * and push filters, so they are the storage default and the text
+    * formats are ingest/interchange surfaces. */
+  def formatScan(spark: SparkSession, format: String, path: String,
+                 schema: StructType): DataFrame =
+    spark.read.format(format).schema(schema)
+      .option("header", "true") // CSV only; ignored by the others
+      .load(path)
 }

@@ -114,6 +114,38 @@ class AsofNativeSpec extends SparkSpec {
     }
   }
 
+  test("native as-of exec handles MULTI-column keys (randomized, seeded)") {
+    val lSchema = StructType(Seq(
+      StructField("k", StringType), StructField("k2", LongType),
+      StructField("lt", LongType), StructField("lv", StringType)))
+    val rSchema = StructType(Seq(
+      StructField("k", StringType), StructField("k2", LongType),
+      StructField("rt", LongType), StructField("tie", LongType),
+      StructField("rv", StringType)))
+    val rnd = new scala.util.Random(11)
+    def key(): String = if (rnd.nextInt(10) == 0) null else ("k" + rnd.nextInt(4))
+    def key2(): Any = if (rnd.nextInt(10) == 0) null else rnd.nextInt(3).toLong
+    def ts(): Any = if (rnd.nextInt(12) == 0) null else rnd.nextInt(30).toLong
+    val l = spark.createDataFrame(spark.sparkContext.parallelize(
+      (1 to 150).map(i => Row(key(), key2(), ts(), f"l$i%03d")), 4), lSchema)
+    val r = spark.createDataFrame(spark.sparkContext.parallelize(
+      (1 to 120).map(i => Row(key(), key2(), ts(), i.toLong, s"r$i")), 3), rSchema)
+    val native = AsofJoinNative.join(l, r, Seq("k", "k2"), "lt", "rt", "tie")
+      .select(col("k"), col("k2"), col("lt"), col("lv"),
+        col("asof_rt").as("m_rt"), col("asof_tie").as("m_tie"),
+        col("asof_rv").as("m_rv"))
+    val cand = l.join(
+      r.toDF("rk", "rk2", "rt", "tie", "rv"),
+      col("k") === col("rk") && col("k2") === col("rk2") && col("rt") <= col("lt"),
+      "left")
+    val w = Window.partitionBy("lv")
+      .orderBy(col("rt").desc_nulls_last, col("tie").desc_nulls_last)
+    val brute = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("k"), col("k2"), col("lt"), col("lv"),
+        col("rt").as("m_rt"), col("tie").as("m_tie"), col("rv").as("m_rv"))
+    assert(sortedRows(native) == sortedRows(brute))
+  }
+
   test("native as-of exec matches the compositional operator on the events corpus") {
     import graft.queries.Relational
     val d = sf("sf0.001")
