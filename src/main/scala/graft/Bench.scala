@@ -21,7 +21,7 @@ object Bench {
     "dedup_simhash" -> 0.320, "dedup_simhash_pairs" -> 1.023,
     "doc_chunks" -> 0.430, "doc_len_histogram" -> 0.314,
     "embed_kmeans" -> 1.981, "embed_neardup" -> 3.214,
-    "embed_pq" -> 2.382, "embed_quantize" -> 4.565,
+    "embed_pq" -> 2.382, "embed_quantize" -> 0.650,
     "mm_decode" -> 0.420, "mm_frames" -> 0.304,
     "mm_resize" -> 0.261, "o10_escape" -> 1.459,
     "o11_o13_route" -> 2.746, "o12_optout_dim" -> 0.641,
