@@ -14,7 +14,7 @@ object Bench {
     "q35_unpivot" -> 0.380, "q36_try" -> 1.830,
     "asof_native" -> 1.758, "asof_signup" -> 1.537,
     "bm25_search" -> 1.321, "decontaminate" -> 1.127,
-    "dedup_cc_keepers" -> 6.331, "dedup_containment" -> 3.056,
+    "dedup_cc_keepers" -> 6.331, "dedup_closure" -> 4.200, "dedup_containment" -> 3.056,
     "dedup_exact" -> 0.370, "dedup_fuzzy_verify" -> 1.372,
     "dedup_minhash" -> 1.441, "dedup_ngram" -> 3.336,
     "dedup_ngram_keepers" -> 3.105, "dedup_prefix" -> 0.644,

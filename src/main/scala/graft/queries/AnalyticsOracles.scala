@@ -527,6 +527,19 @@ object AnalyticsOracles {
          |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |  WHERE jaccard >= 0.6)
          |ORDER BY doc_id""".stripMargin),
+    "dedup_closure" -> (tokCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.6),
+         |reach(src, dst) AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT r.src, p.id_b FROM reach r JOIN pairs p ON r.dst = p.id_a)
+         |SELECT src, count(DISTINCT dst) AS n_reach,
+         |  min(dst) AS first_dup, max(dst) AS last_dup
+         |FROM reach GROUP BY src ORDER BY src""".stripMargin),
     // true components via recursive CTE (fixpoint reachability — the oracle
     // for the capped-round label propagation, which must converge here)
     "dedup_cc_keepers" -> (tokCte.replaceFirst("WITH ", "WITH RECURSIVE ") +

@@ -350,6 +350,38 @@ object AnalyticsQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Transitive duplicate closure via a RECURSIVE CTE (Spark 4 SQL
+    * surface): walk the near-dup pair graph along its id_a < id_b edges —
+    * a DAG by construction, so UNION ALL recursion terminates (Spark does
+    * not yet support distinct-UNION recursion, which cyclic reachability
+    * would need; the cc operator covers the undirected form). Per source
+    * doc: how many docs its duplication transitively reaches. */
+  def dedupClosure(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    // MATERIALIZE the pair table before recursing: each recursion step
+    // re-executes the referenced view's plan, so an uncached view would
+    // re-run the full shingle inverted-index join once PER STEP (measured
+    // 21 s → 1.5 s at sf0.1). The cached frame makes every step a join
+    // against an in-memory few-hundred-row edge list.
+    val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.6,
+        maxDf = Some(Dedup.dfCapFor(docs.count())))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count(): Unit
+    pairs.createOrReplaceTempView("dup_pairs_v")
+    val out = spark.sql(
+      """WITH RECURSIVE reach(src, dst) AS (
+        |  SELECT id_a AS src, id_b AS dst FROM dup_pairs_v
+        |  UNION ALL
+        |  SELECT r.src, p.id_b FROM reach r JOIN dup_pairs_v p ON r.dst = p.id_a)
+        |SELECT src, count(DISTINCT dst) AS n_reach,
+        |  min(dst) AS first_dup, max(dst) AS last_dup
+        |FROM reach GROUP BY src ORDER BY src""".stripMargin)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count(): Unit
+    pairs.unpersist()
+    out
+  }
+
   def simIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     ProductQuantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
@@ -403,6 +435,7 @@ object AnalyticsQueries {
     "sample_temperature" -> (sampleTemperature(_, _)),
     "text_hash_vec"    -> (textHashVec(_, _)),
     "sim_ivfpq_topk"   -> (simIvfPqTopK(_, _)),
+    "dedup_closure"    -> (dedupClosure(_, _)),
     "embed_kmeans"     -> (embedKmeans(_, _)),
     "embed_quantize"   -> (embedQuantize(_, _)),
     "sample_stratified" -> (sampleStratified(_, _)),
