@@ -73,6 +73,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // auto-bucket pure point-in-interval inequality joins (kills the
     // nested-loop plan; see graft.plans.RangeJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
+    // plan AsofJoinPlan nodes into the native forward-merge exec, so
+    // extension-configured sessions need no runtime register() call
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 

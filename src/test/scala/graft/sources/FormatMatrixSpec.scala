@@ -34,4 +34,33 @@ class FormatMatrixSpec extends SparkSpec {
     }
     ev.unpersist()
   }
+
+  test("corrupt JSON lines quarantine under PERMISSIVE; valid rows survive (skip accounting)") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("corrupt").toString
+    val lines = Seq(
+      """{"id": 1, "name": "ok-one"}""",
+      """this is not json at all""",
+      """{"id": 2, "name": "ok-two"}""",
+      """{"id": "not-a-number", "name": "bad-type"}""",
+      """{"id": 3, "name": "ok-three"}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base, "data.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("_corrupt_record", StringType)))
+    // the reference's skip-and-count semantics at the format level:
+    // malformed records land in the corrupt column instead of killing the
+    // job, and the skip COUNT is queryable (O5's failed_docs analog)
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(base)
+      .cache() // Spark disallows corrupt-column-only queries on the raw scan
+    assert(df.filter(col("_corrupt_record").isNull)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 2)
+    df.unpersist()
+  }
 }
