@@ -474,4 +474,77 @@ object Dedup {
     a.join(b, col("h") === col("hb") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("h").as("prefix_hash"))
   }
+
+  /** Candidate near-dup pairs from shared winnowing fingerprints — the pair
+    * stage of the MOSS scheme over [[TextAnalysis.winnowFingerprints]]'s
+    * index. `n_shared` counts shared selected fingerprints; `minShared >= 2`
+    * is the standard noise floor (a single shared fingerprint is one k-token
+    * gram — often coincidence; multiple shared window-minima indicate a
+    * sustained verbatim run).
+    *
+    * Scale shape mirrors the shingle inverted index: explode to (doc, fp),
+    * OPTIONAL hot-fingerprint df cap (`maxDf` — the semi-join shares the
+    * self-join's fp key, so the exchange is reused), equi self-join on
+    * 8-byte fingerprint ints, then a pair-keyed count. Candidate volume is
+    * Σ min(df,cap)² over fingerprint groups — sub-quadratic unless documents
+    * genuinely share text. Recall under the cap: a true pair is lost only if
+    * EVERY shared fingerprint is hotter than the cap (same argument,
+    * and the same default, as [[dfCapFor]]). */
+  def winnowDupPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                     minShared: Long = 2, maxDf: Option[Long] = None,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fps = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
+    val kept = maxDf.fold(fps) { cap =>
+      val cool = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("fp")
+      fps.join(cool, Seq("fp"), "left_semi")
+    }
+    // explicit selects, not positional toDF: the semi-join above reorders
+    // columns to (fp, doc_id)
+    val a = kept.select(col("doc_id").as("id_a"), col("fp"))
+    val b = kept.select(col("doc_id").as("id_b"), col("fp").as("fpb"))
+    a.join(b, col("fp") === col("fpb") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Corpus-level exact SPAN dedup (the C4 move — Raffel et al. 2020 run it
+    * on three-sentence spans; here the span is a fixed token window, the
+    * unit this corpus supports): every non-overlapping `spanTokens`-token
+    * span is hashed, the FIRST occurrence corpus-wide (lowest
+    * (doc_id, chunk_idx)) is the keeper, and every other occurrence is
+    * marked removed. This catches cross-document boilerplate that
+    * whole-document dedup cannot — two documents sharing one viral
+    * paragraph are untouched by exact dedup and often below every
+    * near-dup threshold.
+    *
+    * Per-doc accounting comes back as (n_spans, n_removed, n_kept_tok): the
+    * numbers a curation pipeline reports and thresholds on ("drop docs that
+    * lost >50% of their spans").
+    *
+    * Scale shape: span extraction is the ZERO-shuffle [[Sampling.docChunks]]
+    * explode; the keeper aggregate and the span↔keeper join are both keyed
+    * on the 128-bit span hash (the join reuses the aggregate's exchange —
+    * same key), and the final per-doc rollup shuffles doc_id. Nothing ever
+    * shuffles span text, and the canonical-occurrence rule is a linear key
+    * `doc_id·10⁶ + chunk_idx` (chunk_idx < 10⁶ by construction at any sane
+    * span size), so both engines order occurrences identically with pure
+    * int64 arithmetic. */
+  def spanDedupStats(docs: DataFrame, spanTokens: Int = 16,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spans = Sampling.docChunks(docs, size = spanTokens, stride = spanTokens,
+        textCol = textCol, idCol = idCol, hashChars = 32)
+      .select(col("doc_id"), col("n_tok"), col("chunk_hash"),
+        (col("doc_id") * 1000000L + col("chunk_idx")).as("occ_key"))
+    val keepers = spans.groupBy("chunk_hash")
+      .agg(min(col("occ_key")).as("first_key"))
+    spans.join(keepers, Seq("chunk_hash"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("occ_key") =!= col("first_key")).cast("int").as("removed"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("removed")).as("n_removed"),
+        sum(when(col("removed") === 0, col("n_tok")).otherwise(0L)).as("n_kept_tok"))
+  }
 }

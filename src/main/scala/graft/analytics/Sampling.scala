@@ -159,7 +159,8 @@ object Sampling {
     * ZERO shuffle, so at 100 TB this is scan-bound; chunk identity is the
     * sha256 prefix, not the chunk text, keeping output rows small. */
   def docChunks(docs: DataFrame, size: Int, stride: Int,
-                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                textCol: String = "text", idCol: String = "doc_id",
+                hashChars: Int = 16): DataFrame = {
     require(stride > 0 && size >= stride, s"need 0 < stride <= size, got size=$size stride=$stride")
     import org.apache.spark.sql.functions.{size => asize}
     val t = TextAnalysis.tokens(col(textCol))
@@ -179,7 +180,7 @@ object Sampling {
         slice(col("__toks"), col("chunk_idx") * stride + 1, lit(size)).as("__sl"))
       .select(col("doc_id"), col("chunk_idx"),
         asize(col("__sl")).as("n_tok"),
-        substring(sha2(concat_ws(" ", col("__sl")), 256), 1, 16).as("chunk_hash"))
+        substring(sha2(concat_ws(" ", col("__sl")), 256), 1, hashChars).as("chunk_hash"))
   }
 
   /** Deterministic shard assignment (training-shard routing): shard =

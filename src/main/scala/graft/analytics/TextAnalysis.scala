@@ -144,4 +144,85 @@ object TextAnalysis {
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),
       (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Gopher-style document quality gates (Rae et al. 2021 §A1.1, adapted to
+    * this corpus' thresholds): token-count bounds, mean-token-length bounds,
+    * minimum distinct-stopword presence, and a repeated-token-fraction cap.
+    * A training-data pipeline runs these as the FIRST filter — they are the
+    * cheapest signal per byte and remove the bulk of junk before any
+    * dedup/similarity stage spends a shuffle on it.
+    *
+    * Shape at 100 TB: one explode + two-level aggregate, identical to
+    * [[repetitionStats]] — partials combine map-side, the only shuffle is
+    * doc_id-keyed (skew-free by construction). Everything downstream of the
+    * aggregate is a per-row projection. Gate flags are int 0/1 (not boolean)
+    * so the oracle hash is engine-neutral.
+    */
+  def gopherGates(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id",
+                  minTokens: Long = 30, maxTokens: Long = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minStopHits: Long = 2, maxDupFrac: Double = 0.75): DataFrame = {
+    val stats = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(length(col("tok")) * col("cnt")).as("sum_len"),
+        count(when(col("tok").isin(StopwordsEn.map(lit): _*), 1)).as("n_stop"))
+    val meanLen = col("sum_len").cast("double") / col("n_tokens")
+    val dupFrac = (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens")
+    stats.select(
+      col("doc_id"),
+      col("n_tokens"),
+      round(meanLen, 4).as("mean_tok_len"),
+      col("n_stop"),
+      round(dupFrac, 4).as("dup_tok_frac"),
+      (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+        .cast("int").as("gate_len"),
+      (meanLen >= minMeanLen && meanLen <= maxMeanLen).cast("int").as("gate_wordlen"),
+      (col("n_stop") >= minStopHits).cast("int").as("gate_stop"),
+      (dupFrac <= maxDupFrac).cast("int").as("gate_rep"))
+      .withColumn("keep",
+        (col("gate_len") === 1 && col("gate_wordlen") === 1 &&
+          col("gate_stop") === 1 && col("gate_rep") === 1).cast("int"))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS local fingerprinting scheme), at token granularity: hash every
+    * k-token gram, slide a window of `w` consecutive gram hashes, select
+    * each window's minimum, emit the distinct selected hashes. Guarantee:
+    * any match of `w + k - 1` or more contiguous tokens between two
+    * documents shares at least one selected fingerprint — the indexable
+    * artifact for SUBSTRING-level dedup, which whole-document Jaccard and
+    * simhash both miss.
+    *
+    * Scale shape: pure narrow per-row computation (the slices evaluate the
+    * tokenizer a constant number of times per row — see [[bigrams]] for why
+    * indexing into the token array inside a lambda would be quadratic);
+    * density is 2/(w+1) of grams, so the emitted index is a fraction of the
+    * corpus and the downstream pair-join shuffles 8-byte fingerprints only.
+    * Gram hashes are sha256-prefix 60-bit ints, the same engine-neutral
+    * formula as [[Dedup.hash60]].
+    */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val t = tokens(text)
+    val nGrams = size(t) - (k - 1)
+    // k-gram strings by zipping k row-level slices (k fixed at plan time).
+    val grams = (2 to k).foldLeft(slice(t, lit(1), nGrams)) { (acc, j) =>
+      zip_with(acc, slice(t, lit(j), nGrams), (a, b) => concat_ws(" ", a, b))
+    }
+    val hashes = transform(grams,
+      g => conv(substring(sha2(g, 256), 1, 15), 16, 10).cast("long"))
+    val mins = transform(sequence(lit(1), nGrams - (w - 1)),
+      i => array_min(slice(hashes, i, lit(w))))
+    // Guard BOTH degenerate regimes: sequence(1, n) with n < 1 generates a
+    // DESCENDING list (step -1), and slice with negative length throws.
+    when(nGrams >= w, array_distinct(mins))
+      .when(nGrams >= 1, array_distinct(array(array_min(hashes))))
+      .otherwise(array().cast("array<long>"))
+  }
 }

@@ -83,6 +83,92 @@ object AnalyticsOracles {
       |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)""".stripMargin
 
   val all: Map[String, String] = Map(
+    "text_gopher_gates" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+        |cnts AS (
+        |  SELECT doc_id, tok, count(*) AS cnt FROM t
+        |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
+        |s AS (
+        |  SELECT doc_id, sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+        |         sum(length(tok) * cnt)::BIGINT AS sum_len,
+        |         count(CASE WHEN tok IN ('the','a','of','to','and') THEN 1 END)::BIGINT AS n_stop
+        |  FROM cnts GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(sum_len::DOUBLE / n_tokens, 4) AS mean_tok_len,
+        |  n_stop,
+        |  round((n_tokens - n_distinct)::DOUBLE / n_tokens, 4) AS dup_tok_frac,
+        |  (n_tokens >= 30 AND n_tokens <= 100000)::INT AS gate_len,
+        |  (sum_len::DOUBLE / n_tokens >= 3.0 AND sum_len::DOUBLE / n_tokens <= 10.0)::INT AS gate_wordlen,
+        |  (n_stop >= 2)::INT AS gate_stop,
+        |  ((n_tokens - n_distinct)::DOUBLE / n_tokens <= 0.75)::INT AS gate_rep,
+        |  (n_tokens >= 30 AND n_tokens <= 100000
+        |   AND sum_len::DOUBLE / n_tokens >= 3.0 AND sum_len::DOUBLE / n_tokens <= 10.0
+        |   AND n_stop >= 2
+        |   AND (n_tokens - n_distinct)::DOUBLE / n_tokens <= 0.75)::INT AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_winnow" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, [toks[i]||' '||toks[i+1]||' '||toks[i+2]
+        |    for i in generate_series(1, len(toks)-2)] AS grams
+        |  FROM tok),
+        |h AS (
+        |  SELECT doc_id, [('0x'||substr(sha256(x),1,15))::BIGINT for x in grams] AS hs,
+        |         len(grams) AS ng
+        |  FROM g),
+        |m AS (
+        |  SELECT doc_id, CASE
+        |    WHEN ng >= 4 THEN list_distinct([list_min(hs[i : i+3])
+        |      for i in generate_series(1, ng-3)])
+        |    WHEN ng >= 1 THEN [list_min(hs)]
+        |    ELSE []::BIGINT[] END AS fps
+        |  FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin,
+    "dedup_winnow_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, [toks[i]||' '||toks[i+1]||' '||toks[i+2]
+        |    for i in generate_series(1, len(toks)-2)] AS grams
+        |  FROM tok),
+        |h AS (
+        |  SELECT doc_id, [('0x'||substr(sha256(x),1,15))::BIGINT for x in grams] AS hs,
+        |         len(grams) AS ng
+        |  FROM g),
+        |m AS (
+        |  SELECT doc_id, CASE
+        |    WHEN ng >= 4 THEN list_distinct([list_min(hs[i : i+3])
+        |      for i in generate_series(1, ng-3)])
+        |    WHEN ng >= 1 THEN [list_min(hs)]
+        |    ELSE []::BIGINT[] END AS fps
+        |  FROM h),
+        |f AS (SELECT doc_id, unnest(fps) AS fp FROM m)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, (len(toks)-1) // 16)) AS chunk_idx
+        |  FROM tok),
+        |sp AS (
+        |  SELECT doc_id, chunk_idx,
+        |    len(toks[chunk_idx*16+1 : least(chunk_idx*16+16, len(toks))]) AS n_tok,
+        |    substr(sha256(array_to_string(
+        |      toks[chunk_idx*16+1 : least(chunk_idx*16+16, len(toks))], ' ')), 1, 32) AS h,
+        |    doc_id*1000000 + chunk_idx AS occ_key
+        |  FROM c),
+        |k AS (SELECT h, min(occ_key) AS first_key FROM sp GROUP BY h)
+        |SELECT doc_id, count(*)::BIGINT AS n_spans,
+        |  sum(CASE WHEN occ_key != first_key THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |  sum(CASE WHEN occ_key = first_key THEN n_tok ELSE 0 END)::BIGINT AS n_kept_tok
+        |FROM sp JOIN k USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pipeline_curate" -> (tokCte +
       s""", scored AS (
          |  SELECT doc_id, text,

@@ -416,7 +416,42 @@ object AnalyticsQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Gopher quality gates (token count, mean token length, stopword
+    * presence, repetition cap) — the pipeline's cheapest-first filter. */
+  def textGopherGates(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherGates(Tables(spark, dir).documents)
+      .orderBy(col("doc_id"))
+
+  /** Winnowing (MOSS) fingerprints: the substring-level dedup index.
+    * k=3-token grams, window w=4 — any ≥6-token verbatim overlap between
+    * two documents is guaranteed to share a fingerprint. */
+  def textWinnow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(TextAnalysis.winnowFingerprints(col("text"), k = 3, w = 4)).as("fp"))
+      .orderBy(col("doc_id"), col("fp"))
+
+  /** C4-style corpus span dedup: per-doc span/removal/kept-token counts
+    * after global first-occurrence-wins dedup of 16-token spans. */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedupStats(Tables(spark, dir).documents, spanTokens = 16)
+      .orderBy(col("doc_id"))
+
+  /** MOSS pair stage: documents sharing >= 2 winnow fingerprints, with the
+    * hot-fingerprint df cap engaged (the 100 TB default — cap exceeds every
+    * df on this corpus, so the oracle's uncapped form matches exactly). */
+  def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Dedup.winnowDupPairs(docs, k = 3, w = 4, minShared = 2,
+        maxDf = Some(Dedup.dfCapFor(docs.count())))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_gates" -> (textGopherGates(_, _)),
+    "text_winnow"      -> (textWinnow(_, _)),
+    "dedup_spans"      -> (dedupSpans(_, _)),
+    "dedup_winnow_pairs" -> (dedupWinnowPairs(_, _)),
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
     "text_tok_freq"    -> (textTokFreq(_, _)),
