@@ -493,6 +493,7 @@ object Dedup {
   def winnowDupPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
                      minShared: Long = 2, maxDf: Option[Long] = None,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val fps = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
     val kept = maxDf.fold(fps) { cap =>

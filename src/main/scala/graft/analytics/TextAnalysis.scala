@@ -199,15 +199,23 @@ object TextAnalysis {
     * artifact for SUBSTRING-level dedup, which whole-document Jaccard and
     * simhash both miss.
     *
-    * Scale shape: pure narrow per-row computation (the slices evaluate the
-    * tokenizer a constant number of times per row — see [[bigrams]] for why
-    * indexing into the token array inside a lambda would be quadratic);
+    * Scale shape: pure narrow per-row computation with zero shuffle;
     * density is 2/(w+1) of grams, so the emitted index is a fraction of the
     * corpus and the downstream pair-join shuffles 8-byte fingerprints only.
     * Gram hashes are sha256-prefix 60-bit ints, the same engine-neutral
-    * formula as [[Dedup.hash60]].
+    * formula as [[Dedup.hash60]]. Backed by the compiled
+    * [[graft.functions.WinnowFingerprintsExpr]]; the declarative twin below
+    * is the semantics contract (and what the DuckDB oracle mirrors), but its
+    * window-min lambda re-evaluates the captured gram-hash array per WINDOW
+    * (interpreted HOFs do no CSE) — O(grams²) sha256 calls per document,
+    * measured 87 s vs ~1 s on the sf0.1 corpus.
     */
-  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    graft.functions.GraftFunctions.winnowFast(text, k, w)
+
+  /** Declarative twin of [[winnowFingerprints]] — parity-tested against the
+    * compiled expression; do not use on a hot path (see scaladoc above). */
+  def winnowFingerprintsDeclarative(text: Column, k: Int = 3, w: Int = 4): Column = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
     val t = tokens(text)
     val nGrams = size(t) - (k - 1)

@@ -119,6 +119,18 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_card_redact", exprs => CardRedact(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow",
+      exprs => WinnowFingerprintsExpr(exprs(0),
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
+        },
+        exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(s"w must be an int literal, got $other")
+        }),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_quality", exprs => QualityScore(exprs(0),
         graft.analytics.TextAnalysis.StopwordsEn), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -149,4 +161,9 @@ object GraftFunctions {
   /** Column API for native word shingles (requires [[register]]). */
   def wordShingles(text: Column, n: Int): Column =
     call_function("graft_word_shingles", text, org.apache.spark.sql.functions.lit(n))
+
+  /** Column API for winnowing fingerprints (requires [[register]]). */
+  def winnowFast(text: Column, k: Int, w: Int): Column =
+    call_function("graft_winnow", text,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
 }

@@ -425,11 +425,13 @@ object AnalyticsQueries {
   /** Winnowing (MOSS) fingerprints: the substring-level dedup index.
     * k=3-token grams, window w=4 — any ≥6-token verbatim overlap between
     * two documents is guaranteed to share a fingerprint. */
-  def textWinnow(spark: SparkSession, dir: String): DataFrame =
+  def textWinnow(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     Tables(spark, dir).documents
       .select(col("doc_id"),
         explode(TextAnalysis.winnowFingerprints(col("text"), k = 3, w = 4)).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
+  }
 
   /** C4-style corpus span dedup: per-doc span/removal/kept-token counts
     * after global first-occurrence-wins dedup of 16-token spans. */

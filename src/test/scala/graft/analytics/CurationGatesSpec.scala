@@ -95,6 +95,18 @@ class CurationGatesSpec extends SparkSpec {
       s"expected sparse selection, got ${m(5L).size} of $nGrams grams")
   }
 
+  test("winnow compiled expression ≡ declarative twin on corpus + adversarial inputs") {
+    val corpus = graft.Tables(spark, sf("sf0.001")).documents.select(col("text"))
+    val edges = Seq("", " ", "a", "a b", "a b c", "a b c d", "a b c d e f g",
+      "  leading and trailing  ", "x\t\ttabs\nnewlines x", "a a a a a a a a")
+      .toDF("text")
+    val cmp = corpus.unionAll(edges).select(
+      TextAnalysis.winnowFingerprints(col("text")).as("fast"),
+      TextAnalysis.winnowFingerprintsDeclarative(col("text")).as("slow"))
+    assert(cmp.filter(col("fast") =!= col("slow")).count() == 0)
+    assert(cmp.filter(col("fast").isNull || col("slow").isNull).count() == 0)
+  }
+
   test("winnowDupPairs: sustained overlap pairs up, single-fp noise is floored out") {
     val run = (1 to 20).map(i => s"c$i").mkString(" ") // 20-token shared run
     val docs = Seq(
