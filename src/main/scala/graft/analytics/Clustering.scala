@@ -60,12 +60,17 @@ object Clustering {
       .withColumn("nm", sqNorm(col("m")))
   }
 
-  /** Fixed-round Lloyd k-means; returns per-cluster stats after the final
-    * assignment: member count, min member id, and the (exact-arithmetic)
-    * mean of the first quantized component. `rounds` assignments run in
-    * total, with `rounds − 1` centroid recomputations between them. */
-  def kmeansStats(emb: DataFrame, centroidStep: Int, rounds: Int = 2,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Fixed-round Lloyd assignment joined with the scoring vectors:
+    * `(vec_id, cid, qd, nq, qi)` — the shared core under [[kmeansStats]] and
+    * [[semdedupKeepers]]. `rounds` assignments run in total, with
+    * `rounds − 1` centroid recomputations between them.
+    *
+    * The result is persisted (MEMORY_AND_DISK) and MATERIALIZED before the
+    * corpus-sized intermediate caches are released — the caller must
+    * `unpersist()` it when done (same iterative-algorithm cache-lifetime
+    * pattern as connectedComponentKeepers). */
+  def kmeansAssignments(emb: DataFrame, centroidStep: Int, rounds: Int = 2,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val quantized = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qi"))
@@ -84,22 +89,68 @@ object Clustering {
       assigned = assign(corpus, recompute(assigned, quantized))
       r += 1
     }
-    val out = assigned.join(quantized, "vec_id")
+    val out = assigned.join(corpus, "vec_id").join(quantized, "vec_id").persist(lvl)
+    // Materialize NOW, while quantized/corpus are cached (every round's
+    // branches re-read them), then release the intermediate caches —
+    // without this, either the inputs leak cache for the session lifetime
+    // (never unpersisted) or the caller's action recomputes every round
+    // uncached (unpersisted too early).
+    out.count(): Unit
+    quantized.unpersist()
+    corpus.unpersist()
+    out
+  }
+
+  /** Per-cluster stats after the final assignment: member count, min member
+    * id, and the (exact-arithmetic) mean of the first quantized component. */
+  def kmeansStats(emb: DataFrame, centroidStep: Int, rounds: Int = 2,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val asg = kmeansAssignments(emb, centroidStep, rounds, idCol, vecCol)
+    val out = asg
       .groupBy(col("cid").as("centroid_id"))
       .agg(count(lit(1)).as("n_members"),
         min(col("vec_id")).as("min_member"),
         round(sum(element_at(col("qi"), 1)).cast("double") / count(lit(1)), 4).as("mean_q0"))
       .persist(lvl)
-    // Materialize NOW, while quantized/corpus are cached (every round's
-    // branches re-read them), then release the corpus-sized caches. Only
-    // the k-row result stays persisted — without this, either the inputs
-    // leak cache for the session lifetime (never unpersisted) or the
-    // caller's action recomputes every round uncached (unpersisted too
-    // early). The result is small and the eager materialization is the
-    // iterative-algorithm norm (same pattern as connectedComponentKeepers).
-    out.count(): Unit
-    quantized.unpersist()
-    corpus.unpersist()
+    out.count(): Unit // only the k-row result stays persisted
+    asg.unpersist()
     out
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    * makes the quadratic pair search tractable by comparing embeddings
+    * WITHIN k-means clusters only — near-duplicates land in the same cell,
+    * so the cid-keyed equi self-join scores Σ|cluster|² pairs instead of n²
+    * (k is the cost/recall knob, exactly the IVF argument applied to dedup).
+    * Pairs with cosine ≥ `minCos` drop their higher id (the same greedy
+    * min-id-keeper contract as [[Dedup.keepAfterNearDup]]); survivors come
+    * back as (vec_id, cid).
+    *
+    * Determinism: cosines use the integer-quantized vectors (exact-int dot
+    * products in doubles) rounded at the comparison boundary, so the
+    * keep/drop decision is bit-identical cross-engine. */
+  def semdedupKeepers(emb: DataFrame, centroidStep: Int, rounds: Int = 2,
+                      minCos: Double = 0.4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val v = kmeansAssignments(emb, centroidStep, rounds, idCol, vecCol)
+    val a = v.select(col("vec_id").as("id_a"), col("cid"),
+      col("qd").as("qda"), col("nq").as("nqa"))
+    val b = v.select(col("vec_id").as("id_b"), col("cid").as("cidb"),
+      col("qd").as("qdb"), col("nq").as("nqb"))
+    val dropped = a.join(b, col("cid") === col("cidb") && col("id_a") < col("id_b"))
+      .filter(round(
+        GraftFunctions.arrayDot(col("qda"), col("qdb")) /
+          (sqrt(col("nqa")) * sqrt(col("nqb"))), 6) >= minCos)
+      .select(col("id_b")).distinct()
+    val out = v.join(dropped, col("vec_id") === col("id_b"), "left_anti")
+      .select(col("vec_id"), col("cid"))
+    // materialize before releasing the assignment cache (out reads v twice)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val res = out.persist(lvl)
+    res.count(): Unit
+    v.unpersist()
+    res
   }
 }

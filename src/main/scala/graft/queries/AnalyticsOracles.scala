@@ -28,6 +28,52 @@ object AnalyticsOracles {
        |  (sqrt(list_reduce(list_prepend(0.0, [z*z for z in $a]), (x,y) -> x+y)) *
        |   sqrt(list_reduce(list_prepend(0.0, [z*z for z in $b]), (x,y) -> x+y))), 6)""".stripMargin
 
+  /** Shared 2-round Lloyd k-means skeleton (integer micro-unit quantization,
+    * vec_id % 40 seeding): `q` quantized ints, `qd` scoring doubles + norm,
+    * `a2` the final (vec_id, cid) assignment — the DuckDB twin of
+    * `Clustering.kmeansAssignments`. */
+  private val kmeansCte =
+    """WITH q AS (
+      |  SELECT vec_id, [round(x*1000000)::BIGINT for x in embedding::DOUBLE[]] AS qi
+      |  FROM embeddings),
+      |qd AS (
+      |  SELECT vec_id, qi, [x::DOUBLE for x in qi] AS qdv,
+      |    list_reduce(list_prepend(0.0, [x::DOUBLE * x::DOUBLE for x in qi]),
+      |      (a,b) -> a+b) AS nq
+      |  FROM q),
+      |c0 AS (
+      |  SELECT vec_id AS cid, qdv AS m, nq AS nm FROM qd WHERE vec_id % 40 = 0),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT qd.vec_id, c0.cid,
+      |      row_number() OVER (PARTITION BY qd.vec_id ORDER BY
+      |        nq + nm - 2.0 * list_reduce(list_prepend(0.0,
+      |          [qdv[i] * m[i] for i in generate_series(1, len(qdv))]), (a,b) -> a+b),
+      |        cid) AS rn
+      |    FROM qd, c0)
+      |  WHERE rn = 1),
+      |x1 AS (
+      |  SELECT cid, unnest(generate_series(1, len(qi))) AS i, qi
+      |  FROM a1 JOIN q USING (vec_id)),
+      |s1 AS (SELECT cid, i, sum(qi[i]) AS s FROM x1 GROUP BY cid, i),
+      |n1 AS (SELECT cid, count(*) AS n FROM a1 GROUP BY cid),
+      |c1 AS (
+      |  SELECT cid, m,
+      |    list_reduce(list_prepend(0.0, [x*x for x in m]), (a,b) -> a+b) AS nm
+      |  FROM (
+      |    SELECT cid, list(s::DOUBLE / n ORDER BY i) AS m
+      |    FROM s1 JOIN n1 USING (cid) GROUP BY cid, n)),
+      |a2 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT qd.vec_id, c1.cid,
+      |      row_number() OVER (PARTITION BY qd.vec_id ORDER BY
+      |        nq + nm - 2.0 * list_reduce(list_prepend(0.0,
+      |          [qdv[i] * m[i] for i in generate_series(1, len(qdv))]), (a,b) -> a+b),
+      |        cid) AS rn
+      |    FROM qd, c1)
+      |  WHERE rn = 1)
+      |""".stripMargin
+
   /** Shared PQ pipeline: 8 subspaces × 8 dims, integer micro-unit
     * quantization, 2-round per-subspace Lloyd seeded by vec_id % 40 == 0 —
     * the DuckDB re-implementation of analytics.ProductQuantization (same
@@ -286,50 +332,23 @@ object AnalyticsOracles {
         |  round(max_cnt::DOUBLE / n_tokens, 4) AS top_tok_frac,
         |  round((n_bigrams - n_distinct_bi)::DOUBLE / n_bigrams, 4) AS dup_2gram_frac
         |FROM uni JOIN bi USING (doc_id) ORDER BY doc_id""".stripMargin,
-    "embed_kmeans" ->
-      """WITH q AS (
-        |  SELECT vec_id, [round(x*1000000)::BIGINT for x in embedding::DOUBLE[]] AS qi
-        |  FROM embeddings),
-        |qd AS (
-        |  SELECT vec_id, qi, [x::DOUBLE for x in qi] AS qdv,
-        |    list_reduce(list_prepend(0.0, [x::DOUBLE * x::DOUBLE for x in qi]),
-        |      (a,b) -> a+b) AS nq
-        |  FROM q),
-        |c0 AS (
-        |  SELECT vec_id AS cid, qdv AS m, nq AS nm FROM qd WHERE vec_id % 40 = 0),
-        |a1 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT qd.vec_id, c0.cid,
-        |      row_number() OVER (PARTITION BY qd.vec_id ORDER BY
-        |        nq + nm - 2.0 * list_reduce(list_prepend(0.0,
-        |          [qdv[i] * m[i] for i in generate_series(1, len(qdv))]), (a,b) -> a+b),
-        |        cid) AS rn
-        |    FROM qd, c0)
-        |  WHERE rn = 1),
-        |x1 AS (
-        |  SELECT cid, unnest(generate_series(1, len(qi))) AS i, qi
-        |  FROM a1 JOIN q USING (vec_id)),
-        |s1 AS (SELECT cid, i, sum(qi[i]) AS s FROM x1 GROUP BY cid, i),
-        |n1 AS (SELECT cid, count(*) AS n FROM a1 GROUP BY cid),
-        |c1 AS (
-        |  SELECT cid, m,
-        |    list_reduce(list_prepend(0.0, [x*x for x in m]), (a,b) -> a+b) AS nm
-        |  FROM (
-        |    SELECT cid, list(s::DOUBLE / n ORDER BY i) AS m
-        |    FROM s1 JOIN n1 USING (cid) GROUP BY cid, n)),
-        |a2 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT qd.vec_id, c1.cid,
-        |      row_number() OVER (PARTITION BY qd.vec_id ORDER BY
-        |        nq + nm - 2.0 * list_reduce(list_prepend(0.0,
-        |          [qdv[i] * m[i] for i in generate_series(1, len(qdv))]), (a,b) -> a+b),
-        |        cid) AS rn
-        |    FROM qd, c1)
-        |  WHERE rn = 1)
-        |SELECT cid AS centroid_id, count(*) AS n_members, min(vec_id) AS min_member,
+    "embed_kmeans" -> (kmeansCte +
+      """SELECT cid AS centroid_id, count(*) AS n_members, min(vec_id) AS min_member,
         |  round(sum(qi[1])::DOUBLE / count(*), 4) AS mean_q0
         |FROM a2 JOIN q USING (vec_id)
-        |GROUP BY cid ORDER BY centroid_id""".stripMargin,
+        |GROUP BY cid ORDER BY centroid_id""".stripMargin),
+    "semdedup_keepers" -> (kmeansCte +
+      """, v AS (
+        |  SELECT vec_id, cid, qdv, nq FROM a2 JOIN qd USING (vec_id)),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id AS id_b
+        |  FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE round(list_reduce(list_prepend(0.0,
+        |      [a.qdv[i] * b.qdv[i] for i in generate_series(1, len(a.qdv))]),
+        |      (x,y) -> x+y) / (sqrt(a.nq) * sqrt(b.nq)), 6) >= 0.4)
+        |SELECT vec_id, cid FROM v
+        |WHERE vec_id NOT IN (SELECT id_b FROM dropped)
+        |ORDER BY vec_id""".stripMargin),
     "sample_temperature" ->
       """WITH c AS (
         |  SELECT lang AS stratum, count(*) AS n, sqrt(count(*)::DOUBLE) AS s

@@ -388,6 +388,17 @@ object AnalyticsQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SemDeDup: k-means-bucketed semantic dedup — near-dup search confined
+    * to within-cluster pairs (same seeding/rounds as [[embedKmeans]], same
+    * 0.4 cosine threshold as [[embedNearDup]], so the drop set is the
+    * co-clustered subset of the exact all-pairs answer). */
+  def semdedupKeepers(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Clustering.semdedupKeepers(Tables(spark, dir).embeddings,
+        centroidStep = 40, rounds = 2, minCos = 0.4)
+      .orderBy(col("vec_id"))
+  }
+
   /** Temperature mixing over the lang strata (the non-uniform dimension of
     * this corpus — sources are uniform by construction). */
   def sampleTemperature(spark: SparkSession, dir: String): DataFrame =
@@ -454,6 +465,7 @@ object AnalyticsQueries {
     "text_winnow"      -> (textWinnow(_, _)),
     "dedup_spans"      -> (dedupSpans(_, _)),
     "dedup_winnow_pairs" -> (dedupWinnowPairs(_, _)),
+    "semdedup_keepers" -> (semdedupKeepers(_, _)),
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
     "text_tok_freq"    -> (textTokFreq(_, _)),

