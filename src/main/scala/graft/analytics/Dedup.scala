@@ -532,20 +532,49 @@ object Dedup {
     * `doc_id·10⁶ + chunk_idx` (chunk_idx < 10⁶ by construction at any sane
     * span size), so both engines order occurrences identically with pure
     * int64 arithmetic. */
-  def spanDedupStats(docs: DataFrame, spanTokens: Int = 16,
-                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val spans = Sampling.docChunks(docs, size = spanTokens, stride = spanTokens,
-        textCol = textCol, idCol = idCol, hashChars = 32)
-      .select(col("doc_id"), col("n_tok"), col("chunk_hash"),
+  /** The (span, keeper-flag) stream under [[spanDedupStats]] and
+    * [[spanDedupMaterialize]]: every `spanTokens`-token span with its text,
+    * position, and whether it is the corpus-wide first occurrence of its
+    * content. */
+  private def spanOccurrences(docs: DataFrame, spanTokens: Int,
+                              textCol: String, idCol: String): DataFrame = {
+    val spans = Sampling.docChunksWithText(docs, size = spanTokens,
+        stride = spanTokens, textCol = textCol, idCol = idCol, hashChars = 32)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tok"),
+        col("chunk_text"), col("chunk_hash"),
         (col("doc_id") * 1000000L + col("chunk_idx")).as("occ_key"))
     val keepers = spans.groupBy("chunk_hash")
       .agg(min(col("occ_key")).as("first_key"))
     spans.join(keepers, Seq("chunk_hash"))
-      .select(col("doc_id"), col("n_tok"),
-        (col("occ_key") =!= col("first_key")).cast("int").as("removed"))
+      .withColumn("removed", (col("occ_key") =!= col("first_key")).cast("int"))
+  }
+
+  def spanDedupStats(docs: DataFrame, spanTokens: Int = 16,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    spanOccurrences(docs, spanTokens, textCol, idCol)
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_spans"),
         sum(col("removed")).as("n_removed"),
         sum(when(col("removed") === 0, col("n_tok")).otherwise(0L)).as("n_kept_tok"))
-  }
+
+  /** Span-dedup MATERIALIZER: the corpus after C4 span removal — each
+    * document's surviving spans re-joined in position order (docs whose
+    * every span was removed vanish, like C4's fully-boilerplate pages).
+    * This is the frame the pipeline actually ships to training; the stats
+    * variant above is the report it logs.
+    *
+    * Extra cost over the stats: span TEXT rides the hash-keyed shuffle
+    * (values, not keys — partitioning is still by the 128-bit hash) and the
+    * per-doc re-join is a `sort_array(collect_list(struct(idx, text)))` —
+    * grouping by doc_id with ≤ ⌈tokens/spanTokens⌉ structs per group, the
+    * same per-doc memory the document itself already needs. */
+  def spanDedupMaterialize(docs: DataFrame, spanTokens: Int = 16,
+                           textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    spanOccurrences(docs, spanTokens, textCol, idCol)
+      .filter(col("removed") === 0)
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("kept_text"),
+        count(lit(1)).as("n_kept_spans"))
 }

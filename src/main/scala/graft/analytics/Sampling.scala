@@ -160,7 +160,16 @@ object Sampling {
     * sha256 prefix, not the chunk text, keeping output rows small. */
   def docChunks(docs: DataFrame, size: Int, stride: Int,
                 textCol: String = "text", idCol: String = "doc_id",
-                hashChars: Int = 16): DataFrame = {
+                hashChars: Int = 16): DataFrame =
+    docChunksWithText(docs, size, stride, textCol, idCol, hashChars)
+      .drop("chunk_text")
+
+  /** [[docChunks]] plus the chunk text itself — for consumers that rebuild
+    * documents (the span-dedup materializer); chunk-identity consumers
+    * should use [[docChunks]] so chunk text never leaves the narrow stage. */
+  def docChunksWithText(docs: DataFrame, size: Int, stride: Int,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        hashChars: Int = 16): DataFrame = {
     require(stride > 0 && size >= stride, s"need 0 < stride <= size, got size=$size stride=$stride")
     import org.apache.spark.sql.functions.{size => asize}
     val t = TextAnalysis.tokens(col(textCol))
@@ -180,6 +189,7 @@ object Sampling {
         slice(col("__toks"), col("chunk_idx") * stride + 1, lit(size)).as("__sl"))
       .select(col("doc_id"), col("chunk_idx"),
         asize(col("__sl")).as("n_tok"),
+        concat_ws(" ", col("__sl")).as("chunk_text"),
         substring(sha2(concat_ws(" ", col("__sl")), 256), 1, hashChars).as("chunk_hash"))
   }
 

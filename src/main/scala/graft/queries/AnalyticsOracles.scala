@@ -195,6 +195,27 @@ object AnalyticsOracles {
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_spans_keepers" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, (len(toks)-1) // 16)) AS chunk_idx
+        |  FROM tok),
+        |sp AS (
+        |  SELECT doc_id, chunk_idx,
+        |    array_to_string(toks[chunk_idx*16+1 : least(chunk_idx*16+16, len(toks))], ' ') AS chunk_text,
+        |    substr(sha256(array_to_string(
+        |      toks[chunk_idx*16+1 : least(chunk_idx*16+16, len(toks))], ' ')), 1, 32) AS h,
+        |    doc_id*1000000 + chunk_idx AS occ_key
+        |  FROM c),
+        |k AS (SELECT h, min(occ_key) AS first_key FROM sp GROUP BY h)
+        |SELECT doc_id,
+        |  string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS kept_text,
+        |  count(*)::BIGINT AS n_kept_spans
+        |FROM sp JOIN k USING (h)
+        |WHERE occ_key = first_key
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_spans" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),

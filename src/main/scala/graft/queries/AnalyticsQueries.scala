@@ -450,6 +450,12 @@ object AnalyticsQueries {
     Dedup.spanDedupStats(Tables(spark, dir).documents, spanTokens = 16)
       .orderBy(col("doc_id"))
 
+  /** Span-dedup materializer: the corpus text AFTER C4 span removal —
+    * surviving spans re-joined in position order. */
+  def dedupSpansKeepers(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedupMaterialize(Tables(spark, dir).documents, spanTokens = 16)
+      .orderBy(col("doc_id"))
+
   /** MOSS pair stage: documents sharing >= 2 winnow fingerprints, with the
     * hot-fingerprint df cap engaged (the 100 TB default — cap exceeds every
     * df on this corpus, so the oracle's uncapped form matches exactly). */
@@ -464,6 +470,7 @@ object AnalyticsQueries {
     "text_gopher_gates" -> (textGopherGates(_, _)),
     "text_winnow"      -> (textWinnow(_, _)),
     "dedup_spans"      -> (dedupSpans(_, _)),
+    "dedup_spans_keepers" -> (dedupSpansKeepers(_, _)),
     "dedup_winnow_pairs" -> (dedupWinnowPairs(_, _)),
     "semdedup_keepers" -> (semdedupKeepers(_, _)),
     "pipeline_curate"  -> (pipelineCurate(_, _)),

@@ -167,4 +167,19 @@ class CurationGatesSpec extends SparkSpec {
     val r = Dedup.spanDedupStats(docs, spanTokens = 16).collect().head
     assert(r == Row(9L, 3L, 2L, 16L))
   }
+
+  test("spanDedupMaterialize: survivors re-join in order; fully-duplicate docs vanish") {
+    val span = (1 to 16).map(i => s"m$i").mkString(" ")
+    val filler = (1 to 16).map(i => s"g$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span $filler"),
+      (2L, s"$span $filler"), // every span already seen -> doc vanishes
+      (3L, s"$filler tail words")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupMaterialize(docs, spanTokens = 16)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) == (s"$span $filler", 2L))
+    assert(out(3L) == ("tail words", 1L)) // its filler span lost to doc 1
+  }
 }
