@@ -138,4 +138,38 @@ object Search {
         round(col("sum_micro").cast("double") / col("n_bigrams") / 1e6, 4)
           .as("avg_surprisal"))
   }
+
+  /** Linear (fasttext-shaped) quality-classifier INFERENCE over hashed
+    * features: logit = Σ_buckets count(doc, b) · w(b), keep = logit ≥ 0.
+    * The third leg of the quality-filter tripod — rules
+    * ([[TextAnalysis.gopherGates]]), perplexity ([[bigramSurprisal]]), and a
+    * learned linear model — this operator is the SERVING side: training
+    * happens offline, the pipeline only does the sparse dot product.
+    *
+    * `weights` is any (bucket, w) frame; at real scale it is
+    * vocabulary-bucket-sized (the hashing trick bounds it to `dims` rows) so
+    * the join is a broadcast against the feature stream, and the only
+    * corpus-sized shuffles are the two doc_id/bucket-keyed aggregates under
+    * [[graft.analytics.Sampling.hashingVectorize]]. Integer weights ×
+    * integer counts keep the logit exact int64 cross-engine (the sigmoid is
+    * monotone — the keep decision needs only the sign).
+    *
+    * [[derivedWeights]] builds the deterministic sha-derived weight table
+    * the oracled query uses (a stand-in for learned weights with the same
+    * join/aggregate shape). */
+  def linearClassifierScore(docs: DataFrame, weights: DataFrame, dims: Int = 16,
+                            textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    Sampling.hashingVectorize(docs, dims, textCol, idCol)
+      .join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("w")).as("logit"))
+      .select(col("doc_id"), col("logit"),
+        (col("logit") >= 0).cast("int").as("keep"))
+
+  /** Deterministic integer weights in [-1000, 1000] per hash bucket
+    * (sha-derived, engine-neutral). */
+  def derivedWeights(docs: DataFrame, dims: Int = 16): DataFrame =
+    docs.sparkSession.range(0, dims).toDF("bucket")
+      .select(col("bucket"),
+        (Dedup.hash60(concat(lit("w"), col("bucket"))) % 2001 - 1000).as("w"))
 }

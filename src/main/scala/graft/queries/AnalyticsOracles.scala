@@ -172,6 +172,21 @@ object AnalyticsOracles {
         |    ELSE []::BIGINT[] END AS fps
         |  FROM h)
         |SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin,
+    "text_clf_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+        |f AS (
+        |  SELECT doc_id, ('0x'||substr(sha256(tok),1,15))::BIGINT % 16 AS bucket,
+        |         count(*) AS cnt
+        |  FROM t WHERE length(tok) > 0 GROUP BY doc_id, bucket),
+        |w AS (
+        |  SELECT i AS bucket,
+        |    ('0x'||substr(sha256('w'||i::VARCHAR),1,15))::BIGINT % 2001 - 1000 AS w
+        |  FROM generate_series(0, 15) g(i))
+        |SELECT doc_id, sum(cnt * w)::BIGINT AS logit,
+        |  (sum(cnt * w) >= 0)::INT AS keep
+        |FROM f JOIN w USING (bucket)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_winnow_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),

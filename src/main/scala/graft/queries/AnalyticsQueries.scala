@@ -413,6 +413,14 @@ object AnalyticsQueries {
     Search.bigramSurprisal(Tables(spark, dir).documents)
       .orderBy(col("doc_id"))
 
+  /** Linear quality-classifier inference: hashed features × broadcast
+    * weight table → exact-int logit + keep decision. */
+  def textClfScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Search.linearClassifierScore(docs, Search.derivedWeights(docs))
+      .orderBy(col("doc_id"))
+  }
+
   def dedupPrefix(spark: SparkSession, dir: String): DataFrame =
     Dedup.prefixDupPairs(Tables(spark, dir).documents)
       .orderBy(col("id_a"), col("id_b"))
@@ -473,6 +481,7 @@ object AnalyticsQueries {
     "dedup_spans_keepers" -> (dedupSpansKeepers(_, _)),
     "dedup_winnow_pairs" -> (dedupWinnowPairs(_, _)),
     "semdedup_keepers" -> (semdedupKeepers(_, _)),
+    "text_clf_score"   -> (textClfScore(_, _)),
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
     "text_tok_freq"    -> (textTokFreq(_, _)),

@@ -124,6 +124,23 @@ class CurationGatesSpec extends SparkSpec {
     assert(capped == pairs)
   }
 
+  // ---------------------------------------------------------- classifier
+
+  test("linearClassifierScore: logit is the exact sparse dot product; keep = sign") {
+    val docs = Seq((1L, "alpha beta beta gamma"), (2L, "x"), (3L, " ")).toDF("doc_id", "text")
+    // w ≡ +1: logit collapses to the token count (Σ cnt·1 over buckets)
+    val ones = spark.range(0, 16).toDF("bucket").withColumn("w", lit(1L))
+    val up = Search.linearClassifierScore(docs, ones)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(up(1L) == (4L, 1) && up(2L) == (1L, 1))
+    assert(!up.contains(3L)) // zero nonempty tokens -> no feature rows
+    // w ≡ -1: same magnitude, keep flips
+    val minus = ones.withColumn("w", lit(-1L))
+    val down = Search.linearClassifierScore(docs, minus)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(down(1L) == (-4L, 0) && down(2L) == (-1L, 0))
+  }
+
   // ------------------------------------------------------------ semdedup
 
   test("semdedup: drop set is the co-clustered subset of the exact all-pairs answer") {
