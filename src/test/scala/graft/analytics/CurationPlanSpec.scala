@@ -60,6 +60,15 @@ class CurationPlanSpec extends SparkSpec {
     }
   }
 
+  test("linearClassifierScore: weight table broadcasts; corpus never joins shuffled") {
+    val docs = graft.Tables(spark, d).documents
+    val df = Search.linearClassifierScore(docs, Search.derivedWeights(docs))
+    assert(df.collect().nonEmpty)
+    val nodes = allNodes(finalPlan(df))
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")), finalPlan(df).toString)
+    assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")), finalPlan(df).toString)
+  }
+
   test("winnowDupPairs: equi-join only (the pair stage must never nested-loop)") {
     val df = Dedup.winnowDupPairs(docs, minShared = 1, maxDf = Some(100L))
     df.collect(): Unit // may be empty at sf0.001; shape is the assertion
