@@ -14,7 +14,7 @@ object Bench {
     "text_gopher_gates" -> 0.645, "text_winnow" -> 1.242,
     "dedup_spans" -> 0.800, "dedup_winnow_pairs" -> 3.003,
     "semdedup_keepers" -> 6.108, "dedup_spans_keepers" -> 3.077,
-    "text_clf_score" -> 1.878,
+    "text_clf_score" -> 1.878, "sample_epochs" -> 1.593,
     "q35_unpivot" -> 0.380, "q36_try" -> 1.830,
     "asof_native" -> 1.758, "asof_signup" -> 1.537,
     "bm25_search" -> 1.321, "decontaminate" -> 1.127,

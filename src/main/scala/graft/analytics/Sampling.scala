@@ -138,6 +138,25 @@ object Sampling {
         round(col("s") / col("total") * 1e6).cast("long").as("weight_micro"))
   }
 
+  /** Mixing-budget allocation — the step AFTER [[temperatureMixWeights]]:
+    * turn the per-stratum weights into the numbers a training job consumes.
+    * `target_docs(s) = weight(s) · budget` is the stratum's share of the
+    * training budget, and `epochs_micro(s) = target_docs(s) / n_s` (in
+    * micro-units) is the REPEAT factor: > 1e6 means the stratum is
+    * upsampled (epochs over its data), < 1e6 downsampled — the α=0.5
+    * temperature flattens the head and lifts the tail, so small strata get
+    * multi-epoch repeats (the standard multilingual-mix upsampling shape).
+    *
+    * Same cost as the weights: one tiny strata-keyed aggregate; arithmetic
+    * is exact-int inputs through IEEE-identical ops, so cross-engine exact. */
+  def epochAllocation(df: DataFrame, stratumCol: String, budget: Long): DataFrame =
+    temperatureMixWeights(df, stratumCol)
+      .select(col("stratum"), col("n"), col("weight_micro"),
+        round(col("weight_micro").cast("double") * budget / col("n")).cast("long")
+          .as("epochs_micro"),
+        round(col("weight_micro").cast("double") * budget / 1e6).cast("long")
+          .as("target_docs"))
+
   /** Hashing-trick vectorizer (feature hashing): token → `dims` buckets by
     * sha-derived hash, per-(doc, bucket) counts — the fixed-width feature
     * map that needs NO vocabulary pass at any corpus size. Explode +

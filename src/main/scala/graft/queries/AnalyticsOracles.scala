@@ -172,6 +172,21 @@ object AnalyticsOracles {
         |    ELSE []::BIGINT[] END AS fps
         |  FROM h)
         |SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin,
+    "sample_epochs" ->
+      """WITH c AS (
+        |  SELECT lang AS stratum, count(*) AS n, sqrt(count(*)::DOUBLE) AS s
+        |  FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT list_reduce(list_prepend(0.0, list(s ORDER BY stratum)),
+        |    (a,b) -> a+b) AS total FROM c),
+        |b AS (SELECT sum(n)::BIGINT AS budget FROM c),
+        |w AS (
+        |  SELECT stratum, n, round(s / total * 1000000)::BIGINT AS weight_micro
+        |  FROM c CROSS JOIN t)
+        |SELECT stratum, n, weight_micro,
+        |  round(weight_micro::DOUBLE * budget / n)::BIGINT AS epochs_micro,
+        |  round(weight_micro::DOUBLE * budget / 1000000)::BIGINT AS target_docs
+        |FROM w CROSS JOIN b ORDER BY stratum""".stripMargin,
     "text_clf_score" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),

@@ -405,6 +405,14 @@ object AnalyticsQueries {
     Sampling.temperatureMixWeights(Tables(spark, dir).documents, "lang")
       .orderBy(col("stratum"))
 
+  /** Budget allocation from the temperature weights: per-stratum target
+    * docs + repeat (epoch) factors, budget = rebalance the corpus size. */
+  def sampleEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Sampling.epochAllocation(docs, "lang", budget = docs.count())
+      .orderBy(col("stratum"))
+  }
+
   def textHashVec(spark: SparkSession, dir: String): DataFrame =
     Sampling.hashingVectorize(Tables(spark, dir).documents)
       .orderBy(col("doc_id"), col("bucket"))
@@ -482,6 +490,7 @@ object AnalyticsQueries {
     "dedup_winnow_pairs" -> (dedupWinnowPairs(_, _)),
     "semdedup_keepers" -> (semdedupKeepers(_, _)),
     "text_clf_score"   -> (textClfScore(_, _)),
+    "sample_epochs"    -> (sampleEpochs(_, _)),
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
     "text_tok_freq"    -> (textTokFreq(_, _)),

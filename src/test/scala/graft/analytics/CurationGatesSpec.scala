@@ -124,6 +124,24 @@ class CurationGatesSpec extends SparkSpec {
     assert(capped == pairs)
   }
 
+  // -------------------------------------------------------------- epochs
+
+  test("epochAllocation: α=0.5 temperature upsamples small strata, downsamples large") {
+    // 90/10 split: sqrt flattens to 3:1, so the small stratum repeats
+    val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (91 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "src")
+    val out = Sampling.epochAllocation(docs, "src", budget = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    val (nBig, epochsBig, targetBig) = out("big")
+    val (nSmall, epochsSmall, targetSmall) = out("small")
+    assert(nBig == 90 && nSmall == 10)
+    assert(epochsSmall > 1000000L, s"small stratum must upsample: $epochsSmall")
+    assert(epochsBig < 1000000L, s"big stratum must downsample: $epochsBig")
+    // targets exhaust the budget (±1 doc of rounding)
+    assert(math.abs(targetBig + targetSmall - 100L) <= 1)
+  }
+
   // ---------------------------------------------------------- classifier
 
   test("linearClassifierScore: logit is the exact sparse dot product; keep = sign") {
