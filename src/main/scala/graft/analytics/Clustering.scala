@@ -129,7 +129,11 @@ object Clustering {
     *
     * Determinism: cosines use the integer-quantized vectors (exact-int dot
     * products in doubles) rounded at the comparison boundary, so the
-    * keep/drop decision is bit-identical cross-engine. */
+    * keep/drop decision is bit-identical cross-engine.
+    *
+    * Returns a PERSISTED corpus-scale frame, materialized before the
+    * assignment cache is released — the CALLER MUST `unpersist()` it when
+    * done (same lifetime contract as [[kmeansAssignments]]). */
   def semdedupKeepers(emb: DataFrame, centroidStep: Int, rounds: Int = 2,
                       minCos: Double = 0.4,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

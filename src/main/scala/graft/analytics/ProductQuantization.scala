@@ -94,7 +94,12 @@ object ProductQuantization {
     * (query × sub × cid) come from one broadcast-sized join; the corpus
     * contributes its codes only. The per-pair total adds the m subspace
     * terms in explicit subspace order via an m-way conditional-aggregate
-    * pivot + fixed `+` chain. */
+    * pivot + fixed `+` chain.
+    *
+    * Returns a PERSISTED frame (tiny: ≤ |queries|×k rows), materialized
+    * before the training caches are released — the caller's action reads
+    * the cached result instead of re-running the whole subspace Lloyd
+    * with its caches gone (same lifetime contract as [[pqAssign]]). */
   def adcTopK(emb: DataFrame, queries: DataFrame, k: Int,
               m: Int = 8, subDim: Int = 8, centroidStep: Int = 40,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -102,6 +107,7 @@ object ProductQuantization {
     val joined = codes.join(broadcast(distanceTables(subs, cents1, queries, idCol)),
       Seq("sub", "cid"))
     val out = adcRank(joined, m, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count(): Unit
     subs.unpersist(); cents1.unpersist(); codes.unpersist()
     out
@@ -174,7 +180,10 @@ object ProductQuantization {
     val joined = cand.join(codes, "vec_id")
       .join(broadcast(distanceTables(subs, cents1, queries, idCol)),
         Seq("query_id", "sub", "cid"))
+    // persist-then-materialize before releasing training caches — see
+    // [[adcTopK]]; the returned frame is ≤ |queries|×k rows
     val out = adcRank(joined, m, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count(): Unit
     subs.unpersist(); cents1.unpersist(); codes.unpersist()
     out

@@ -394,9 +394,14 @@ object AnalyticsQueries {
     * co-clustered subset of the exact all-pairs answer). */
   def semdedupKeepers(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    Clustering.semdedupKeepers(Tables(spark, dir).embeddings,
+    val res = Clustering.semdedupKeepers(Tables(spark, dir).embeddings,
         centroidStep = 40, rounds = 2, minCos = 0.4)
-      .orderBy(col("vec_id"))
+    // honor the operator's caller-must-unpersist contract: hand back a
+    // lineage-free materialized copy (localCheckpoint blocks are GC-cleaned
+    // by the ContextCleaner) instead of leaking the cache for the session
+    val out = res.orderBy(col("vec_id")).localCheckpoint(true)
+    res.unpersist()
+    out
   }
 
   /** Temperature mixing over the lang strata (the non-uniform dimension of

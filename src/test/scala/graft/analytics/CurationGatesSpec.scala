@@ -173,8 +173,11 @@ class CurationGatesSpec extends SparkSpec {
       .select("id_b").collect().map(_.getLong(0)).toSet
     assert(dropped.subsetOf(exactDropped),
       s"semdedup dropped non-duplicates: ${dropped -- exactDropped}")
-    // and the clustering must actually find some of them at this threshold
-    assert(kept.count() <= emb.count())
+    // and the clustering must actually find some of them at this threshold —
+    // a non-empty drop set keeps the subset check above non-vacuous
+    assert(dropped.nonEmpty,
+      "semdedup found no co-clustered near-dups; the subset assertion is vacuous")
+    assert(kept.count() == all.size - dropped.size)
     kept.unpersist(): Unit
   }
 

@@ -144,6 +144,40 @@ class Round4OpsSpec extends SparkSpec {
     assert(top == (0L until 5L).map(q => q -> q).toMap)
   }
 
+  test("ADC/IVF-PQ results are persisted: caller actions don't re-run the subspace Lloyd") {
+    import graft.analytics.ProductQuantization
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables(spark, d).embeddings
+    val out = ProductQuantization.adcTopK(emb, emb.filter(col("vec_id") < 3), k = 3)
+    // contract: the frame the operator hands back is already materialized
+    // in the cache, so the caller's action is a cache scan, not a re-train
+    assert(out.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        stages.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(out.count() == 9)
+      // listener events post asynchronously — wait until the count settles
+      var last = -1
+      var spins = 0
+      while (stages.get() != last && spins < 20) {
+        last = stages.get(); spins += 1; Thread.sleep(100)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the 2-round Lloyd + assignment DAG is many shuffle stages; a cached
+    // scan of a ≤|q|×k frame is 1-2 (AQE may add a final coalesce)
+    assert(stages.get() <= 3, s"expected a cache scan, saw ${stages.get()} stages")
+    out.unpersist(): Unit
+
+    val ivf = ProductQuantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 3), k = 3)
+    assert(ivf.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    ivf.unpersist(): Unit
+  }
+
   test("q34_interval_merge: spans disjoint and sorted, event mass conserved") {
     val res = Relational.q34IntervalMerge(spark, d).collect()
     val total = graft.Tables(spark, d).events.count()
