@@ -342,17 +342,25 @@ object Dedup {
     var prevSum = labelSum(labels)
     var round = 0
     var converged = false
-    while (round < maxRounds && !converged) {
-      val prop = edges.join(labels, edges("dst") === labels("id"))
+    def step(l: DataFrame): DataFrame = {
+      val prop = edges.join(l, edges("dst") === l("id"))
         .select(edges("src").as("id"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy("id").agg(min("label").as("label")).persist(lvl)
-      val s = labelSum(next) // also materializes the persist
+      l.unionByName(prop).groupBy("id").agg(min("label").as("label"))
+    }
+    while (round < maxRounds && !converged) {
+      // TWO propagation steps per driver action: the mid frame is persisted
+      // (step reads its input twice) but only the outer labelSum runs a job,
+      // halving driver round-trips; a stationary sum across a double-step
+      // implies each step was stationary (monotone), so convergence
+      // detection is unchanged — at worst one extra (idempotent) step runs
+      val mid = step(labels).persist(lvl)
+      val next = step(mid).persist(lvl)
+      val s = labelSum(next) // one action materializes mid AND next
       converged = s == prevSum
       prevSum = s
-      labels.unpersist()
+      labels.unpersist(); mid.unpersist()
       labels = next
-      round += 1
+      round += 2
     }
     if (!converged)
       // a silent cap-out would yield >1 keeper in long-chain clusters while

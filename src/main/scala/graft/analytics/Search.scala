@@ -63,18 +63,23 @@ object Search {
     * term (a handful of `size(filter(tokens))` counters — no explode, no
     * shuffle); N, avgdl, and per-term dfs are one tiny corpus aggregate
     * broadcast back as literals; ranking is a global top-k =
-    * TakeOrderedAndProject. The corpus is scanned exactly twice (stats +
-    * scoring), both scans narrow. */
+    * TakeOrderedAndProject. The tokenized per-doc counters are PERSISTED
+    * across the stats action and the scoring scan, so the corpus parquet is
+    * read (and tokenized) exactly ONCE; the returned frame is the persisted
+    * ≤k-row ranking (the [[ProductQuantization.adcTopK]] lifetime
+    * contract). */
   def bm25TopDocs(docs: DataFrame, queryTerms: Seq[String], k: Int,
                   k1: Double = 1.2, b: Double = 0.75,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms == queryTerms.sorted,
       "queryTerms must be non-empty and sorted (fixed summation order is the determinism contract)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val toks = TextAnalysis.tokens(col(textCol))
     val perDoc = docs.select(
       (Seq(col(idCol).as("doc_id"), size(toks).cast("long").as("dl")) ++
         queryTerms.map(t =>
           size(filter(toks, x => x === t)).cast("long").as(s"tf_$t"))): _*)
+      .persist(lvl)
     // one tiny aggregate: N, total token mass, per-term document frequencies
     val statsRow = perDoc.agg(
       count(lit(1)).as("n"),
@@ -89,12 +94,16 @@ object Search {
       (idfMicro(lit(df), n).cast("double") / 1e6) *
         (tf * (k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
     }.reduce(_ + _) // fixed left-to-right term order == the oracle's chain
-    perDoc.withColumn("score", round(score, 4))
+    val out = perDoc.withColumn("score", round(score, 4))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
       .select((Seq(col("doc_id"), col("dl")) ++
         queryTerms.map(t => col(s"tf_$t")) ++ Seq(col("score"))): _*)
+      .persist(lvl)
+    out.count(): Unit // scoring scan reads the cached counters, not parquet
+    perDoc.unpersist()
+    out
   }
 
   /** Per-document bigram language-model surprisal — the perplexity-style

@@ -38,12 +38,42 @@ class PlanShapeSpec extends SparkSpec {
     val docs = graft.Tables(spark, sf("sf0.001")).documents
     val df = Search.bm25TopDocs(docs, Seq("data", "fast", "query"), k = 20)
     assert(df.collect().length == 20)
-    val nodes = allNodes(finalPlan(df))
+    // the result comes back persisted — the shape under test is the plan
+    // INSIDE its InMemoryRelation (the scoring DAG that was materialized)
+    val cached = allNodes(finalPlan(df)).collectFirst {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan
+    }
+    assert(cached.isDefined, finalPlan(df).toString)
+    val nodes = allNodes(cached.get)
     // scoring never joins or explodes the corpus...
-    assert(!nodes.exists(_.nodeName.contains("Generate")), finalPlan(df).toString)
-    assert(!nodes.exists(_.nodeName.contains("Join")), finalPlan(df).toString)
+    assert(!nodes.exists(_.nodeName.contains("Generate")), cached.get.toString)
+    assert(!nodes.exists(_.nodeName.contains("Join")), cached.get.toString)
     // ...and the global top-k is TakeOrderedAndProject, not a full sort
-    assert(nodes.exists(_.nodeName.contains("TakeOrderedAndProject")), finalPlan(df).toString)
+    assert(nodes.exists(_.nodeName.contains("TakeOrderedAndProject")), cached.get.toString)
+    df.unpersist(): Unit
+  }
+
+  test("bm25 reads the corpus exactly once (stats + scoring share the cached counters)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // wrap the source in a partition-materialization counter: every full
+    // scan of the corpus bumps the accumulator once per source partition
+    val scans = spark.sparkContext.longAccumulator("corpus-scans")
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it => scans.add(1); it }.toDF("doc_id", "text")
+    scans.reset()
+    docs.agg(count(lit(1))).collect(): Unit
+    val onePass = scans.value
+    assert(onePass > 0)
+    scans.reset()
+    Search.bm25TopDocs(docs, Seq("data", "fast", "query"), k = 20)
+      .unpersist(): Unit
+    // stats action + scoring scan on an uncached source would be 2× —
+    // the persisted per-doc counters make it exactly one pass
+    assert(scans.value == onePass,
+      s"bm25 materialized the corpus ${scans.value} partition-scans vs $onePass for one pass")
   }
 
   test("tfidf per-doc ranking gets the two-stage window group limit") {
