@@ -348,19 +348,18 @@ object Dedup {
       l.unionByName(prop).groupBy("id").agg(min("label").as("label"))
     }
     while (round < maxRounds && !converged) {
-      // TWO propagation steps per driver action: the mid frame is persisted
-      // (step reads its input twice) but only the outer labelSum runs a job,
-      // halving driver round-trips; a stationary sum across a double-step
-      // implies each step was stationary (monotone), so convergence
-      // detection is unchanged — at worst one extra (idempotent) step runs
-      val mid = step(labels).persist(lvl)
-      val next = step(mid).persist(lvl)
-      val s = labelSum(next) // one action materializes mid AND next
+      // ONE propagation step per driver action. (A double-step variant that
+      // halves driver round-trips was tried and measured SLOWER at shallow
+      // diameters — near-dup clusters converge in 1-2 rounds after the
+      // seeded step, so the extra join+aggregate per action costs more than
+      // the saved round-trip; two independent benches confirmed.)
+      val next = step(labels).persist(lvl)
+      val s = labelSum(next) // the one action per round materializes next
       converged = s == prevSum
       prevSum = s
-      labels.unpersist(); mid.unpersist()
+      labels.unpersist()
       labels = next
-      round += 2
+      round += 1
     }
     if (!converged)
       // a silent cap-out would yield >1 keeper in long-chain clusters while

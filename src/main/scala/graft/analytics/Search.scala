@@ -124,20 +124,29 @@ object Search {
     * — c2 is one map-side-combined aggregate over the bigram stream, c1
     * and V the same over heads/tokens — so the scoring joins broadcast
     * under AQE for any real vocabulary (≤ millions of types), and the only
-    * corpus-sized shuffle is the final doc_id aggregation. Documents with
-    * fewer than two tokens have no bigrams and no score (absent rows, not
-    * NULL — same construction in the oracle). */
+    * corpus-sized shuffle is the final doc_id aggregation. The corpus is
+    * read and TOKENIZED exactly once: a (doc_id, tokens) frame is persisted
+    * and materialized up front, and bigrams, heads, and the vocabulary all
+    * derive from the cached arrays (the [[bm25TopDocs]] lifetime pattern;
+    * the returned per-doc frame comes back persisted and materialized, and
+    * the token cache is released before return). Documents with fewer than
+    * two tokens have no bigrams and no score (absent rows, not NULL — same
+    * construction in the oracle). */
   def bigramSurprisal(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
-    val bg = docs.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.bigrams(col(textCol))).as("bg"))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks")).persist(lvl)
+    toks.count(): Unit // materialize BEFORE the fan-out: one source scan
+    val bg = toks.select(col("doc_id"),
+        explode(TextAnalysis.bigramsOfTokens(col("toks"))).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocab = docs.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val vocab = toks.select(explode(col("toks")).as("tok"))
       .filter(length(col("tok")) > 0)
       .agg(countDistinct(col("tok")).as("v"))
-    bg.join(c2, "bg").join(c1, "w1").crossJoin(broadcast(vocab))
+    val out = bg.join(c2, "bg").join(c1, "w1").crossJoin(broadcast(vocab))
       .withColumn("s_micro",
         round(log((col("c1") + col("v")).cast("double") /
           (col("c2") + lit(1)).cast("double")) * 1e6).cast("long"))
@@ -146,6 +155,10 @@ object Search {
       .select(col("doc_id"), col("n_bigrams"),
         round(col("sum_micro").cast("double") / col("n_bigrams") / 1e6, 4)
           .as("avg_surprisal"))
+      .persist(lvl)
+    out.count(): Unit // score from the token cache, then release it
+    toks.unpersist()
+    out
   }
 
   /** Linear (fasttext-shaped) quality-classifier INFERENCE over hashed

@@ -93,15 +93,18 @@ object TextAnalysis {
     * `element_at(split(text), i)` re-tokenizes the document once per
     * bigram — O(tokens²) per row (measured 6 s vs 1.4 s at sf0.1). The
     * slices evaluate `split` a fixed number of times per ROW. */
-  def bigrams(text: Column): Column = {
-    val t = tokens(text)
+  def bigrams(text: Column): Column = bigramsOfTokens(tokens(text))
+
+  /** Bigrams from an already-tokenized array — lets callers that persist a
+    * (doc_id, tokens) frame derive bigrams without re-tokenizing the text
+    * (see [[Search.bigramSurprisal]]'s single-scan contract). */
+  def bigramsOfTokens(t: Column): Column =
     when(size(t) >= 2,
       zip_with(
         slice(t, lit(1), size(t) - 1),
         slice(t, lit(2), size(t) - 1),
         (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Gopher-style repetition signals per document: fraction of tokens that
     * are repeats of an earlier token, the most-frequent token's share, and

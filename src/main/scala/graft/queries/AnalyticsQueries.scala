@@ -325,9 +325,14 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
-  def bm25Search(spark: SparkSession, dir: String): DataFrame =
-    Search.bm25TopDocs(Tables(spark, dir).documents,
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val res = Search.bm25TopDocs(Tables(spark, dir).documents,
       queryTerms = Seq("data", "fast", "query"), k = 20)
+    // caller-must-unpersist contract (see semdedupKeepers)
+    val out = res.localCheckpoint(true)
+    res.unpersist()
+    out
+  }
 
   def textTokFreq(spark: SparkSession, dir: String): DataFrame =
     Sampling.tokenFrequencyStats(Tables(spark, dir).documents)
@@ -346,8 +351,11 @@ object AnalyticsQueries {
   def simPqAdc(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val emb = Tables(spark, dir).embeddings
-    ProductQuantization.adcTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
-      .orderBy(col("query_id"), col("rank"))
+    val res = ProductQuantization.adcTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+    // caller-must-unpersist contract (see semdedupKeepers)
+    val out = res.orderBy(col("query_id"), col("rank")).localCheckpoint(true)
+    res.unpersist()
+    out
   }
 
   /** Transitive duplicate closure via a RECURSIVE CTE (Spark 4 SQL
@@ -368,6 +376,8 @@ object AnalyticsQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count(): Unit
     pairs.createOrReplaceTempView("dup_pairs_v")
+    // localCheckpoint (eager) instead of persist: materializes before the
+    // edge cache is released, and leaves no session-lifetime cache behind
     val out = spark.sql(
       """WITH RECURSIVE reach(src, dst) AS (
         |  SELECT id_a AS src, id_b AS dst FROM dup_pairs_v
@@ -376,16 +386,18 @@ object AnalyticsQueries {
         |SELECT src, count(DISTINCT dst) AS n_reach,
         |  min(dst) AS first_dup, max(dst) AS last_dup
         |FROM reach GROUP BY src ORDER BY src""".stripMargin)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count(): Unit
+      .localCheckpoint(true)
     pairs.unpersist()
     out
   }
 
   def simIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    ProductQuantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
-      .orderBy(col("query_id"), col("rank"))
+    val res = ProductQuantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+    // caller-must-unpersist contract (see semdedupKeepers)
+    val out = res.orderBy(col("query_id"), col("rank")).localCheckpoint(true)
+    res.unpersist()
+    out
   }
 
   /** SemDeDup: k-means-bucketed semantic dedup — near-dup search confined
@@ -422,9 +434,14 @@ object AnalyticsQueries {
     Sampling.hashingVectorize(Tables(spark, dir).documents)
       .orderBy(col("doc_id"), col("bucket"))
 
-  def textLmScore(spark: SparkSession, dir: String): DataFrame =
-    Search.bigramSurprisal(Tables(spark, dir).documents)
-      .orderBy(col("doc_id"))
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val res = Search.bigramSurprisal(Tables(spark, dir).documents)
+    // caller-must-unpersist contract (see semdedupKeepers): hand back a
+    // lineage-free copy, release the operator's cache
+    val out = res.orderBy(col("doc_id")).localCheckpoint(true)
+    res.unpersist()
+    out
+  }
 
   /** Linear quality-classifier inference: hashed features × broadcast
     * weight table → exact-int logit + keep decision. */

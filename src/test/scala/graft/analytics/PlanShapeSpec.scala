@@ -76,6 +76,27 @@ class PlanShapeSpec extends SparkSpec {
       s"bm25 materialized the corpus ${scans.value} partition-scans vs $onePass for one pass")
   }
 
+  test("bigram LM reads and tokenizes the corpus exactly once (shared token cache)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // same partition-materialization counter as the bm25 one-pass test:
+    // every full scan of the source bumps the accumulator once per partition
+    val scans = spark.sparkContext.longAccumulator("corpus-scans")
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it => scans.add(1); it }.toDF("doc_id", "text")
+    scans.reset()
+    docs.agg(count(lit(1))).collect(): Unit
+    val onePass = scans.value
+    assert(onePass > 0)
+    scans.reset()
+    Search.bigramSurprisal(docs).unpersist(): Unit
+    // bigrams (c2/c1/scoring) and the vocabulary all derive from the
+    // persisted token frame — an uncached formulation would be 4×
+    assert(scans.value == onePass,
+      s"bigramSurprisal materialized ${scans.value} partition-scans vs $onePass for one pass")
+  }
+
   test("tfidf per-doc ranking gets the two-stage window group limit") {
     val docs = graft.Tables(spark, sf("sf0.001")).documents
     val df = Search.tfidfTopTerms(docs, k = 3, nDocs = docs.count())

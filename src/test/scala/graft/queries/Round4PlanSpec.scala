@@ -91,7 +91,8 @@ class Round4PlanSpec extends SparkSpec {
     val df = graft.analytics.Search
       .bigramSurprisal(graft.Tables(spark, d).documents)
     assert(df.collect().nonEmpty)
-    assertNoCartesian(df)
+    assertNoCartesian(df) // allNodes descends into the persisted result's cachedPlan
+    df.unpersist(): Unit
   }
 
   test("prefix dedup self-join is hash-keyed on the digest") {
