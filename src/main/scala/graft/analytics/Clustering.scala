@@ -101,6 +101,58 @@ object Clustering {
     out
   }
 
+  /** One SPHERICAL Lloyd assignment: highest-cosine centroid per vector
+    * (ties → lowest centroid id) — the training twin of IVF's serve-time
+    * assignment, so the trained lists are balanced under the SAME metric
+    * that probes them (a Euclidean-trained/cosine-served mismatch measurably
+    * costs recall — see IvfRecallSpec). */
+  private def assignCos(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("ccos", Similarity.coarseCos(col("qd"), col("m"), col("nq"), col("nm")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nid"))).as("cid"))
+
+  /** TRAINED centroids: the spherical-k-means means after `rounds − 1`
+    * exact-integer recomputations (default two — measured on sf0.01 ground
+    * truth, recall@10 rises monotonically with recomputes while candidate
+    * cost is flat; see IvfRecallSpec / SCALING.md), seeded by `vec_id %
+    * centroidStep == 0`. Output: (cid, m: array<double>, nm: squared norm).
+    *
+    * This is the coarse quantizer for [[Similarity.ivfTopK]] and
+    * [[ProductQuantization.ivfPqTopK]] — trained means instead of an
+    * every-Nth corpus pick, which costs recall at real scale (untrained
+    * centroids don't track the data distribution, so inverted lists are
+    * unbalanced and nprobe misses grow with skew).
+    *
+    * The returned frame is k-row-small and comes back as an EAGER,
+    * lineage-free localCheckpoint: callers broadcast it into assignment /
+    * probe scoring without re-running the corpus-sized training passes, and
+    * there is no session-lifetime cache to release (checkpoint blocks are
+    * GC-cleaned by the ContextCleaner). */
+  def trainedCentroids(emb: DataFrame, centroidStep: Int, rounds: Int = 3,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rounds >= 2, s"a trained quantizer needs >= 1 recompute (rounds >= 2), got $rounds")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val quantized = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qi"))
+      .persist(lvl)
+    val corpus = quantized
+      .select(col("vec_id"), transform(col("qi"), _.cast("double")).as("qd"))
+      .withColumn("nq", sqNorm(col("qd")))
+      .persist(lvl)
+    val seed = corpus.filter(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cid"), col("qd").as("m"), col("nq").as("nm"))
+    var cents = recompute(assignCos(corpus, seed), quantized)
+    var r = 2
+    while (r < rounds) {
+      cents = recompute(assignCos(corpus, cents), quantized)
+      r += 1
+    }
+    val out = cents.localCheckpoint(true)
+    quantized.unpersist()
+    corpus.unpersist()
+    out
+  }
+
   /** Per-cluster stats after the final assignment: member count, min member
     * id, and the (exact-arithmetic) mean of the first quantized component. */
   def kmeansStats(emb: DataFrame, centroidStep: Int, rounds: Int = 2,

@@ -146,30 +146,36 @@ object ProductQuantization {
   }
 
   /** IVF-PQ: the composed production shape — IVF coarse lists prune the
-    * candidate set ([[Similarity.ivfTopK]]'s exact rules: deterministic
-    * centroid pick, highest-cosine assignment, `nprobe` probe lists), PQ
-    * ADC scores only the survivors. At 100 TB the scan touches codes for
-    * ~nprobe/|lists| of the corpus instead of every raw vector — the two
-    * knobs (nprobe for recall, m×k for precision) move independently. */
+    * candidate set ([[Similarity.ivfTopK]]'s exact rules: TRAINED coarse
+    * centroids ([[Clustering.trainedCentroids]]), highest-coarse-cosine
+    * assignment, `nprobe` probe lists), PQ ADC scores only the survivors.
+    * At 100 TB the scan touches codes for ~nprobe/|lists| of the corpus
+    * instead of every raw vector — the two knobs (nprobe for recall, m×k
+    * for precision) move independently. */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
-                coarseStep: Int = 50, nprobe: Int = 3,
+                coarseStep: Int = 25, nprobe: Int = 6,
                 m: Int = 8, subDim: Int = 8, centroidStep: Int = 40,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val cent = Similarity.withNorm(emb.filter(col(idCol) % coarseStep === 0),
-      idCol, vecCol, "centroid_id", "cv", "nc")
+    val cent = Clustering.trainedCentroids(emb, coarseStep, idCol = idCol, vecCol = vecCol)
+      .select(col("cid").as("centroid_id"), col("m").as("cm"), col("nm").as("cnm"))
+    def quantSide(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+          transform(Clustering.quantize(col(vecCol)), _.cast("double")).as("qd"))
+        .withColumn("nqd", dot(col("qd"), col("qd")))
+    val ccos = Similarity.coarseCos(col("qd"), col("cm"), col("nqd"), col("cnm"))
     // inverted lists: map-side-combined argmax, one row per vector shuffles
-    val assigned = Similarity.withNorm(emb, idCol, vecCol, "vec_id", "v", "nv")
+    val assigned = quantSide(emb, "vec_id")
       .crossJoin(broadcast(cent))
-      .withColumn("ccos", round(Similarity.cosPre(col("v"), col("cv"), col("nv"), col("nc")), 6))
+      .withColumn("ccos", ccos)
       .groupBy(col("vec_id"))
       .agg(max_by(col("centroid_id"),
         struct(col("ccos"), (-col("centroid_id")).as("nid"))).as("centroid_id"))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("ccos").desc, col("centroid_id"))
-    val probes = Similarity.withNorm(queries, idCol, vecCol, "query_id", "qv", "nq")
+    val probes = quantSide(queries, "query_id")
       .crossJoin(broadcast(cent))
-      .withColumn("ccos", round(Similarity.cosPre(col("qv"), col("cv"), col("nq"), col("nc")), 6))
+      .withColumn("ccos", ccos)
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("centroid_id"))

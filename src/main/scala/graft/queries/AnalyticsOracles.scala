@@ -124,6 +124,74 @@ object AnalyticsOracles {
       |  WHERE rn = 1)
       |""".stripMargin
 
+  /** Quantized-int base table shared by the coarse-quantizer CTEs (identical
+    * to the `q` head of [[kmeansCte]]/[[pqCte]]). */
+  private val quantCte =
+    """WITH q AS (
+      |  SELECT vec_id, [round(x*1000000)::BIGINT for x in embedding::DOUBLE[]] AS qi
+      |  FROM embeddings)
+      |""".stripMargin
+
+  /** TRAINED coarse-quantizer CTEs (assume `q(vec_id, qi)` exists): a
+    * seeded SPHERICAL (highest-cosine) assignment + exact-int recompute,
+    * twice → trained means `kc2(cid, m, nm)` — the DuckDB twin of
+    * `Clustering.trainedCentroids(step, rounds = 3)`. Names are k-prefixed
+    * so the fragment composes with the PQ skeleton (whose subspace tables
+    * already use c0/a1/c1/a2). */
+  private def coarseTrainCtes(step: Int): String =
+    s""", kqd AS (
+       |  SELECT vec_id, qi, [x::DOUBLE for x in qi] AS qdv,
+       |    list_reduce(list_prepend(0.0, [x::DOUBLE * x::DOUBLE for x in qi]),
+       |      (a,b) -> a+b) AS nq
+       |  FROM q),
+       |kc0 AS (SELECT vec_id AS cid, qdv AS m, nq AS nm FROM kqd WHERE vec_id % $step = 0),
+       |ka1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT kqd.vec_id, kc0.cid,
+       |      row_number() OVER (PARTITION BY kqd.vec_id ORDER BY
+       |        $coarseCosSql DESC,
+       |        cid) AS rn
+       |    FROM kqd, kc0)
+       |  WHERE rn = 1),
+       |kx1 AS (
+       |  SELECT cid, unnest(generate_series(1, len(qi))) AS i, qi
+       |  FROM ka1 JOIN q USING (vec_id)),
+       |ks1 AS (SELECT cid, i, sum(qi[i]) AS s FROM kx1 GROUP BY cid, i),
+       |kn1 AS (SELECT cid, count(*) AS n FROM ka1 GROUP BY cid),
+       |kc1 AS (
+       |  SELECT cid, m,
+       |    list_reduce(list_prepend(0.0, [x*x for x in m]), (a,b) -> a+b) AS nm
+       |  FROM (
+       |    SELECT cid, list(s::DOUBLE / n ORDER BY i) AS m
+       |    FROM ks1 JOIN kn1 USING (cid) GROUP BY cid, n)),
+       |ka2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT kqd.vec_id, kc1.cid,
+       |      row_number() OVER (PARTITION BY kqd.vec_id ORDER BY
+       |        $coarseCosSql DESC,
+       |        cid) AS rn
+       |    FROM kqd, kc1)
+       |  WHERE rn = 1),
+       |kx2 AS (
+       |  SELECT cid, unnest(generate_series(1, len(qi))) AS i, qi
+       |  FROM ka2 JOIN q USING (vec_id)),
+       |ks2 AS (SELECT cid, i, sum(qi[i]) AS s FROM kx2 GROUP BY cid, i),
+       |kn2 AS (SELECT cid, count(*) AS n FROM ka2 GROUP BY cid),
+       |kc2 AS (
+       |  SELECT cid, m,
+       |    list_reduce(list_prepend(0.0, [x*x for x in m]), (a,b) -> a+b) AS nm
+       |  FROM (
+       |    SELECT cid, list(s::DOUBLE / n ORDER BY i) AS m
+       |    FROM ks2 JOIN kn2 USING (cid) GROUP BY cid, n))
+       |""".stripMargin
+
+  /** Coarse cosine of a quantized vector against a trained mean — the exact
+    * parenthesization of `Similarity.coarseCos`. */
+  private val coarseCosSql =
+    """round(list_reduce(list_prepend(0.0,
+      |      [qdv[i] * m[i] for i in generate_series(1, len(qdv))]), (a,b) -> a+b) /
+      |      (sqrt(nq) * sqrt(nm)), 6)""".stripMargin
+
   private val jaccardSql =
     """round(len(list_intersect(a.sh, b.sh))::DOUBLE /
       |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)""".stripMargin
@@ -448,23 +516,22 @@ object AnalyticsOracles {
         |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
         |  FROM t)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
-    "sim_ivfpq_topk" -> (pqCte +
-      s""", e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    "sim_ivfpq_topk" -> (pqCte + coarseTrainCtes(25) +
+      s""", cent AS (SELECT cid AS centroid_id, m, nm FROM kc2),
          |ascore AS (
-         |  SELECT e.vec_id, cent.centroid_id, ${cosSql("e.v", "cent.cv")} AS ccos
-         |  FROM e, cent),
+         |  SELECT kqd.vec_id, cent.centroid_id, $coarseCosSql AS ccos
+         |  FROM kqd, cent),
          |assigned AS (
          |  SELECT vec_id, centroid_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn FROM ascore)
          |  WHERE rn = 1),
          |qscore AS (
-         |  SELECT qq.vec_id AS query_id, cent.centroid_id, ${cosSql("qq.v", "cent.cv")} AS ccos
-         |  FROM e qq, cent WHERE qq.vec_id < 5),
+         |  SELECT kqd.vec_id AS query_id, cent.centroid_id, $coarseCosSql AS ccos
+         |  FROM kqd, cent WHERE kqd.vec_id < 5),
          |probes AS (
          |  SELECT query_id, centroid_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, centroid_id) AS rn FROM qscore)
-         |  WHERE rn <= 3),
+         |  WHERE rn <= 6),
          |cand AS (
          |  SELECT p.query_id, a.vec_id FROM probes p JOIN assigned a USING (centroid_id)
          |  WHERE a.vec_id <> p.query_id),
@@ -827,25 +894,27 @@ object AnalyticsOracles {
          |  SELECT id_a, id_b, ${cosSql("a.v", "b.v")} AS cos
          |  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)
          |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin),
-    "sim_ivf_topk" -> (embCte +
-      s""", cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    "sim_ivf_topk" -> (quantCte + coarseTrainCtes(25) +
+      s""", e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT cid AS centroid_id, m, nm FROM kc2),
          |ascore AS (
-         |  SELECT e.vec_id, e.v, cent.centroid_id, ${cosSql("e.v", "cent.cv")} AS ccos
-         |  FROM e, cent),
+         |  SELECT kqd.vec_id, cent.centroid_id, $coarseCosSql AS ccos
+         |  FROM kqd, cent),
          |assigned AS (
-         |  SELECT vec_id, v, centroid_id FROM (
+         |  SELECT vec_id, centroid_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn FROM ascore)
          |  WHERE rn = 1),
          |qscore AS (
-         |  SELECT q.vec_id AS query_id, q.v AS qv, cent.centroid_id, ${cosSql("q.v", "cent.cv")} AS ccos
-         |  FROM e q, cent WHERE q.vec_id < 5),
+         |  SELECT kqd.vec_id AS query_id, cent.centroid_id, $coarseCosSql AS ccos
+         |  FROM kqd, cent WHERE kqd.vec_id < 5),
          |probes AS (
-         |  SELECT query_id, qv, centroid_id FROM (
+         |  SELECT query_id, centroid_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, centroid_id) AS rn FROM qscore)
-         |  WHERE rn <= 3),
+         |  WHERE rn <= 6),
          |scored AS (
-         |  SELECT p.query_id, a.vec_id, ${cosSql("p.qv", "a.v")} AS cos
+         |  SELECT p.query_id, a.vec_id, ${cosSql("qe.v", "ae.v")} AS cos
          |  FROM probes p JOIN assigned a USING (centroid_id)
+         |  JOIN e qe ON qe.vec_id = p.query_id JOIN e ae ON ae.vec_id = a.vec_id
          |  WHERE a.vec_id <> p.query_id)
          |SELECT query_id, rank, vec_id, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored)

@@ -130,7 +130,7 @@ object AnalyticsQueries {
 
   def simIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5, centroidStep = 50, nprobe = 3)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5, centroidStep = 25, nprobe = 6)
       .orderBy(col("query_id"), col("rank"))
   }
 
