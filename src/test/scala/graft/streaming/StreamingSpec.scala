@@ -70,6 +70,52 @@ class StreamingSpec extends SparkSpec {
       batch.count())
   }
 
+  test("at-least-once replay: a double-delivered batch dedups on read to exactly once-delivered") {
+    // The reference commits its resume token only AFTER the insert
+    // (/root/reference/src/main.rs:426-439), so a crash between insert and
+    // commit re-delivers the batch — duplicates at the sink are BY DESIGN,
+    // and SURVEY §7.4 promises they are absorbed by dedup-on-read (the
+    // ClickHouse ReplacingMergeTree contract). This delivers the same
+    // micro-batch twice through the real JDBC sink path and proves the
+    // row_number-over-id read view equals the once-delivered result.
+    import java.sql.DriverManager
+    import graft.sinks.JdbcStatementsSink
+    val url = "jdbc:derby:memory:graftreplay;create=true"
+    val ddl = DriverManager.getConnection(url)
+    Seq("statements", "statements_opt_out").foreach { t =>
+      ddl.createStatement().execute(
+        s"""CREATE TABLE db.$t (
+           |  id VARCHAR(64), statement VARCHAR(4096),
+           |  created_at TIMESTAMP, "TIMESTAMP" TIMESTAMP)""".stripMargin)
+    }
+    ddl.close()
+
+    val dlq = new Dlq(spark, tmp("dlq"))
+    val batch = EventStatements.statements(eventsSlice(0, 100)).persist()
+    val dim = EventStatements.optOutHashes(eventsSlice(0, 100))
+    val sink = new JdbcStatementsSink(url, "", "", batchSize = 16, nowSql = "CURRENT_TIMESTAMP")
+    val once = StreamingPipeline.processBatch(batch, dim, sink, tables, dlq, fastRetry)
+    val twice = StreamingPipeline.processBatch(batch, dim, sink, tables, dlq, fastRetry)
+    assert(once.deadLettered == 0 && twice.deadLettered == 0)
+    assert(once.written == batch.count() && twice.written == batch.count())
+
+    def readBack(t: String): DataFrame =
+      spark.read.format("jdbc").option("url", url).option("dbtable", s"db.$t").load()
+    val all = readBack("statements").unionByName(readBack("statements_opt_out"))
+    assert(all.count() == 2 * batch.count()) // duplicates really landed
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ID")).orderBy(col("CREATED_AT"))
+    val dedupOnRead = all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(dedupOnRead.count() == batch.count())
+    // content equality, not just counts: the surviving rows ARE the batch
+    val got = dedupOnRead.select(col("ID"), col("STATEMENT")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val want = batch.select(col("id").cast("string"), col("statement")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want)
+    batch.unpersist(): Unit
+  }
+
   test("replay failure keeps the batch queued (no loss)") {
     val dlqDir = tmp("dlq")
     val dlq = new Dlq(spark, dlqDir)
