@@ -543,20 +543,25 @@ object Dedup {
     * [[spanDedupMaterialize]]: every `spanTokens`-token span with its text,
     * position, and whether it is the corpus-wide first occurrence of its
     * content. */
+  /** The linear first-occurrence order key SHARED by batch span dedup and
+    * its streaming twin ([[graft.streaming.EventTimeOps.streamingSpanDedup]])
+    * — cross-parity depends on both using this one definition. It is only
+    * an order embedding while chunk_idx < 10⁶ and doc_id ≥ 0 — enforce it,
+    * don't assume it: a 16M-token doc or a negative id would silently
+    * corrupt keeper selection otherwise. */
+  private[graft] def spanOccKey(docId: Column, chunkIdx: Column): Column =
+    when(chunkIdx < 1000000L && docId >= 0L, docId * 1000000L + chunkIdx)
+      .otherwise(raise_error(concat(
+        lit("span occ_key out of range: doc_id="), docId.cast("string"),
+        lit(" chunk_idx="), chunkIdx.cast("string"))))
+
   private def spanOccurrences(docs: DataFrame, spanTokens: Int,
                               textCol: String, idCol: String): DataFrame = {
-    // the linear key is only an order embedding while chunk_idx < 10⁶ and
-    // doc_id ≥ 0 — enforce it, don't assume it: a 16M-token doc or a
-    // negative id would silently corrupt keeper selection otherwise
-    val occKey = when(col("chunk_idx") < 1000000L && col("doc_id") >= 0L,
-        col("doc_id") * 1000000L + col("chunk_idx"))
-      .otherwise(raise_error(concat(
-        lit("span occ_key out of range: doc_id="), col("doc_id").cast("string"),
-        lit(" chunk_idx="), col("chunk_idx").cast("string"))))
     val spans = Sampling.docChunksWithText(docs, size = spanTokens,
         stride = spanTokens, textCol = textCol, idCol = idCol, hashChars = 32)
       .select(col("doc_id"), col("chunk_idx"), col("n_tok"),
-        col("chunk_text"), col("chunk_hash"), occKey.as("occ_key"))
+        col("chunk_text"), col("chunk_hash"),
+        spanOccKey(col("doc_id"), col("chunk_idx")).as("occ_key"))
     val keepers = spans.groupBy("chunk_hash")
       .agg(min(col("occ_key")).as("first_key"))
     spans.join(keepers, Seq("chunk_hash"))

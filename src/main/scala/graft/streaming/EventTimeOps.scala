@@ -128,6 +128,65 @@ object EventTimeOps {
       }
   }
 
+  final case class SpanRow(chunk_hash: String, doc_id: Long, chunk_idx: Long,
+                           n_tok: Long, occ_key: Long)
+  final case class SpanState(firstKey: Long)
+  final case class SpanVerdict(doc_id: Long, chunk_idx: Long, n_tok: Long, removed: Int)
+
+  /** Streaming C4 span dedup — the stateful streaming twin of
+    * [[graft.analytics.Dedup.spanDedupStats]], completing the batch/stream
+    * pairing the simhash operator already has. Documents explode into
+    * `spanTokens`-token spans (the SAME chunker and 128-bit `chunk_hash` as
+    * the batch operator), the stream keys on the span hash, and
+    * `flatMapGroupsWithState` keeps exactly ONE long per distinct span (the
+    * keeper's occ_key — the minimal state for first-occurrence-wins; the
+    * simhash bucket operator stores member lists, this stores a scalar).
+    * Each arriving span is emitted with its keeper/removed verdict.
+    *
+    * Cross-micro-batch contract: FIRST ARRIVAL wins. Within a micro-batch,
+    * rows are ranked by the shared [[graft.analytics.Dedup.spanOccKey]]
+    * order, so verdicts never depend on partition order; across batches,
+    * when arrival follows occ_key order (a backfill replaying in document
+    * order — the EventTimeSpec parity case) the verdicts equal the batch
+    * operator's global min-occ_key rule EXACTLY. Out-of-order arrival keeps
+    * the earlier arrival as keeper — the standard streaming relaxation,
+    * same as [[firstSeen]].
+    *
+    * State: one (hash → long) entry per distinct span seen; TTL it on
+    * continuous streams via `ttlMs` (same Trigger.AvailableNow caveat as
+    * [[streamingSimhashPairs]] — leave None for bounded replays). */
+  def streamingSpanDedup(docs: DataFrame, spanTokens: Int = 16,
+                         ttlMs: Option[Long] = None)
+                        (implicit spark: SparkSession): Dataset[SpanVerdict] = {
+    import spark.implicits._
+    val spans = graft.analytics.Sampling.docChunksWithText(docs, size = spanTokens,
+        stride = spanTokens, hashChars = 32)
+      .select(col("chunk_hash"), col("doc_id"), col("chunk_idx"), col("n_tok"),
+        graft.analytics.Dedup.spanOccKey(col("doc_id"), col("chunk_idx")).as("occ_key"))
+      .as[SpanRow]
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    spans.groupByKey(_.chunk_hash)
+      .flatMapGroupsWithState[SpanState, SpanVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeoutConf) {
+        (_: String, rows: Iterator[SpanRow], state: GroupState[SpanState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toArray.sortBy(_.occ_key)
+            val keeperKey = state.getOption.map(_.firstKey).getOrElse {
+              state.update(SpanState(rs.head.occ_key))
+              rs.head.occ_key
+            }
+            ttlMs.foreach(state.setTimeoutDuration)
+            rs.iterator.map(r => SpanVerdict(r.doc_id, r.chunk_idx, r.n_tok,
+              if (r.occ_key == keeperKey) 0 else 1))
+          }
+      }
+  }
+
   /** Exactly-once-per-key emission with TTL'd state
     * (`mapGroupsWithState`): emits a key's payload only the first time the
     * key is seen; the seen-marker expires after `ttlMs` of processing time

@@ -201,6 +201,48 @@ class EventTimeSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("streaming span dedup matches the batch operator across micro-batches") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+      .select("doc_id", "text").persist()
+    // occ_key-ordered drops (low doc_ids first): first-arrival-wins then
+    // equals the batch global-min rule exactly. The boundary splits the
+    // corpus mid-way, so duplicated spans straddle micro-batches — the
+    // cross-batch state path is what's under test.
+    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    docs.filter(col("doc_id") <= mid).coalesce(1).write.parquet(s"$srcDir/d0")
+    docs.filter(col("doc_id") > mid).coalesce(1).write.parquet(s"$srcDir/d1")
+    val schema = spark.read.parquet(s"$srcDir/d0").schema
+
+    val q = EventTimeOps.streamingSpanDedup(
+        Sources.fileStream(spark, s"$srcDir/d*", schema))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir).start()
+    assert(q.awaitTermination(180000), "streaming span dedup did not finish in time")
+
+    // per-span verdicts aggregate to the batch operator's per-doc stats
+    val got = spark.read.parquet(outDir)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("removed")).as("n_removed"),
+        sum(when(col("removed") === 0, col("n_tok")).otherwise(0L)).as("n_kept_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = graft.analytics.Dedup.spanDedupStats(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(want.exists(_._3 > 0), "corpus should contain removed (duplicated) spans")
+    assert(got == want)
+    // and the cross-batch path really fired: some span's occurrences
+    // straddle the boundary (keeper in batch 0, removal in batch 1)
+    val straddling = graft.analytics.Sampling
+      .docChunksWithText(docs, size = 16, stride = 16, hashChars = 32)
+      .groupBy("chunk_hash").agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .filter(col("lo") <= mid && col("hi") > mid).count()
+    assert(straddling > 0, "fixture must exercise cross-micro-batch state")
+    docs.unpersist()
+  }
+
   test("firstSeen: duplicate keys across micro-batches emit exactly once") {
     import spark.implicits._
     implicit val s: org.apache.spark.sql.SparkSession = spark
