@@ -157,6 +157,39 @@ object Sampling {
         round(col("weight_micro").cast("double") * budget / 1e6).cast("long")
           .as("target_docs"))
 
+  /** MATERIALIZED training mix — the composition the allocation table only
+    * describes: temperature weights → epoch allocation → the actual sampled
+    * corpus with per-stratum repeats ([[epochAllocation]] is the report,
+    * this is the frame a trainer consumes — the same report/materializer
+    * pairing as span dedup's stats vs materialize). Each document of
+    * stratum s appears `epochs_micro(s) div 1e6` times, plus one extra copy
+    * iff `hash60(id·":mix") mod 1e6` falls under the fractional remainder —
+    * a deterministic per-row Bernoulli whose stratum-wide expectation is
+    * exactly `target_docs(s)`. Output rows carry (doc_id, stratum, epoch);
+    * epoch tags the repeat index a trainer shuffles by.
+    *
+    * Shape at 100 TB: the allocation is a strata-sized broadcast; the mix
+    * is ONE narrow pass (broadcast join + explode), zero corpus shuffle.
+    * The hash threshold keeps it shuffle-free at the cost of ±O(√n_s)
+    * around each stratum's exact target; an exact-truncate variant would
+    * rank by hash within stratum (one window shuffle per pass) — the
+    * expected-size form is the right default for training mixes, where the
+    * budget is itself a soft target. */
+  def materializeMix(df: DataFrame, stratumCol: String, budget: Long,
+                     idCol: String = "doc_id"): DataFrame = {
+    val alloc = epochAllocation(df, stratumCol, budget)
+      .select(col("stratum"), col("epochs_micro"))
+    df.select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"))
+      .join(broadcast(alloc), "stratum")
+      .withColumn("__n",
+        expr("epochs_micro DIV 1000000") +
+          (Dedup.hash60(concat(col("doc_id").cast("string"), lit(":mix"))) % 1000000L <
+            col("epochs_micro") % 1000000L).cast("long"))
+      .select(col("doc_id"), col("stratum"),
+        explode(when(col("__n") >= 1, sequence(lit(1L), col("__n")))
+          .otherwise(array().cast("array<bigint>"))).as("epoch"))
+  }
+
   /** Hashing-trick vectorizer (feature hashing): token → `dims` buckets by
     * sha-derived hash, per-(doc, bucket) counts — the fixed-width feature
     * map that needs NO vocabulary pass at any corpus size. Explode +

@@ -255,6 +255,28 @@ object AnalyticsOracles {
         |  round(weight_micro::DOUBLE * budget / n)::BIGINT AS epochs_micro,
         |  round(weight_micro::DOUBLE * budget / 1000000)::BIGINT AS target_docs
         |FROM w CROSS JOIN b ORDER BY stratum""".stripMargin,
+    "sample_mix" ->
+      """WITH c AS (
+        |  SELECT lang AS stratum, count(*) AS n, sqrt(count(*)::DOUBLE) AS s
+        |  FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT list_reduce(list_prepend(0.0, list(s ORDER BY stratum)),
+        |    (a,b) -> a+b) AS total FROM c),
+        |b AS (SELECT sum(n)::BIGINT AS budget FROM c),
+        |w AS (
+        |  SELECT stratum, n, round(s / total * 1000000)::BIGINT AS weight_micro
+        |  FROM c CROSS JOIN t),
+        |a AS (
+        |  SELECT stratum,
+        |    round(weight_micro::DOUBLE * budget / n)::BIGINT AS epochs_micro
+        |  FROM w CROSS JOIN b),
+        |d AS (
+        |  SELECT doc_id, a.stratum AS stratum, epochs_micro // 1000000 +
+        |    (CASE WHEN ('0x'||substr(sha256(doc_id::VARCHAR || ':mix'),1,15))::BIGINT % 1000000
+        |          < epochs_micro % 1000000 THEN 1 ELSE 0 END) AS n_copies
+        |  FROM documents JOIN a ON a.stratum = documents.lang)
+        |SELECT doc_id, stratum, unnest(generate_series(1, n_copies)) AS epoch
+        |FROM d WHERE n_copies >= 1 ORDER BY doc_id, epoch""".stripMargin,
     "text_clf_score" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),

@@ -430,6 +430,15 @@ object AnalyticsQueries {
       .orderBy(col("stratum"))
   }
 
+  /** The materialized training mix for the epoch allocation above — same
+    * strata and budget, but the actual repeated corpus rather than the
+    * per-stratum report. */
+  def sampleMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Sampling.materializeMix(docs, "lang", budget = docs.count())
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   def textHashVec(spark: SparkSession, dir: String): DataFrame =
     Sampling.hashingVectorize(Tables(spark, dir).documents)
       .orderBy(col("doc_id"), col("bucket"))
@@ -513,6 +522,7 @@ object AnalyticsQueries {
     "semdedup_keepers" -> (semdedupKeepers(_, _)),
     "text_clf_score"   -> (textClfScore(_, _)),
     "sample_epochs"    -> (sampleEpochs(_, _)),
+    "sample_mix"       -> (sampleMix(_, _)),
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
     "text_tok_freq"    -> (textTokFreq(_, _)),

@@ -227,6 +227,40 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("materialized mix: per-stratum size tracks target_docs, upsampled strata repeat") {
+    import graft.analytics.Sampling
+    val docs = graft.Tables(spark, d).documents
+    val budget = docs.count()
+    val mix = Sampling.materializeMix(docs, "lang", budget).persist()
+    val alloc = Sampling.epochAllocation(docs, "lang", budget).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("target_docs"), r.getAs[Long]("epochs_micro"), r.getAs[Long]("n"))).toMap
+    val sizes = mix.groupBy("stratum").agg(count(lit(1)).as("m")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("m")).toMap
+    alloc.foreach { case (s, (target, em, n)) =>
+      val m = sizes.getOrElse(s, 0L)
+      // the fractional copies are a deterministic per-doc Bernoulli(frac):
+      // the stratum size concentrates within a few σ = √(n·frac·(1−frac))
+      assert(math.abs(m - target) <= 4 * math.sqrt(n.toDouble) + 1,
+        s"$s: mix size $m vs target $target (n=$n)")
+      if (em > 1000000) {
+        // upsampled stratum: every doc appears at least floor(em/1e6) times
+        val minCopies = mix.filter(col("stratum") === s)
+          .groupBy("doc_id").agg(count(lit(1)).as("c"))
+          .agg(min("c")).head().getLong(0)
+        assert(minCopies >= em / 1000000, s"$s: minCopies=$minCopies em=$em")
+      }
+    }
+    // weights sum to one → the whole mix tracks the budget
+    assert(math.abs(sizes.values.sum - budget) <=
+      4 * math.sqrt(budget.toDouble) + alloc.size)
+    // epochs are dense 1..copies per doc (a trainer can partition by epoch)
+    val badEpochs = mix.groupBy("doc_id").agg(count(lit(1)).as("c"), max("epoch").as("mx"))
+      .filter(col("c") =!= col("mx")).count()
+    assert(badEpochs == 0)
+    mix.unpersist(): Unit
+  }
+
   test("feature hashing: buckets bounded, counts conserve the token mass") {
     import graft.analytics.Sampling
     val docs = graft.Tables(spark, d).documents
