@@ -131,10 +131,24 @@ object Clustering {
     * GC-cleaned by the ContextCleaner). */
   def trainedCentroids(emb: DataFrame, centroidStep: Int, rounds: Int = 3,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(rounds >= 2, s"a trained quantizer needs >= 1 recompute (rounds >= 2), got $rounds")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val quantized = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qi"))
       .persist(lvl)
+    val out = trainedCentroidsFromQuantized(quantized, centroidStep, rounds)
+    quantized.unpersist()
+    out
+  }
+
+  /** [[trainedCentroids]] from an ALREADY-QUANTIZED (vec_id, qi) frame —
+    * lets a composed index build (IVF-PQ) quantize the corpus ONCE and
+    * share the cached frame between coarse training, list assignment, and
+    * subspace-PQ training instead of re-scanning the source per stage.
+    * Callers should persist `quantized`; this adds (and releases) its own
+    * scoring-projection cache. */
+  def trainedCentroidsFromQuantized(quantized: DataFrame, centroidStep: Int,
+                                    rounds: Int = 3): DataFrame = {
+    require(rounds >= 2, s"a trained quantizer needs >= 1 recompute (rounds >= 2), got $rounds")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val corpus = quantized
       .select(col("vec_id"), transform(col("qi"), _.cast("double")).as("qd"))
       .withColumn("nq", sqNorm(col("qd")))
@@ -148,7 +162,6 @@ object Clustering {
       r += 1
     }
     val out = cents.localCheckpoint(true)
-    quantized.unpersist()
     corpus.unpersist()
     out
   }

@@ -53,10 +53,20 @@ object ProductQuantization {
     * (sub, cid, m, nm), and the final code assignment — all persisted,
     * codes materialized. Callers unpersist what they don't return. */
   private def trainAndCodes(emb: DataFrame, m: Int, subDim: Int, centroidStep: Int,
-                            idCol: String, vecCol: String): (DataFrame, DataFrame, DataFrame) = {
+                            idCol: String, vecCol: String): (DataFrame, DataFrame, DataFrame) =
+    trainAndCodesQ(
+      emb.select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi")),
+      m, subDim, centroidStep)
+
+  /** [[trainAndCodes]] from an already-quantized (vec_id, qi) frame — the
+    * shared-scan path for composed index builds (see
+    * [[Clustering.trainedCentroidsFromQuantized]]). Catalyst collapses the
+    * unpersisted delegation above into the same single-projection scan, so
+    * the two entry points plan identically for plain callers. */
+  private def trainAndCodesQ(quantized: DataFrame, m: Int, subDim: Int,
+                             centroidStep: Int): (DataFrame, DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val subs = emb
-      .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
+    val subs = quantized
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qi"))
       .select(col("vec_id"), col("sub"),
         slice(col("qi"), col("sub") * subDim + 1, lit(subDim)).as("sqi"))
@@ -157,15 +167,21 @@ object ProductQuantization {
                 m: Int = 8, subDim: Int = 8, centroidStep: Int = 40,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val cent = Clustering.trainedCentroids(emb, coarseStep, idCol = idCol, vecCol = vecCol)
+    // Quantize the corpus ONCE: coarse training, list assignment, and the
+    // subspace-PQ training all read this cached frame — at 100 TB the
+    // composed index build is one source scan plus cache passes, not three
+    // independent scans of the raw vectors.
+    val quantized = emb
+      .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = Clustering.trainedCentroidsFromQuantized(quantized, coarseStep)
       .select(col("cid").as("centroid_id"), col("m").as("cm"), col("nm").as("cnm"))
     def quantSide(df: DataFrame, idAs: String): DataFrame =
-      df.select(col(idCol).as(idAs),
-          transform(Clustering.quantize(col(vecCol)), _.cast("double")).as("qd"))
+      df.select(col(idAs), transform(col("qi"), _.cast("double")).as("qd"))
         .withColumn("nqd", dot(col("qd"), col("qd")))
     val ccos = Similarity.coarseCos(col("qd"), col("cm"), col("nqd"), col("cnm"))
     // inverted lists: map-side-combined argmax, one row per vector shuffles
-    val assigned = quantSide(emb, "vec_id")
+    val assigned = quantSide(quantized, "vec_id")
       .crossJoin(broadcast(cent))
       .withColumn("ccos", ccos)
       .groupBy(col("vec_id"))
@@ -173,7 +189,9 @@ object ProductQuantization {
         struct(col("ccos"), (-col("centroid_id")).as("nid"))).as("centroid_id"))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("ccos").desc, col("centroid_id"))
-    val probes = quantSide(queries, "query_id")
+    val probes = quantSide(
+        queries.select(col(idCol).as("query_id"), Clustering.quantize(col(vecCol)).as("qi")),
+        "query_id")
       .crossJoin(broadcast(cent))
       .withColumn("ccos", ccos)
       .withColumn("rn", row_number().over(wProbe))
@@ -182,7 +200,7 @@ object ProductQuantization {
     val cand = probes.join(assigned, "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
-    val (subs, cents1, codes) = trainAndCodes(emb, m, subDim, centroidStep, idCol, vecCol)
+    val (subs, cents1, codes) = trainAndCodesQ(quantized, m, subDim, centroidStep)
     val joined = cand.join(codes, "vec_id")
       .join(broadcast(distanceTables(subs, cents1, queries, idCol)),
         Seq("query_id", "sub", "cid"))
@@ -191,7 +209,7 @@ object ProductQuantization {
     val out = adcRank(joined, m, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count(): Unit
-    subs.unpersist(); cents1.unpersist(); codes.unpersist()
+    subs.unpersist(); cents1.unpersist(); codes.unpersist(); quantized.unpersist()
     out
   }
 
