@@ -248,9 +248,14 @@ object AnalyticsQueries {
     val kept = curateKept(spark, dir)
     val pairs = Dedup.ngramJaccardPairs(kept.select(col("doc_id"), col("text")),
       minJaccard = 0.6, maxDf = Some(Dedup.dfCapFor(docs.count())))
-    Dedup.keepAfterNearDup(kept, pairs)
+    // caller-must-unpersist contract on curateKept's cache (see
+    // semdedupKeepers): materialize the small result, release the corpus cache
+    val out = Dedup.keepAfterNearDup(kept, pairs)
       .select(col("doc_id"), col("lang_pred"), col("quality"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    kept.unpersist()
+    out
   }
 
   /** Decontamination vs a fake "benchmark": docs 0–4 play the eval set;
