@@ -63,8 +63,8 @@ object ProductQuantization {
     * [[Clustering.trainedCentroidsFromQuantized]]). Catalyst collapses the
     * unpersisted delegation above into the same single-projection scan, so
     * the two entry points plan identically for plain callers. */
-  private def trainAndCodesQ(quantized: DataFrame, m: Int, subDim: Int,
-                             centroidStep: Int): (DataFrame, DataFrame, DataFrame) = {
+  private[analytics] def trainAndCodesQ(quantized: DataFrame, m: Int, subDim: Int,
+                                        centroidStep: Int): (DataFrame, DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val subs = quantized
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qi"))
@@ -140,7 +140,7 @@ object ProductQuantization {
     * there sits at the edge of the 15-16 significant digits a double
     * carries, where engines' round() implementations legitimately
     * disagree — emit the WHOLE-unit integer instead (exact below 2^53). */
-  private def adcRank(joined: DataFrame, m: Int, k: Int): DataFrame = {
+  private[analytics] def adcRank(joined: DataFrame, m: Int, k: Int): DataFrame = {
     val dCols = (0 until m).map(s =>
       max(when(col("sub") === s, col("d2"))).as(s"d$s"))
     val pivoted = joined.groupBy(col("query_id"), col("vec_id"))

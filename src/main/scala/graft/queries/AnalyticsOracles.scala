@@ -196,7 +196,7 @@ object AnalyticsOracles {
     """round(len(list_intersect(a.sh, b.sh))::DOUBLE /
       |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)""".stripMargin
 
-  val all: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "text_gopher_gates" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
@@ -984,4 +984,9 @@ object AnalyticsOracles {
         |WHERE length(text) > 0 AND regexp_matches(text, '^[ -~]*$')
         |ORDER BY doc_id""".stripMargin,
   )
+
+  /** sim_pqindex_topk — IVF-PQ served from the PERSISTED index
+    * ([[graft.analytics.PqIndex]]) — returns bit-identical rows to the
+    * one-shot sim_ivfpq_topk by construction, so it shares that oracle. */
+  val all: Map[String, String] = base + ("sim_pqindex_topk" -> base("sim_ivfpq_topk"))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.analytics.{Clustering, Dedup, Multimodal, ProductQuantization, Quantization, Sampling, Search, Similarity, TextAnalysis}
+import graft.analytics.{Clustering, Dedup, Multimodal, PqIndex, ProductQuantization, Quantization, Sampling, Search, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions
 
 /** Driver-facing entry points for the training-data-pipeline operators
@@ -396,6 +396,18 @@ object AnalyticsQueries {
     out
   }
 
+  /** IVF-PQ served from the PERSISTED index: build into a scratch dir,
+    * query the stored structure — the build-once/query-many serving path
+    * end-to-end. Same params and scoring as [[simIvfPqTopK]], so it shares
+    * that oracle SQL. */
+  def simPqIndexTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val idx = java.nio.file.Files.createTempDirectory("pqindex").toString
+    PqIndex.build(emb, idx)
+    PqIndex.query(spark, idx, emb.filter(col("vec_id") < 5), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def simIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val res = ProductQuantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
@@ -546,6 +558,7 @@ object AnalyticsQueries {
     "sample_temperature" -> (sampleTemperature(_, _)),
     "text_hash_vec"    -> (textHashVec(_, _)),
     "sim_ivfpq_topk"   -> (simIvfPqTopK(_, _)),
+    "sim_pqindex_topk" -> (simPqIndexTopK(_, _)),
     "dedup_closure"    -> (dedupClosure(_, _)),
     "embed_kmeans"     -> (embedKmeans(_, _)),
     "embed_quantize"   -> (embedQuantize(_, _)),
