@@ -25,6 +25,49 @@ class LayoutSpec extends SparkSpec {
       .map(_.metrics("numOutputRows").value).sum
   }
 
+  test("z-ordered layout prunes band scans on BOTH dimensions; 1-D layout on one") {
+    val base = Files.createTempDirectory("zlayout").toString
+    val ev = graft.Tables(spark, sf("sf0.01")).events
+      .withColumn("ts_sec", col("ts").cast("long")).persist()
+
+    new ZOrderedParquetSink(base, partitions = 32, colA = "ts_sec", colB = "user_id")
+      .write(ev, "zordered")
+    // control: 1-D time clustering — prunes ts bands, blind to user bands
+    new ClusteredParquetSink(base, partitions = 32, clusterCol = "ts_sec")
+      .write(ev, "tsclustered")
+
+    val tsStats = ev.agg(min("ts_sec"), max("ts_sec")).head()
+    val (tsLo, tsHi) = (tsStats.getLong(0), tsStats.getLong(1))
+    val uStats = ev.agg(min("user_id"), max("user_id")).head()
+    val (uLo, uHi) = (uStats.getLong(0), uStats.getLong(1))
+    // narrow bands: 1/16 of each dimension's range
+    val tsBandHi = tsLo + (tsHi - tsLo) / 16
+    val uBandHi = uLo + (uHi - uLo) / 16
+    def tsBand(path: String): DataFrame = spark.read.parquet(path)
+      .filter(col("ts_sec") >= tsLo && col("ts_sec") <= tsBandHi).select("event_id")
+    def uBand(path: String): DataFrame = spark.read.parquet(path)
+      .filter(col("user_id") >= uLo && col("user_id") <= uBandHi).select("event_id")
+
+    def ids(df: DataFrame): Seq[Long] = df.collect().map(_.getLong(0)).sorted.toSeq
+    // identical results on every layout
+    assert(ids(tsBand(s"$base/zordered")) == ids(tsBand(s"$base/tsclustered")))
+    assert(ids(uBand(s"$base/zordered")) == ids(uBand(s"$base/tsclustered")))
+    assert(ids(uBand(s"$base/zordered")).nonEmpty)
+
+    val full = ev.count()
+    // z-order: BOTH band dimensions prune
+    val zTs = scanRows(tsBand(s"$base/zordered"))
+    val zU = scanRows(uBand(s"$base/zordered"))
+    assert(zTs * 2 < full, s"z layout should prune ts bands: $zTs vs $full")
+    assert(zU * 2 < full, s"z layout should prune user bands: $zU vs $full")
+    // 1-D: ts prunes harder than z (tighter 1-D ranges), user reads ALL
+    val cTs = scanRows(tsBand(s"$base/tsclustered"))
+    val cU = scanRows(uBand(s"$base/tsclustered"))
+    assert(cTs * 2 < full)
+    assert(cU == full, s"1-D ts layout must be blind to user bands, scanned $cU of $full")
+    ev.unpersist()
+  }
+
   test("clustered layout prunes time-band scans; shuffled layout cannot") {
     val base = Files.createTempDirectory("layout").toString
     // epoch-seconds cluster key: INT64 parquet stats prune; raw Spark
