@@ -97,6 +97,23 @@ class PlanShapeSpec extends SparkSpec {
       s"bigramSurprisal materialized ${scans.value} partition-scans vs $onePass for one pass")
   }
 
+  test("materialized mix joins the allocation by broadcast; the corpus never shuffles") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+    val df = Sampling.materializeMix(docs, "lang", budget = docs.count())
+    assert(df.collect().nonEmpty)
+    val nodes = allNodes(finalPlan(df))
+    // corpus side: broadcast join + explode, no sort-merge, no cartesian
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")), finalPlan(df).toString)
+    assert(!nodes.exists(n => n.nodeName.contains("SortMergeJoin") ||
+      n.nodeName.contains("CartesianProduct")), finalPlan(df).toString)
+    // the only exchanges are the strata-sized allocation aggregates (plus
+    // their broadcast) — never a corpus-cardinality shuffle
+    val maxShuffledRows = exchanges(df)
+      .flatMap(_.metrics.get("numOutputRows").map(_.value)).maxOption.getOrElse(0L)
+    assert(maxShuffledRows <= 100, s"allocation shuffles must be strata-sized, saw $maxShuffledRows")
+  }
+
   test("tfidf per-doc ranking gets the two-stage window group limit") {
     val docs = graft.Tables(spark, sf("sf0.001")).documents
     val df = Search.tfidfTopTerms(docs, k = 3, nDocs = docs.count())
