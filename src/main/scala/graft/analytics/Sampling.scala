@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / corpus-statistics operators for training-data
@@ -268,4 +269,45 @@ object Sampling {
         size(split(trim(col(textCol)), "\\s+")).cast("long").as("toks"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), round(avg(col("toks")), 4).as("avg_tokens"))
+
+  /** Concat-and-chunk sequence packing: route documents to `nShards`
+    * deterministic shards ([[shardOf]]), concatenate each shard's token
+    * stream in doc_id order, and cut it into fixed-length `windowTokens`
+    * context windows — the step that turns a curated corpus into trainer
+    * sequences. Emits one row per non-empty doc: its shard, its half-open
+    * token interval `[tok_start, tok_end)` in the shard's stream, the
+    * first/last window it lands in, and how many windows it spans.
+    *
+    * Shape at 100 TB: token counting is a narrow scan; the ONLY shuffle is
+    * the per-shard prefix-sum window, partitioned on the shard key. The
+    * degenerate single-partition global `ORDER BY` cumsum never appears —
+    * shard count scales with the corpus, a shard is the unit a trainer
+    * reads, and packing needs no cross-shard coordination, so the prefix
+    * sum stays bounded by shard size at any corpus size. */
+  def packSequences(docs: DataFrame, windowTokens: Int, nShards: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    // split("") yields [""] (size 1), so blank docs must be zeroed explicitly
+    val nTok = when(length(trim(col(textCol))) === 0, lit(0L))
+      .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long"))
+    docs.select(col(idCol).as("doc_id"), nTok.as("n_tok"),
+        shardOf(col(idCol), nShards).as("shard"))
+      .filter(col("n_tok") > 0)
+      .withColumn("tok_end", sum(col("n_tok")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_tok"))
+      .withColumn("first_window", expr(s"tok_start div $windowTokens"))
+      .withColumn("last_window", expr(s"(tok_end - 1) div $windowTokens"))
+      .withColumn("n_windows", col("last_window") - col("first_window") + lit(1L))
+  }
+
+  /** Per-shard packing manifest over [[packSequences]]: docs, token mass,
+    * and sequence (window) count per shard — the index a trainer's data
+    * loader reads to size itself. One nShards-keyed aggregate on top of the
+    * packing pass; the result is nShards rows at any corpus size. */
+  def packShards(docs: DataFrame, windowTokens: Int, nShards: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    packSequences(docs, windowTokens, nShards, idCol, textCol)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        (max("last_window") + lit(1L)).as("n_sequences"))
 }

@@ -277,6 +277,38 @@ object AnalyticsOracles {
         |  FROM documents JOIN a ON a.stratum = documents.lang)
         |SELECT doc_id, stratum, unnest(generate_series(1, n_copies)) AS epoch
         |FROM d WHERE n_copies >= 1 ORDER BY doc_id, epoch""".stripMargin,
+    "pack_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tok,
+        |    ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 8 AS shard
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tok, shard,
+        |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS tok_end
+        |  FROM d WHERE n_tok > 0)
+        |SELECT doc_id, n_tok, shard, tok_end, tok_end - n_tok AS tok_start,
+        |  (tok_end - n_tok) // 1024 AS first_window,
+        |  (tok_end - 1) // 1024 AS last_window,
+        |  (tok_end - 1) // 1024 - (tok_end - n_tok) // 1024 + 1 AS n_windows
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "pack_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tok,
+        |    ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 8 AS shard
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tok, shard,
+        |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS tok_end
+        |  FROM d WHERE n_tok > 0)
+        |SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+        |  (max((tok_end - 1) // 1024) + 1)::BIGINT AS n_sequences
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     "text_clf_score" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),

@@ -456,6 +456,19 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"), col("epoch"))
   }
 
+  /** Concat-and-chunk sequence packing (8 shards, 1024-token windows):
+    * per-doc placement in the shard-concatenated token stream. */
+  def packWindows(spark: SparkSession, dir: String): DataFrame =
+    Sampling.packSequences(Tables(spark, dir).documents,
+        windowTokens = 1024, nShards = 8)
+      .orderBy(col("doc_id"))
+
+  /** Per-shard packing manifest for the same packing parameters. */
+  def packShardsQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.packShards(Tables(spark, dir).documents,
+        windowTokens = 1024, nShards = 8)
+      .orderBy(col("shard"))
+
   def textHashVec(spark: SparkSession, dir: String): DataFrame =
     Sampling.hashingVectorize(Tables(spark, dir).documents)
       .orderBy(col("doc_id"), col("bucket"))
@@ -540,6 +553,8 @@ object AnalyticsQueries {
     "text_clf_score"   -> (textClfScore(_, _)),
     "sample_epochs"    -> (sampleEpochs(_, _)),
     "sample_mix"       -> (sampleMix(_, _)),
+    "pack_windows"     -> (packWindows(_, _)),
+    "pack_shards"      -> (packShardsQ(_, _)),
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
     "text_tok_freq"    -> (textTokFreq(_, _)),

@@ -25,6 +25,47 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ch.length == 1 && ch.head.getAs[Int]("n_tok") == 2)
   }
 
+  test("packSequences: intervals tile each shard stream; window spans exact") {
+    // one shard so the stream is fully deterministic: docs of 3, 5, 4 tokens
+    // at window 4 -> intervals [0,3) [3,8) [8,12); windows 0, 0-1, 2
+    val df = Seq((1L, "a b c"), (2L, "d e f g h"), (3L, "i j k l"))
+      .toDF("doc_id", "text")
+    val p = Sampling.packSequences(df, windowTokens = 4, nShards = 1)
+      .orderBy("doc_id").collect()
+    assert(p.map(r => (r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"))).toSeq ==
+      Seq((0L, 3L), (3L, 8L), (8L, 12L)))
+    assert(p.map(r => (r.getAs[Long]("first_window"), r.getAs[Long]("last_window"),
+      r.getAs[Long]("n_windows"))).toSeq ==
+      Seq((0L, 0L, 1L), (0L, 1L, 2L), (2L, 2L, 1L)))
+  }
+
+  test("packSequences: empty docs drop; shard streams are independent") {
+    val df = Seq((1L, "a b"), (2L, ""), (3L, "c d e")).toDF("doc_id", "text")
+    val p = Sampling.packSequences(df, windowTokens = 4, nShards = 4)
+      .collect()
+    assert(p.length == 2 && !p.exists(_.getAs[Long]("doc_id") == 2L))
+    // each shard's stream starts at token 0
+    val starts = p.groupBy(_.getAs[Long]("shard"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("tok_start")).min }
+    assert(starts.forall(_ == 0L))
+  }
+
+  test("packShards manifest agrees with a direct recount of the packing") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val seqs = Sampling.packSequences(docs, windowTokens = 256, nShards = 8)
+    val manifest = Sampling.packShards(docs, windowTokens = 256, nShards = 8)
+      .orderBy("shard").collect()
+    val byShard = seqs.groupBy("shard")
+      .agg(count(lit(1)).as("d"), sum("n_tok").as("t"),
+        (max("last_window") + lit(1L)).as("s"))
+      .orderBy("shard").collect()
+    assert(manifest.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      byShard.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
+    // token mass is conserved across shards
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum ==
+      seqs.agg(sum("n_tok")).head.getLong(0))
+  }
+
   test("shardStats: every doc lands in exactly one shard; counts add up") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val stats = Sampling.shardStats(docs, nShards = 16).collect()

@@ -114,6 +114,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(maxShuffledRows <= 100, s"allocation shuffles must be strata-sized, saw $maxShuffledRows")
   }
 
+  test("packSequences shuffles once, on the shard key; the cumsum is never global") {
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+    val df = Sampling.packSequences(docs, windowTokens = 1024, nShards = 8)
+    assert(df.collect().nonEmpty)
+    val ex = exchanges(df)
+    // exactly one shuffle, and it hash-partitions on shard — a global
+    // ORDER BY cumsum would show a RangePartitioning/SinglePartition here
+    assert(ex.length == 1, finalPlan(df).toString)
+    val part = ex.head.outputPartitioning.toString
+    assert(part.contains("hashpartitioning") && part.contains("shard"), part)
+  }
+
   test("tfidf per-doc ranking gets the two-stage window group limit") {
     val docs = graft.Tables(spark, sf("sf0.001")).documents
     val df = Search.tfidfTopTerms(docs, k = 3, nDocs = docs.count())
