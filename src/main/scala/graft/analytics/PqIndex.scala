@@ -56,8 +56,14 @@ object PqIndex {
     val (subs, cents1, codes) =
       ProductQuantization.trainAndCodesQ(quantized, m, subDim, centroidStep)
     cents1.write.mode("overwrite").parquet(s"$dir/codebooks")
+    // cluster by list before the partitioned write: without this every
+    // shuffle partition appends its own file to every list directory
+    // (tasks × lists small files); with it each list is one file, written
+    // once and read in one footer open per probe. At real scale cap file
+    // size with spark.sql.files.maxRecordsPerFile instead of one-per-list.
     codes.join(assigned, "vec_id")
       .select(col("vec_id"), col("sub"), col("cid"), col("centroid_id"))
+      .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/codes")
     subs.unpersist(); cents1.unpersist(); codes.unpersist(); quantized.unpersist()
   }
