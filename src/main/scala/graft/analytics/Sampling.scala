@@ -310,4 +310,27 @@ object Sampling {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
         (max("last_window") + lit(1L)).as("n_sequences"))
+
+  /** Window composition map — the inverse of [[packSequences]]: one row per
+    * (window, contributing doc) with the doc segment's offset inside the
+    * window, its token count, and how far into the doc the segment starts
+    * (`doc_skip`, non-zero when a doc was cut by an earlier window). This
+    * is what a data loader actually executes: "sequence w of shard s =
+    * these doc slices, in this order".
+    *
+    * Cost on top of the packing pass: a narrow explode of Σ span counts —
+    * about n_tokens/windowTokens + n_docs rows, no extra shuffle. */
+  def packWindowMap(docs: DataFrame, windowTokens: Int, nShards: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wStart = col("window_id") * windowTokens
+    val takeStart = greatest(col("tok_start"), wStart)
+    val takeEnd = least(col("tok_end"), wStart + windowTokens)
+    packSequences(docs, windowTokens, nShards, idCol, textCol)
+      .select(col("shard"), col("doc_id"), col("tok_start"), col("tok_end"),
+        explode(sequence(col("first_window"), col("last_window"))).as("window_id"))
+      .select(col("shard"), col("window_id"), col("doc_id"),
+        (takeStart - wStart).as("offset_in_window"),
+        (takeEnd - takeStart).as("n_tok_in_window"),
+        (takeStart - col("tok_start")).as("doc_skip"))
+  }
 }

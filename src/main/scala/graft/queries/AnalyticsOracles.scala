@@ -309,6 +309,32 @@ object AnalyticsOracles {
         |SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
         |  (max((tok_end - 1) // 1024) + 1)::BIGINT AS n_sequences
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    "pack_window_map" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tok,
+        |    ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 8 AS shard
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tok, shard,
+        |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS tok_end
+        |  FROM d WHERE n_tok > 0),
+        |p AS (
+        |  SELECT doc_id, shard, tok_end - n_tok AS tok_start, tok_end,
+        |    (tok_end - n_tok) // 1024 AS fw, (tok_end - 1) // 1024 AS lw
+        |  FROM s),
+        |e AS (
+        |  SELECT doc_id, shard, tok_start, tok_end,
+        |    unnest(generate_series(fw, lw)) AS window_id
+        |  FROM p)
+        |SELECT shard, window_id, doc_id,
+        |  greatest(tok_start, window_id * 1024) - window_id * 1024 AS offset_in_window,
+        |  least(tok_end, window_id * 1024 + 1024)
+        |    - greatest(tok_start, window_id * 1024) AS n_tok_in_window,
+        |  greatest(tok_start, window_id * 1024) - tok_start AS doc_skip
+        |FROM e ORDER BY shard, window_id, doc_id""".stripMargin,
     "text_clf_score" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),

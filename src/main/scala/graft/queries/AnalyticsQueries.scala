@@ -469,6 +469,13 @@ object AnalyticsQueries {
         windowTokens = 1024, nShards = 8)
       .orderBy(col("shard"))
 
+  /** Window composition map for the same packing parameters: which doc
+    * slices, at which offsets, make up each training sequence. */
+  def packWindowMapQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.packWindowMap(Tables(spark, dir).documents,
+        windowTokens = 1024, nShards = 8)
+      .orderBy(col("shard"), col("window_id"), col("doc_id"))
+
   def textHashVec(spark: SparkSession, dir: String): DataFrame =
     Sampling.hashingVectorize(Tables(spark, dir).documents)
       .orderBy(col("doc_id"), col("bucket"))
@@ -555,6 +562,7 @@ object AnalyticsQueries {
     "sample_mix"       -> (sampleMix(_, _)),
     "pack_windows"     -> (packWindows(_, _)),
     "pack_shards"      -> (packShardsQ(_, _)),
+    "pack_window_map"  -> (packWindowMapQ(_, _)),
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
     "text_tok_freq"    -> (textTokFreq(_, _)),

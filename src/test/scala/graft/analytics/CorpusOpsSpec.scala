@@ -50,6 +50,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(starts.forall(_ == 0L))
   }
 
+  test("packWindowMap: every non-tail window fills exactly; slices chain through docs") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val L = 256
+    val m = Sampling.packWindowMap(docs, windowTokens = L, nShards = 4)
+    val manifest = Sampling.packShards(docs, windowTokens = L, nShards = 4)
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_sequences")).toMap
+    val fills = m.groupBy("shard", "window_id")
+      .agg(sum("n_tok_in_window").as("fill")).collect()
+    fills.foreach { r =>
+      val (shard, win, fill) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (win < manifest(shard) - 1)
+        assert(fill == L, s"shard $shard window $win fill $fill != $L")
+      else assert(fill >= 1 && fill <= L)
+    }
+    // a doc's slices across windows cover the doc exactly once
+    val perDoc = m.groupBy("doc_id")
+      .agg(sum("n_tok_in_window").as("covered"), min("doc_skip").as("skip0")).collect()
+    val toks = Sampling.packSequences(docs, windowTokens = L, nShards = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tok")).toMap
+    perDoc.foreach { r =>
+      assert(r.getAs[Long]("covered") == toks(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("skip0") == 0L)
+    }
+  }
+
   test("packShards manifest agrees with a direct recount of the packing") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val seqs = Sampling.packSequences(docs, windowTokens = 256, nShards = 8)
