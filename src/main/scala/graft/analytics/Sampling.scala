@@ -284,13 +284,17 @@ object Sampling {
     * shard count scales with the corpus, a shard is the unit a trainer
     * reads, and packing needs no cross-shard coordination, so the prefix
     * sum stays bounded by shard size at any corpus size. */
+  /** Whitespace token count with the blank-doc guard — `split("")` yields
+    * `[""]` (size 1), in BOTH Spark and DuckDB, so blank docs must be
+    * zeroed explicitly. Shared by batch and streaming packing. */
+  def strictTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
   def packSequences(docs: DataFrame, windowTokens: Int, nShards: Int,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-    // split("") yields [""] (size 1), so blank docs must be zeroed explicitly
-    val nTok = when(length(trim(col(textCol))) === 0, lit(0L))
-      .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long"))
-    docs.select(col(idCol).as("doc_id"), nTok.as("n_tok"),
+    docs.select(col(idCol).as("doc_id"), strictTokenCount(col(textCol)).as("n_tok"),
         shardOf(col(idCol), nShards).as("shard"))
       .filter(col("n_tok") > 0)
       .withColumn("tok_end", sum(col("n_tok")).over(w))

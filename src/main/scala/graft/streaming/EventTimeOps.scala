@@ -187,6 +187,53 @@ object EventTimeOps {
       }
   }
 
+  final case class PackRow(shard: Long, doc_id: Long, n_tok: Long)
+  final case class PackState(nextTok: Long)
+  final case class PackPlacement(shard: Long, doc_id: Long, n_tok: Long,
+                                 tok_start: Long, tok_end: Long,
+                                 first_window: Long, last_window: Long)
+
+  /** Streaming sequence packing — the stateful twin of
+    * [[graft.analytics.Sampling.packSequences]] (an ingest packer: place
+    * every arriving document at its shard's running token offset and cut
+    * the stream into `windowTokens` context windows as it grows). State
+    * per shard is ONE long — the next free token offset — so state size is
+    * nShards longs at any corpus size, the smallest of the streaming
+    * operators here.
+    *
+    * Cross-micro-batch contract: ARRIVAL order is placement order. Within
+    * a micro-batch rows are placed in doc_id order, so placements never
+    * depend on partition order; when arrival follows doc_id order per
+    * shard (a backfill replaying in document order — the EventTimeSpec
+    * parity case) placements equal the batch operator's EXACTLY. No TTL
+    * knob: a shard's offset must never be evicted while the stream lives
+    * (evicting it would restart the shard's stream at token 0). */
+  def streamingPack(docs: DataFrame, windowTokens: Int, nShards: Int)
+                   (implicit spark: SparkSession): Dataset[PackPlacement] = {
+    import spark.implicits._
+    val rows = docs.select(
+        graft.analytics.Sampling.shardOf(col("doc_id"), nShards).as("shard"),
+        col("doc_id"),
+        graft.analytics.Sampling.strictTokenCount(col("text")).as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .as[PackRow]
+    rows.groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, PackPlacement](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (shard: Long, it: Iterator[PackRow], state: GroupState[PackState]) =>
+          var off = state.getOption.map(_.nextTok).getOrElse(0L)
+          val out = it.toArray.sortBy(_.doc_id).map { r =>
+            val start = off
+            off += r.n_tok
+            PackPlacement(shard, r.doc_id, r.n_tok, start, off,
+              start / windowTokens, (off - 1) / windowTokens)
+          }
+          state.update(PackState(off))
+          out.iterator
+      }
+  }
+
   /** Exactly-once-per-key emission with TTL'd state
     * (`mapGroupsWithState`): emits a key's payload only the first time the
     * key is seen; the seen-marker expires after `ttlMs` of processing time

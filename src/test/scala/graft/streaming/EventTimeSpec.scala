@@ -243,6 +243,50 @@ class EventTimeSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("streaming pack matches batch packSequences across micro-batches") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+      .select("doc_id", "text").persist()
+    // doc_id-ordered drops: arrival order == doc_id order per shard, so
+    // the running offsets must reproduce the batch prefix sums exactly.
+    // The split lands mid-shard for every shard, so each shard's offset
+    // state crosses the micro-batch boundary — the path under test.
+    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    docs.filter(col("doc_id") <= mid).coalesce(1).write.parquet(s"$srcDir/d0")
+    docs.filter(col("doc_id") > mid).coalesce(1).write.parquet(s"$srcDir/d1")
+    val schema = spark.read.parquet(s"$srcDir/d0").schema
+
+    val q = EventTimeOps.streamingPack(
+        Sources.fileStream(spark, s"$srcDir/d*", schema),
+        windowTokens = 256, nShards = 4)
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir).start()
+    assert(q.awaitTermination(180000), "streaming pack did not finish in time")
+
+    val got = spark.read.parquet(outDir)
+      .select("shard", "doc_id", "n_tok", "tok_start", "tok_end",
+        "first_window", "last_window")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val want = graft.analytics.Sampling
+      .packSequences(docs, windowTokens = 256, nShards = 4)
+      .select("shard", "doc_id", "n_tok", "tok_start", "tok_end",
+        "first_window", "last_window")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == want)
+    // the cross-batch path really fired: every shard has placements on
+    // both sides of the boundary, so its offset state was carried over
+    val sides = spark.read.parquet(outDir)
+      .groupBy("shard").agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect()
+    assert(sides.nonEmpty && sides.forall(r => r.getLong(1) <= mid && r.getLong(2) > mid),
+      "fixture must exercise cross-micro-batch offset state for every shard")
+    docs.unpersist()
+  }
+
   test("firstSeen: duplicate keys across micro-batches emit exactly once") {
     import spark.implicits._
     implicit val s: org.apache.spark.sql.SparkSession = spark
