@@ -177,18 +177,23 @@ object Sampling {
     * expected-size form is the right default for training mixes, where the
     * budget is itself a soft target. */
   def materializeMix(df: DataFrame, stratumCol: String, budget: Long,
-                     idCol: String = "doc_id"): DataFrame = {
+                     idCol: String = "doc_id", carry: Seq[String] = Nil): DataFrame = {
     val alloc = epochAllocation(df, stratumCol, budget)
       .select(col("stratum"), col("epochs_micro"))
-    df.select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"))
+    // `carry` rides payload columns (e.g. text) through the explode, so a
+    // downstream consumer of the mix needs NO corpus self-join to recover
+    // them — the mix stays one narrow pass whatever it feeds.
+    df.select(col(idCol).as("doc_id") +: col(stratumCol).as("stratum") +:
+        carry.map(col): _*)
       .join(broadcast(alloc), "stratum")
       .withColumn("__n",
         expr("epochs_micro DIV 1000000") +
           (Dedup.hash60(concat(col("doc_id").cast("string"), lit(":mix"))) % 1000000L <
             col("epochs_micro") % 1000000L).cast("long"))
-      .select(col("doc_id"), col("stratum"),
+      .select(col("doc_id") +: col("stratum") +:
         explode(when(col("__n") >= 1, sequence(lit(1L), col("__n")))
-          .otherwise(array().cast("array<bigint>"))).as("epoch"))
+          .otherwise(array().cast("array<bigint>"))).as("epoch") +:
+        carry.map(col): _*)
   }
 
   /** Hashing-trick vectorizer (feature hashing): token → `dims` buckets by
@@ -293,8 +298,8 @@ object Sampling {
 
   def packSequences(docs: DataFrame, windowTokens: Int, nShards: Int,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-    docs.select(col(idCol).as("doc_id"), strictTokenCount(col(textCol)).as("n_tok"),
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    docs.select(col(idCol), strictTokenCount(col(textCol)).as("n_tok"),
         shardOf(col(idCol), nShards).as("shard"))
       .filter(col("n_tok") > 0)
       .withColumn("tok_end", sum(col("n_tok")).over(w))
@@ -330,9 +335,9 @@ object Sampling {
     val takeStart = greatest(col("tok_start"), wStart)
     val takeEnd = least(col("tok_end"), wStart + windowTokens)
     packSequences(docs, windowTokens, nShards, idCol, textCol)
-      .select(col("shard"), col("doc_id"), col("tok_start"), col("tok_end"),
+      .select(col("shard"), col(idCol), col("tok_start"), col("tok_end"),
         explode(sequence(col("first_window"), col("last_window"))).as("window_id"))
-      .select(col("shard"), col("window_id"), col("doc_id"),
+      .select(col("shard"), col("window_id"), col(idCol),
         (takeStart - wStart).as("offset_in_window"),
         (takeEnd - takeStart).as("n_tok_in_window"),
         (takeStart - col("tok_start")).as("doc_skip"))

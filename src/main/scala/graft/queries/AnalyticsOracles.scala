@@ -309,6 +309,69 @@ object AnalyticsOracles {
         |SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
         |  (max((tok_end - 1) // 1024) + 1)::BIGINT AS n_sequences
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    "pipeline_pack" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
+        |scored AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'unknown'
+        |         WHEN en >= es AND en >= de THEN 'en'
+        |         WHEN es >= de THEN 'es' ELSE 'de' END AS lang_pred,
+        |    round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+        |        + 0.3 * (1.0 - punct)
+        |        + 0.2 * (en::DOUBLE / len(toks))
+        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+        |  FROM (
+        |    SELECT *,
+        |      len(list_filter(toks, t -> t IN ('the','a','of','to','and'))) AS en,
+        |      len(list_filter(toks, t -> t IN ('el','la','de','los','y'))) AS es,
+        |      len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS de,
+        |      length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
+        |    FROM tok)),
+        |kept0 AS (SELECT * FROM scored WHERE quality >= 0.55),
+        |kept AS (
+        |  SELECT * FROM kept0 WHERE doc_id IN (
+        |    SELECT min(doc_id) FROM kept0 GROUP BY sha256(text))),
+        |c2 AS (
+        |  SELECT lang_pred AS stratum, count(*) AS n, sqrt(count(*)::DOUBLE) AS s
+        |  FROM kept GROUP BY 1),
+        |t AS (
+        |  SELECT list_reduce(list_prepend(0.0, list(s ORDER BY stratum)),
+        |    (a,b) -> a+b) AS total FROM c2),
+        |b AS (SELECT sum(n)::BIGINT AS budget FROM c2),
+        |w AS (
+        |  SELECT stratum, n, round(s / total * 1000000)::BIGINT AS weight_micro
+        |  FROM c2 CROSS JOIN t),
+        |a AS (
+        |  SELECT stratum,
+        |    round(weight_micro::DOUBLE * budget / n)::BIGINT AS epochs_micro
+        |  FROM w CROSS JOIN b),
+        |mixn AS (
+        |  SELECT kept.doc_id, kept.text, epochs_micro // 1000000 +
+        |    (CASE WHEN ('0x'||substr(sha256(kept.doc_id::VARCHAR || ':mix'),1,15))::BIGINT % 1000000
+        |          < epochs_micro % 1000000 THEN 1 ELSE 0 END) AS n_copies
+        |  FROM kept JOIN a ON a.stratum = kept.lang_pred),
+        |stream AS (
+        |  SELECT doc_id * 1000 + epoch AS mix_id, text
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, n_copies)) AS epoch
+        |        FROM mixn WHERE n_copies >= 1)),
+        |pd AS (
+        |  SELECT mix_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tok,
+        |    ('0x'||substr(sha256(mix_id::VARCHAR),1,15))::BIGINT % 8 AS shard
+        |  FROM stream),
+        |ps AS (
+        |  SELECT mix_id, n_tok, shard,
+        |    sum(n_tok) OVER (PARTITION BY shard ORDER BY mix_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS tok_end
+        |  FROM pd WHERE n_tok > 0)
+        |SELECT mix_id, mix_id // 1000 AS doc_id, mix_id % 1000 AS epoch, shard,
+        |  n_tok, tok_end - n_tok AS tok_start, tok_end,
+        |  (tok_end - n_tok) // 1024 AS first_window,
+        |  (tok_end - 1) // 1024 AS last_window,
+        |  (tok_end - 1) // 1024 - (tok_end - n_tok) // 1024 + 1 AS n_windows
+        |FROM ps ORDER BY mix_id""".stripMargin,
     "pack_window_map" ->
       """WITH d AS (
         |  SELECT doc_id,

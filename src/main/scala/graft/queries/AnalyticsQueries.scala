@@ -476,6 +476,42 @@ object AnalyticsQueries {
         windowTokens = 1024, nShards = 8)
       .orderBy(col("shard"), col("window_id"), col("doc_id"))
 
+  /** The full training-data DAG composed end-to-end: quality gate + exact
+    * dedup (all languages, so the mix is genuinely multi-stratum) →
+    * temperature/epoch mix materialized with text carried through (one
+    * narrow pass, no corpus re-join) → sequence packing of the mixed
+    * stream. `mix_id = doc_id*1000 + epoch` keys the packed stream:
+    * unique (epoch counts are single digits at any sane budget) and
+    * deterministic. Near-dup dedup is demonstrated separately in
+    * `pipeline_curate`; this chain is the mix-and-pack half. */
+  def pipelinePack(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables(spark, dir).documents
+    val scored = docs
+      .select(col("doc_id"), col("text"),
+        GraftFunctions.langIdFast(col("text")).as("lang_pred"),
+        GraftFunctions.qualityFast(col("text")).as("quality"))
+      .filter(col("quality") >= 0.55)
+    val keepers = scored.groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val kept = scored.join(keepers, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mixed = Sampling.materializeMix(kept, "lang_pred",
+      budget = kept.count(), carry = Seq("text"))
+    val stream = mixed.select(
+      (col("doc_id") * 1000 + col("epoch")).as("mix_id"), col("text"))
+    val out = Sampling.packSequences(stream, windowTokens = 1024, nShards = 8,
+        idCol = "mix_id")
+      .select(col("mix_id"), expr("mix_id div 1000").as("doc_id"),
+        (col("mix_id") % 1000).as("epoch"), col("shard"), col("n_tok"),
+        col("tok_start"), col("tok_end"), col("first_window"),
+        col("last_window"), col("n_windows"))
+      .orderBy(col("mix_id"))
+      .localCheckpoint(true)
+    kept.unpersist()
+    out
+  }
+
   def textHashVec(spark: SparkSession, dir: String): DataFrame =
     Sampling.hashingVectorize(Tables(spark, dir).documents)
       .orderBy(col("doc_id"), col("bucket"))
@@ -563,6 +599,7 @@ object AnalyticsQueries {
     "pack_windows"     -> (packWindows(_, _)),
     "pack_shards"      -> (packShardsQ(_, _)),
     "pack_window_map"  -> (packWindowMapQ(_, _)),
+    "pipeline_pack"    -> (pipelinePack(_, _)),
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
     "text_tok_freq"    -> (textTokFreq(_, _)),
