@@ -188,6 +188,55 @@ object Search {
       .select(col("doc_id"), col("logit"),
         (col("logit") >= 0).cast("int").as("keep"))
 
+  /** Distributed TRAINING for the linear quality classifier — the batch
+    * perceptron over hashed features, the in-engine counterpart of
+    * [[linearClassifierScore]]'s serving side. `iters` full-batch rounds:
+    * margin(doc) = Σ_b cnt·w(b); every doc with y·margin ≤ 0 is
+    * misclassified and contributes y·cnt(b) to the next round's weight
+    * delta. All arithmetic is int64 (counts × integer weights), so the
+    * trained weights are bit-identical cross-engine — no learning rate, no
+    * float gradient, and the unrolled iterations are plain SQL.
+    *
+    * Shape at 100 TB: the feature frame (doc_id, bucket, cnt — dims ints
+    * per doc, tiny next to the text it summarizes) is built ONCE
+    * ([[graft.analytics.Sampling.hashingVectorize]]) and cached; each round
+    * is two aggregates over it — a doc_id-keyed margin and a bucket-keyed
+    * delta — with the dims-row weight table broadcast out and collected
+    * back (model state is driver-sized by the hashing trick, never
+    * corpus-sized). Labels come from `labelOf` (default: the lang-ID
+    * heuristic, +1 for 'en'), so training needs no side table. */
+  def perceptronTrain(docs: DataFrame, dims: Int = 16, iters: Int = 3,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val labels = docs.select(col(idCol).as("doc_id"),
+      when(graft.functions.GraftFunctions.langIdFast(col(textCol)) === "en", 1L)
+        .otherwise(-1L).as("y"))
+    val fl = Sampling.hashingVectorize(docs, dims, textCol, idCol)
+      .join(labels, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fl.count(): Unit
+    var w: Map[Long, Long] =
+      (0L until dims.toLong).map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      import spark.implicits._
+      val wDf = w.toSeq.sortBy(_._1).toDF("bucket", "w")
+      val mis = fl.join(broadcast(wDf), "bucket")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("cnt") * col("w")).as("m"))
+        .filter(col("y") * col("m") <= 0)
+        .select("doc_id")
+      val delta = fl.join(mis, Seq("doc_id"), "left_semi")
+        .groupBy("bucket")
+        .agg(sum(col("y") * col("cnt")).as("d"))
+        .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("d")).toMap
+      w = w.map { case (b, v) => b -> (v + delta.getOrElse(b, 0L)) }
+    }
+    fl.unpersist()
+    import spark.implicits._
+    w.toSeq.sortBy(_._1).toDF("bucket", "w")
+  }
+
   /** Deterministic integer weights in [-1000, 1000] per hash bucket
     * (sha-derived, engine-neutral). */
   def derivedWeights(docs: DataFrame, dims: Int = 16): DataFrame =

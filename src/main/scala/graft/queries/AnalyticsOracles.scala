@@ -398,6 +398,40 @@ object AnalyticsOracles {
         |    - greatest(tok_start, window_id * 1024) AS n_tok_in_window,
         |  greatest(tok_start, window_id * 1024) - tok_start AS doc_skip
         |FROM e ORDER BY shard, window_id, doc_id""".stripMargin,
+    "clf_train" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+        |f AS (
+        |  SELECT doc_id, ('0x'||substr(sha256(tok),1,15))::BIGINT % 16 AS bucket,
+        |         count(*) AS cnt
+        |  FROM t WHERE length(tok) > 0 GROUP BY doc_id, bucket),
+        |l AS (
+        |  SELECT doc_id, CASE WHEN NOT (en = 0 AND es = 0 AND de = 0)
+        |                       AND en >= es AND en >= de THEN 1 ELSE -1 END AS y
+        |  FROM (SELECT doc_id,
+        |      len(list_filter(toks, x -> x IN ('the','a','of','to','and'))) AS en,
+        |      len(list_filter(toks, x -> x IN ('el','la','de','los','y'))) AS es,
+        |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS de
+        |    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents))),
+        |fl AS (SELECT f.doc_id, f.bucket, f.cnt, l.y FROM f JOIN l USING (doc_id)),
+        |buckets AS (SELECT i::BIGINT AS bucket FROM generate_series(0, 15) g(i)),
+        |w1 AS (
+        |  SELECT b.bucket, coalesce(d.d, 0)::BIGINT AS w FROM buckets b
+        |  LEFT JOIN (SELECT bucket, sum(y * cnt)::BIGINT AS d FROM fl GROUP BY bucket) d
+        |    USING (bucket)),
+        |m1 AS (SELECT doc_id, y, sum(cnt * w)::BIGINT AS m
+        |       FROM fl JOIN w1 USING (bucket) GROUP BY doc_id, y),
+        |d2 AS (SELECT bucket, sum(y * cnt)::BIGINT AS d FROM fl
+        |       WHERE doc_id IN (SELECT doc_id FROM m1 WHERE y * m <= 0) GROUP BY bucket),
+        |w2 AS (SELECT w1.bucket, (w1.w + coalesce(d2.d, 0))::BIGINT AS w
+        |       FROM w1 LEFT JOIN d2 USING (bucket)),
+        |m2 AS (SELECT doc_id, y, sum(cnt * w)::BIGINT AS m
+        |       FROM fl JOIN w2 USING (bucket) GROUP BY doc_id, y),
+        |d3 AS (SELECT bucket, sum(y * cnt)::BIGINT AS d FROM fl
+        |       WHERE doc_id IN (SELECT doc_id FROM m2 WHERE y * m <= 0) GROUP BY bucket),
+        |w3 AS (SELECT w2.bucket, (w2.w + coalesce(d3.d, 0))::BIGINT AS w
+        |       FROM w2 LEFT JOIN d3 USING (bucket))
+        |SELECT bucket, w FROM w3 ORDER BY bucket""".stripMargin,
     "text_clf_score" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),

@@ -516,6 +516,12 @@ object AnalyticsQueries {
     Sampling.hashingVectorize(Tables(spark, dir).documents)
       .orderBy(col("doc_id"), col("bucket"))
 
+  /** In-engine classifier training: 3 batch-perceptron rounds over hashed
+    * features with lang-ID labels — integer-exact weights cross-engine. */
+  def clfTrain(spark: SparkSession, dir: String): DataFrame =
+    Search.perceptronTrain(Tables(spark, dir).documents)
+      .orderBy(col("bucket"))
+
   def textLmScore(spark: SparkSession, dir: String): DataFrame = {
     val res = Search.bigramSurprisal(Tables(spark, dir).documents)
     // caller-must-unpersist contract (see semdedupKeepers): hand back a
@@ -594,6 +600,7 @@ object AnalyticsQueries {
     "dedup_winnow_pairs" -> (dedupWinnowPairs(_, _)),
     "semdedup_keepers" -> (semdedupKeepers(_, _)),
     "text_clf_score"   -> (textClfScore(_, _)),
+    "clf_train"        -> (clfTrain(_, _)),
     "sample_epochs"    -> (sampleEpochs(_, _)),
     "sample_mix"       -> (sampleMix(_, _)),
     "pack_windows"     -> (packWindows(_, _)),

@@ -100,6 +100,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(counts.max <= 4 * (docs.count() / 16).max(1L))
   }
 
+  test("perceptron training separates en from non-en on the real corpus") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val w = Search.perceptronTrain(docs, dims = 16, iters = 3)
+    assert(w.count() == 16)
+    // the trained model must beat the all-zero model on its own labels:
+    // score the corpus with the trained weights and check that accuracy on
+    // the training labels is well above the majority-class baseline
+    graft.functions.GraftFunctions.register(spark)
+    val scored = Search.linearClassifierScore(docs, w)
+      .join(docs.select(col("doc_id"),
+        when(graft.functions.GraftFunctions.langIdFast(col("text")) === "en", 1)
+          .otherwise(0).as("y")), "doc_id")
+    val n = scored.count().toDouble
+    val correct = scored.filter(col("keep") === col("y")).count().toDouble
+    val majority = {
+      val pos = scored.filter(col("y") === 1).count().toDouble
+      math.max(pos, n - pos) / n
+    }
+    assert(correct / n > 0.9 && correct / n >= majority - 0.05,
+      s"trained accuracy ${correct / n} vs majority $majority")
+  }
+
   test("tfidf: rarer term outranks commoner term at equal tf") {
     val docs = Seq(
       (1L, "apple banana"), (2L, "apple banana"), (3L, "apple cherry"))
