@@ -218,27 +218,49 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, minJaccard: Double,
                       bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val k = bands * rowsPerBand
-    val withSh = docs.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = withSh
-      .withColumn("sig", graft.functions.GraftFunctions.minhashSigFast(col("sh"), k))
-    // one row per (doc, band): bucket key = the band's slice of the signature
-    val banded = sig.select(
-      col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        bIdx => concat_ws(",", slice(col("sig"), bIdx * rowsPerBand + 1, lit(rowsPerBand))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val withSh = shingleFrame(docs, n, idCol, textCol)
+    val banded = minhashBanded(withSh, bands, rowsPerBand)
     val x = banded.as("x"); val y = banded.as("y")
     val cand = x.join(y,
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    val sa = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val sb = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    jaccardVerify(cand, withSh, minJaccard)
+  }
+
+  /** (doc_id, sh) shingle-set frame — the shared head of every MinHash
+    * path (one-shot pairs, the persisted index build, and delta probes). */
+  private[analytics] def shingleFrame(docs: DataFrame, n: Int = 3,
+                                      idCol: String = "doc_id",
+                                      textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+  }
+
+  /** One row per (doc, band): bucket key = the band's slice of the minhash
+    * signature. Same expression whether the frame is a corpus, an index
+    * build, or a delta — band buckets are a pure function of the text. */
+  private[analytics] def minhashBanded(withSh: DataFrame, bands: Int,
+                                       rowsPerBand: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(withSh.sparkSession)
+    val k = bands * rowsPerBand
+    withSh
+      .withColumn("sig", graft.functions.GraftFunctions.minhashSigFast(col("sh"), k))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          bIdx => concat_ws(",", slice(col("sig"), bIdx * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
+    * (doc_id, sh) shingle frame — the LSH verify stage. */
+  private[analytics] def jaccardVerify(cand: DataFrame, shin: DataFrame,
+                                       minJaccard: Double): DataFrame = {
+    val sa = shin.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val sb = shin.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cand.join(sa, "id_a").join(sb, "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",

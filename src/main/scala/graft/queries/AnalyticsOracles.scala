@@ -1143,5 +1143,14 @@ object AnalyticsOracles {
   /** sim_pqindex_topk — IVF-PQ served from the PERSISTED index
     * ([[graft.analytics.PqIndex]]) — returns bit-identical rows to the
     * one-shot sim_ivfpq_topk by construction, so it shares that oracle. */
-  val all: Map[String, String] = base + ("sim_pqindex_topk" -> base("sim_ivfpq_topk"))
+  val all: Map[String, String] = base +
+    // querying a freshly built PQ index returns bit-identical rows to the
+    // one-shot operator, so the index query shares its oracle verbatim
+    ("sim_pqindex_topk" -> base("sim_ivfpq_topk")) +
+    // incremental dedup against the persisted index = the batch MinHash
+    // pairs restricted to those touching the delta (higher id past the
+    // history/delta split) — derived from the batch oracle by construction
+    ("dedup_delta" -> base("dedup_minhash").replace(
+      "WHERE jaccard >= 0.6",
+      "WHERE jaccard >= 0.6 AND id_b > (SELECT max(doc_id) // 2 FROM documents)"))
 }

@@ -63,6 +63,20 @@ object AnalyticsQueries {
     Dedup.minhashLshPairs(Tables(spark, dir).documents, minJaccard = 0.6)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Incremental dedup against the persisted near-dup index: history =
+    * lower half of the corpus (indexed once), delta = upper half, result =
+    * every verified pair touching the delta. History is probed via the
+    * stored band index, never rescanned. */
+  def dedupDelta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val idx = java.nio.file.Files.createTempDirectory("dedupindex").toString
+    graft.analytics.DedupIndex.build(docs.filter(col("doc_id") <= mid), idx)
+    graft.analytics.DedupIndex
+      .dedupDelta(spark, idx, docs.filter(col("doc_id") > mid), minJaccard = 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables(spark, dir).documents
@@ -644,6 +658,7 @@ object AnalyticsQueries {
     "dedup_ngram_keepers" -> (dedupNgramKeepers(_, _)),
     "dedup_cc_keepers" -> (dedupCcKeepers(_, _)),
     "dedup_minhash"    -> (dedupMinhash(_, _)),
+    "dedup_delta"      -> (dedupDelta(_, _)),
     "dedup_simhash"    -> (dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),
     "dedup_fuzzy_verify" -> (dedupFuzzyVerify(_, _)),

@@ -100,6 +100,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(counts.max <= 4 * (docs.count() / 16).max(1L))
   }
 
+  test("incremental dedup via the persisted index equals the batch pairs touching each delta") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val (t1, t2) = (hi / 3, 2 * hi / 3)
+    val idx = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val full = pairs(Dedup.minhashLshPairs(docs, minJaccard = 0.5))
+
+    DedupIndex.build(docs.filter(col("doc_id") <= t1), idx)
+    val d1 = pairs(DedupIndex.dedupDelta(spark, idx,
+      docs.filter(col("doc_id") > t1 && col("doc_id") <= t2), minJaccard = 0.5))
+    assert(d1 == full.filter { case (_, b, _) => b > t1 && b <= t2 })
+
+    // admit delta 1, then screen delta 2 against history + delta 1
+    DedupIndex.append(docs.filter(col("doc_id") > t1 && col("doc_id") <= t2), idx)
+    val d2 = pairs(DedupIndex.dedupDelta(spark, idx,
+      docs.filter(col("doc_id") > t2), minJaccard = 0.5))
+    assert(d2 == full.filter { case (_, b, _) => b > t2 })
+    assert(d1.nonEmpty || d2.nonEmpty, "fixture should produce near-dup pairs")
+  }
+
   test("perceptron training separates en from non-en on the real corpus") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val w = Search.perceptronTrain(docs, dims = 16, iters = 3)
