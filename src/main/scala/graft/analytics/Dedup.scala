@@ -287,6 +287,32 @@ object Dedup {
       docs(idCol) === col("__cid"), "left_anti")
   }
 
+  /** Contamination REPORT — the audit view [[decontaminate]] drops: for
+    * every probe (eval/benchmark) doc, which corpus docs share word
+    * n-grams with it, how many distinct shingles leak, and what fraction
+    * of the probe that covers. This is what a curation review actually
+    * reads before deciding a drop threshold; the drop pass is the
+    * anti-join twin.
+    *
+    * Shape at 100 TB: identical to [[decontaminate]] — probe shingles are
+    * eval-suite-sized, so both the hit join and the per-probe totals are
+    * BROADCASTs against the streaming corpus shingle explode; the only
+    * corpus-sized shuffle is the (probe_id, doc_id)-keyed count, whose
+    * cardinality is hits, not corpus. */
+  def contaminationReport(docs: DataFrame, probes: DataFrame, n: Int = 3,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pSh = shingleFrame(probes, n, idCol, textCol)
+      .select(col("doc_id").as("probe_id"), explode(col("sh")).as("shingle"))
+    val pN = pSh.groupBy("probe_id").agg(count(lit(1)).as("probe_n"))
+    val cSh = shingleFrame(docs, n, idCol, textCol)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    cSh.join(broadcast(pSh), "shingle")
+      .groupBy("probe_id", "doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(pN), "probe_id")
+      .select(col("probe_id"), col("doc_id"), col("n_shared"), col("probe_n"),
+        round(col("n_shared").cast("double") / col("probe_n"), 4).as("leak_frac"))
+  }
+
   /** SimHash: 60-bit signature — bit i is the sign of the sum over token
     * OCCURRENCES of ±1 depending on bit i of the token's 60-bit hash
     * (frequency-weighted, the textbook form — unweighted distinct-token

@@ -541,6 +541,15 @@ object AnalyticsOracles {
          |SELECT doc_id, lang_pred, quality FROM kept1
          |WHERE doc_id NOT IN (SELECT id_b FROM neardup)
          |ORDER BY doc_id""".stripMargin),
+    "contamination_report" -> (tokCte +
+      """, ps AS (SELECT doc_id AS probe_id, unnest(sh) AS shingle FROM sh WHERE doc_id < 5),
+        |cs AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id >= 5),
+        |pn AS (SELECT probe_id, count(*)::BIGINT AS probe_n FROM ps GROUP BY probe_id),
+        |hits AS (SELECT probe_id, doc_id, count(*)::BIGINT AS n_shared
+        |         FROM ps JOIN cs USING (shingle) GROUP BY probe_id, doc_id)
+        |SELECT probe_id, doc_id, n_shared, probe_n,
+        |  round(n_shared::DOUBLE / probe_n, 4) AS leak_frac
+        |FROM hits JOIN pn USING (probe_id) ORDER BY probe_id, doc_id""".stripMargin),
     "decontaminate" -> (tokCte +
       """SELECT doc_id, n_chars FROM documents
         |WHERE doc_id >= 5 AND doc_id NOT IN (

@@ -281,6 +281,15 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Contamination audit for the same probe split as `decontaminate`:
+    * per (eval doc, corpus doc) shared-shingle counts and leak fraction. */
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Dedup.contaminationReport(docs.filter(col("doc_id") >= 5),
+        docs.filter(col("doc_id") < 5))
+      .orderBy(col("probe_id"), col("doc_id"))
+  }
+
   /** PII redaction over adversarial constructed inputs: every doc gets a
     * deterministic email + phone + IPv4 spliced into real text (the corpus
     * itself is synthetic word-salad with no PII, so the fixture builds the
@@ -623,6 +632,7 @@ object AnalyticsQueries {
     "pipeline_pack"    -> (pipelinePack(_, _)),
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
+    "contamination_report" -> (contaminationReport(_, _)),
     "text_tok_freq"    -> (textTokFreq(_, _)),
     "text_pii_redact"  -> (textPiiRedact(_, _)),
     "text_card_redact" -> (textCardRedact(_, _)),
