@@ -43,6 +43,14 @@ object Dedup {
   def hash60(s: Column, seed: String = ""): Column =
     conv(substring(sha2(concat(lit(seed), s), 256), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of [[hash60]] — bit-identical, for building literal
+    * probe filters (e.g. partition pruning on a hash-bucketed layout). */
+  def hash60Local(s: String, seed: String = ""): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest((seed + s).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Exact dedup: one keeper (min doc_id) per distinct text. Groups on the
     * content hash; collision probability at 2^-256 is ignorable. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -1156,6 +1156,9 @@ object AnalyticsOracles {
     // querying a freshly built PQ index returns bit-identical rows to the
     // one-shot operator, so the index query shares its oracle verbatim
     ("sim_pqindex_topk" -> base("sim_ivfpq_topk")) +
+    // the persisted BM25 index reproduces the one-shot ranking exactly for
+    // the same terms and k, so it shares that oracle verbatim
+    ("bm25_index_search" -> base("bm25_search")) +
     // incremental dedup against the persisted index = the batch MinHash
     // pairs restricted to those touching the delta (higher id past the
     // history/delta split) — derived from the batch oracle by construction

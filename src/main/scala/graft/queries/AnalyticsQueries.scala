@@ -362,6 +362,15 @@ object AnalyticsQueries {
     out
   }
 
+  /** Same ranking served from the persisted inverted index: build once,
+    * probe only the query terms' hash-bucket partitions. */
+  def bm25IndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("searchindex").toString
+    graft.analytics.SearchIndex.build(Tables(spark, dir).documents, idx)
+    graft.analytics.SearchIndex.query(spark, idx,
+      queryTerms = Seq("data", "fast", "query"), k = 20)
+  }
+
   def textTokFreq(spark: SparkSession, dir: String): DataFrame =
     Sampling.tokenFrequencyStats(Tables(spark, dir).documents)
       .orderBy(col("doc_id"))
@@ -641,6 +650,7 @@ object AnalyticsQueries {
     "shard_stats"      -> (shardStats(_, _)),
     "tfidf_top_terms"  -> (tfidfTopTerms(_, _)),
     "bm25_search"      -> (bm25Search(_, _)),
+    "bm25_index_search" -> (bm25IndexSearch(_, _)),
     "text_lm_score"    -> (textLmScore(_, _)),
     "dedup_prefix"     -> (dedupPrefix(_, _)),
     "dedup_containment" -> (dedupContainment(_, _)),
