@@ -32,20 +32,13 @@ import graft.functions.GraftFunctions
   * `sim_ivfpq_topk`'s SQL). */
 object PqIndex {
 
-  /** Build and write the index. One source scan: the quantized frame is
-    * shared by coarse training, list assignment, and PQ training. */
-  def build(emb: DataFrame, dir: String,
-            coarseStep: Int = 25, m: Int = 8, subDim: Int = 8, centroidStep: Int = 40,
-            idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    GraftFunctions.register(emb.sparkSession)
-    val quantized = emb
-      .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cent = Clustering.trainedCentroidsFromQuantized(quantized, coarseStep)
-    cent.write.mode("overwrite").parquet(s"$dir/coarse")
+  /** Coarse-list assignment of a quantized frame under a (cid, m, nm)
+    * centroid table — the same rule at build time and when the centroids
+    * are read back from the stored index (append path). */
+  private def assignCoarse(quantized: DataFrame, cent: DataFrame): DataFrame = {
     val centB = broadcast(cent.select(
       col("cid").as("centroid_id"), col("m").as("cm"), col("nm").as("cnm")))
-    val assigned = quantized
+    quantized
       .select(col("vec_id"), transform(col("qi"), _.cast("double")).as("qd"))
       .withColumn("nqd", GraftFunctions.arrayDot(col("qd"), col("qd")))
       .crossJoin(centB)
@@ -53,9 +46,10 @@ object PqIndex {
       .groupBy(col("vec_id"))
       .agg(max_by(col("centroid_id"),
         struct(col("ccos"), (-col("centroid_id")).as("nid"))).as("centroid_id"))
-    val (subs, cents1, codes) =
-      ProductQuantization.trainAndCodesQ(quantized, m, subDim, centroidStep)
-    cents1.write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  private def writeCodes(codes: DataFrame, assigned: DataFrame, dir: String,
+                         mode: String): Unit =
     // cluster by list before the partitioned write: without this every
     // shuffle partition appends its own file to every list directory
     // (tasks × lists small files); with it each list is one file, written
@@ -64,8 +58,63 @@ object PqIndex {
     codes.join(assigned, "vec_id")
       .select(col("vec_id"), col("sub"), col("cid"), col("centroid_id"))
       .repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/codes")
-    subs.unpersist(); cents1.unpersist(); codes.unpersist(); quantized.unpersist()
+      .write.mode(mode).partitionBy("centroid_id").parquet(s"$dir/codes")
+
+  /** Build and write the index. One source scan: the quantized frame is
+    * shared by coarse training, list assignment, and PQ training.
+    * `trainOn` trains the quantizer on a subset while encoding all of
+    * `emb` — the reference shape for [[append]]'s parity contract. */
+  def build(emb: DataFrame, dir: String,
+            coarseStep: Int = 25, m: Int = 8, subDim: Int = 8, centroidStep: Int = 40,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            trainOn: Option[DataFrame] = None): Unit = {
+    GraftFunctions.register(emb.sparkSession)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val quantized = emb
+      .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
+      .persist(lvl)
+    val quantizedTrain = trainOn.fold(quantized)(t => t
+      .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
+      .persist(lvl))
+    val cent = Clustering.trainedCentroidsFromQuantized(quantizedTrain, coarseStep)
+    cent.write.mode("overwrite").parquet(s"$dir/coarse")
+    val assigned = assignCoarse(quantized, cent)
+    val (subs, cents1, codesTrain) =
+      ProductQuantization.trainAndCodesQ(quantizedTrain, m, subDim, centroidStep)
+    cents1.write.mode("overwrite").parquet(s"$dir/codebooks")
+    // encode the FULL corpus under the trained codebooks (identical to the
+    // training codes when trainOn is empty — same slices, same assign rule)
+    val codes =
+      if (trainOn.isEmpty) codesTrain
+      else ProductQuantization.assignToBooks(
+        ProductQuantization.subSlices(quantized, m, subDim), cents1)
+    writeCodes(codes, assigned, dir, "overwrite")
+    subs.unpersist(); cents1.unpersist(); codesTrain.unpersist()
+    if (trainOn.nonEmpty) quantizedTrain.unpersist()
+    quantized.unpersist(): Unit
+  }
+
+  /** Append a delta to the index: encode the new vectors under the STORED
+    * quantizer (coarse centroids + codebooks) and append their codes to
+    * the inverted-list layout. The production serving pattern — append
+    * continuously, retrain (rebuild) periodically; until a rebuild, the
+    * index equals a one-shot [[build]] of the union trained on the
+    * original corpus (`trainOn` parity, proven in PqIndexSpec). */
+  def append(delta: DataFrame, dir: String,
+             m: Int = 8, subDim: Int = 8,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    GraftFunctions.register(spark)
+    val quantized = delta
+      .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = spark.read.parquet(s"$dir/coarse")
+    val books = spark.read.parquet(s"$dir/codebooks")
+    val assigned = assignCoarse(quantized, cent)
+    val codes = ProductQuantization.assignToBooks(
+      ProductQuantization.subSlices(quantized, m, subDim), books)
+    writeCodes(codes, assigned, dir, "append")
+    quantized.unpersist(): Unit
   }
 
   /** Query the stored index: probe `nprobe` lists per query, ADC-score the

@@ -63,24 +63,33 @@ object ProductQuantization {
     * [[Clustering.trainedCentroidsFromQuantized]]). Catalyst collapses the
     * unpersisted delegation above into the same single-projection scan, so
     * the two entry points plan identically for plain callers. */
-  private[analytics] def trainAndCodesQ(quantized: DataFrame, m: Int, subDim: Int,
-                                        centroidStep: Int): (DataFrame, DataFrame, DataFrame) = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val subs = quantized
+  /** Per-(vec, subspace) slice frame — the shared head of PQ training and
+    * of encoding a new frame under a stored codebook. */
+  private[analytics] def subSlices(quantized: DataFrame, m: Int, subDim: Int): DataFrame =
+    quantized
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qi"))
       .select(col("vec_id"), col("sub"),
         slice(col("qi"), col("sub") * subDim + 1, lit(subDim)).as("sqi"))
       .withColumn("sqd", transform(col("sqi"), _.cast("double")))
       .withColumn("nq", dot(col("sqd"), col("sqd")))
-      .persist(lvl)
-    def assign(cents: DataFrame): DataFrame =
-      subs.join(broadcast(cents), "sub")
-        .withColumn("dist",
-          col("nq") + col("nm") - lit(2.0) * dot(col("sqd"), col("m")))
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(col("dist"), col("cid"))).as("best"))
-        .select(col("vec_id"), col("sub"),
-          col("best.cid").as("cid"), col("best.dist").as("dist"))
+
+  /** Nearest-codeword assignment of sub-slices to a (sub, cid, m, nm)
+    * codebook — the SAME rule whether the codebook is mid-training or read
+    * back from a persisted index (append path). */
+  private[analytics] def assignToBooks(subs: DataFrame, cents: DataFrame): DataFrame =
+    subs.join(broadcast(cents), "sub")
+      .withColumn("dist",
+        col("nq") + col("nm") - lit(2.0) * dot(col("sqd"), col("m")))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("sub"),
+        col("best.cid").as("cid"), col("best.dist").as("dist"))
+
+  private[analytics] def trainAndCodesQ(quantized: DataFrame, m: Int, subDim: Int,
+                                        centroidStep: Int): (DataFrame, DataFrame, DataFrame) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val subs = subSlices(quantized, m, subDim).persist(lvl)
+    def assign(cents: DataFrame): DataFrame = assignToBooks(subs, cents)
     val seeds = subs.filter(col("vec_id") % centroidStep === 0)
       .select(col("sub"), col("vec_id").as("cid"), col("sqd").as("m"), col("nq").as("nm"))
     val a1 = assign(seeds)

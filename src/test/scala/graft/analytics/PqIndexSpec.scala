@@ -41,6 +41,30 @@ class PqIndexSpec extends SparkSpec {
     assert(fromIndex == want)
   }
 
+  test("append encodes under the stored quantizer: equals a one-shot build of the union trained on history") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables(spark, sf("sf0.01")).embeddings
+    val mid = emb.agg(max("vec_id")).head().getLong(0) / 2
+    val h1 = emb.filter(col("vec_id") <= mid)
+    val h2 = emb.filter(col("vec_id") > mid)
+    val queries = emb.filter(col("vec_id") < 3)
+
+    val incDir = Files.createTempDirectory("pqinc").toString
+    PqIndex.build(h1, incDir)
+    PqIndex.append(h2, incDir)
+    val incremental = rows(PqIndex.query(spark, incDir, queries, k = 5))
+
+    val refDir = Files.createTempDirectory("pqref").toString
+    PqIndex.build(emb, refDir, trainOn = Some(h1))
+    val reference = rows(PqIndex.query(spark, refDir, queries, k = 5))
+
+    assert(incremental.nonEmpty)
+    assert(incremental == reference)
+    // the appended half is really in the index: some top-5 hit has a high id
+    assert(incremental.exists { case (_, _, vecId, _) => vecId > mid },
+      "fixture should surface appended vectors in the results")
+  }
+
   test("probing is partition pruning: a query reads only its probed lists") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.Tables(spark, sf("sf0.01")).embeddings
