@@ -296,9 +296,20 @@ object Sampling {
     when(length(trim(text)) === 0, lit(0L))
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
+  /** `shuffleSeed` packs each shard in hash-shuffled order instead of id
+    * order — the decorrelated training order a real pipeline wants (two
+    * adjacent corpus docs should not land in adjacent sequences). The
+    * shuffle is a pure function of (id, seed): reproducible, oracle-exact,
+    * and re-seedable per epoch; ties (hash collisions) break by id. */
   def packSequences(docs: DataFrame, windowTokens: Int, nShards: Int,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shuffleSeed: Option[String] = None): DataFrame = {
+    val order = shuffleSeed match {
+      case Some(seed) =>
+        Seq(Dedup.hash60(concat(col(idCol).cast("string"), lit(":" + seed))), col(idCol))
+      case None => Seq(col(idCol))
+    }
+    val w = Window.partitionBy(col("shard")).orderBy(order: _*)
     docs.select(col(idCol), strictTokenCount(col(textCol)).as("n_tok"),
         shardOf(col(idCol), nShards).as("shard"))
       .filter(col("n_tok") > 0)

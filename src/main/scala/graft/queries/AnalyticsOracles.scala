@@ -372,6 +372,24 @@ object AnalyticsOracles {
         |  (tok_end - 1) // 1024 AS last_window,
         |  (tok_end - 1) // 1024 - (tok_end - n_tok) // 1024 + 1 AS n_windows
         |FROM ps ORDER BY mix_id""".stripMargin,
+    "pack_shuffled" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tok,
+        |    ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 8 AS shard,
+        |    ('0x'||substr(sha256(doc_id::VARCHAR || ':ord'),1,15))::BIGINT AS ord
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tok, shard,
+        |    sum(n_tok) OVER (PARTITION BY shard ORDER BY ord, doc_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS tok_end
+        |  FROM d WHERE n_tok > 0)
+        |SELECT doc_id, n_tok, shard, tok_end, tok_end - n_tok AS tok_start,
+        |  (tok_end - n_tok) // 1024 AS first_window,
+        |  (tok_end - 1) // 1024 AS last_window,
+        |  (tok_end - 1) // 1024 - (tok_end - n_tok) // 1024 + 1 AS n_windows
+        |FROM s ORDER BY doc_id""".stripMargin,
     "pack_window_map" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -501,6 +501,14 @@ object AnalyticsQueries {
         windowTokens = 1024, nShards = 8)
       .orderBy(col("shard"))
 
+  /** Shuffled-order packing (seed "ord"): same shards and windows, but
+    * each shard's stream is hash-decorrelated — the order a trainer
+    * actually consumes. */
+  def packShuffled(spark: SparkSession, dir: String): DataFrame =
+    Sampling.packSequences(Tables(spark, dir).documents,
+        windowTokens = 1024, nShards = 8, shuffleSeed = Some("ord"))
+      .orderBy(col("doc_id"))
+
   /** Window composition map for the same packing parameters: which doc
     * slices, at which offsets, make up each training sequence. */
   def packWindowMapQ(spark: SparkSession, dir: String): DataFrame =
@@ -638,6 +646,7 @@ object AnalyticsQueries {
     "pack_windows"     -> (packWindows(_, _)),
     "pack_shards"      -> (packShardsQ(_, _)),
     "pack_window_map"  -> (packWindowMapQ(_, _)),
+    "pack_shuffled"    -> (packShuffled(_, _)),
     "pipeline_pack"    -> (pipelinePack(_, _)),
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
