@@ -4,67 +4,72 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
-  /** Round-7 per-query seconds (sf0.1, local[8], quiet box — recorded with
-    * no concurrent sbt/test JVMs, per the round-6 bench-hygiene ask) — the
-    * regression baseline for the next round. Flagged slowdowns are
-    * re-measured TWICE before being reported (see below). */
+  /** Round-7 FINAL per-query seconds (sf0.1, local[8], quiet box — no
+    * concurrent sbt/test JVMs; 121 queries, 0 failures, 0 regressions,
+    * 2 transient reruns) — the regression baseline for round 8. Flagged
+    * slowdowns are re-measured TWICE before being reported (see below). */
   val baselinePrev: Map[String, Double] = Map(
-    "agg_approx" -> 5.263, "agg_approx_pct" -> 2.749,
-    "agg_stats" -> 1.833, "asof_native" -> 0.913,
-    "asof_signup" -> 1.007, "bm25_search" -> 1.719,
-    "decontaminate" -> 0.783, "dedup_cc_keepers" -> 3.972,
-    "dedup_closure" -> 3.549, "dedup_containment" -> 3.900,
-    "dedup_exact" -> 0.450, "dedup_fuzzy_verify" -> 1.803,
-    "dedup_minhash" -> 1.469, "dedup_ngram" -> 3.808,
-    "dedup_ngram_keepers" -> 3.113, "dedup_prefix" -> 0.640,
-    "dedup_simhash" -> 0.346, "dedup_simhash_pairs" -> 1.006,
-    "dedup_spans" -> 1.089, "dedup_spans_keepers" -> 1.150,
-    "dedup_winnow_pairs" -> 1.725, "doc_chunks" -> 0.420,
-    "doc_len_histogram" -> 0.351, "embed_kmeans" -> 2.085,
-    "embed_neardup" -> 3.598, "embed_pq" -> 2.467,
-    "embed_quantize" -> 0.460, "mm_decode" -> 0.447,
-    "mm_frames" -> 0.309, "mm_resize" -> 0.254,
-    "o10_escape" -> 1.383, "o11_o13_route" -> 2.099,
-    "o12_optout_dim" -> 0.674, "o14_format_values" -> 2.093,
-    "o3_count_range" -> 0.178, "o4_o5_extract" -> 1.209,
-    "o6_o7_anonymize" -> 0.844, "o8_o9_statement_json" -> 1.492,
-    "o8_withfield" -> 1.677, "pipeline_curate" -> 5.016,
-    "q10_cube" -> 0.558, "q11_full_outer" -> 0.463,
-    "q12_corr_subquery" -> 0.734, "q13_grouping_sets" -> 0.270,
-    "q14_range_frame" -> 0.844, "q15_explode" -> 0.336,
-    "q16_anti" -> 0.541, "q17_window_nav" -> 0.779,
-    "q18_month_series" -> 0.467, "q19_sorted_collect" -> 0.410,
-    "q1_agg" -> 0.558, "q20_cond_agg" -> 0.370,
-    "q21_range_join" -> 0.654, "q22_map_agg" -> 0.498,
-    "q23_corr" -> 0.431, "q24_null_safe" -> 0.468,
-    "q25_array_ops" -> 0.563, "q26_rank_dist" -> 1.116,
-    "q27_datetime" -> 0.434, "q28_regr" -> 0.456,
-    "q29_mode" -> 0.390, "q30_cum_distinct" -> 0.848,
-    "q31_variant" -> 0.727, "q32_lateral" -> 1.017,
-    "q33_gapfill" -> 0.475, "q34_interval_merge" -> 0.923,
-    "q35_unpivot" -> 0.442, "q36_try" -> 1.686,
-    "q3_topk" -> 1.175, "q5_multijoin" -> 1.208,
-    "q6_rollup" -> 0.539, "q7_percentile" -> 2.372,
-    "q8_pivot" -> 0.512, "q9_exists" -> 0.506,
-    "sample_epochs" -> 0.428, "sample_mix" -> 0.668,
-    "sample_per_group" -> 0.335, "sample_stratified" -> 0.194,
-    "sample_temperature" -> 0.331, "sample_weighted" -> 0.412,
-    "semdedup_keepers" -> 2.133, "set_except" -> 0.475,
-    "set_intersect" -> 0.413, "shard_stats" -> 0.407,
-    "sim_ivf_topk" -> 2.885, "sim_ivfpq_topk" -> 5.151,
-    "sim_lsh_banded" -> 1.764, "sim_lsh_bucket" -> 0.774,
-    "sim_pq_adc" -> 2.841, "sim_topk" -> 0.439,
-    "split_assign" -> 0.313, "text_card_redact" -> 0.445,
-    "text_clf_score" -> 1.038, "text_fingerprint" -> 0.214,
-    "text_gopher_gates" -> 0.840, "text_hash_vec" -> 1.025,
-    "text_langid" -> 0.251, "text_lm_score" -> 1.977,
-    "text_pii_redact" -> 0.387, "text_quality" -> 0.534,
-    "text_repetition" -> 1.474, "text_tok_freq" -> 0.644,
-    "text_tokens" -> 0.392, "text_tokens_re" -> 0.741,
-    "text_top_tokens" -> 0.188, "text_winnow" -> 0.486,
-    "tfidf_top_terms" -> 1.216, "w1_topn_per_group" -> 0.663,
-    "w2_running_sum" -> 0.612, "w3_sessionize" -> 0.980,
-    "w4_ntile" -> 0.951)
+    "agg_approx" -> 4.227, "agg_approx_pct" -> 2.353,
+    "agg_stats" -> 1.355, "asof_native" -> 0.910,
+    "asof_signup" -> 1.339, "bm25_index_search" -> 5.997,
+    "bm25_search" -> 0.838, "clf_train" -> 2.397,
+    "contamination_report" -> 0.934, "decontaminate" -> 1.014,
+    "dedup_cc_keepers" -> 3.914, "dedup_closure" -> 4.071,
+    "dedup_containment" -> 3.193, "dedup_delta" -> 2.121,
+    "dedup_exact" -> 0.301, "dedup_fuzzy_verify" -> 1.079,
+    "dedup_minhash" -> 0.977, "dedup_ngram" -> 3.137,
+    "dedup_ngram_keepers" -> 2.652, "dedup_prefix" -> 0.531,
+    "dedup_simhash" -> 0.296, "dedup_simhash_pairs" -> 0.890,
+    "dedup_spans" -> 0.884, "dedup_spans_keepers" -> 0.936,
+    "dedup_winnow_pairs" -> 1.656, "doc_chunks" -> 0.386,
+    "doc_len_histogram" -> 0.296, "embed_kmeans" -> 1.734,
+    "embed_neardup" -> 3.001, "embed_pq" -> 2.426,
+    "embed_quantize" -> 0.495, "mm_decode" -> 0.409,
+    "mm_frames" -> 0.284, "mm_resize" -> 0.238,
+    "o10_escape" -> 1.311, "o11_o13_route" -> 2.227,
+    "o12_optout_dim" -> 0.794, "o14_format_values" -> 2.109,
+    "o3_count_range" -> 0.148, "o4_o5_extract" -> 1.507,
+    "o6_o7_anonymize" -> 0.868, "o8_o9_statement_json" -> 1.503,
+    "o8_withfield" -> 1.637, "pack_shards" -> 0.455,
+    "pack_shuffled" -> 0.399, "pack_window_map" -> 0.380,
+    "pack_windows" -> 0.374, "pipeline_curate" -> 4.438,
+    "pipeline_pack" -> 1.363, "q10_cube" -> 0.496,
+    "q11_full_outer" -> 0.383, "q12_corr_subquery" -> 0.608,
+    "q13_grouping_sets" -> 0.243, "q14_range_frame" -> 0.704,
+    "q15_explode" -> 0.238, "q16_anti" -> 0.452,
+    "q17_window_nav" -> 0.567, "q18_month_series" -> 0.354,
+    "q19_sorted_collect" -> 0.309, "q1_agg" -> 0.406,
+    "q20_cond_agg" -> 0.266, "q21_range_join" -> 0.538,
+    "q22_map_agg" -> 0.387, "q23_corr" -> 0.333,
+    "q24_null_safe" -> 0.387, "q25_array_ops" -> 0.525,
+    "q26_rank_dist" -> 1.067, "q27_datetime" -> 0.341,
+    "q28_regr" -> 0.340, "q29_mode" -> 0.322,
+    "q30_cum_distinct" -> 0.563, "q31_variant" -> 0.557,
+    "q32_lateral" -> 0.852, "q33_gapfill" -> 0.369,
+    "q34_interval_merge" -> 0.830, "q35_unpivot" -> 0.333,
+    "q36_try" -> 1.636, "q3_topk" -> 0.741,
+    "q5_multijoin" -> 0.999, "q6_rollup" -> 0.555,
+    "q7_percentile" -> 1.944, "q8_pivot" -> 0.490,
+    "q9_exists" -> 0.500, "sample_epochs" -> 0.430,
+    "sample_mix" -> 0.490, "sample_per_group" -> 0.258,
+    "sample_stratified" -> 0.186, "sample_temperature" -> 0.314,
+    "sample_weighted" -> 0.342, "semdedup_keepers" -> 1.917,
+    "set_except" -> 0.463, "set_intersect" -> 0.316,
+    "shard_stats" -> 0.365, "sim_ivf_topk" -> 2.525,
+    "sim_ivfpq_topk" -> 3.875, "sim_lsh_banded" -> 1.565,
+    "sim_lsh_bucket" -> 0.727, "sim_pq_adc" -> 3.007,
+    "sim_pqindex_topk" -> 6.548, "sim_topk" -> 0.363,
+    "split_assign" -> 0.260, "text_card_redact" -> 0.408,
+    "text_clf_score" -> 1.171, "text_fingerprint" -> 0.185,
+    "text_gopher_gates" -> 0.676, "text_hash_vec" -> 0.718,
+    "text_langid" -> 0.270, "text_lm_score" -> 1.830,
+    "text_pii_redact" -> 0.398, "text_quality" -> 0.676,
+    "text_repetition" -> 1.268, "text_tok_freq" -> 0.642,
+    "text_tokens" -> 0.474, "text_tokens_re" -> 0.894,
+    "text_top_tokens" -> 0.172, "text_winnow" -> 0.460,
+    "tfidf_top_terms" -> 1.331, "w1_topn_per_group" -> 0.649,
+    "w2_running_sum" -> 0.625, "w3_sessionize" -> 1.062,
+    "w4_ntile" -> 0.989)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -156,7 +161,13 @@ object Bench {
         "instead of an every-Nth pick: +2 corpus passes at index build for recall@10 " +
         "0.658 vs 0.544 at identical candidate cost (IvfRecallSpec/SCALING.md)"),
       "sim_ivfpq_topk" -> ("same trained coarse quantizer as sim_ivf_topk; " +
-        "see IvfRecallSpec/SCALING.md"))
+        "see IvfRecallSpec/SCALING.md"),
+      "sim_pqindex_topk" -> ("times a FULL index lifecycle per run (train + " +
+        "partitioned-parquet write + pruned probe) — serving cost is the probe " +
+        "alone; the build amortizes over queries (PqIndexSpec/SCALING.md)"),
+      "bm25_index_search" -> ("times a FULL index lifecycle per run (postings " +
+        "build + 64-bucket write + pruned probe) — serving cost is the probe " +
+        "alone; the build amortizes over queries (SearchIndexSpec/SCALING.md)"))
     val notes = results.collect {
       case (k, v) if regressed(k, v) && knownTrades.contains(k) =>
         "\"" + k + "\":\"" + knownTrades(k) + "\""
