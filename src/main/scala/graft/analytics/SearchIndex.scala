@@ -28,9 +28,8 @@ import org.apache.spark.sql.functions._
   * IS `bm25_search`'s SQL). */
 object SearchIndex {
 
-  /** Tokenize once; write postings, document frequencies, corpus stats. */
-  def build(docs: DataFrame, dir: String, buckets: Int = 64,
-            idCol: String = "doc_id", textCol: String = "text"): Unit = {
+  private def writeIndex(docs: DataFrame, dir: String, buckets: Int,
+                         mode: String, idCol: String, textCol: String): Unit = {
     val toks = TextAnalysis.tokens(col(textCol))
     val postings = docs
       .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
@@ -40,16 +39,31 @@ object SearchIndex {
       .withColumn("bucket", Dedup.hash60(col("token")) % buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     postings.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/postings")
     postings.groupBy("token").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$dir/df")
+      .write.mode(mode).parquet(s"$dir/df")
     // stats cover ALL docs (a blank doc has no postings but still counts
     // toward n and dl_sum — same census bm25TopDocs takes)
     docs.select(size(toks).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("dl_sum"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .write.mode(mode).parquet(s"$dir/stats")
     postings.unpersist(): Unit
   }
+
+  /** Tokenize once; write postings, document frequencies, corpus stats. */
+  def build(docs: DataFrame, dir: String, buckets: Int = 64,
+            idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeIndex(docs, dir, buckets, "overwrite", idCol, textCol)
+
+  /** Append a shard: its postings, df increments, and stats increment are
+    * written as new parts, and [[query]] MERGES them on read (sum over df
+    * parts per token, sum over stats parts). BM25 has no trained state —
+    * unlike [[PqIndex.append]] there is nothing to go stale, so after any
+    * append sequence a query is EXACTLY a one-shot build of the union
+    * (SearchIndexSpec proves it against [[Search.bm25TopDocs]]). */
+  def append(delta: DataFrame, dir: String, buckets: Int = 64,
+             idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeIndex(delta, dir, buckets, "append", idCol, textCol)
 
   /** BM25 top-k from the stored index — output schema and values match
     * [[Search.bm25TopDocs]] exactly for the same terms and k. */
@@ -57,11 +71,15 @@ object SearchIndex {
             buckets: Int = 64, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms == queryTerms.sorted,
       "queryTerms must be non-empty and sorted (fixed summation order is the determinism contract)")
-    val st = spark.read.parquet(s"$dir/stats").head()
+    // merge-on-read across appended parts: one stats row / df row per
+    // build-or-append, summed here (tiny: parts × |terms| rows)
+    val st = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n")).as("n"), sum(col("dl_sum")).as("dl_sum")).head()
     val n = st.getAs[Long]("n")
     val avgdl = st.getAs[Long]("dl_sum").toDouble / n
     val dfMap = spark.read.parquet(s"$dir/df")
       .filter(col("token").isin(queryTerms: _*))
+      .groupBy("token").agg(sum(col("df")).as("df"))
       .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
     val probed = queryTerms.map(t => Dedup.hash60Local(t) % buckets).distinct
     val post = spark.read.parquet(s"$dir/postings")

@@ -39,6 +39,23 @@ class SearchIndexSpec extends SparkSpec {
     assert(fromIndex == want)
   }
 
+  test("appends merge on read: two appends equal the one-shot scorer over the union") {
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val (t1, t2) = (hi / 3, 2 * hi / 3)
+    val dir = Files.createTempDirectory("searchidx3").toString
+    SearchIndex.build(docs.filter(col("doc_id") <= t1), dir)
+    SearchIndex.append(docs.filter(col("doc_id") > t1 && col("doc_id") <= t2), dir)
+    SearchIndex.append(docs.filter(col("doc_id") > t2), dir)
+    val terms = Seq("data", "fast", "query")
+    val fromIndex = rows(SearchIndex.query(spark, dir, terms, k = 20))
+    val oneShot = Search.bm25TopDocs(docs, terms, k = 20)
+    val want = rows(oneShot)
+    oneShot.unpersist(): Unit
+    assert(fromIndex.nonEmpty)
+    assert(fromIndex == want)
+  }
+
   test("term probe is partition pruning: a query reads only its terms' buckets") {
     val docs = graft.Tables(spark, sf("sf0.01")).documents
     val dir = Files.createTempDirectory("searchidx2").toString
