@@ -126,6 +126,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(part.contains("hashpartitioning") && part.contains("shard"), part)
   }
 
+  test("carried mix feeds the packer without a corpus self-join") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+    val mixed = Sampling.materializeMix(docs, "lang", budget = docs.count(),
+      carry = Seq("text"))
+    val stream = mixed.select(
+      (col("doc_id") * 1000 + col("epoch")).as("mix_id"), col("text"))
+    val df = Sampling.packSequences(stream, windowTokens = 256, nShards = 4,
+      idCol = "mix_id")
+    assert(df.collect().nonEmpty)
+    val nodes = allNodes(finalPlan(df))
+    // the mix's allocation join broadcasts; the only sort-merge-free path
+    // to the packer is the carried text — no corpus-cardinality self-join
+    assert(!nodes.exists(n => n.nodeName.contains("SortMergeJoin") ||
+      n.nodeName.contains("CartesianProduct")), finalPlan(df).toString)
+    // exchanges: the strata-sized allocation aggregates + ONE pack shuffle
+    val packEx = exchanges(df).filter(
+      _.outputPartitioning.toString.contains("shard"))
+    assert(packEx.length == 1, finalPlan(df).toString)
+  }
+
   test("tfidf per-doc ranking gets the two-stage window group limit") {
     val docs = graft.Tables(spark, sf("sf0.001")).documents
     val df = Search.tfidfTopTerms(docs, k = 3, nDocs = docs.count())
