@@ -100,6 +100,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(counts.max <= 4 * (docs.count() / 16).max(1L))
   }
 
+  test("contamination report flags exactly the docs decontaminate drops") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val corpus = docs.filter(col("doc_id") >= 5)
+    val probes = docs.filter(col("doc_id") < 5)
+    val flagged = Dedup.contaminationReport(corpus, probes)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val survivors = Dedup.decontaminate(corpus, probes)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty && (flagged intersect survivors).isEmpty)
+    assert((flagged union survivors) == all,
+      "every corpus doc is either flagged by the report or survives the drop")
+  }
+
   test("incremental dedup via the persisted index equals the batch pairs touching each delta") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val hi = docs.agg(max("doc_id")).head().getLong(0)
