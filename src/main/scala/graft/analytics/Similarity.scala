@@ -92,6 +92,31 @@ object Similarity {
   def lshBucket(vec: Column, planes: Int, dims: Int): Column =
     lshBucketAt(vec, 0, planes, dims)
 
+  /** Johnson–Lindenstrauss random projection to `k` dims: the SAME
+    * deterministic sha-derived ±1 plane family as the LSH bucketing, but
+    * emitting the projected VALUES instead of their signs — the cheap
+    * dimensionality reduction that shrinks a d-dim corpus k/d× for
+    * downstream clustering or ANN pre-filtering while preserving pairwise
+    * distances within the JL bound. One row per (vec, plane); narrow
+    * per-row left-fold (fixed order, oracle-exact), zero shuffle at any
+    * corpus size; doubles rounded at the output boundary only. */
+  def randomProject(emb: DataFrame, k: Int = 16, dims: Int = 64,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val w = planeWeights(k, dims)
+    val vecD = transform(col(vecCol), _.cast("double"))
+    val projs = array((0 until k).map { p =>
+      round(aggregate(
+        zip_with(vecD, array(w(p).map(lit): _*), (x, c) => x * c),
+        lit(0.0), (acc, v) => acc + v), 4)
+    }: _*)
+    val guarded = when(size(col(vecCol)) === dims, projs)
+      .otherwise(raise_error(concat(
+        lit(s"randomProject: expected $dims-dim vector, got "),
+        size(col(vecCol)).cast("string"))))
+    emb.select(col(idCol).as("vec_id"), posexplode(guarded))
+      .select(col("vec_id"), col("pos").cast("long").as("p"), col("col").as("proj"))
+  }
+
   /** Bucket from planes [firstPlane, firstPlane+planes) of the global
     * deterministic plane family — the building block for OR-amplified
     * (banded-repetition) LSH, where each repetition uses a disjoint plane

@@ -1067,6 +1067,14 @@ object AnalyticsOracles {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "embed_project" -> (embCte +
+      """, proj AS (
+        |  SELECT vec_id, p,
+        |    round(list_reduce(list_prepend(0.0, [v[d] *
+        |      (CASE WHEN ('0x'||substr(sha256(p||'_'||(d-1)),1,2))::INT % 2 = 0 THEN 1.0 ELSE -1.0 END)
+        |      for d in generate_series(1, len(v))]), (x,y) -> x+y), 4) AS proj
+        |  FROM e, generate_series(0, 15) t(p))
+        |SELECT vec_id, p::BIGINT AS p, proj FROM proj ORDER BY vec_id, p""".stripMargin),
     "sim_lsh_bucket" -> (embCte +
       s""", proj AS (
          |  SELECT vec_id, p,

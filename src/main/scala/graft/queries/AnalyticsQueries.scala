@@ -552,6 +552,12 @@ object AnalyticsQueries {
     out
   }
 
+  /** JL random projection of the embeddings to 16 dims (per-(vec, plane)
+    * rows) — the storage/compute shrink step ahead of clustering or ANN. */
+  def embedProject(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(Tables(spark, dir).embeddings)
+      .orderBy(col("vec_id"), col("p"))
+
   def textHashVec(spark: SparkSession, dir: String): DataFrame =
     Sampling.hashingVectorize(Tables(spark, dir).documents)
       .orderBy(col("doc_id"), col("bucket"))
@@ -664,6 +670,7 @@ object AnalyticsQueries {
     "dedup_prefix"     -> (dedupPrefix(_, _)),
     "dedup_containment" -> (dedupContainment(_, _)),
     "embed_pq"         -> (embedPq(_, _)),
+    "embed_project"    -> (embedProject(_, _)),
     "sim_pq_adc"       -> (simPqAdc(_, _)),
     "sample_temperature" -> (sampleTemperature(_, _)),
     "text_hash_vec"    -> (textHashVec(_, _)),

@@ -114,6 +114,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(maxShuffledRows <= 100, s"allocation shuffles must be strata-sized, saw $maxShuffledRows")
   }
 
+  test("randomProject is shuffle-free and agrees with the LSH plane signs") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables(spark, sf("sf0.001")).embeddings
+    val df = Similarity.randomProject(emb, k = 4, dims = 64)
+    assert(df.collect().nonEmpty)
+    assert(exchanges(df).isEmpty, finalPlan(df).toString)
+    // same plane family as lshBucket: bucket bit p == sign of projection p
+    // (skip near-zero projections where output-boundary rounding could flip)
+    val buckets = emb.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), planes = 4, dims = 64).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    df.filter(abs(col("proj")) > 0.001).collect().foreach { r =>
+      val (id, p, proj) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val bit = (buckets(id) >> p) & 1L
+      assert((bit == 1L) == (proj > 0), s"vec $id plane $p: bit $bit vs proj $proj")
+    }
+  }
+
   test("packSequences shuffles once, on the shard key; the cumsum is never global") {
     val docs = graft.Tables(spark, sf("sf0.001")).documents
     val df = Sampling.packSequences(docs, windowTokens = 1024, nShards = 8)
