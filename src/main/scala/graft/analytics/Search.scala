@@ -243,4 +243,148 @@ object Search {
     docs.sparkSession.range(0, dims).toDF("bucket")
       .select(col("bucket"),
         (Dedup.hash60(concat(lit("w"), col("bucket"))) % 2001 - 1000).as("w"))
+
+  /** PMI collocation mining — the phrase-vocabulary pass a tokenizer-prep
+    * pipeline runs before merging multiword units:
+    *
+    *   pmi(w1 w2) = ln( p(w1 w2) / (p(w1)·p(w2)) )
+    *              = ln( c2·U·U / (T·c(w1)·c(w2)) )
+    *
+    * with c2 the bigram occurrence count, T total bigram occurrences, c(w)
+    * unigram occurrence counts, U total token occurrences. A `minCount`
+    * floor kills the hapax noise PMI is notorious for; output is the
+    * global top-k by (quantized) PMI.
+    *
+    * Determinism: one `ln` per surviving bigram over a double ratio whose
+    * six operands are exact counts (products correctly rounded), quantized
+    * to integer micro-nats ([[idfMicro]] argument); ties break on the
+    * bigram string.
+    *
+    * Shape at 100 TB: the corpus is read and tokenized ONCE (cached token
+    * frame, the [[bigramSurprisal]] pattern); c2 and the unigram table are
+    * map-side-combined aggregates of the bigram/token streams (both
+    * vocabulary-sized outputs); totals are one tiny row broadcast back; the
+    * scoring joins are vocab⋈vocab (broadcast under AQE); the final top-k
+    * is TakeOrderedAndProject. No corpus-sized shuffle at all. */
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks")).persist(lvl)
+    toks.count(): Unit // one source scan feeds bigrams AND unigrams
+    val bg = toks.select(explode(TextAnalysis.bigramsOfTokens(col("toks"))).as("bg"))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val tot = c2.agg(sum(col("c2")).as("t"))
+      .crossJoin(uni.agg(sum(col("cu")).as("u")))
+    val out = c2.filter(col("c2") >= minCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uni.select(col("tok").as("w1"), col("cu").as("cu1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("cu").as("cu2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c2"),
+        round(log((col("c2").cast("double") * col("u").cast("double") * col("u").cast("double")) /
+                  (col("t").cast("double") * col("cu1").cast("double") * col("cu2").cast("double")))
+          * 1e6).cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+      .persist(lvl)
+    out.count(): Unit
+    toks.unpersist()
+    out
+  }
+
+  /** Reciprocal-rank fusion of a dense (embedding cosine) and a sparse
+    * (BM25) retrieval leg — the standard hybrid-search combiner
+    * (Cormack et al., SIGIR'09): each leg contributes 1/(K + rank) for the
+    * documents it ranked, documents found by both legs float to the top.
+    *
+    * Inputs are the LEGS' top-k tables — (id, rank) with rank 1-based and
+    * already deterministic per leg — so fusion cost is k-sized, never
+    * corpus-sized: a full-outer join of two ≤k-row frames. At 100 TB the
+    * expensive work happened inside the legs (which are index-served:
+    * [[graft.analytics.SearchIndex]] / [[graft.analytics.PqIndex]]); the
+    * fusion itself is a driver-negligible tail.
+    *
+    * Determinism: the contribution is quantized to integer micro-units as
+    * `floor(1e6 / (K + rank))` — an exact integer both engines compute
+    * identically (the double quotient of two small ints is correctly
+    * rounded, and its floor can only disagree where the true quotient is an
+    * integer, where the double is exact) — summed as int64, ties broken on
+    * id. */
+  def hybridRrf(dense: DataFrame, sparse: DataFrame, kConst: Int = 60,
+                topN: Int = 20): DataFrame = {
+    def contrib(rank: Column): Column =
+      coalesce(floor(lit(1000000.0) / (lit(kConst) + rank)).cast("long"), lit(0L))
+    dense.select(col("id"), col("rank").as("rank_dense"))
+      .join(sparse.select(col("id"), col("rank").as("rank_sparse")),
+        Seq("id"), "full_outer")
+      .withColumn("rrf_micro",
+        contrib(col("rank_dense")) + contrib(col("rank_sparse")))
+      .orderBy(col("rrf_micro").desc, col("id"))
+      .limit(topN)
+      .select(col("id"), col("rank_dense"), col("rank_sparse"), col("rrf_micro"))
+  }
+
+  /** DSIR-style importance log-weights (Xie et al., NeurIPS'23: Data
+    * Selection via Importance Resampling) — score every corpus document by
+    * how much more likely its hashed-bigram bag is under a TARGET
+    * distribution than under the RAW corpus distribution, then keep the
+    * target-like slice. The data-selection operator a pretraining pipeline
+    * runs between crawling and mixing: cheap (no model inference), corpus
+    * driven, and provably importance-weighted toward the target domain.
+    *
+    *   features(doc) = counts over `dims` hash buckets of its bigrams
+    *   λ(b) = ln p̂_target(b) − ln p̂_raw(b)   (add-one smoothed)
+    *   log w(doc) = Σ_b count(doc, b) · λ(b);  keep ⟺ log w > 0
+    *
+    * Determinism: λ is quantized per bucket to integer micro-nats — ONE
+    * `ln` of a double ratio whose numerator/denominator products are exact
+    * doubles (counts ≪ 2^52 per bucket pair product after the double
+    * conversion, correctly-rounded multiplies) — so per-doc scores are
+    * exact int64 sums cross-engine (the [[idfMicro]] quantization
+    * argument).
+    *
+    * Shape at 100 TB: the feature frame is built in ONE corpus pass
+    * (explode → map-side-combined (doc, bucket) counts, the
+    * [[graft.analytics.Sampling.hashingVectorize]] shape) and persisted;
+    * the λ table is `dims` rows — two tiny bucket-keyed aggregates off the
+    * cached features, broadcast back — and the only corpus-sized shuffle is
+    * the final doc_id aggregation. The target set here is an in-corpus
+    * predicate (docs the language gate already marked); swapping in an
+    * external target corpus only changes where the `ct` aggregate reads. */
+  def dsirLogWeights(docs: DataFrame, dims: Int = 64,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     targetPred: Column = col("lang") === "en"): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val feat = docs.select(col(idCol).as("doc_id"),
+        targetPred.cast("long").as("is_target"),
+        explode(TextAnalysis.bigramsOfTokens(TextAnalysis.tokens(col(textCol)))).as("bg"))
+      .groupBy(col("doc_id"), col("is_target"),
+        (Dedup.hash60(col("bg")) % dims).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(lvl)
+    feat.count(): Unit // one corpus scan feeds both the λ table and scoring
+    val counts = feat.groupBy("bucket").agg(
+      sum(when(col("is_target") === 1, col("cnt")).otherwise(0L)).as("ct"),
+      sum(col("cnt")).as("cr"))
+    val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val lam = counts.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(log(((col("ct") + 1).cast("double") * (col("tr") + dims).cast("double")) /
+                  ((col("cr") + 1).cast("double") * (col("tt") + dims).cast("double")))
+          * 1e6).cast("long").as("lam_micro"))
+    val out = feat.join(broadcast(lam), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("lam_micro")).as("logw_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("logw_micro"),
+        (col("logw_micro") > 0).cast("int").as("keep"))
+      .persist(lvl)
+    out.count(): Unit // score from the cached features, then release them
+    feat.unpersist()
+    out
+  }
 }

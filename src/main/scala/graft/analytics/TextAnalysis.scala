@@ -236,4 +236,36 @@ object TextAnalysis {
       .when(nGrams >= 1, array_distinct(array(array_min(hashes))))
       .otherwise(array().cast("array<long>"))
   }
+
+  /** Per-source corpus mix report — the dashboard aggregate a curation
+    * pipeline monitors per ingest: document/token mass, mean length,
+    * language share, and exact-duplicate rate, one row per source.
+    *
+    * Shape at 100 TB: ONE corpus scan into a two-level aggregate. Level 1
+    * groups on (source, text-hash-60) carrying count/token/char/lang
+    * partials — the shuffle key is a digest, never the text, and map-side
+    * combine collapses exact duplicates before the exchange; level 2
+    * collapses to one row per source (dup_docs = members of >1-sized hash
+    * groups). Output is sources-sized; ratios are rounded at the output
+    * boundary only, over exact integer sums. */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val perHash = docs
+      .groupBy(col("source"), Dedup.hash60(col("text")).as("h"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(size(tokens(col("text"))).cast("long")).as("tk"),
+        sum(col("n_chars").cast("long")).as("ch"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("en"))
+    perHash.groupBy("source").agg(
+        sum(col("cnt")).as("n_docs"),
+        sum(col("tk")).as("n_tokens"),
+        sum(col("ch")).as("n_chars_sum"),
+        sum(col("en")).as("n_en"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_chars_sum").cast("double") / col("n_docs"), 4).as("avg_chars"),
+        round(col("n_en").cast("double") / col("n_docs"), 4).as("pct_en"),
+        col("dup_docs"),
+        round(col("dup_docs").cast("double") / col("n_docs"), 4).as("dup_rate"))
+      .orderBy(col("source"))
+  }
 }

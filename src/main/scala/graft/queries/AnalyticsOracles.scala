@@ -858,6 +858,112 @@ object AnalyticsOracles {
         |  FROM p, s)
         |SELECT * FROM scored WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "search_rrf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (
+         |  SELECT doc_id, len(toks)::BIGINT AS dl,
+         |    len(list_filter(toks, x -> x = 'data'))::BIGINT AS tf_data,
+         |    len(list_filter(toks, x -> x = 'fast'))::BIGINT AS tf_fast,
+         |    len(list_filter(toks, x -> x = 'query'))::BIGINT AS tf_query
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents)),
+         |s AS (
+         |  SELECT count(*) AS n, sum(dl) AS dl_sum,
+         |    sum(CASE WHEN tf_data > 0 THEN 1 ELSE 0 END) AS df_data,
+         |    sum(CASE WHEN tf_fast > 0 THEN 1 ELSE 0 END) AS df_fast,
+         |    sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS df_query
+         |  FROM p),
+         |scored AS (
+         |  SELECT doc_id,
+         |    round(
+         |      (round(ln((n+1)::DOUBLE / (df_data+1)) * 1000000)::BIGINT::DOUBLE / 1000000.0)
+         |        * (tf_data::DOUBLE * (1.2 + 1)) / (tf_data::DOUBLE + 1.2 * (0.25 + 0.75 * dl / (dl_sum::DOUBLE / n)))
+         |      + (round(ln((n+1)::DOUBLE / (df_fast+1)) * 1000000)::BIGINT::DOUBLE / 1000000.0)
+         |        * (tf_fast::DOUBLE * (1.2 + 1)) / (tf_fast::DOUBLE + 1.2 * (0.25 + 0.75 * dl / (dl_sum::DOUBLE / n)))
+         |      + (round(ln((n+1)::DOUBLE / (df_query+1)) * 1000000)::BIGINT::DOUBLE / 1000000.0)
+         |        * (tf_query::DOUBLE * (1.2 + 1)) / (tf_query::DOUBLE + 1.2 * (0.25 + 0.75 * dl / (dl_sum::DOUBLE / n))), 4) AS score
+         |  FROM p, s),
+         |sparse AS (
+         |  SELECT doc_id AS id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank_sparse
+         |  FROM (SELECT doc_id, score FROM scored WHERE score > 0
+         |        ORDER BY score DESC, doc_id LIMIT 50)),
+         |dsc AS (
+         |  SELECT c.vec_id AS id, ${cosSql("q.v", "c.v")} AS cos
+         |  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0),
+         |dense AS (
+         |  SELECT id, rank_dense FROM (
+         |    SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS rank_dense FROM dsc)
+         |  WHERE rank_dense <= 50)
+         |SELECT COALESCE(d.id, sp.id) AS id, d.rank_dense, sp.rank_sparse,
+         |  COALESCE(floor(1000000.0 / (60 + d.rank_dense))::BIGINT, 0) +
+         |  COALESCE(floor(1000000.0 / (60 + sp.rank_sparse))::BIGINT, 0) AS rrf_micro
+         |FROM dense d FULL OUTER JOIN sparse sp ON d.id = sp.id
+         |ORDER BY rrf_micro DESC, id LIMIT 20""".stripMargin,
+    "dsir_weights" ->
+      """WITH tokd AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
+        |    string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |bgw AS (
+        |  SELECT doc_id, is_target, unnest([toks[i]||' '||toks[i+1]
+        |    for i in generate_series(1, len(toks)-1)]) AS bg
+        |  FROM tokd WHERE len(toks) >= 2),
+        |feat AS (
+        |  SELECT doc_id, is_target,
+        |    ('0x'||substr(sha256(bg),1,15))::BIGINT % 64 AS bucket, count(*) AS cnt
+        |  FROM bgw GROUP BY doc_id, is_target, bucket),
+        |counts AS (
+        |  SELECT bucket,
+        |    sum(CASE WHEN is_target = 1 THEN cnt ELSE 0 END)::BIGINT AS ct,
+        |    sum(cnt)::BIGINT AS cr
+        |  FROM feat GROUP BY bucket),
+        |tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM counts),
+        |lam AS (
+        |  SELECT bucket,
+        |    round(ln(((ct + 1)::DOUBLE * (tr + 64)::DOUBLE) /
+        |             ((cr + 1)::DOUBLE * (tt + 64)::DOUBLE)) * 1000000)::BIGINT AS lam_micro
+        |  FROM counts, tot)
+        |SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+        |  sum(cnt * lam_micro)::BIGINT AS logw_micro,
+        |  (sum(cnt * lam_micro) > 0)::INT AS keep
+        |FROM feat JOIN lam USING (bucket)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_collocations" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |bg AS (
+        |  SELECT unnest([toks[i]||' '||toks[i+1]
+        |    for i in generate_series(1, len(toks)-1)]) AS bg
+        |  FROM tok WHERE len(toks) >= 2),
+        |c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM bg GROUP BY bg),
+        |uni AS (SELECT unnest(toks) AS tok FROM tok),
+        |cu AS (SELECT tok, count(*)::BIGINT AS cu FROM uni GROUP BY tok),
+        |tot AS (SELECT (SELECT sum(c2) FROM c2)::BIGINT AS t,
+        |               (SELECT count(*) FROM uni)::BIGINT AS u)
+        |SELECT w1, w2, c2,
+        |  round(ln((c2::DOUBLE * u::DOUBLE * u::DOUBLE) /
+        |           (t::DOUBLE * cu1::DOUBLE * cu2::DOUBLE)) * 1000000)::BIGINT AS pmi_micro
+        |FROM (
+        |  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, c2
+        |  FROM c2 WHERE c2 >= 5) p
+        |JOIN (SELECT tok AS w1, cu AS cu1 FROM cu) a USING (w1)
+        |JOIN (SELECT tok AS w2, cu AS cu2 FROM cu) b USING (w2)
+        |CROSS JOIN tot
+        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""".stripMargin,
+    "corpus_report" ->
+      """WITH ph AS (
+        |  SELECT source, ('0x'||substr(sha256(text),1,15))::BIGINT AS h,
+        |    count(*)::BIGINT AS cnt,
+        |    sum(len(string_split_regex(text, '\s+')))::BIGINT AS tk,
+        |    sum(n_chars)::BIGINT AS ch,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en
+        |  FROM documents GROUP BY source, h)
+        |SELECT source, sum(cnt)::BIGINT AS n_docs, sum(tk)::BIGINT AS n_tokens,
+        |  round(sum(ch)::DOUBLE / sum(cnt), 4) AS avg_chars,
+        |  round(sum(en)::DOUBLE / sum(cnt), 4) AS pct_en,
+        |  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_docs,
+        |  round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 4) AS dup_rate
+        |FROM ph GROUP BY source ORDER BY source""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 <

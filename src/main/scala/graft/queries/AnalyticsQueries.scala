@@ -371,6 +371,50 @@ object AnalyticsQueries {
       queryTerms = Seq("data", "fast", "query"), k = 20)
   }
 
+  /** Hybrid retrieval: RRF-fuse the dense cosine top-50 for query vector 0
+    * with the BM25 top-50 for the standard query terms. Both legs are
+    * k-sized before fusion; the no-partition rank window runs over a ≤50-row
+    * frame. */
+  def searchRrf(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val kLeg = 50
+    val dense = Similarity
+      .bruteForceTopK(t.embeddings, t.embeddings.filter(col("vec_id") === 0), k = kLeg)
+      .select(col("vec_id").as("id"), col("rank"))
+    val bm = Search.bm25TopDocs(t.documents,
+      queryTerms = Seq("data", "fast", "query"), k = kLeg)
+    val sparse = bm.select(col("doc_id").as("id"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))).as("rank"))
+    val res = Search.hybridRrf(dense, sparse, kConst = 60, topN = 20)
+    val out = res.localCheckpoint(true)
+    bm.unpersist()
+    out
+  }
+
+  /** PMI collocations over the corpus (min bigram count 5, top 50). */
+  def textCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val res = Search.collocations(Tables(spark, dir).documents, minCount = 5, k = 50)
+    // caller-must-unpersist contract (see semdedupKeepers)
+    val out = res.localCheckpoint(true)
+    res.unpersist()
+    out
+  }
+
+  /** Per-source corpus mix report (docs/tokens/length/lang/dup-rate). */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusReport(Tables(spark, dir).documents)
+
+  /** DSIR importance weights over the documents corpus, target = the
+    * language gate's 'en' slice. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val res = Search.dsirLogWeights(Tables(spark, dir).documents, dims = 64)
+    // caller-must-unpersist contract (see semdedupKeepers)
+    val out = res.orderBy(col("doc_id")).localCheckpoint(true)
+    res.unpersist()
+    out
+  }
+
   def textTokFreq(spark: SparkSession, dir: String): DataFrame =
     Sampling.tokenFrequencyStats(Tables(spark, dir).documents)
       .orderBy(col("doc_id"))
@@ -666,6 +710,10 @@ object AnalyticsQueries {
     "tfidf_top_terms"  -> (tfidfTopTerms(_, _)),
     "bm25_search"      -> (bm25Search(_, _)),
     "bm25_index_search" -> (bm25IndexSearch(_, _)),
+    "search_rrf"       -> (searchRrf(_, _)),
+    "dsir_weights"     -> (dsirWeights(_, _)),
+    "text_collocations" -> (textCollocations(_, _)),
+    "corpus_report"    -> (corpusReport(_, _)),
     "text_lm_score"    -> (textLmScore(_, _)),
     "dedup_prefix"     -> (dedupPrefix(_, _)),
     "dedup_containment" -> (dedupContainment(_, _)),
