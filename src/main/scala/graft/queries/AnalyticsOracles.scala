@@ -964,6 +964,12 @@ object AnalyticsOracles {
         |  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_docs,
         |  round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 4) AS dup_rate
         |FROM ph GROUP BY source ORDER BY source""".stripMargin,
+    // BPE merge training: rounds unrolled as chained CTEs with scalar-
+    // subquery argmaxes (the clf_train unrolled-iterations precedent);
+    // generated from the same round count the Spark query uses. The oracle
+    // contract is the non-degenerate regime (a real corpus has ≥ `merges`
+    // viable pairs; early-stop on a tiny corpus is spec'd in Scala).
+    "bpe_merges" -> graft.analytics.Bpe.oracleSql(merges = 4),
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 <

@@ -401,6 +401,10 @@ object AnalyticsQueries {
     out
   }
 
+  /** BPE merge training over the corpus word-frequency table (4 merges). */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.analytics.Bpe.trainMerges(Tables(spark, dir).documents, merges = 4)
+
   /** Per-source corpus mix report (docs/tokens/length/lang/dup-rate). */
   def corpusReport(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusReport(Tables(spark, dir).documents)
@@ -714,6 +718,7 @@ object AnalyticsQueries {
     "dsir_weights"     -> (dsirWeights(_, _)),
     "text_collocations" -> (textCollocations(_, _)),
     "corpus_report"    -> (corpusReport(_, _)),
+    "bpe_merges"       -> (bpeMerges(_, _)),
     "text_lm_score"    -> (textLmScore(_, _)),
     "dedup_prefix"     -> (dedupPrefix(_, _)),
     "dedup_containment" -> (dedupContainment(_, _)),

@@ -1,0 +1,41 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** BPE merge-training semantics: greedy left-to-right merging, frequency
+  * argmax with lexicographic tie-break, early stop when no pair repeats.
+  * Corpus-level parity is the DuckDB oracle (`bpe_merges`). */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge order follows weighted pair frequency; merged symbol participates in later rounds") {
+    // words: ab ×3, abc ×2 → round 1 merges (a,b) at count 5,
+    // round 2 merges (ab,c) at count 2, then no pair repeats → stop at 2.
+    val docs = Seq((1L, "ab ab ab"), (2L, "abc abc")).toDF("doc_id", "text")
+    val m = Bpe.trainMerges(docs, merges = 4).collect()
+    assert(m.length == 2)
+    assert((m(0).getAs[String]("lsym"), m(0).getAs[String]("rsym"),
+      m(0).getAs[Long]("pair_count")) == ("a", "b", 5L))
+    assert((m(1).getAs[String]("lsym"), m(1).getAs[String]("rsym"),
+      m(1).getAs[Long]("pair_count")) == ("ab", "c", 2L))
+  }
+
+  test("greedy left-to-right: 'aaa' + pair (a,a) yields [aa, a], not [a, aa]") {
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m = Bpe.trainMerges(docs, merges = 4).collect()
+    // round 1: (a,a) appears twice per word = 4; after the greedy merge each
+    // word is [aa, a], so round 2 merges (aa, a) — left = the MERGED symbol
+    assert((m(0).getAs[String]("lsym"), m(0).getAs[String]("rsym"),
+      m(0).getAs[Long]("pair_count")) == ("a", "a", 4L))
+    assert((m(1).getAs[String]("lsym"), m(1).getAs[String]("rsym"),
+      m(1).getAs[Long]("pair_count")) == ("aa", "a", 2L))
+    assert(m.length == 2)
+  }
+
+  test("equal-frequency pairs break ties lexicographically") {
+    // "xy" and "ab" both occur twice; (a,b) < (x,y) so (a,b) merges first
+    val docs = Seq((1L, "xy ab xy ab")).toDF("doc_id", "text")
+    val m = Bpe.trainMerges(docs, merges = 1).collect()
+    assert((m(0).getAs[String]("lsym"), m(0).getAs[String]("rsym")) == ("a", "b"))
+  }
+}
