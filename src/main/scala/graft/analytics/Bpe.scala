@@ -84,6 +84,69 @@ object Bpe {
     learned.toSeq.toDF("merge_rank", "lsym", "rsym", "pair_count")
   }
 
+  /** Encode the corpus under a learned merge list and report per-doc
+    * tokenizer-fertility stats — the check a vocab run ships with (mean
+    * pieces per word decides whether the vocabulary is worth its size).
+    *
+    * `pairs` is the driver-side merge table ([[trainMerges]] output,
+    * tokenizer-sized). Encoding is ONE narrow corpus pass: per word,
+    * delimit characters, fold the R merges as nested non-overlapping
+    * string replaces (same greedy semantics as training), count surviving
+    * symbols. No shuffle except the nothing-sized doc_id aggregate —
+    * per-doc stats are computed inside the row via array fold. */
+  def encodeStats(docs: DataFrame, pairs: Seq[(String, String)],
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.Column
+    def delimit(t: Column): Column =
+      concat(lit(S), array_join(regexp_extract_all(t, lit("(?s)."), lit(0)), S + S), lit(S))
+    def applyMerges(w: Column): Column = pairs.foldLeft(w) { case (acc, (l, r)) =>
+      regexp_replace(acc,
+        java.util.regex.Pattern.quote(S + l + S + S + r + S),
+        java.util.regex.Matcher.quoteReplacement(S + l + r + S))
+    }
+    val toks = filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)
+    val pieces = transform(toks, t => {
+      val w = applyMerges(delimit(t))
+      size(split(w.substr(lit(2), length(w) - 2), S + S)).cast("long")
+    })
+    docs.select(col(idCol).as("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        aggregate(pieces, lit(0L), (acc, x) => acc + x).as("n_pieces"))
+      .filter(col("n_words") > 0)
+      .withColumn("fertility",
+        round(col("n_pieces").cast("double") / col("n_words"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[encodeStats]] composed over [[oracleSql]]'s training
+    * CTEs: the merge table is recomputed in SQL, then applied to the token
+    * stream as the same nested replaces via scalar subqueries. */
+  def encodeOracleSql(merges: Int = 4): String = {
+    val trainCtes = oracleSql(merges)
+      .split("\nSELECT \\* FROM \\(").head // keep the WITH chain only
+    val applied = (1 to merges).foldLeft("dw") { (acc, i) =>
+      s"""replace($acc,
+         |  chr(1)||(SELECT lsym FROM b$i)||chr(1)||chr(1)||(SELECT rsym FROM b$i)||chr(1),
+         |  chr(1)||(SELECT lsym FROM b$i)||(SELECT rsym FROM b$i)||chr(1))""".stripMargin
+    }
+    s"""$trainCtes,
+       |tokstream AS (
+       |  SELECT doc_id, tok,
+       |    chr(1)||array_to_string(
+       |      [substring(tok, i, 1) for i in generate_series(1, length(tok))],
+       |      chr(1)||chr(1))||chr(1) AS dw
+       |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+       |        FROM documents)
+       |  WHERE length(tok) > 0),
+       |enc AS (
+       |  SELECT doc_id, $applied AS w FROM tokstream)
+       |SELECT doc_id, count(*)::BIGINT AS n_words,
+       |  sum(len(string_split(substring(w, 2, length(w) - 2), chr(1)||chr(1))))::BIGINT AS n_pieces,
+       |  round(sum(len(string_split(substring(w, 2, length(w) - 2), chr(1)||chr(1))))::DOUBLE
+       |    / count(*), 4) AS fertility
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB-dialect oracle for [[trainMerges]]: the same rounds unrolled as
     * chained CTEs, the per-round argmax as scalar subqueries. Generated by
     * loop here, but the emitted text is plain self-contained SQL. */

@@ -970,6 +970,7 @@ object AnalyticsOracles {
     // contract is the non-degenerate regime (a real corpus has ≥ `merges`
     // viable pairs; early-stop on a tiny corpus is spec'd in Scala).
     "bpe_merges" -> graft.analytics.Bpe.oracleSql(merges = 4),
+    "bpe_encode" -> graft.analytics.Bpe.encodeOracleSql(merges = 4),
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 <

@@ -405,6 +405,14 @@ object AnalyticsQueries {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     graft.analytics.Bpe.trainMerges(Tables(spark, dir).documents, merges = 4)
 
+  /** Tokenizer fertility under the learned 4-merge BPE vocab. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val pairs = graft.analytics.Bpe.trainMerges(docs, merges = 4).collect()
+      .map(r => (r.getAs[String]("lsym"), r.getAs[String]("rsym"))).toSeq
+    graft.analytics.Bpe.encodeStats(docs, pairs)
+  }
+
   /** Per-source corpus mix report (docs/tokens/length/lang/dup-rate). */
   def corpusReport(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusReport(Tables(spark, dir).documents)
@@ -719,6 +727,7 @@ object AnalyticsQueries {
     "text_collocations" -> (textCollocations(_, _)),
     "corpus_report"    -> (corpusReport(_, _)),
     "bpe_merges"       -> (bpeMerges(_, _)),
+    "bpe_encode"       -> (bpeEncode(_, _)),
     "text_lm_score"    -> (textLmScore(_, _)),
     "dedup_prefix"     -> (dedupPrefix(_, _)),
     "dedup_containment" -> (dedupContainment(_, _)),

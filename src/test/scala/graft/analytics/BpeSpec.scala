@@ -32,6 +32,21 @@ class BpeSpec extends SparkSpec {
     assert(m.length == 2)
   }
 
+  test("encodeStats: learned merges compress seen words to one piece; unseen splits partially") {
+    val train = Seq((1L, "ab ab ab"), (2L, "abc abc")).toDF("doc_id", "text")
+    val pairs = Bpe.trainMerges(train, merges = 4).collect()
+      .map(r => (r.getAs[String]("lsym"), r.getAs[String]("rsym"))).toSeq
+    assert(pairs == Seq(("a", "b"), ("ab", "c")))
+    // "ab" -> [ab]; "abc" -> [abc]; "abd" -> [ab, d]; "xy" -> [x, y]
+    val docs = Seq((1L, "ab abc"), (2L, "abd xy")).toDF("doc_id", "text")
+    val e = Bpe.encodeStats(docs, pairs).collect()
+    val byDoc = e.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"),
+        r.getAs[Double]("fertility"))).toMap
+    assert(byDoc(1L) == ((2L, 2L, 1.0)))
+    assert(byDoc(2L) == ((2L, 4L, 2.0)))
+  }
+
   test("equal-frequency pairs break ties lexicographically") {
     // "xy" and "ab" both occur twice; (a,b) < (x,y) so (a,b) merges first
     val docs = Seq((1L, "xy ab xy ab")).toDF("doc_id", "text")
