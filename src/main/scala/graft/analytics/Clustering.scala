@@ -183,6 +183,47 @@ object Clustering {
     out
   }
 
+  /** Cluster topic labeling — the corpus-understanding pass over a curated
+    * set: k-means clusters of the embedding space, each labeled by its top
+    * TF-ICF terms (cluster term frequency × inverse CLUSTER frequency —
+    * the tf-idf argument with clusters as the documents, so terms every
+    * cluster shares score near zero and each label is what makes that
+    * cluster distinct).
+    *
+    * Determinism: icf is [[Search.idfMicro]]-quantized, scores are exact
+    * int64, rank ties break on the token string.
+    *
+    * Shape at 100 TB: the (doc, cluster) assignment joins the token stream
+    * on doc id — both sides corpus-sized but co-keyed (one equi-join);
+    * everything after is vocabulary-×-k-sized: (cid, token) tf aggregate
+    * with map-side combine, token-keyed cf aggregate of THAT, per-cluster
+    * ranking a k-partition window with the two-stage group-limit. */
+  def clusterTopics(emb: DataFrame, docs: DataFrame, centroidStep: Int = 40,
+                    rounds: Int = 2, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = kmeansAssignments(emb, centroidStep, rounds)
+    val assign = asg.select(col("vec_id").as("doc_id"), col("cid"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .join(assign, "doc_id")
+      .groupBy("cid", "token").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("token").agg(count(lit(1)).as("cf"))
+    val nClusters = assign.agg(countDistinct(col("cid"))).head().getLong(0)
+    val w = Window.partitionBy("cid")
+      .orderBy(col("score_micro").desc, col("token"))
+    val out = tf.join(cf, "token")
+      .withColumn("score_micro", col("tf") * Search.idfMicro(col("cf"), nClusters))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("cid"), col("rank"), col("token"), col("tf"), col("cf"),
+        col("score_micro"))
+      .orderBy(col("cid"), col("rank"))
+      .localCheckpoint(true)
+    asg.unpersist()
+    out
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
     * makes the quadratic pair search tractable by comparing embeddings
     * WITHIN k-means clusters only — near-duplicates land in the same cell,

@@ -970,6 +970,25 @@ object AnalyticsOracles {
     // contract is the non-degenerate regime (a real corpus has ≥ `merges`
     // viable pairs; early-stop on a tiny corpus is spec'd in Scala).
     "bpe_merges" -> graft.analytics.Bpe.oracleSql(merges = 4),
+    "cluster_topics" -> (kmeansCte +
+      """, tokd AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT cid, token, count(*)::BIGINT AS tf
+        |  FROM tokd JOIN a2 ON a2.vec_id = tokd.doc_id
+        |  WHERE length(token) > 0 GROUP BY cid, token),
+        |cf AS (SELECT token, count(*)::BIGINT AS cf FROM tf GROUP BY token),
+        |nc AS (SELECT count(DISTINCT cid)::BIGINT AS nc FROM a2),
+        |scored AS (
+        |  SELECT cid, token, tf, cf,
+        |    tf * round(ln((nc + 1)::DOUBLE / (cf + 1)) * 1000000)::BIGINT AS score_micro
+        |  FROM tf JOIN cf USING (token) CROSS JOIN nc)
+        |SELECT cid, rank, token, tf, cf, score_micro FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY cid
+        |    ORDER BY score_micro DESC, token) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY cid, rank""".stripMargin),
     "bpe_encode" -> graft.analytics.Bpe.encodeOracleSql(merges = 4),
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents

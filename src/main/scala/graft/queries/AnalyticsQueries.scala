@@ -405,6 +405,13 @@ object AnalyticsQueries {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     graft.analytics.Bpe.trainMerges(Tables(spark, dir).documents, merges = 4)
 
+  /** Topic labels for the embedding k-means clusters (top-3 TF-ICF terms). */
+  def clusterTopics(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val t = Tables(spark, dir)
+    Clustering.clusterTopics(t.embeddings, t.documents, centroidStep = 40, rounds = 2, topK = 3)
+  }
+
   /** Tokenizer fertility under the learned 4-merge BPE vocab. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
@@ -728,6 +735,7 @@ object AnalyticsQueries {
     "corpus_report"    -> (corpusReport(_, _)),
     "bpe_merges"       -> (bpeMerges(_, _)),
     "bpe_encode"       -> (bpeEncode(_, _)),
+    "cluster_topics"   -> (clusterTopics(_, _)),
     "text_lm_score"    -> (textLmScore(_, _)),
     "dedup_prefix"     -> (dedupPrefix(_, _)),
     "dedup_containment" -> (dedupContainment(_, _)),

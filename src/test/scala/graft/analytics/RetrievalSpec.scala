@@ -98,6 +98,22 @@ class RetrievalSpec extends SparkSpec {
     assert(book.getAs[Double]("avg_chars") == 5.0)
   }
 
+  test("clusterTopics: ≤3 ranked labels per cluster, scores non-increasing, ubiquitous terms score zero-ish") {
+    val t = graft.Tables(spark, sf("sf0.001"))
+    val out = Clustering.clusterTopics(t.embeddings, t.documents, topK = 3).collect()
+    val byCid = out.groupBy(_.getAs[Long]("cid"))
+    assert(byCid.nonEmpty)
+    byCid.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val scores = sorted.map(_.getAs[Long]("score_micro")).toSeq
+      assert(scores == scores.sorted.reverse, s"scores not non-increasing: $scores")
+    }
+    // a term present in EVERY cluster has icf = ln((k+1)/(k+1)) = 0 → can
+    // only surface with score 0; every ranked label must score ≥ 0
+    assert(out.forall(_.getAs[Long]("score_micro") >= 0))
+  }
+
   test("dsirLogWeights reads the corpus exactly once (λ table and scoring share the feature cache)") {
     // the PlanShapeSpec partition-materialization counter: every full scan
     // of the source bumps the accumulator once per partition
