@@ -114,6 +114,23 @@ class RetrievalSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("score_micro") >= 0))
   }
 
+  test("collocations reads the corpus exactly once (bigrams and unigrams share the token cache)") {
+    val scans = spark.sparkContext.longAccumulator("corpus-scans")
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it => scans.add(1); it }.toDF("doc_id", "text")
+    scans.reset()
+    docs.agg(count(lit(1))).collect(): Unit
+    val onePass = scans.value
+    assert(onePass > 0)
+    scans.reset()
+    Search.collocations(docs).unpersist(): Unit
+    // c2, the unigram table, and both totals all derive from the persisted
+    // token frame — an uncached formulation would be 4×
+    assert(scans.value == onePass,
+      s"collocations materialized ${scans.value} partition-scans vs $onePass for one pass")
+  }
+
   test("dsirLogWeights reads the corpus exactly once (λ table and scoring share the feature cache)") {
     // the PlanShapeSpec partition-materialization counter: every full scan
     // of the source bumps the accumulator once per partition
