@@ -969,6 +969,17 @@ object AnalyticsOracles {
     // generated from the same round count the Spark query uses. The oracle
     // contract is the non-degenerate regime (a real corpus has ≥ `merges`
     // viable pairs; early-stop on a tiny corpus is spec'd in Scala).
+    // agg_approx pattern: exact columns hash-match; the sketch guarantees
+    // surface as in-engine booleans the oracle expects uniformly TRUE
+    "text_cms_topk" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+        |c AS (
+        |  SELECT tok, count(*)::BIGINT AS cnt FROM t WHERE length(tok) > 0
+        |  GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20)
+        |SELECT row_number() OVER (ORDER BY cnt DESC, tok)::BIGINT AS rank,
+        |  tok, cnt, true AS cms_ok_lower, true AS cms_ok_upper
+        |FROM c ORDER BY rank""".stripMargin,
     "bpe_merges" -> graft.analytics.Bpe.oracleSql(merges = 4),
     "cluster_topics" -> (kmeansCte +
       """, tokd AS (

@@ -412,6 +412,10 @@ object AnalyticsQueries {
     Clustering.clusterTopics(t.embeddings, t.documents, centroidStep = 40, rounds = 2, topK = 3)
   }
 
+  /** Exact top-20 tokens cross-checked by a Count-Min sketch. */
+  def textCmsTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.analytics.Sketches.cmsTopTokens(Tables(spark, dir).documents, k = 20)
+
   /** Tokenizer fertility under the learned 4-merge BPE vocab. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
@@ -736,6 +740,7 @@ object AnalyticsQueries {
     "bpe_merges"       -> (bpeMerges(_, _)),
     "bpe_encode"       -> (bpeEncode(_, _)),
     "cluster_topics"   -> (clusterTopics(_, _)),
+    "text_cms_topk"    -> (textCmsTopk(_, _)),
     "text_lm_score"    -> (textLmScore(_, _)),
     "dedup_prefix"     -> (dedupPrefix(_, _)),
     "dedup_containment" -> (dedupContainment(_, _)),
