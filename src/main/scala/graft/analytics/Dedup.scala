@@ -295,6 +295,52 @@ object Dedup {
       docs(idCol) === col("__cid"), "left_anti")
   }
 
+  /** [[decontaminate]] behind a bloom-filter screen — the runtime-filter
+    * pattern for the regime where the probe set outgrows a broadcast (a
+    * multi-suite eval registry, or dedup-against-history where "probes"
+    * are billions of shingles from prior crawls).
+    *
+    * Build: the distinct probe shingles are hashed to 64 bits and folded
+    * into a [[org.apache.spark.util.sketch.BloomFilter]] DISTRIBUTED
+    * (`stat.bloomFilter` aggregates per-partition filters and ORs them on
+    * the driver — blooms are mergeable, so the build never collects keys).
+    * Screen: the corpus shingle explode probes the serialized filter via
+    * the compiled [[graft.functions.BloomMightContainLong]] BEFORE any
+    * join — at ~10 bits/key (1% fpp) the filter is 10–20× smaller than a
+    * broadcast hash relation over the same keys, and the probe is a few
+    * bit tests. Verify: survivors (true hits + fpp) flow into the exact
+    * shingle join, so the result is IDENTICAL to [[decontaminate]] — a
+    * bloom never false-negatives, making the screen recall-lossless.
+    *
+    * Shape at 100 TB: the verify join is deliberately UNHINTED — at test
+    * scale Catalyst broadcasts it, and in the big-probe regime it becomes
+    * a shuffle join whose corpus side the screen has already cut to
+    * hit-rate + fpp of its raw volume. That shuffle reduction, not the
+    * hash-probe saving, is the point of the pattern. */
+  def decontaminateBloom(docs: DataFrame, probes: DataFrame, n: Int = 3,
+                         fpp: Double = 0.01,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val probeSh = probes.select(explode(shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+      .localCheckpoint(true) // one tokenize: feeds the build AND the verify
+    val nProbe = math.max(probeSh.count(), 1L)
+    val bloom = probeSh.select(xxhash64(col("shingle")).as("h"))
+      .stat.bloomFilter("h", nProbe, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val contaminated = docs
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+      .filter(graft.functions.GraftFunctions.bloomContains(xxhash64(col("shingle")), bytes))
+      .join(probeSh, "shingle")
+      .select(idCol).distinct()
+    docs.join(contaminated.withColumnRenamed(idCol, "__cid"),
+      docs(idCol) === col("__cid"), "left_anti")
+  }
+
   /** Contamination REPORT — the audit view [[decontaminate]] drops: for
     * every probe (eval/benchmark) doc, which corpus docs share word
     * n-grams with it, how many distinct shingles leak, and what fraction

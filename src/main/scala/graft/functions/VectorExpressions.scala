@@ -134,6 +134,9 @@ object GraftFunctions {
       "graft_quality", exprs => QualityScore(exprs(0),
         graft.analytics.TextAnalysis.StopwordsEn), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => BloomMightContainLong(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_langid", exprs => StopwordLangId(exprs(0),
         graft.analytics.TextAnalysis.StopwordsEn,
         graft.analytics.TextAnalysis.StopwordsEs,
@@ -148,6 +151,9 @@ object GraftFunctions {
   def processStatementFast(s: Column): Column = call_function("graft_process_statement", s)
   def langIdFast(text: Column): Column = call_function("graft_langid", text)
   def qualityFast(text: Column): Column = call_function("graft_quality", text)
+  def bloomContains(probe: Column, bloomBytes: Array[Byte]): Column =
+    call_function("graft_bloom_contains", probe,
+      org.apache.spark.sql.functions.lit(bloomBytes))
   def cardRedactFast(text: Column): Column = call_function("graft_card_redact", text)
 
   /** Column API for the native dot product (requires [[register]]). */

@@ -576,6 +576,15 @@ object AnalyticsOracles {
         |  JOIN (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id < 5) p
         |    USING (shingle))
         |ORDER BY doc_id""".stripMargin),
+    // bloom screen + exact verify ≡ exact decontaminate (no false negatives)
+    "decontaminate_bloom" -> (tokCte +
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id >= 5 AND doc_id NOT IN (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id >= 5) c
+        |  JOIN (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id < 5) p
+        |    USING (shingle))
+        |ORDER BY doc_id""".stripMargin),
     "text_tok_freq" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),

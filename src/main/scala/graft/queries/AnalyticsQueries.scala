@@ -281,6 +281,17 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The bloom-screened decontamination twin: same probe split, same rows
+    * (the screen is recall-lossless; the exact join removes fpp hits), but
+    * the corpus-side explode is pre-filtered by the serialized probe bloom
+    * before any exchange. Shares `decontaminate`'s oracle verbatim. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Dedup.decontaminateBloom(docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Contamination audit for the same probe split as `decontaminate`:
     * per (eval doc, corpus doc) shared-shingle counts and leak fraction. */
   def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
@@ -723,6 +734,7 @@ object AnalyticsQueries {
     "pipeline_pack"    -> (pipelinePack(_, _)),
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
+    "decontaminate_bloom" -> (decontaminateBloom(_, _)),
     "contamination_report" -> (contaminationReport(_, _)),
     "text_tok_freq"    -> (textTokFreq(_, _)),
     "text_pii_redact"  -> (textPiiRedact(_, _)),
