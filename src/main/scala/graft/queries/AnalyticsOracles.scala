@@ -576,6 +576,16 @@ object AnalyticsOracles {
         |  JOIN (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id < 5) p
         |    USING (shingle))
         |ORDER BY doc_id""".stripMargin),
+    // stored-index build(0-2) + OR-merge append(3-4) + screen ≡ exact
+    // decontaminate vs the unioned registry
+    "decontaminate_index" -> (tokCte +
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id >= 5 AND doc_id NOT IN (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id >= 5) c
+        |  JOIN (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id < 5) p
+        |    USING (shingle))
+        |ORDER BY doc_id""".stripMargin),
     // bloom screen + exact verify ≡ exact decontaminate (no false negatives)
     "decontaminate_bloom" -> (tokCte +
       """SELECT doc_id, n_chars FROM documents

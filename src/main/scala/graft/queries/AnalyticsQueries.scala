@@ -292,6 +292,21 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The PERSISTED screen: registry built from docs 0–2, a second "suite"
+    * (3–4) appended by bloom OR-merge, then the corpus admitted through the
+    * stored index. Admissions ≡ exact `decontaminate` vs the full registry,
+    * so this row oracles the append/merge semantics too. */
+  def decontaminateIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val idx = java.nio.file.Files.createTempDirectory("bloomindex").toString
+    graft.analytics.BloomIndex.build(docs.filter(col("doc_id") < 3), idx)
+    graft.analytics.BloomIndex.append(
+      docs.filter(col("doc_id") >= 3 && col("doc_id") < 5), idx)
+    graft.analytics.BloomIndex.decontaminate(spark, idx, docs.filter(col("doc_id") >= 5))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Contamination audit for the same probe split as `decontaminate`:
     * per (eval doc, corpus doc) shared-shingle counts and leak fraction. */
   def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
@@ -735,6 +750,7 @@ object AnalyticsQueries {
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
     "decontaminate_bloom" -> (decontaminateBloom(_, _)),
+    "decontaminate_index" -> (decontaminateIndex(_, _)),
     "contamination_report" -> (contaminationReport(_, _)),
     "text_tok_freq"    -> (textTokFreq(_, _)),
     "text_pii_redact"  -> (textPiiRedact(_, _)),
