@@ -999,6 +999,39 @@ object AnalyticsOracles {
         |SELECT row_number() OVER (ORDER BY cnt DESC, tok)::BIGINT AS rank,
         |  tok, cnt, true AS cms_ok_lower, true AS cms_ok_upper
         |FROM c ORDER BY rank""".stripMargin,
+    // HLL register cube: identical sha-60 bucketing, register max-merge,
+    // and estimator arithmetic (the numerator is spelled as the same IEEE
+    // expression in both engines); s_sum gates the exact sketch state
+    "agg_hll_cube" ->
+      """WITH h AS (
+        |  SELECT event_type, ts::DATE AS day,
+        |    ('0x'||substr(sha256(user_id::VARCHAR),1,15))::BIGINT AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, day, h & 255 AS bucket,
+        |    CASE WHEN h >> 8 = 0 THEN 53
+        |         ELSE 53 - length(bin(h >> 8)) END AS rho
+        |  FROM h),
+        |daily AS (
+        |  SELECT event_type, day, bucket, max(rho) AS rho
+        |  FROM r GROUP BY 1, 2, 3),
+        |merged AS (
+        |  SELECT event_type, bucket, max(rho) AS rho FROM daily GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_regs,
+        |    sum(1::BIGINT << (53 - rho))::BIGINT AS s_present
+        |  FROM merged GROUP BY 1),
+        |est AS (
+        |  SELECT event_type, (256 - n_regs)::BIGINT AS zeros,
+        |    (s_present + (256 - n_regs) * 9007199254740992)::BIGINT AS s_sum
+        |  FROM agg)
+        |SELECT event_type, zeros, s_sum,
+        |  round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+        |                  / s_sum::DOUBLE <= 640.0 AND zeros > 0
+        |    THEN 256.0 * ln(256.0 / zeros::DOUBLE)
+        |    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+        |         / s_sum::DOUBLE END, 2) AS est_users
+        |FROM est ORDER BY event_type""".stripMargin,
     "bpe_merges" -> graft.analytics.Bpe.oracleSql(merges = 4),
     "cluster_topics" -> (kmeansCte +
       """, tokd AS (

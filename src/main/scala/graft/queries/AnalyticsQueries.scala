@@ -442,6 +442,21 @@ object AnalyticsQueries {
   def textCmsTopk(spark: SparkSession, dir: String): DataFrame =
     graft.analytics.Sketches.cmsTopTokens(Tables(spark, dir).documents, k = 20)
 
+  /** The HLL distinct-count cube: per-(day, event_type) register sketches
+    * rolled up to per-type distinct users by register-max merge — the
+    * events table is scanned once to BUILD the cube and never again to
+    * ANSWER. The exact integer register sum rides next to the rounded
+    * estimate, so the oracle gates the sketch state itself, not just the
+    * estimate. */
+  def aggHllCube(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.withColumn("day", to_date(col("ts")))
+    val daily = graft.analytics.HllSketch.registers(
+      ev, Seq("day", "event_type"), col("user_id"))
+    val merged = graft.analytics.HllSketch.mergeRegisters(daily, Seq("event_type"))
+    graft.analytics.HllSketch.estimate(merged, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
   /** Tokenizer fertility under the learned 4-merge BPE vocab. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
@@ -769,6 +784,7 @@ object AnalyticsQueries {
     "bpe_encode"       -> (bpeEncode(_, _)),
     "cluster_topics"   -> (clusterTopics(_, _)),
     "text_cms_topk"    -> (textCmsTopk(_, _)),
+    "agg_hll_cube"     -> (aggHllCube(_, _)),
     "text_lm_score"    -> (textLmScore(_, _)),
     "dedup_prefix"     -> (dedupPrefix(_, _)),
     "dedup_containment" -> (dedupContainment(_, _)),

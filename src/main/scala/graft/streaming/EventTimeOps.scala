@@ -44,6 +44,19 @@ object EventTimeOps {
       .select(col("user_id"), col("s.start").as("session_start"),
         col("s.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Streaming build of the [[graft.analytics.HllSketch]] register cube:
+    * `max(rho)` per (cell, bucket) is an ordinary streaming aggregate, so
+    * the distinct-count cube stays fresh under continuous ingest with
+    * state bounded by (cells × 256 registers) — NOT by the number of
+    * distinct users — and micro-batch boundaries cannot change the result
+    * (max is associative/commutative; parity with the batch build is
+    * EventTimeSpec-proven). Complete/update output keeps downstream range
+    * queries answerable mid-stream; rho state never needs a watermark
+    * because registers only grow toward a 53-bound. */
+  def streamingHllRegisters(events: DataFrame, keys: Seq[String],
+                            value: org.apache.spark.sql.Column): DataFrame =
+    graft.analytics.HllSketch.registers(events, keys, value)
+
   /** Native watermark-bounded streaming dedup
     * (`dropDuplicatesWithinWatermark`): duplicates of a key arriving within
     * the watermark window are dropped; state for a key is evicted once the

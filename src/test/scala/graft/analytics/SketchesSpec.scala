@@ -37,4 +37,56 @@ class SketchesSpec extends SparkSpec {
       assert(merged.estimateCount(t) == union.estimateCount(t),
         s"merge/union estimate mismatch for '$t'")
   }
+
+  test("HLL registers: shard-built + merged == corpus-built, row for row") {
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+    val mid = ev.agg(max("event_id")).head().getLong(0) / 2
+    val shardA = HllSketch.registers(
+      ev.filter(col("event_id") <= mid), Seq("event_type"), col("user_id"))
+    val shardB = HllSketch.registers(
+      ev.filter(col("event_id") > mid), Seq("event_type"), col("user_id"))
+    val merged = HllSketch.mergeRegisters(shardA.unionByName(shardB), Seq("event_type"))
+    val direct = HllSketch.registers(ev, Seq("event_type"), col("user_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket"),
+        r.getAs[Int]("rho"))).sorted.toSeq
+    assert(rows(merged).nonEmpty && rows(merged) == rows(direct))
+  }
+
+  test("HLL estimate lands within 3 standard errors of exact distinct") {
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+    val regs = HllSketch.registers(ev, Seq("event_type"), col("user_id"))
+    val est = HllSketch.estimate(regs, Seq("event_type")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("est_users")).toMap
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("nd"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("nd")).toMap
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    val rse3 = 3 * 1.04 / math.sqrt(HllSketch.M.toDouble) // ≈ 19.5%
+    exact.foreach { case (et, nd) =>
+      val rel = math.abs(est(et) - nd) / nd.toDouble
+      assert(rel < rse3, s"$et: est=${est(et)} exact=$nd rel=$rel")
+    }
+  }
+
+  test("HLL cube: day-cell rollup answers the range query without rescanning events") {
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+      .withColumn("day", to_date(col("ts"))).persist()
+    val daily = HllSketch.registers(ev, Seq("day", "event_type"), col("user_id"))
+      .persist() // the "stored cube"
+    daily.count()
+    // answer distinct-users for ONLY the first half of the days from cells
+    val days = ev.select("day").distinct().collect().map(_.getDate(0)).sorted
+    val cut = days(days.length / 2)
+    val ranged = HllSketch.estimate(
+      HllSketch.mergeRegisters(daily.filter(col("day") <= cut), Seq("event_type")),
+      Seq("event_type")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("s_sum")).toMap
+    // equals the sketch built directly over that event range
+    val direct = HllSketch.estimate(
+      HllSketch.registers(ev.filter(col("day") <= cut), Seq("event_type"), col("user_id")),
+      Seq("event_type")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("s_sum")).toMap
+    assert(ranged.nonEmpty && ranged == direct)
+    daily.unpersist(); ev.unpersist(): Unit
+  }
 }

@@ -382,4 +382,43 @@ class EventTimeSpec extends SparkSpec {
     assert(ids.toSet == ev.select("event_id").collect().map(_.getLong(0)).toSet)
     ev.unpersist()
   }
+
+  test("streaming HLL registers match the batch cube across micro-batches") {
+    val (srcDir, ckpt) = (tmp("src"), tmp("ckpt"))
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+      .filter(col("event_id") < 600).persist()
+    ev.filter(col("event_id") < 300).write.parquet(s"$srcDir/d0")
+    ev.filter(col("event_id") >= 300).write.parquet(s"$srcDir/d1")
+    val schema = spark.read.parquet(s"$srcDir/d0").schema
+
+    val sinkName = "hll_regs_sink"
+    val q = EventTimeOps.streamingHllRegisters(
+        Sources.fileStream(spark, s"$srcDir/d*", schema),
+        Seq("event_type"), col("user_id"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName(sinkName)
+      .start()
+    q.awaitTermination(120000)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket"),
+        r.getAs[Int]("rho"))).sorted.toSeq
+    val streamed = rows(spark.table(sinkName))
+    val batch = rows(graft.analytics.HllSketch.registers(
+      ev, Seq("event_type"), col("user_id")))
+    assert(streamed.nonEmpty && streamed == batch)
+
+    // and the estimates over the streamed registers agree with batch too
+    val estS = graft.analytics.HllSketch.estimate(
+        spark.table(sinkName), Seq("event_type")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("s_sum"), r.getAs[Double]("est_users"))).sorted.toSeq
+    val estB = graft.analytics.HllSketch.estimate(
+        graft.analytics.HllSketch.registers(ev, Seq("event_type"), col("user_id")),
+        Seq("event_type")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("s_sum"), r.getAs[Double]("est_users"))).sorted.toSeq
+    assert(estS == estB)
+    ev.unpersist(): Unit
+  }
 }
