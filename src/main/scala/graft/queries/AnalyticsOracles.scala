@@ -1032,6 +1032,40 @@ object AnalyticsOracles {
         |    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
         |         / s_sum::DOUBLE END, 2) AS est_users
         |FROM est ORDER BY event_type""".stripMargin,
+    // DDSketch-style quantile cube: identical pure-integer log bucketing
+    // (exact below 32 cents, 5 sub-bits above), merge-by-sum, cumulative
+    // walk — representatives hash-match as integers, no tolerance
+    "agg_quantile_cube" ->
+      """WITH cents AS (
+        |  SELECT event_type, ts::DATE AS day,
+        |    greatest(CAST(round(value * 100) AS BIGINT), 1) AS c
+        |  FROM events),
+        |withb AS (
+        |  SELECT event_type, day, c, length(bin(c))::BIGINT AS b FROM cents),
+        |k AS (
+        |  SELECT event_type, day,
+        |    CASE WHEN c < 32 THEN c
+        |         ELSE (b - 1) * 32 + ((c >> (b - 6)) & 31) END AS bucket,
+        |    CASE WHEN c < 32 THEN c
+        |         ELSE ((32 + ((c >> (b - 6)) & 31)) << (b - 6)) END AS rep
+        |  FROM withb),
+        |daily AS (
+        |  SELECT event_type, day, bucket, rep, count(*)::BIGINT AS cnt
+        |  FROM k GROUP BY 1, 2, 3, 4),
+        |merged AS (
+        |  SELECT event_type, bucket, rep, sum(cnt)::BIGINT AS cnt
+        |  FROM daily GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT event_type, bucket, rep, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM merged)
+        |SELECT event_type, max(n)::BIGINT AS n,
+        |  min(CASE WHEN cum >= ceil(0.5 * n)  THEN rep END)::BIGINT AS p50,
+        |  min(CASE WHEN cum >= ceil(0.95 * n) THEN rep END)::BIGINT AS p95,
+        |  min(CASE WHEN cum >= ceil(0.99 * n) THEN rep END)::BIGINT AS p99
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
     "bpe_merges" -> graft.analytics.Bpe.oracleSql(merges = 4),
     "cluster_topics" -> (kmeansCte +
       """, tokd AS (

@@ -457,6 +457,21 @@ object AnalyticsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** The quantile cube: per-(day, event_type) DDSketch-style histograms
+    * over event value cents, merged per type, walked for p50/p95/p99 —
+    * representatives are integer cents, so the oracle hash-matches the
+    * sketch output exactly rather than within a tolerance. */
+  def aggQuantileCube(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val daily = graft.analytics.QuantileSketch.histogram(
+      ev, Seq("day", "event_type"), col("cents"))
+    val merged = graft.analytics.QuantileSketch.mergeHistograms(daily, Seq("event_type"))
+    graft.analytics.QuantileSketch.quantiles(merged, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
   /** Tokenizer fertility under the learned 4-merge BPE vocab. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
@@ -785,6 +800,7 @@ object AnalyticsQueries {
     "cluster_topics"   -> (clusterTopics(_, _)),
     "text_cms_topk"    -> (textCmsTopk(_, _)),
     "agg_hll_cube"     -> (aggHllCube(_, _)),
+    "agg_quantile_cube" -> (aggQuantileCube(_, _)),
     "text_lm_score"    -> (textLmScore(_, _)),
     "dedup_prefix"     -> (dedupPrefix(_, _)),
     "dedup_containment" -> (dedupContainment(_, _)),

@@ -68,6 +68,49 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch: shard-built + merged == corpus-built, row for row") {
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+      .withColumn("cents", round(col("value") * 100).cast("long")).persist()
+    val mid = ev.agg(max("event_id")).head().getLong(0) / 2
+    val a = QuantileSketch.histogram(
+      ev.filter(col("event_id") <= mid), Seq("event_type"), col("cents"))
+    val b = QuantileSketch.histogram(
+      ev.filter(col("event_id") > mid), Seq("event_type"), col("cents"))
+    val merged = QuantileSketch.mergeHistograms(a.unionByName(b), Seq("event_type"))
+    val direct = QuantileSketch.histogram(ev, Seq("event_type"), col("cents"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("rep"), r.getAs[Long]("cnt"))).sorted.toSeq
+    assert(rows(merged).nonEmpty && rows(merged) == rows(direct))
+    ev.unpersist(): Unit
+  }
+
+  test("quantile sketch: estimates sit within the 1/32 relative bucket width of exact") {
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+      .withColumn("cents", round(col("value") * 100).cast("long")).persist()
+    val est = QuantileSketch.quantiles(
+      QuantileSketch.histogram(ev, Seq("event_type"), col("cents")),
+      Seq("event_type")).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("p50"), r.getAs[Long]("p95"), r.getAs[Long]("p99"))).toMap
+    // the sketch targets the ⌈q·n⌉-th ORDER STATISTIC (not an interpolated
+    // percentile); its report is the lower bound of the bucket CONTAINING
+    // that value, so the two-sided bound is exact: rep ≤ x < rep·(1+1/32)
+    val byType = ev.select("event_type", "cents").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .map { case (et, xs) => et -> xs.map(_._2).sorted }
+    assert(est.keySet == byType.keySet && est.nonEmpty)
+    est.foreach { case (et, (p50, p95, p99)) =>
+      val xs = byType(et)
+      for ((got, q) <- Seq((p50, 0.5), (p95, 0.95), (p99, 0.99))) {
+        val x = xs(math.ceil(q * xs.length).toInt - 1)
+        assert(got <= x, s"$et q=$q: rep $got above order stat $x")
+        assert(x < got * (1 + 1.0 / 32) + 1, s"$et q=$q: order stat $x outside bucket of $got")
+      }
+    }
+    ev.unpersist(): Unit
+  }
+
   test("HLL cube: day-cell rollup answers the range query without rescanning events") {
     val ev = graft.Tables(spark, sf("sf0.001")).events
       .withColumn("day", to_date(col("ts"))).persist()
