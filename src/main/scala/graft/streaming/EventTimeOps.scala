@@ -57,6 +57,20 @@ object EventTimeOps {
                             value: org.apache.spark.sql.Column): DataFrame =
     graft.analytics.HllSketch.registers(events, keys, value)
 
+  /** Streaming build of the [[graft.analytics.QuantileSketch]] histogram
+    * cube: the per-(cell, bucket) `count` is an ordinary streaming
+    * aggregate (count is associative/commutative), so p50/p95/p99 over any
+    * cell range stay answerable mid-stream from histogram rows alone, with
+    * state bounded by (cells × ≤ ~512 buckets) — NOT by event volume — and
+    * micro-batch boundaries cannot change the result (parity with the
+    * batch build is EventTimeSpec-proven). The quantile walk itself
+    * ([[graft.analytics.QuantileSketch.quantiles]]) runs as a batch query
+    * over the sink's current histogram, exactly like range rollups over
+    * the HLL cube. */
+  def streamingQuantileHistogram(events: DataFrame, keys: Seq[String],
+                                 amount: org.apache.spark.sql.Column): DataFrame =
+    graft.analytics.QuantileSketch.histogram(events, keys, amount)
+
   /** Native watermark-bounded streaming dedup
     * (`dropDuplicatesWithinWatermark`): duplicates of a key arriving within
     * the watermark window are dropped; state for a key is evicted once the

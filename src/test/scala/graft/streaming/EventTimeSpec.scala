@@ -421,4 +421,45 @@ class EventTimeSpec extends SparkSpec {
     assert(estS == estB)
     ev.unpersist(): Unit
   }
+
+  test("streaming quantile histogram matches the batch cube across micro-batches") {
+    val (srcDir, ckpt) = (tmp("src"), tmp("ckpt"))
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+      .filter(col("event_id") < 600)
+      .withColumn("cents", round(col("value") * 100).cast("long")).persist()
+    ev.filter(col("event_id") < 300).write.parquet(s"$srcDir/d0")
+    ev.filter(col("event_id") >= 300).write.parquet(s"$srcDir/d1")
+    val schema = spark.read.parquet(s"$srcDir/d0").schema
+
+    val sinkName = "quantile_hist_sink"
+    val q = EventTimeOps.streamingQuantileHistogram(
+        Sources.fileStream(spark, s"$srcDir/d*", schema),
+        Seq("event_type"), col("cents"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName(sinkName)
+      .start()
+    q.awaitTermination(120000)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("rep"), r.getAs[Long]("cnt"))).sorted.toSeq
+    val streamed = rows(spark.table(sinkName))
+    val batch = rows(graft.analytics.QuantileSketch.histogram(
+      ev, Seq("event_type"), col("cents")))
+    assert(streamed.nonEmpty && streamed == batch)
+
+    // and the quantile walk over the streamed histogram agrees with batch
+    def qrows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Long]("p50"), r.getAs[Long]("p95"), r.getAs[Long]("p99"))).sorted.toSeq
+    val qS = qrows(graft.analytics.QuantileSketch.quantiles(
+      spark.table(sinkName), Seq("event_type")))
+    val qB = qrows(graft.analytics.QuantileSketch.quantiles(
+      graft.analytics.QuantileSketch.histogram(ev, Seq("event_type"), col("cents")),
+      Seq("event_type")))
+    assert(qS == qB)
+    ev.unpersist(): Unit
+  }
 }
