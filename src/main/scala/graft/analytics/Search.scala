@@ -161,6 +161,71 @@ object Search {
     out
   }
 
+  /** Per-document INTERPOLATED KNESER-NEY bigram surprisal — the
+    * CCNet-family quality filter with the smoothing actually used in
+    * production n-gram LMs (add-one over-penalizes frequent-head bigrams;
+    * KN discounts observed mass and backs off to CONTINUATION probability,
+    * how many contexts a word completes, not how often it occurs):
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *            + (D·N1+(w1·)/c(w1·)) · (N1+(·w2)/Nt),   D = 3/4
+    *
+    * where N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct
+    * predecessors of w2, Nt = total distinct bigram types. With D = 3/4
+    * everything clears to one integer ratio per bigram:
+    *
+    *   P = (max(4·c2 − 3, 0)·Nt + 3·n1p·n1m) / (4·c1·Nt)
+    *
+    * and −ln P is quantized to integer micro-nats exactly like
+    * [[bigramSurprisal]] (one `ln` on a ratio of two int64s — both engines
+    * convert int64→double with identical IEEE round-to-nearest and divide
+    * exactly-rounded, so cross-engine agreement holds even past 2^53 where
+    * the conversion itself rounds). Scoring the training corpus means every
+    * scored bigram has c2 ≥ 1, so the numerator is ≥ Nt > 0 — no log(0)
+    * branch. Per head the full-vocab KN mass telescopes to exactly 1
+    * (Σ_seen c2 = c1, Σ_seen D = D·n1p, Σ_vocab n1m = Nt), which the spec
+    * checks on a hand-computed corpus.
+    *
+    * Shape at 100 TB: identical to [[bigramSurprisal]] — all five model
+    * tables (c2, c1, n1p, n1m, Nt) are VOCABULARY-sized aggregates of one
+    * persisted (doc_id, tokens) frame (single corpus scan + tokenize,
+    * plan-asserted), the scoring joins broadcast under AQE, and the only
+    * corpus-sized shuffle is the final doc_id aggregation. */
+  def knSurprisal(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks")).persist(lvl)
+    toks.count(): Unit // materialize BEFORE the fan-out: one source scan
+    val bg = toks.select(col("doc_id"),
+        explode(TextAnalysis.bigramsOfTokens(col("toks"))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"),
+      countDistinct(col("bg")).as("n1p"))
+    val n1m = c2.select(substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("n1m"))
+    val nt = c2.agg(count(lit(1)).as("nt"))
+    val out = bg.join(c2, "bg").join(c1, "w1").join(n1m, "w2")
+      .crossJoin(broadcast(nt))
+      .withColumn("num",
+        greatest(lit(4L) * col("c2") - lit(3L), lit(0L)) * col("nt") +
+          lit(3L) * col("n1p") * col("n1m"))
+      .withColumn("s_micro",
+        round(log((lit(4L) * col("c1") * col("nt")).cast("double") /
+          col("num").cast("double")) * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s_micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_micro").cast("double") / col("n_bigrams") / 1e6, 4)
+          .as("avg_kn_surprisal"))
+      .persist(lvl)
+    out.count(): Unit // score from the token cache, then release it
+    toks.unpersist()
+    out
+  }
+
   /** Linear (fasttext-shaped) quality-classifier INFERENCE over hashed
     * features: logit = Σ_buckets count(doc, b) · w(b), keep = logit ≥ 0.
     * The third leg of the quality-filter tripod — rules

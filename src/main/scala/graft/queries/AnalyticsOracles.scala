@@ -844,6 +844,37 @@ object AnalyticsOracles {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(sum(sm)::DOUBLE / count(*) / 1000000.0, 4) AS avg_surprisal
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // interpolated Kneser-Ney (D = 3/4): one integer ratio per bigram —
+    // P = (max(4*c2-3,0)*Nt + 3*n1p*n1m) / (4*c1*Nt) — micro-nat quantized
+    "text_kn_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest([toks[i]||' '||toks[i+1]
+        |    for i in generate_series(1, len(toks)-1)]) AS bg
+        |  FROM tok WHERE len(toks) >= 2),
+        |bgw AS (
+        |  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1,
+        |    string_split(bg, ' ')[-1] AS w2 FROM bg),
+        |c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM bgw GROUP BY bg),
+        |c1 AS (
+        |  SELECT w1, count(*)::BIGINT AS c1,
+        |    count(DISTINCT bg)::BIGINT AS n1p
+        |  FROM bgw GROUP BY w1),
+        |n1m AS (
+        |  SELECT string_split(bg, ' ')[-1] AS w2, count(*)::BIGINT AS n1m
+        |  FROM c2 GROUP BY 1),
+        |nt AS (SELECT count(*)::BIGINT AS nt FROM c2),
+        |s AS (
+        |  SELECT doc_id,
+        |    round(ln((4 * c1 * nt)::DOUBLE /
+        |      (greatest(4 * c2 - 3, 0) * nt + 3 * n1p * n1m)::DOUBLE)
+        |      * 1000000)::BIGINT AS sm
+        |  FROM bgw JOIN c2 USING (bg) JOIN c1 USING (w1)
+        |    JOIN n1m USING (w2) CROSS JOIN nt)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(sm)::DOUBLE / count(*) / 1000000.0, 4) AS avg_kn_surprisal
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_prefix" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -700,6 +700,14 @@ object AnalyticsQueries {
     out
   }
 
+  /** Kneser-Ney-smoothed twin of [[textLmScore]]. */
+  def textKnScore(spark: SparkSession, dir: String): DataFrame = {
+    val res = Search.knSurprisal(Tables(spark, dir).documents)
+    val out = res.orderBy(col("doc_id")).localCheckpoint(true)
+    res.unpersist()
+    out
+  }
+
   /** Linear quality-classifier inference: hashed features × broadcast
     * weight table → exact-int logit + keep decision. */
   def textClfScore(spark: SparkSession, dir: String): DataFrame = {
@@ -802,6 +810,7 @@ object AnalyticsQueries {
     "agg_hll_cube"     -> (aggHllCube(_, _)),
     "agg_quantile_cube" -> (aggQuantileCube(_, _)),
     "text_lm_score"    -> (textLmScore(_, _)),
+    "text_kn_score"    -> (textKnScore(_, _)),
     "dedup_prefix"     -> (dedupPrefix(_, _)),
     "dedup_containment" -> (dedupContainment(_, _)),
     "embed_pq"         -> (embedPq(_, _)),

@@ -97,6 +97,25 @@ class PlanShapeSpec extends SparkSpec {
       s"bigramSurprisal materialized ${scans.value} partition-scans vs $onePass for one pass")
   }
 
+  test("KN LM reads and tokenizes the corpus exactly once (shared token cache)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val scans = spark.sparkContext.longAccumulator("corpus-scans")
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it => scans.add(1); it }.toDF("doc_id", "text")
+    scans.reset()
+    docs.agg(count(lit(1))).collect(): Unit
+    val onePass = scans.value
+    assert(onePass > 0)
+    scans.reset()
+    Search.knSurprisal(docs).unpersist(): Unit
+    // all five model tables (c2/c1+n1p/n1m/Nt) and the scoring join derive
+    // from the persisted token frame — an uncached formulation would be 5×
+    assert(scans.value == onePass,
+      s"knSurprisal materialized ${scans.value} partition-scans vs $onePass for one pass")
+  }
+
   test("materialized mix joins the allocation by broadcast; the corpus never shuffles") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables(spark, sf("sf0.001")).documents

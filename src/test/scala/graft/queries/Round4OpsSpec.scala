@@ -84,6 +84,41 @@ class Round4OpsSpec extends SparkSpec {
     assert(!res2.map(_.getAs[Long]("doc_id")).contains(100L))
   }
 
+  test("Kneser-Ney surprisal: hand-computed model, exact micro-nats, unit KN mass") {
+    import spark.implicits._
+    // corpus: d1 = "a b a c", d2 = "a b b"
+    // bigram occurrences: ab=2 ba=1 ac=1 bb=1; Nt = 4 types
+    // heads: c1(a)=3 n1p(a)=2; c1(b)=2 n1p(b)=2
+    // continuations: n1m(b)=2 n1m(a)=1 n1m(c)=1
+    // P = (max(4c2-3,0)*Nt + 3*n1p*n1m) / (4*c1*Nt):
+    //   ab: 32/48  ba: 10/32  ac: 10/48  bb: 16/32
+    // s_micro = round(ln(den/num)*1e6):
+    //   ab: 405465  ba: 1163151  ac: 1568616  bb: 693147
+    val docs = Seq((1L, "a b a c"), (2L, "a b b")).toDF("doc_id", "text")
+    val scored = Search.knSurprisal(docs)
+    val res = scored.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_kn_surprisal"))).toMap
+    scored.unpersist(): Unit
+    // d1: (405465 + 1163151 + 1568616) / 3 / 1e6 = 1.045744 -> 1.0457
+    // d2: (405465 + 693147) / 2 / 1e6 = 0.549306 -> 0.5493
+    assert(res == Map(1L -> ((3L, 1.0457)), 2L -> ((2L, 0.5493))))
+    // full-vocab KN mass per head telescopes to exactly 1 (integer form):
+    // head a: seen (ab 32 + ac 10) + unseen a (3*n1p*n1m = 6) = 48 = den
+    // head b: seen (ba 10 + bb 16) + unseen c (3*2*1 = 6)     = 32 = den
+    assert(32 + 10 + 3 * 2 * 1 == 4 * 3 * 4)
+    assert(10 + 16 + 3 * 2 * 1 == 4 * 2 * 4)
+
+    // distributional sanity on the same corpus shape as the add-one test:
+    // repetitive in-distribution text scores below disjoint-vocab text
+    val common = (1 to 10).map(i => (i.toLong, "the cat sat on the mat"))
+    val novel = Seq((99L, "zq xw vr uk tn sm"))
+    val scored2 = Search.knSurprisal((common ++ novel).toDF("doc_id", "text"))
+    val res2 = scored2.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_kn_surprisal")).toMap
+    scored2.unpersist(): Unit
+    assert(res2(1L) < res2(99L) && res2.values.forall(_ > 0.0))
+  }
+
   test("q32_lateral: lateral top-2 equals the window-function formulation") {
     import spark.implicits._
     val viaLateral = Relational.q32Lateral(spark, d).collect()
