@@ -226,6 +226,88 @@ object Search {
     out
   }
 
+  /** HELD-OUT interpolated Kneser-Ney scoring — the CCNet deployment shape:
+    * a FIXED LM (trained on the reference corpus) scores a DIFFERENT corpus,
+    * so every backoff branch fires, not just the seen-bigram arm that
+    * [[knSurprisal]] exercises. The split is the [[Sampling.hashBucket]]
+    * per-mille assignment ([[Sampling.splitAssign]]'s boundaries): buckets
+    * < `trainPerMille` train the model, the rest are scored.
+    *
+    * Held-out bigrams hit three regimes, all one integer ratio:
+    *
+    *   seen head   P = max(4·c2−3, 0)/(4·c1) + (3·n1p/(4·c1)) · Pc(w2)
+    *   unseen head P = Pc(w2)
+    *   Pc(w2)      = (n1m(w2) + 1) / Z,   Z = Nt + V + 1
+    *
+    * Pc is the add-one-smoothed CONTINUATION distribution over the training
+    * vocabulary plus one OOV bucket — Σ_vocab n1m = Nt, so Pc sums to
+    * exactly 1 over vocab ∪ {OOV}, and per seen head the full KN mass still
+    * telescopes to 1 (Σ_seen max(4c2−3,0) = 4c1 − 3n1p when every seen c2
+    * ≥ 1). Unseen bigram under a seen head ⇒ the discounted term is 0 and
+    * only the continuation arm pays; unseen w2 ⇒ n1m = 0 ⇒ the OOV floor
+    * 1/Z. No branch can reach log(0): a seen head has n1p ≥ 1 so the
+    * numerator is ≥ 3, an unseen head's is ≥ 1. −ln P is quantized to
+    * integer micro-nats exactly like [[knSurprisal]].
+    *
+    * Shape at 100 TB: identical to [[knSurprisal]] — one persisted
+    * (doc_id, bucket, tokens) frame feeds both the training aggregates and
+    * the scoring stream (single corpus scan + tokenize); the five model
+    * tables are vocabulary-sized and broadcast under AQE; the only
+    * corpus-sized shuffle is the final doc_id aggregation. The output adds
+    * `n_unseen` (bigrams with zero training count) — the OOV-rate signal a
+    * curation pipeline thresholds alongside the surprisal itself. */
+  def knHeldoutScore(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", trainPerMille: Int = 800): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Sampling.hashBucket(col(idCol)).as("bkt"),
+      TextAnalysis.tokens(col(textCol)).as("toks")).persist(lvl)
+    toks.count(): Unit // materialize BEFORE the fan-out: one source scan
+    val bgAll = toks.select(col("doc_id"), col("bkt"),
+        explode(TextAnalysis.bigramsOfTokens(col("toks"))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val train = bgAll.filter(col("bkt") < trainPerMille)
+    val c2 = train.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"),
+      countDistinct(col("bg")).as("n1p"))
+    val n1m = c2.select(substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("n1m"))
+    // Z = Nt + V + 1: bigram types + unigram vocab + one OOV bucket.
+    val z = c2.agg(count(lit(1)).as("nt")).crossJoin(
+        toks.filter(col("bkt") < trainPerMille)
+          .select(explode(col("toks")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .agg(countDistinct(col("tok")).as("v")))
+      .select((col("nt") + col("v") + lit(1L)).as("z"))
+    val out = bgAll.filter(col("bkt") >= trainPerMille)
+      .join(c2, Seq("bg"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(n1m, Seq("w2"), "left")
+      .crossJoin(broadcast(z))
+      .na.fill(0L, Seq("c2", "c1", "n1p", "n1m"))
+      .withColumn("num", when(col("c1") > 0,
+          greatest(lit(4L) * col("c2") - lit(3L), lit(0L)) * col("z") +
+            lit(3L) * col("n1p") * (col("n1m") + lit(1L)))
+        .otherwise(col("n1m") + lit(1L)))
+      .withColumn("den", when(col("c1") > 0,
+        lit(4L) * col("c1") * col("z")).otherwise(col("z")))
+      .withColumn("s_micro",
+        round(log(col("den").cast("double") / col("num").cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2") === 0, 1L).otherwise(0L)).as("n_unseen"),
+        sum(col("s_micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        round(col("sum_micro").cast("double") / col("n_bigrams") / 1e6, 4)
+          .as("avg_kn_surprisal"))
+      .persist(lvl)
+    out.count(): Unit // score from the token cache, then release it
+    toks.unpersist()
+    out
+  }
+
   /** Linear (fasttext-shaped) quality-classifier INFERENCE over hashed
     * features: logit = Σ_buckets count(doc, b) · w(b), keep = logit ≥ 0.
     * The third leg of the quality-filter tripod — rules

@@ -875,6 +875,53 @@ object AnalyticsOracles {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(sum(sm)::DOUBLE / count(*) / 1000000.0, 4) AS avg_kn_surprisal
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // held-out KN: LM trained on sha-bucket < 800, scores the >= 800 docs.
+    // Pc(w2) = (n1m+1)/Z with Z = Nt + V + 1 (add-one continuation + OOV
+    // bucket); seen head P = (max(4c2-3,0)*Z + 3*n1p*(n1m+1)) / (4*c1*Z),
+    // unseen head P = (n1m+1)/Z — micro-nat quantized like text_kn_score
+    "text_kn_heldout" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 AS bkt,
+        |    string_split_regex(text, '\s+') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, bkt, unnest([toks[i]||' '||toks[i+1]
+        |    for i in generate_series(1, len(toks)-1)]) AS bg
+        |  FROM tok WHERE len(toks) >= 2),
+        |bgw AS (
+        |  SELECT doc_id, bkt, bg, string_split(bg, ' ')[1] AS w1,
+        |    string_split(bg, ' ')[-1] AS w2 FROM bg),
+        |c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM bgw WHERE bkt < 800 GROUP BY bg),
+        |c1 AS (
+        |  SELECT w1, count(*)::BIGINT AS c1,
+        |    count(DISTINCT bg)::BIGINT AS n1p
+        |  FROM bgw WHERE bkt < 800 GROUP BY w1),
+        |n1m AS (
+        |  SELECT string_split(bg, ' ')[-1] AS w2, count(*)::BIGINT AS n1m
+        |  FROM c2 GROUP BY 1),
+        |z AS (
+        |  SELECT ((SELECT count(*) FROM c2)
+        |    + (SELECT count(DISTINCT tok) FROM
+        |        (SELECT unnest(toks) AS tok FROM tok WHERE bkt < 800)
+        |       WHERE length(tok) > 0) + 1)::BIGINT AS z),
+        |s AS (
+        |  SELECT h.doc_id, coalesce(c2.c2, 0) AS c2v, coalesce(c1.c1, 0) AS c1v,
+        |    coalesce(c1.n1p, 0) AS n1p, coalesce(n1m.n1m, 0) AS n1mv, z.z AS z
+        |  FROM bgw h LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1)
+        |    LEFT JOIN n1m USING (w2) CROSS JOIN z
+        |  WHERE h.bkt >= 800),
+        |sc AS (
+        |  SELECT doc_id, c2v,
+        |    round(ln(
+        |      (CASE WHEN c1v > 0 THEN 4 * c1v * z ELSE z END)::DOUBLE /
+        |      (CASE WHEN c1v > 0
+        |            THEN greatest(4 * c2v - 3, 0) * z + 3 * n1p * (n1mv + 1)
+        |            ELSE n1mv + 1 END)::DOUBLE) * 1000000)::BIGINT AS sm
+        |  FROM s)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  sum(CASE WHEN c2v = 0 THEN 1 ELSE 0 END)::BIGINT AS n_unseen,
+        |  round(sum(sm)::DOUBLE / count(*) / 1000000.0, 4) AS avg_kn_surprisal
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_prefix" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -708,6 +708,16 @@ object AnalyticsQueries {
     out
   }
 
+  /** Held-out KN scoring: LM trained on the hash-bucket < 800 split scores
+    * the ≥ 800 docs — every backoff branch (unseen bigram / head / word)
+    * fires. */
+  def textKnHeldout(spark: SparkSession, dir: String): DataFrame = {
+    val res = Search.knHeldoutScore(Tables(spark, dir).documents)
+    val out = res.orderBy(col("doc_id")).localCheckpoint(true)
+    res.unpersist()
+    out
+  }
+
   /** Linear quality-classifier inference: hashed features × broadcast
     * weight table → exact-int logit + keep decision. */
   def textClfScore(spark: SparkSession, dir: String): DataFrame = {
@@ -811,6 +821,7 @@ object AnalyticsQueries {
     "agg_quantile_cube" -> (aggQuantileCube(_, _)),
     "text_lm_score"    -> (textLmScore(_, _)),
     "text_kn_score"    -> (textKnScore(_, _)),
+    "text_kn_heldout"  -> (textKnHeldout(_, _)),
     "dedup_prefix"     -> (dedupPrefix(_, _)),
     "dedup_containment" -> (dedupContainment(_, _)),
     "embed_pq"         -> (embedPq(_, _)),

@@ -116,6 +116,26 @@ class PlanShapeSpec extends SparkSpec {
       s"knSurprisal materialized ${scans.value} partition-scans vs $onePass for one pass")
   }
 
+  test("held-out KN reads and tokenizes the corpus exactly once (shared token cache)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val scans = spark.sparkContext.longAccumulator("corpus-scans")
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it => scans.add(1); it }.toDF("doc_id", "text")
+    scans.reset()
+    docs.agg(count(lit(1))).collect(): Unit
+    val onePass = scans.value
+    assert(onePass > 0)
+    scans.reset()
+    Search.knHeldoutScore(docs).unpersist(): Unit
+    // train aggregates (c2/c1+n1p/n1m/Z incl. the vocab leg) AND the
+    // held-out scoring stream all derive from the one persisted
+    // (doc_id, bkt, tokens) frame — an uncached formulation would be 6×
+    assert(scans.value == onePass,
+      s"knHeldoutScore materialized ${scans.value} partition-scans vs $onePass for one pass")
+  }
+
   test("materialized mix joins the allocation by broadcast; the corpus never shuffles") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables(spark, sf("sf0.001")).documents

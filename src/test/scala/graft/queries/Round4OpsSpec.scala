@@ -119,6 +119,37 @@ class Round4OpsSpec extends SparkSpec {
     assert(res2(1L) < res2(99L) && res2.values.forall(_ > 0.0))
   }
 
+  test("KN held-out: every backoff branch fires, exact micro-nats, unit mass") {
+    import spark.implicits._
+    // sha-bucket split: doc_ids 1, 3 land < 800 (train), 2 lands >= 800
+    // (held-out) — verified constants of Sampling.hashBucket.
+    // Train corpus = the knSurprisal hand model: "a b a c", "a b b" ->
+    //   c2: ab=2 ba=1 ac=1 bb=1; c1(a)=3 n1p(a)=2; c1(b)=2 n1p(b)=2;
+    //   n1m: b=2 a=1 c=1; Nt=4, V=3, Z = Nt+V+1 = 8.
+    // Held-out doc 2 = "a b x c a" exercises all four regimes:
+    //   ab seen bigram:        num = 5*8 + 3*2*3 = 58, den = 4*3*8 = 96
+    //   bx OOV w2, seen head:  num = 3*2*(0+1) = 6,    den = 4*2*8 = 64
+    //   xc unseen head:        num = n1m(c)+1 = 2,     den = Z = 8
+    //   ca unseen bigram+head: num = n1m(a)+1 = 2,     den = Z = 8
+    // s_micro = [503905, 2367124, 1386294, 1386294]; avg = 1.4109
+    val docs = Seq((1L, "a b a c"), (3L, "a b b"), (2L, "a b x c a"))
+      .toDF("doc_id", "text")
+    val scored = Search.knHeldoutScore(docs)
+    val res = scored.collect()
+    scored.unpersist(): Unit
+    assert(res.length == 1) // only the held-out doc is scored
+    val r = res.head
+    assert(r.getAs[Long]("doc_id") == 2L)
+    assert(r.getAs[Long]("n_bigrams") == 4L)
+    assert(r.getAs[Long]("n_unseen") == 3L) // bx, xc, ca
+    assert(r.getAs[Double]("avg_kn_surprisal") == 1.4109)
+    // held-out KN mass telescopes to exactly 1 per head (integer form):
+    // seen head a over {a,b,c,OOV}: 12 + 58 + 20 + 6 = 96 = 4*c1(a)*Z
+    assert(3 * 2 * 2 + 58 + (1 * 8 + 3 * 2 * 2) + 3 * 2 * 1 == 4 * 3 * 8)
+    // unseen head x over {a,b,c,OOV}: (1+1)+(2+1)+(1+1)+(0+1) = 8 = Z
+    assert(2 + 3 + 2 + 1 == 8)
+  }
+
   test("q32_lateral: lateral top-2 equals the window-function formulation") {
     import spark.implicits._
     val viaLateral = Relational.q32Lateral(spark, d).collect()
