@@ -413,10 +413,14 @@ object Dedup {
     * needed = cluster diameter, and near-dup clusters are dense/shallow in
     * practice). Each round is one shuffle join + one aggregate — the
     * standard scalable CC loop (GraphX/Pregel shape) expressed in
-    * DataFrames; per-round results are persisted and the previous round
-    * unpersisted so lineage stays O(1). The final label table remains
-    * persisted (vertices of the pair graph only — pairs-scale, not
-    * corpus-scale); callers doing one materialization per job can ignore it.
+    * DataFrames. Each round ends in an eager `localCheckpoint`: `step`
+    * references the incoming label frame TWICE (the union and the
+    * propagation join), so an uncut logical plan DOUBLES per round —
+    * persist caches execution but the analyzer still walks the whole tree,
+    * which goes exponential on deep graphs (measured: analyzer OOM near
+    * round 50 on a long-cycle graph). Checkpoint blocks are
+    * ContextCleaner-GC'd; for diameter-heavy graphs see the O(log²)-round
+    * [[starContractionKeepers]].
     *
     * Output: `docs` minus every clustered doc that is not its cluster's
     * minimum id. */
@@ -433,7 +437,8 @@ object Dedup {
     // neighbors(v)) — one aggregate (same shuffle the distinct() would
     // cost) that saves an entire loop round on shallow clusters
     var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(first(col("src")), min(col("dst"))).as("label")).persist(lvl)
+      .agg(least(first(col("src")), min(col("dst"))).as("label"))
+      .localCheckpoint(true)
     // Convergence via monotonicity, one action per round: next(v) =
     // min(label(v), labels of neighbors) never increases, so Σlabel is
     // strictly decreasing until the fixpoint — a stationary sum IS
@@ -455,11 +460,10 @@ object Dedup {
       // diameters — near-dup clusters converge in 1-2 rounds after the
       // seeded step, so the extra join+aggregate per action costs more than
       // the saved round-trip; two independent benches confirmed.)
-      val next = step(labels).persist(lvl)
-      val s = labelSum(next) // the one action per round materializes next
+      val next = step(labels).localCheckpoint(true) // eager: the round's one materialization
+      val s = labelSum(next) // reads the checkpointed blocks
       converged = s == prevSum
       prevSum = s
-      labels.unpersist()
       labels = next
       round += 1
     }
@@ -473,6 +477,96 @@ object Dedup {
     pr.unpersist()
     edges.unpersist()
     out
+  }
+
+  /** Connected-components keepers via ALTERNATING STAR CONTRACTION — the
+    * two-phase large-star/small-star algorithm from the MapReduce CC
+    * literature (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"), the scale-path twin of [[connectedComponentKeepers]]:
+    *
+    *   large-star(u): ∀v ∈ Γ(u) with v > u, connect v to m(u) = min(Γ(u) ∪ {u})
+    *   small-star(u): ∀v ∈ Γ(u) with v < u (plus u itself), connect to
+    *                  m = min of those smaller neighbors
+    *
+    * Alternating the two contracts every component to a depth-1 star rooted
+    * at its minimum id in **O(log² n) rounds regardless of diameter** —
+    * label propagation needs diameter-many rounds, so on adversarial
+    * long-chain graphs (each doc near-dup of the next) propagation pays
+    * O(diameter) shuffles where star contraction pays O(log²). Near-dup
+    * graphs are usually dense and shallow (propagation wins by a constant);
+    * this operator is the bound for when they aren't.
+    *
+    * Every phase is edge-scale relational work: one per-node min aggregate +
+    * one join, emitting the contracted edge list. Edges are kept distinct
+    * and as (big, small) ordered pairs, so both phases read one layout.
+    * Convergence = the edge set reached a fixpoint, checked EXACTLY
+    * (count equality + empty exceptAll — an edge-scale anti-join, no hash
+    * collision risk on a correctness gate).
+    *
+    * Each round ends in an EAGER `localCheckpoint`, not a persist: a phase
+    * references its input twice (the symmetric union) and then self-joins
+    * it, so the logical plan is ~16× its input's per round — persist caches
+    * execution but the ANALYZER still walks the uncut tree, which goes
+    * exponential (measured: analyzer OOM by round ~10). Checkpointing makes
+    * each round's plan a constant-size leaf; blocks are ContextCleaner-GC'd
+    * (the [[Clustering.trainedCentroids]] loop discipline). On a real
+    * cluster localCheckpoint trades executor-loss resilience for speed —
+    * acceptable for an edge-scale frame that a retry rebuilds.
+    *
+    * Output contract is identical to [[connectedComponentKeepers]]: `docs`
+    * minus every clustered doc that is not its component's minimum id —
+    * the two implementations share one oracle. */
+  def starContractionKeepers(docs: DataFrame, pairs: DataFrame,
+                             maxRounds: Int = 16, idCol: String = "doc_id"): DataFrame = {
+    // (big, small) ordered unordered-edge layout; pairs arrive id_a < id_b
+    var e = pairs.select(col("id_b").as("big"), col("id_a").as("small"))
+      .distinct().localCheckpoint(true)
+    var eCnt = e.count()
+    var round = 0
+    var converged = false
+    def phase(edges: DataFrame, large: Boolean): DataFrame = {
+      val sym = edges.select(col("big").as("u"), col("small").as("v"))
+        .unionByName(edges.select(col("small").as("u"), col("big").as("v")))
+      if (large) {
+        // m(u) over the FULL neighborhood incl. u; connect strictly-larger
+        // neighbors v > u to m(u). m(u) <= u < v keeps (v, m) in layout.
+        val m = sym.groupBy("u").agg(least(first(col("u")), min(col("v"))).as("m"))
+        sym.join(m, "u").where(col("v") > col("u"))
+          .select(col("v").as("big"), col("m").as("small")).distinct()
+      } else {
+        // small-star: strictly-smaller neighborhood; every member (and u)
+        // re-attaches to its min. v != m rows are (v, m) with v > m; the
+        // (u, m) attachment keeps u reachable from the root.
+        val smaller = sym.where(col("v") < col("u"))
+        val m = smaller.groupBy("u").agg(min(col("v")).as("m"))
+        val reattach = smaller.join(m, "u").where(col("v") =!= col("m"))
+          .select(col("v").as("big"), col("m").as("small"))
+        reattach.unionByName(
+            m.select(col("u").as("big"), col("m").as("small")))
+          .distinct()
+      }
+    }
+    while (round < maxRounds && !converged) {
+      // eager checkpoint = the round's one materialization; count reads the
+      // checkpointed blocks
+      val next = phase(phase(e, large = true), large = false).localCheckpoint(true)
+      val nCnt = next.count()
+      // exact fixpoint test: same cardinality and no edge outside the old
+      // set (both sides distinct, so this is set equality)
+      converged = nCnt == eCnt && next.exceptAll(e).isEmpty
+      e = next
+      eCnt = nCnt
+      round += 1
+    }
+    if (!converged)
+      System.err.println(s"[graft] starContractionKeepers: round cap $maxRounds hit " +
+        "before fixpoint — components may keep extra representatives")
+    // fixpoint edges are depth-1 stars: every non-root points at its
+    // component min. groupBy guards the (capped, non-converged) case.
+    val dropped = e.groupBy(col("big").as("__drop_id"))
+      .agg(min(col("small")).as("__root"))
+      .select(col("__drop_id"))
+    docs.join(dropped, docs(idCol) === col("__drop_id"), "left_anti")
   }
 
   /** SimHash near-dup pairs, sub-quadratic via signature banding: split the

@@ -1489,6 +1489,10 @@ object AnalyticsOracles {
     // querying a freshly built PQ index returns bit-identical rows to the
     // one-shot operator, so the index query shares its oracle verbatim
     ("sim_pqindex_topk" -> base("sim_ivfpq_topk")) +
+    // alternating star contraction computes the SAME cluster-exact keeper
+    // set as capped label propagation (both = true connected components),
+    // so it shares the recursive-CTE reachability oracle verbatim
+    ("dedup_cc_star" -> base("dedup_cc_keepers")) +
     // the persisted BM25 index reproduces the one-shot ranking exactly for
     // the same terms and k, so it shares that oracle verbatim
     ("bm25_index_search" -> base("bm25_search")) +

@@ -106,6 +106,18 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cluster-exact keepers via alternating star contraction — same output
+    * contract (and oracle) as [[dedupCcKeepers]], O(log² n) rounds instead
+    * of O(diameter). */
+  def dedupCcStar(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.6,
+      maxDf = Some(Dedup.dfCapFor(docs.count())))
+    Dedup.starContractionKeepers(docs, pairs)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables(spark, dir).documents, maxHamming = 3, bands = 6)
       .orderBy(col("id_a"), col("id_b"))
@@ -848,6 +860,7 @@ object AnalyticsQueries {
     "dedup_ngram"      -> (dedupNgram(_, _)),
     "dedup_ngram_keepers" -> (dedupNgramKeepers(_, _)),
     "dedup_cc_keepers" -> (dedupCcKeepers(_, _)),
+    "dedup_cc_star"    -> (dedupCcStar(_, _)),
     "dedup_minhash"    -> (dedupMinhash(_, _)),
     "dedup_delta"      -> (dedupDelta(_, _)),
     "dedup_simhash"    -> (dedupSimhash(_, _)),

@@ -135,6 +135,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(cc == Set(1L))
   }
 
+  test("star contraction equals label propagation on chain, clique, and random graphs") {
+    import spark.implicits._
+    // 40-chain: diameter stress — label propagation needs ~40 rounds here,
+    // star contraction must land the same single keeper in O(log²) rounds
+    val chainDocs = (1L to 45L).toDF("doc_id")
+    val chain = (1L to 39L).map(i => (i, i + 1, 0.9)).toDF("id_a", "id_b", "jaccard")
+    val viaStar = Dedup.starContractionKeepers(chainDocs, chain)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaStar == Set(1L) ++ (41L to 45L)) // one keeper + untouched tail
+    // clique + triangle-through + isolated: same answer as propagation
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    val pairs = Seq((2L, 3L, 0.9), (1L, 3L, 0.9), (4L, 5L, 0.9)).toDF("id_a", "id_b", "jaccard")
+    val star = Dedup.starContractionKeepers(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(star == Set(1L, 4L, 9L))
+    // pseudo-random sparse graph: both implementations must agree exactly
+    val n = 200L
+    val rndDocs = (1L to n).toDF("doc_id")
+    val rnd = (1L to n).flatMap { i =>
+      val j = (i * 2654435761L) % n + 1 // deterministic pseudo-random partner
+      if (j != i) Some((math.min(i, j), math.max(i, j), 0.9)) else None
+    }.distinct.toDF("id_a", "id_b", "jaccard")
+    // exact ground truth via plain union-find on the driver
+    val parent = scala.collection.mutable.Map((1L to n).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    rnd.collect().foreach { r =>
+      val (x, y) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (x != y) parent(math.max(x, y)) = math.min(x, y)
+    }
+    val exact = (1L to n).filter(i => find(i) == i).toSet
+    val a = Dedup.starContractionKeepers(rndDocs, rnd)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == exact)
+    // propagation needs ~diameter rounds (> 60 on this graph — the very
+    // case the O(log²) star contraction exists for); given enough it agrees
+    val b = Dedup.connectedComponentKeepers(rndDocs, rnd, maxRounds = 200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(b == exact)
+    assert(a.nonEmpty && a.size < n)
+  }
+
   test("simhash: near-identical texts have small hamming distance, random ones large") {
     import spark.implicits._
     val docs = Seq(
