@@ -183,6 +183,54 @@ object Clustering {
     out
   }
 
+  /** Embedding-space OUTLIER filter — the noise-pruning gate of an
+    * embedding-based curation pipeline (mislabeled, off-distribution, or
+    * corrupt documents sit far from every cluster of the embedding space;
+    * SemDeDup prunes what is too CLOSE, this prunes what is too FAR).
+    *
+    * After the final Lloyd assignment, per-cluster means are recomputed
+    * from the assigned members (exact integer sums / count — one IEEE
+    * division per component), each member's squared distance to its OWN
+    * cluster mean is quantized to an integer (`round(d²)` of micro-unit
+    * arithmetic, the [[ProductQuantization]] err2 convention), and a row is
+    * flagged when d² exceeds `factor ×` the cluster's mean d² (cluster
+    * means are exact-int-sum / count, so the comparison is one
+    * deterministic IEEE multiply + compare in any engine). Singleton
+    * clusters have mean d² = their only member's d², so they never flag.
+    *
+    * Shape at 100 TB: the corpus makes ONE narrow pass against two
+    * broadcast k-row tables (recomputed means, per-cluster distance
+    * stats); the only corpus-sized exchanges are the Lloyd rounds
+    * themselves. Returned eagerly checkpointed; no caller-visible cache.
+    *
+    * Output: (vec_id, cid, d2, is_outlier). */
+  def clusterOutliers(emb: DataFrame, centroidStep: Int, rounds: Int = 2,
+                      factor: Double = 4.0,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asg = kmeansAssignments(emb, centroidStep, rounds, idCol, vecCol)
+    val sums = asg.select(col("cid"), posexplode(col("qi")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos").agg(sum("v").as("s"))
+    val counts = asg.groupBy("cid").agg(count(lit(1)).as("n"))
+    val cents = sums.groupBy("cid").agg(collect_list(struct(col("pos"), col("s"))).as("ps"))
+      .join(counts, "cid")
+      .select(col("cid"),
+        transform(array_sort(col("ps")), x => x.getField("s").cast("double") / col("n")).as("m"))
+      .withColumn("nm", sqNorm(col("m")))
+    val d = asg.join(broadcast(cents), "cid")
+      .withColumn("d2",
+        round(col("nq") + col("nm") -
+          lit(2.0) * GraftFunctions.arrayDot(col("qd"), col("m"))).cast("long"))
+      .select(col("vec_id"), col("cid"), col("d2"))
+    val stats = d.groupBy("cid").agg(sum(col("d2")).as("sd2"), count(lit(1)).as("n"))
+    val out = d.join(broadcast(stats), "cid")
+      .withColumn("is_outlier",
+        col("d2").cast("double") > lit(factor) * (col("sd2").cast("double") / col("n")))
+      .select(col("vec_id"), col("cid"), col("d2"), col("is_outlier"))
+      .localCheckpoint(true)
+    asg.unpersist()
+    out
+  }
+
   /** Cluster topic labeling — the corpus-understanding pass over a curated
     * set: k-means clusters of the embedding space, each labeled by its top
     * TF-ICF terms (cluster term frequency × inverse CLUSTER frequency —

@@ -518,6 +518,17 @@ object Dedup {
     * the two implementations share one oracle. */
   def starContractionKeepers(docs: DataFrame, pairs: DataFrame,
                              maxRounds: Int = 16, idCol: String = "doc_id"): DataFrame = {
+    val dropped = starContractionLabels(pairs, maxRounds)
+      .select(col("id").as("__drop_id"))
+    docs.join(dropped, docs(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /** The component-label table behind [[starContractionKeepers]]: one
+    * `(id, root)` row per NON-ROOT member of the pair graph, where `root`
+    * is the component's minimum id (roots and untouched docs are absent —
+    * `coalesce(root, id)` recovers the total component assignment).
+    * Pairs-scale output; see the keeper variant for the algorithm. */
+  def starContractionLabels(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
     // (big, small) ordered unordered-edge layout; pairs arrive id_a < id_b
     var e = pairs.select(col("id_b").as("big"), col("id_a").as("small"))
       .distinct().localCheckpoint(true)
@@ -559,14 +570,44 @@ object Dedup {
       round += 1
     }
     if (!converged)
-      System.err.println(s"[graft] starContractionKeepers: round cap $maxRounds hit " +
+      System.err.println(s"[graft] starContractionLabels: round cap $maxRounds hit " +
         "before fixpoint — components may keep extra representatives")
     // fixpoint edges are depth-1 stars: every non-root points at its
     // component min. groupBy guards the (capped, non-converged) case.
-    val dropped = e.groupBy(col("big").as("__drop_id"))
-      .agg(min(col("small")).as("__root"))
-      .select(col("__drop_id"))
-    docs.join(dropped, docs(idCol) === col("__drop_id"), "left_anti")
+    e.groupBy(col("big").as("id")).agg(min(col("small")).as("root"))
+  }
+
+  /** QUALITY-AWARE dedup materializer: per transitive near-dup cluster keep
+    * the HIGHEST-quality document instead of the lowest id — what a
+    * production pipeline actually wants from dedup (the first-crawled copy
+    * of a page is not the cleanest one). `quality` is any deterministic
+    * per-doc scoring column ([[graft.functions.GraftFunctions.qualityFast]]
+    * in the oracled query); ties break to the lowest id so the choice is
+    * reproducible.
+    *
+    * Components come from [[starContractionLabels]] (O(log²) rounds);
+    * untouched docs are their own singleton component and always keep.
+    *
+    * Shape at 100 TB: the label table is pairs-scale and joins the corpus
+    * on its id key (one hash join, AQE-broadcast when small); the keeper
+    * choice is one `row_number` window over `comp` — a single shuffle,
+    * two-stage group-limit under the hood. Output: every kept doc with its
+    * component, member count, and winning quality. */
+  def qualityKeepers(docs: DataFrame, pairs: DataFrame, quality: Column,
+                     maxRounds: Int = 16, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = starContractionLabels(pairs, maxRounds)
+    val withComp = docs.withColumn("quality", quality)
+      .join(labels.select(col("id").as("__lid"), col("root")),
+        docs(idCol) === col("__lid"), "left")
+      .withColumn("comp", coalesce(col("root"), col(idCol)))
+      .drop("__lid", "root")
+    val w = Window.partitionBy(col("comp")).orderBy(col("quality").desc, col(idCol))
+    withComp
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("comp"))))
+      .filter(col("rn") === 1)
+      .drop("rn")
   }
 
   /** SimHash near-dup pairs, sub-quadratic via signature banding: split the

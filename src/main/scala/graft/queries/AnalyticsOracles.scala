@@ -679,6 +679,31 @@ object AnalyticsOracles {
         |  round(sum(qi[1])::DOUBLE / count(*), 4) AS mean_q0
         |FROM a2 JOIN q USING (vec_id)
         |GROUP BY cid ORDER BY centroid_id""".stripMargin),
+    // outlier gate: per-cluster means recomputed from the FINAL (a2)
+    // assignment (exact int sums / n), member d² to its own mean rounded to
+    // BIGINT (the err2 convention), flagged beyond 4× the cluster mean d²
+    "embed_outliers" -> (kmeansCte +
+      """, x2 AS (
+        |  SELECT cid, unnest(generate_series(1, len(qi))) AS i, qi
+        |  FROM a2 JOIN q USING (vec_id)),
+        |s2 AS (SELECT cid, i, sum(qi[i]) AS s FROM x2 GROUP BY cid, i),
+        |n2 AS (SELECT cid, count(*) AS n FROM a2 GROUP BY cid),
+        |c2 AS (
+        |  SELECT cid, m,
+        |    list_reduce(list_prepend(0.0, [x*x for x in m]), (a,b) -> a+b) AS nm
+        |  FROM (
+        |    SELECT cid, list(s::DOUBLE / n ORDER BY i) AS m
+        |    FROM s2 JOIN n2 USING (cid) GROUP BY cid, n)),
+        |d AS (
+        |  SELECT qd.vec_id, a2.cid,
+        |    round(nq + nm - 2.0 * list_reduce(list_prepend(0.0,
+        |      [qdv[i] * m[i] for i in generate_series(1, len(qdv))]),
+        |      (a,b) -> a+b))::BIGINT AS d2
+        |  FROM a2 JOIN qd USING (vec_id) JOIN c2 USING (cid)),
+        |st AS (SELECT cid, sum(d2) AS sd2, count(*) AS n FROM d GROUP BY cid)
+        |SELECT vec_id, cid, d2,
+        |  (d2::DOUBLE > 4.0 * (sd2::DOUBLE / n)) AS is_outlier
+        |FROM d JOIN st USING (cid) ORDER BY vec_id""".stripMargin),
     "semdedup_keepers" -> (kmeansCte +
       """, v AS (
         |  SELECT vec_id, cid, qdv, nq FROM a2 JOIN qd USING (vec_id)),
@@ -1291,6 +1316,41 @@ object AnalyticsOracles {
          |minlab AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM minlab WHERE label <> id)
+         |ORDER BY doc_id""".stripMargin),
+    // quality-aware keepers: same recursive components as dedup_cc_keepers,
+    // keeper = argmax quality (the text_quality formula), tie -> lowest id;
+    // docs outside the pair graph are singleton components and always keep
+    "dedup_quality_keepers" -> (tokCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.6),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT src AS id, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+         |minlab AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+         |qual AS (
+         |  SELECT doc_id,
+         |    round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+         |        + 0.3 * (1.0 - punct)
+         |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
+         |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+         |  FROM (SELECT *,
+         |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text) AS punct
+         |    FROM tok)),
+         |cmp AS (
+         |  SELECT d.doc_id, coalesce(m.label, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN minlab m ON d.doc_id = m.id),
+         |rnk AS (
+         |  SELECT c.doc_id, c.comp, q.quality,
+         |    row_number() OVER (PARTITION BY c.comp ORDER BY q.quality DESC, c.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY c.comp) AS n_members
+         |  FROM cmp c JOIN qual q USING (doc_id))
+         |SELECT doc_id, comp, n_members, quality FROM rnk WHERE rn = 1
          |ORDER BY doc_id""".stripMargin),
     "dedup_minhash" -> (tokCte +
       s""", seeds AS (SELECT unnest(generate_series(0, 15)) AS j),

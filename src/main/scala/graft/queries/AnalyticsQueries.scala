@@ -118,6 +118,18 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-aware keepers: per near-dup component keep the highest-quality
+    * doc (tie → lowest id) — the keeper policy a production pipeline wants. */
+  def dedupQualityKeepers(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables(spark, dir).documents
+    val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.6,
+      maxDf = Some(Dedup.dfCapFor(docs.count())))
+    Dedup.qualityKeepers(docs, pairs, GraftFunctions.qualityFast(col("text")))
+      .select(col("doc_id"), col("comp"), col("n_members"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables(spark, dir).documents, maxHamming = 3, bands = 6)
       .orderBy(col("id_a"), col("id_b"))
@@ -166,6 +178,14 @@ object AnalyticsQueries {
     GraftFunctions.register(spark)
     Clustering.kmeansStats(Tables(spark, dir).embeddings, centroidStep = 40, rounds = 2)
       .orderBy(col("centroid_id"))
+  }
+
+  /** Embedding-space outlier gate: squared distance to the recomputed own-
+    * cluster mean, flagged beyond 4× the cluster's mean d². */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Clustering.clusterOutliers(Tables(spark, dir).embeddings, centroidStep = 40, rounds = 2)
+      .orderBy(col("vec_id"))
   }
 
   /** Token counting beyond whitespace: BPE-ish piece classes (letter runs,
@@ -861,6 +881,8 @@ object AnalyticsQueries {
     "dedup_ngram_keepers" -> (dedupNgramKeepers(_, _)),
     "dedup_cc_keepers" -> (dedupCcKeepers(_, _)),
     "dedup_cc_star"    -> (dedupCcStar(_, _)),
+    "embed_outliers"   -> (embedOutliers(_, _)),
+    "dedup_quality_keepers" -> (dedupQualityKeepers(_, _)),
     "dedup_minhash"    -> (dedupMinhash(_, _)),
     "dedup_delta"      -> (dedupDelta(_, _)),
     "dedup_simhash"    -> (dedupSimhash(_, _)),

@@ -176,6 +176,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(a.nonEmpty && a.size < n)
   }
 
+  test("cluster outliers: the planted far point is the only flagged row") {
+    import spark.implicits._
+    // one cluster (only id 0 seeds at centroidStep=40): nine points near the
+    // origin, one planted at (1, 0). The recomputed mean sits near (0.1, 0),
+    // so the plant's d² (~0.81) clears 4× the cluster mean d² (~0.36) while
+    // the near points (~0.01) stay far under it.
+    val rows = (0L to 8L).map(i => (i, Seq(0.001 * i, 0.0))) :+ (9L, Seq(1.0, 0.0))
+    val emb = rows.toDF("vec_id", "embedding")
+    graft.functions.GraftFunctions.register(spark)
+    val out = Clustering.clusterOutliers(emb, centroidStep = 40, rounds = 2)
+    val flagged = out.filter(col("is_outlier")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(9L))
+    assert(out.count() == 10)
+    // singleton-cluster guard: a lone vector is its own mean — d² = 0, never flagged
+    val solo = Clustering.clusterOutliers(Seq((0L, Seq(3.0, 4.0))).toDF("vec_id", "embedding"),
+      centroidStep = 40, rounds = 1)
+    val r = solo.collect().head
+    assert(r.getAs[Long]("d2") == 0L && !r.getAs[Boolean]("is_outlier"))
+  }
+
   test("simhash: near-identical texts have small hamming distance, random ones large") {
     import spark.implicits._
     val docs = Seq(
