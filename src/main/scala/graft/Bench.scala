@@ -78,6 +78,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // UTC pin: Tables.events reinterprets NTZ wall-clock as session-TZ
+      // instant; without this, epoch math would drift on a non-UTC host.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -19,18 +19,31 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark has no
-    * native type for. Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; we then truncate ns→µs with
-    * *integer* division (a double roundtrip would lose precision: 2024 epoch
-    * ns ≈ 1.7e18 > 2^53) and surface a proper TimestampType column. */
+  /** `events.ts` has shipped under THREE physical parquet encodings across
+    * driver regens, and this loader is the single choke point that normalizes
+    * all of them to one logical type (UTC TimestampType) so every downstream
+    * `cast("long")` / window-frame / range-join resolves identically:
+    *
+    *  - TIMESTAMP(NANOS): Spark has no native type; sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` and the column surfaces as
+    *    LongType. We truncate ns→µs with *integer* division (a double
+    *    roundtrip would lose precision: 2024 epoch ns ≈ 1.7e18 > 2^53).
+    *  - TIMESTAMP µs, isAdjustedToUTC=false → TimestampNTZType. Spark forbids
+    *    `CAST(TIMESTAMP_NTZ AS BIGINT)`, so NTZ must not leak downstream; we
+    *    reinterpret the wall-clock value as UTC instant. Every entry point
+    *    pins `spark.sql.session.timeZone=UTC`, so the cast is a pure type-tag
+    *    change (no value shift) — FormatMatrixSpec asserts all three
+    *    encodings yield byte-identical epoch math.
+    *  - TIMESTAMP µs UTC-adjusted → TimestampType already; passthrough. */
   def events: DataFrame = {
     val raw = t("events")
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     import org.apache.spark.sql.functions.{col, expr}
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -42,7 +42,11 @@ final class JdbcStatementsSink(url: String, user: String, password: String,
     // src/main.rs:865); tests pass "CURRENT_TIMESTAMP" for Derby
     val sql = s"INSERT INTO $table (id, statement, created_at, timestamp) VALUES (?, ?, $nowSql, ?)"
     val (u, usr, pw, bs) = (url, user, password, batchSize)
-    df.select(col("id").cast("string"), col("statement"), col("ts"))
+    // Normalize the timestamp at the sink boundary: a TIMESTAMP_NTZ `ts`
+    // surfaces as java.time.LocalDateTime and `r.getTimestamp` throws; the
+    // cast to session-TZ TimestampType (entry points pin UTC) makes the row
+    // extraction type stable regardless of the parquet encoding upstream.
+    df.select(col("id").cast("string"), col("statement"), col("ts").cast("timestamp"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         if (rows.nonEmpty) {
           val conn = java.sql.DriverManager.getConnection(u, usr, pw)
