@@ -35,6 +35,68 @@ class FormatMatrixSpec extends SparkSpec {
     ev.unpersist()
   }
 
+  /** The timestamp-encoding CONTRACT: `events.ts` has shipped as parquet
+    * TIMESTAMP(NANOS) (surfacing as LongType under `nanosAsLong=true`), as
+    * µs TIMESTAMP_NTZ (isAdjustedToUTC=false), and as µs UTC-adjusted
+    * TimestampType across driver regens — and a round went red when the
+    * engine silently assumed one of them. This case pins the contract:
+    * whatever the physical encoding, [[graft.Tables.events]] yields ONE
+    * logical schema (UTC TimestampType) and byte-identical epoch math, so
+    * `cast("long")` window/sessionize/range-join code can never notice a
+    * regen again. */
+  test("events.ts contract: ns-as-long, us-NTZ, and us-UTC encodings yield one schema and identical epoch math") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.expressions.Window
+    val base = Files.createTempDirectory("tsenc").toString
+    val ev = graft.Tables(spark, sf("sf0.001")).events.persist()
+
+    // (1) ns-as-long: exactly what `spark.sql.legacy.parquet.nanosAsLong=true`
+    // surfaces for parquet TIMESTAMP(NANOS) — a raw LongType nanosecond count.
+    ev.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .write.parquet(s"$base/ns/events.parquet")
+    // (2) µs wall-clock, isAdjustedToUTC=false → TimestampNTZType on read.
+    ev.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.parquet(s"$base/ntz/events.parquet")
+    // (3) µs UTC-adjusted instant → TimestampType on read.
+    val prevOut = spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try ev.write.parquet(s"$base/utc/events.parquet")
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevOut)
+
+    // Preconditions: the raw scans really do surface three DIFFERENT physical
+    // types — otherwise this case would pass vacuously.
+    assert(spark.read.parquet(s"$base/ns/events.parquet").schema("ts").dataType == LongType)
+    assert(spark.read.parquet(s"$base/ntz/events.parquet").schema("ts").dataType == TimestampNTZType)
+    assert(spark.read.parquet(s"$base/utc/events.parquet").schema("ts").dataType == TimestampType)
+
+    // Contract 1: one logical schema out of the loader, whatever went in.
+    val frames = Seq("ns", "ntz", "utc").map(e => e -> graft.Tables(spark, s"$base/$e").events)
+    frames.foreach { case (e, df) =>
+      assert(df.schema("ts").dataType == TimestampType, s"encoding $e not normalized")
+    }
+
+    // Contract 2: w3_sessionize-shaped epoch math (cast("long"), lag-gap
+    // session breaks) is value-identical across encodings AND matches the
+    // already-normalized source frame.
+    def sessions(df: DataFrame): Set[(Long, Long, Long, Long)] = {
+      val w = Window.partitionBy("user_id").orderBy("tl")
+      df.select(col("user_id"), col("ts").cast("long").as("tl"))
+        .withColumn("gap", col("tl") - lag("tl", 1).over(w))
+        .withColumn("brk", when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("brk").as("n_sessions"), min("tl").as("first_s"), max("tl").as("last_s"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    }
+    val want = sessions(ev)
+    frames.foreach { case (e, df) =>
+      assert(sessions(df) == want, s"encoding $e epoch math diverged")
+    }
+    ev.unpersist()
+  }
+
   test("corrupt JSON lines quarantine under PERMISSIVE; valid rows survive (skip accounting)") {
     import org.apache.spark.sql.types._
     val base = Files.createTempDirectory("corrupt").toString
