@@ -70,12 +70,14 @@ object BloomIndex {
             expectedItems: Option[Long] = None,
             textCol: String = "text"): Unit = {
     val spark = probes.sparkSession
-    val sh = probeShingles(probes, n, textCol).localCheckpoint(true)
-    val items = expectedItems.getOrElse(4L * math.max(sh.count(), 1L))
-    hadoopWrite(spark, s"$dir/bloom.bin", buildFilter(sh, items, fpp))
-    hadoopWrite(spark, s"$dir/meta.json",
-      s"""{"expectedItems":$items,"fpp":$fpp,"n":$n}""".getBytes("UTF-8"))
-    sh.write.mode("overwrite").parquet(s"$dir/shingles")
+    IndexLock.withLock(spark, dir) {
+      val sh = probeShingles(probes, n, textCol).localCheckpoint(true)
+      val items = expectedItems.getOrElse(4L * math.max(sh.count(), 1L))
+      hadoopWrite(spark, s"$dir/bloom.bin", buildFilter(sh, items, fpp))
+      hadoopWrite(spark, s"$dir/meta.json",
+        s"""{"expectedItems":$items,"fpp":$fpp,"n":$n}""".getBytes("UTF-8"))
+      sh.write.mode("overwrite").parquet(s"$dir/shingles")
+    }
   }
 
   private def meta(spark: SparkSession, dir: String): (Long, Double, Int) = {
@@ -91,17 +93,22 @@ object BloomIndex {
     * retokenized, only its serialized bits are read. */
   def append(probes: DataFrame, dir: String, textCol: String = "text"): Unit = {
     val spark = probes.sparkSession
-    val (items, fpp, n) = meta(spark, dir)
-    val sh = probeShingles(probes, n, textCol).localCheckpoint(true)
-    val delta = BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(buildFilter(sh, items, fpp)))
-    val merged = BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(hadoopRead(spark, s"$dir/bloom.bin")))
-    merged.mergeInPlace(delta)
-    val bos = new java.io.ByteArrayOutputStream()
-    merged.writeTo(bos)
-    hadoopWrite(spark, s"$dir/bloom.bin", bos.toByteArray)
-    sh.write.mode("append").parquet(s"$dir/shingles")
+    // The read-OR-write of bloom.bin is the textbook lost-update race: two
+    // unserialized appends would each OR only their own delta into the same
+    // base and the second write would silently drop the first's bits.
+    IndexLock.withLock(spark, dir) {
+      val (items, fpp, n) = meta(spark, dir)
+      val sh = probeShingles(probes, n, textCol).localCheckpoint(true)
+      val delta = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(buildFilter(sh, items, fpp)))
+      val merged = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(hadoopRead(spark, s"$dir/bloom.bin")))
+      merged.mergeInPlace(delta)
+      val bos = new java.io.ByteArrayOutputStream()
+      merged.writeTo(bos)
+      hadoopWrite(spark, s"$dir/bloom.bin", bos.toByteArray)
+      sh.write.mode("append").parquet(s"$dir/shingles")
+    }
   }
 
   /** The screen predicate alone — a stateless Column usable in batch AND

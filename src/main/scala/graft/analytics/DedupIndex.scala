@@ -38,29 +38,31 @@ object DedupIndex {
   /** Build and write the index from corpus history. */
   def build(docs: DataFrame, dir: String,
             bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
-            idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val withSh = Dedup.shingleFrame(docs, n, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.minhashBanded(withSh, bands, rowsPerBand)
-      .repartition(col("band"))
-      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
-    withSh.write.mode("overwrite").parquet(s"$dir/shingles")
-    withSh.unpersist(): Unit
-  }
+            idCol: String = "doc_id", textCol: String = "text"): Unit =
+    IndexLock.withLock(docs.sparkSession, dir) {
+      val withSh = Dedup.shingleFrame(docs, n, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.minhashBanded(withSh, bands, rowsPerBand)
+        .repartition(col("band"))
+        .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+      withSh.write.mode("overwrite").parquet(s"$dir/shingles")
+      withSh.unpersist(): Unit
+    }
 
   /** Append a shard to the index (no dedup — compose with [[dedupDelta]]
     * first when the shard should be screened before admission). */
   def append(delta: DataFrame, dir: String,
              bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
-             idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val withSh = Dedup.shingleFrame(delta, n, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.minhashBanded(withSh, bands, rowsPerBand)
-      .repartition(col("band"))
-      .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
-    withSh.write.mode("append").parquet(s"$dir/shingles")
-    withSh.unpersist(): Unit
-  }
+             idCol: String = "doc_id", textCol: String = "text"): Unit =
+    IndexLock.withLock(delta.sparkSession, dir) {
+      val withSh = Dedup.shingleFrame(delta, n, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.minhashBanded(withSh, bands, rowsPerBand)
+        .repartition(col("band"))
+        .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
+      withSh.write.mode("append").parquet(s"$dir/shingles")
+      withSh.unpersist(): Unit
+    }
 
   /** Near-dup pairs TOUCHING the delta: delta-vs-history (via the stored
     * band index) plus delta-internal, both exact-Jaccard verified. History

@@ -67,7 +67,8 @@ object PqIndex {
   def build(emb: DataFrame, dir: String,
             coarseStep: Int = 25, m: Int = 8, subDim: Int = 8, centroidStep: Int = 40,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            trainOn: Option[DataFrame] = None): Unit = {
+            trainOn: Option[DataFrame] = None): Unit =
+    IndexLock.withLock(emb.sparkSession, dir) {
     GraftFunctions.register(emb.sparkSession)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val quantized = emb
@@ -92,7 +93,7 @@ object PqIndex {
     subs.unpersist(); cents1.unpersist(); codesTrain.unpersist()
     if (trainOn.nonEmpty) quantizedTrain.unpersist()
     quantized.unpersist(): Unit
-  }
+    }
 
   /** Append a delta to the index: encode the new vectors under the STORED
     * quantizer (coarse centroids + codebooks) and append their codes to
@@ -104,6 +105,7 @@ object PqIndex {
              m: Int = 8, subDim: Int = 8,
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = delta.sparkSession
+    IndexLock.withLock(spark, dir) {
     GraftFunctions.register(spark)
     val quantized = delta
       .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
@@ -115,6 +117,7 @@ object PqIndex {
       ProductQuantization.subSlices(quantized, m, subDim), books)
     writeCodes(codes, assigned, dir, "append")
     quantized.unpersist(): Unit
+    }
   }
 
   /** Query the stored index: probe `nprobe` lists per query, ADC-score the

@@ -53,7 +53,9 @@ object SearchIndex {
   /** Tokenize once; write postings, document frequencies, corpus stats. */
   def build(docs: DataFrame, dir: String, buckets: Int = 64,
             idCol: String = "doc_id", textCol: String = "text"): Unit =
-    writeIndex(docs, dir, buckets, "overwrite", idCol, textCol)
+    IndexLock.withLock(docs.sparkSession, dir) {
+      writeIndex(docs, dir, buckets, "overwrite", idCol, textCol)
+    }
 
   /** Append a shard: its postings, df increments, and stats increment are
     * written as new parts, and [[query]] MERGES them on read (sum over df
@@ -63,7 +65,9 @@ object SearchIndex {
     * (SearchIndexSpec proves it against [[Search.bm25TopDocs]]). */
   def append(delta: DataFrame, dir: String, buckets: Int = 64,
              idCol: String = "doc_id", textCol: String = "text"): Unit =
-    writeIndex(delta, dir, buckets, "append", idCol, textCol)
+    IndexLock.withLock(delta.sparkSession, dir) {
+      writeIndex(delta, dir, buckets, "append", idCol, textCol)
+    }
 
   /** BM25 top-k from the stored index — output schema and values match
     * [[Search.bm25TopDocs]] exactly for the same terms and k. */
