@@ -462,4 +462,83 @@ class EventTimeSpec extends SparkSpec {
     assert(qS == qB)
     ev.unpersist(): Unit
   }
+
+  /** The cube INGEST story end-to-end: history cells built by a batch job
+    * and fresh cells maintained by a streaming job land as parts of ONE
+    * cube directory, and a reader merges them on read (register max /
+    * count sum) — estimator-equal to a batch-only cube over the union.
+    * This is what makes the sketch layer serve while ingest runs: neither
+    * writer knows about the other, and no reader rescans events. */
+  test("mixed batch+streaming cube dir merges on read to the batch-only estimates") {
+    import graft.analytics.{HllSketch, QuantileSketch}
+    val (srcDir, hllCube, qCube, ckptH, ckptQ) =
+      (tmp("src"), tmp("hllcube"), tmp("qcube"), tmp("ckptH"), tmp("ckptQ"))
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+      .filter(col("event_id") < 600)
+      .withColumn("cents", round(col("value") * 100).cast("long")).persist()
+    val (histSlice, liveSlice) =
+      (ev.filter(col("event_id") < 300), ev.filter(col("event_id") >= 300))
+
+    // history half: plain batch builds into the cube dirs
+    HllSketch.registers(histSlice, Seq("event_type"), col("user_id"))
+      .write.parquet(s"$hllCube/src=batch")
+    QuantileSketch.histogram(histSlice, Seq("event_type"), col("cents"))
+      .write.parquet(s"$qCube/src=batch")
+
+    // live half: streaming builds snapshot their complete-mode state into a
+    // sibling part of the same cube dirs (last snapshot = full live state)
+    liveSlice.write.parquet(s"$srcDir/live")
+    val schema = spark.read.parquet(s"$srcDir/live").schema
+    val qh = EventTimeOps.streamingHllRegisters(
+        Sources.fileStream(spark, s"$srcDir/live", schema),
+        Seq("event_type"), col("user_id"))
+      .writeStream.option("checkpointLocation", ckptH)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(s"$hllCube/src=stream")
+      }
+      .start()
+    qh.awaitTermination(120000)
+    val qq = EventTimeOps.streamingQuantileHistogram(
+        Sources.fileStream(spark, s"$srcDir/live", schema),
+        Seq("event_type"), col("cents"))
+      .writeStream.option("checkpointLocation", ckptQ)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(s"$qCube/src=stream")
+      }
+      .start()
+    qq.awaitTermination(120000)
+
+    // merged read over the mixed dir vs the batch-only cube on the union
+    val estMixed = HllSketch.estimate(
+        HllSketch.mergeRegisters(
+          spark.read.parquet(hllCube).select("event_type", "bucket", "rho"),
+          Seq("event_type")),
+        Seq("event_type")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("s_sum"), r.getAs[Double]("est_users")))
+      .sorted.toSeq
+    val estBatch = HllSketch.estimate(
+        HllSketch.registers(ev, Seq("event_type"), col("user_id")),
+        Seq("event_type")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("s_sum"), r.getAs[Double]("est_users")))
+      .sorted.toSeq
+    assert(estMixed.nonEmpty && estMixed == estBatch)
+
+    def qrows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Long]("p50"), r.getAs[Long]("p95"), r.getAs[Long]("p99"))).sorted.toSeq
+    val quantMixed = qrows(QuantileSketch.quantiles(
+      QuantileSketch.mergeHistograms(
+        spark.read.parquet(qCube).select("event_type", "bucket", "rep", "cnt"),
+        Seq("event_type")),
+      Seq("event_type")))
+    val quantBatch = qrows(QuantileSketch.quantiles(
+      QuantileSketch.histogram(ev, Seq("event_type"), col("cents")),
+      Seq("event_type")))
+    assert(quantMixed.nonEmpty && quantMixed == quantBatch)
+    ev.unpersist(): Unit
+  }
 }
