@@ -559,6 +559,118 @@ object AnalyticsOracles {
          |SELECT doc_id, lang_pred, quality FROM kept1
          |WHERE doc_id NOT IN (SELECT id_b FROM neardup)
          |ORDER BY doc_id""".stripMargin),
+    // the FULL curation DAG: decontaminate (vs docs 0-4) -> C4 span dedup
+    // materialized -> quality-aware near-dup keepers over the REWRITTEN
+    // text -> sqrt-temperature lang mix -> sequence packing. Each block is
+    // the proven fragment of its standalone oracle, composed.
+    "pipeline_full" ->
+      s"""WITH RECURSIVE tok0 AS (
+         |  SELECT doc_id, text, lang, string_split_regex(text, '\\s+') AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+         |    for i in generate_series(1, len(toks)-2)]) AS sh
+         |  FROM tok0 WHERE len(toks) >= 3),
+         |clean AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE doc_id >= 5 AND doc_id NOT IN (
+         |    SELECT DISTINCT c.doc_id
+         |    FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh0 WHERE doc_id >= 5) c
+         |    JOIN (SELECT DISTINCT unnest(sh) AS shingle FROM sh0 WHERE doc_id < 5) p
+         |      USING (shingle))),
+         |ctok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM clean),
+         |cchunk AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(0, (len(toks)-1) // 16)) AS chunk_idx
+         |  FROM ctok),
+         |sp AS (
+         |  SELECT doc_id, chunk_idx,
+         |    array_to_string(toks[chunk_idx*16+1 : least(chunk_idx*16+16, len(toks))], ' ') AS chunk_text,
+         |    substr(sha256(array_to_string(
+         |      toks[chunk_idx*16+1 : least(chunk_idx*16+16, len(toks))], ' ')), 1, 32) AS h,
+         |    doc_id*1000000 + chunk_idx AS occ_key
+         |  FROM cchunk),
+         |firstk AS (SELECT h, min(occ_key) AS first_key FROM sp GROUP BY h),
+         |mat AS (
+         |  SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text
+         |  FROM sp JOIN firstk USING (h)
+         |  WHERE occ_key = first_key GROUP BY doc_id),
+         |tok AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM mat),
+         |sh AS (
+         |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+         |    for i in generate_series(1, len(toks)-2)]) AS sh
+         |  FROM tok WHERE len(toks) >= 3),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.6),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT src AS id, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+         |minlab AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+         |qual AS (
+         |  SELECT doc_id,
+         |    round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+         |        + 0.3 * (1.0 - punct)
+         |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
+         |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+         |  FROM (SELECT *,
+         |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text) AS punct
+         |    FROM tok)),
+         |cmp AS (
+         |  SELECT m.doc_id, coalesce(l.label, m.doc_id) AS comp
+         |  FROM mat m LEFT JOIN minlab l ON m.doc_id = l.id),
+         |rnk AS (
+         |  SELECT c.doc_id,
+         |    row_number() OVER (PARTITION BY c.comp ORDER BY q.quality DESC, c.doc_id) AS rn
+         |  FROM cmp c JOIN qual q USING (doc_id)),
+         |kept AS (
+         |  SELECT m.doc_id, m.text, d.lang
+         |  FROM mat m JOIN rnk r USING (doc_id) JOIN documents d USING (doc_id)
+         |  WHERE r.rn = 1),
+         |strata AS (
+         |  SELECT lang AS stratum, count(*) AS n, sqrt(count(*)::DOUBLE) AS s
+         |  FROM kept GROUP BY 1),
+         |tot AS (
+         |  SELECT list_reduce(list_prepend(0.0, list(s ORDER BY stratum)),
+         |    (x,y) -> x+y) AS total FROM strata),
+         |bud AS (SELECT sum(n)::BIGINT AS budget FROM strata),
+         |wts AS (
+         |  SELECT stratum, n, round(s / total * 1000000)::BIGINT AS weight_micro
+         |  FROM strata CROSS JOIN tot),
+         |alloc AS (
+         |  SELECT stratum,
+         |    round(weight_micro::DOUBLE * budget / n)::BIGINT AS epochs_micro
+         |  FROM wts CROSS JOIN bud),
+         |mixn AS (
+         |  SELECT kept.doc_id, kept.text, epochs_micro // 1000000 +
+         |    (CASE WHEN ('0x'||substr(sha256(kept.doc_id::VARCHAR || ':mix'),1,15))::BIGINT % 1000000
+         |          < epochs_micro % 1000000 THEN 1 ELSE 0 END) AS n_copies
+         |  FROM kept JOIN alloc ON alloc.stratum = kept.lang),
+         |stream AS (
+         |  SELECT doc_id * 1000 + epoch AS mix_id, text
+         |  FROM (SELECT doc_id, text, unnest(generate_series(1, n_copies)) AS epoch
+         |        FROM mixn WHERE n_copies >= 1)),
+         |pd AS (
+         |  SELECT mix_id,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tok,
+         |    ('0x'||substr(sha256(mix_id::VARCHAR),1,15))::BIGINT % 8 AS shard
+         |  FROM stream),
+         |ps AS (
+         |  SELECT mix_id, n_tok, shard,
+         |    sum(n_tok) OVER (PARTITION BY shard ORDER BY mix_id
+         |      ROWS UNBOUNDED PRECEDING)::BIGINT AS tok_end
+         |  FROM pd WHERE n_tok > 0)
+         |SELECT mix_id, mix_id // 1000 AS doc_id, mix_id % 1000 AS epoch, shard,
+         |  n_tok, tok_end - n_tok AS tok_start, tok_end,
+         |  (tok_end - n_tok) // 1024 AS first_window,
+         |  (tok_end - 1) // 1024 AS last_window,
+         |  (tok_end - 1) // 1024 - (tok_end - n_tok) // 1024 + 1 AS n_windows
+         |FROM ps ORDER BY mix_id""".stripMargin,
     "contamination_report" -> (tokCte +
       """, ps AS (SELECT doc_id AS probe_id, unnest(sh) AS shingle FROM sh WHERE doc_id < 5),
         |cs AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id >= 5),

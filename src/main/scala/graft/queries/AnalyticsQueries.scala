@@ -707,6 +707,54 @@ object AnalyticsQueries {
     out
   }
 
+  /** THE full production curation DAG in one query — what a training-data
+    * team actually ships, end to end: benchmark decontamination (drop docs
+    * sharing a trigram with the eval registry, docs 0–4) → C4 span dedup
+    * MATERIALIZED (16-token spans, first-occurrence-wins, text rewritten)
+    * → quality-aware near-dup keepers over the REWRITTEN text (highest
+    * quality per component survives) → sqrt-temperature mix over the
+    * ground-truth lang strata with text carried → sequence packing of the
+    * mixed stream (1024-token windows, 8 shards). One DuckDB oracle
+    * hash-matches the whole composition.
+    *
+    * Scale shape: the stages compose without ever re-joining the corpus —
+    * decontamination is a broadcast anti-join, span dedup shuffles
+    * span-hash keys, the keeper pass shuffles shingle keys and pair ids,
+    * the mix is a strata-broadcast narrow pass (text carried, no re-join),
+    * and packing is per-shard prefix sums. Every corpus-sized exchange is
+    * on hash keys; nothing quadratic, nothing driver-sized. */
+  def pipelineFull(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables(spark, dir).documents
+    val clean = Dedup.decontaminate(
+      docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5))
+    val spanned = Dedup.spanDedupMaterialize(clean, spanTokens = 16)
+      .select(col("doc_id"), col("kept_text").as("text"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.ngramJaccardPairs(spanned.select(col("doc_id"), col("text")),
+      minJaccard = 0.6, maxDf = Some(Dedup.dfCapFor(spanned.count())))
+    val kept = Dedup.qualityKeepers(spanned, pairs,
+        GraftFunctions.qualityFast(col("text")))
+      .select(col("doc_id"), col("text"), col("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mixed = Sampling.materializeMix(kept, "lang",
+      budget = kept.count(), carry = Seq("text"))
+    val stream = mixed.select(
+      (col("doc_id") * 1000 + col("epoch")).as("mix_id"), col("text"))
+    val out = Sampling.packSequences(stream, windowTokens = 1024, nShards = 8,
+        idCol = "mix_id")
+      .select(col("mix_id"), expr("mix_id div 1000").as("doc_id"),
+        (col("mix_id") % 1000).as("epoch"), col("shard"), col("n_tok"),
+        col("tok_start"), col("tok_end"), col("first_window"),
+        col("last_window"), col("n_windows"))
+      .orderBy(col("mix_id"))
+      .localCheckpoint(true)
+    kept.unpersist()
+    spanned.unpersist()
+    out
+  }
+
   /** JL random projection of the embeddings to 16 dims (per-(vec, plane)
     * rows) — the storage/compute shrink step ahead of clustering or ANN. */
   def embedProject(spark: SparkSession, dir: String): DataFrame =
@@ -828,6 +876,7 @@ object AnalyticsQueries {
     "pack_shuffled"    -> (packShuffled(_, _)),
     "pipeline_pack"    -> (pipelinePack(_, _)),
     "pipeline_curate"  -> (pipelineCurate(_, _)),
+    "pipeline_full"    -> (pipelineFull(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
     "decontaminate_bloom" -> (decontaminateBloom(_, _)),
     "decontaminate_index" -> (decontaminateIndex(_, _)),
