@@ -175,9 +175,15 @@ object Bench {
       case (k, v) if regressed(k, v) && knownTrades.contains(k) =>
         "\"" + k + "\":\"" + knownTrades(k) + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failedJson,"reran":$reranJson,"regressions_vs_prev":$regressions,""" +
-      s""""regression_notes":$notes,"sf":"$sfDir"}""")
+      s""""regression_notes":$notes,"sf":"$sfDir"}"""
+    println(line)
+    // durable copy of the FULL per-query map: a consumer that truncates
+    // stdout still has the structured artifact on disk
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"): Unit
+    }
     spark.stop()
   }
 }

@@ -64,6 +64,61 @@ object DedupIndex {
       withSh.unpersist(): Unit
     }
 
+  /** Admission pass for an arriving shard — the decision layer over
+    * [[dedupDelta]]'s pairs: a delta doc is ADMITTED iff it has no verified
+    * near-dup in the index history (history always wins, whatever the ids)
+    * and no delta-internal near-dup with a lower id (the greedy
+    * lowest-id-wins policy of [[Dedup.keepAfterNearDup]]). Returns the
+    * admitted subset of `delta` with all its columns.
+    *
+    * The admitted set is SOUND by construction: no admitted doc near-dups
+    * history or another admitted doc (delta-internal pairs drop the higher
+    * id, so the lower side of every pair survives only if otherwise clean).
+    * Like every greedy keeper rule it can over-drop on chains (a∼b, b∼c,
+    * a≁c drops both b and c); rejection is always JUSTIFIED by a concrete
+    * pair (DedupIndexIngestSpec proves both properties). */
+  def admitDelta(spark: SparkSession, dir: String, delta: DataFrame,
+                 minJaccard: Double,
+                 bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val prs = dedupDelta(spark, dir, delta, minJaccard, bands, rowsPerBand, n,
+      idCol, textCol)
+    val dIds = delta.select(col(idCol).as("__did")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flagged = prs
+      .join(dIds.select(col("__did").as("id_a"), lit(true).as("__a_d")), Seq("id_a"), "left")
+      .join(dIds.select(col("__did").as("id_b"), lit(true).as("__b_d")), Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("__a_d"), lit(false)).as("a_delta"),
+        coalesce(col("__b_d"), lit(false)).as("b_delta"))
+    // history conflict: the delta side of a mixed pair; internal conflict:
+    // the higher id of a delta-delta pair
+    val dropIds = flagged.filter(col("a_delta") && !col("b_delta")).select(col("id_a").as("id"))
+      .union(flagged.filter(!col("a_delta") && col("b_delta")).select(col("id_b").as("id")))
+      .union(flagged.filter(col("a_delta") && col("b_delta")).select(col("id_b").as("id")))
+      .distinct()
+    val out = delta.join(dropIds, delta(idCol) === col("id"), "left_anti")
+      .localCheckpoint(true)
+    dIds.unpersist()
+    out
+  }
+
+  /** The production ingest step: admit the shard against the stored index,
+    * append ONLY the admitted docs, return them (for the caller's sink).
+    * Repeated calls compose: each shard is screened against history plus
+    * every previously admitted doc — rejected docs never pollute the
+    * index. Single-writer per index dir ([[IndexLock]] guards the append);
+    * run from `foreachBatch` for streaming ingest (one batch per shard). */
+  def ingest(spark: SparkSession, dir: String, delta: DataFrame,
+             minJaccard: Double,
+             bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val admitted = admitDelta(spark, dir, delta, minJaccard, bands, rowsPerBand,
+      n, idCol, textCol)
+    append(admitted, dir, bands, rowsPerBand, n, idCol, textCol)
+    admitted
+  }
+
   /** Near-dup pairs TOUCHING the delta: delta-vs-history (via the stored
     * band index) plus delta-internal, both exact-Jaccard verified. History
     * is never rescanned — its bands are probed by join and its shingle

@@ -1673,5 +1673,25 @@ object AnalyticsOracles {
     // history/delta split) — derived from the batch oracle by construction
     ("dedup_delta" -> base("dedup_minhash").replace(
       "WHERE jaccard >= 0.6",
-      "WHERE jaccard >= 0.6 AND id_b > (SELECT max(doc_id) // 2 FROM documents)"))
+      "WHERE jaccard >= 0.6 AND id_b > (SELECT max(doc_id) // 2 FROM documents)")) +
+    // admission over the persisted index: derived from the batch MinHash
+    // pairs by the drop rule — a delta doc (id > split) is dropped if it
+    // pairs with history (either side of a mixed pair) or is the higher id
+    // of a delta-internal pair; everything else in the delta is admitted
+    ("dedup_admit" -> base("dedup_minhash")
+      .replace("\nSELECT id_a, id_b, jaccard FROM (",
+        ",\npr AS (SELECT id_a, id_b FROM (")
+      .replace("\nWHERE jaccard >= 0.6 ORDER BY id_a, id_b",
+        """
+          |WHERE jaccard >= 0.6),
+          |spl AS (SELECT max(doc_id) // 2 AS s FROM documents),
+          |drops AS (
+          |  SELECT CASE WHEN id_a > s AND id_b <= s THEN id_a
+          |              WHEN id_b > s AND id_a <= s THEN id_b
+          |              ELSE id_b END AS id
+          |  FROM pr CROSS JOIN spl
+          |  WHERE id_a > s OR id_b > s)
+          |SELECT doc_id, n_chars FROM documents CROSS JOIN spl
+          |WHERE doc_id > s AND doc_id NOT IN (SELECT id FROM drops)
+          |ORDER BY doc_id""".stripMargin))
 }

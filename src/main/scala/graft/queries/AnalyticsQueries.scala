@@ -77,6 +77,22 @@ object AnalyticsQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The ADMISSION decision over the persisted index — same split as
+    * [[dedupDelta]] (history = ids ≤ max/2 builds the index, the upper half
+    * arrives as a shard): output the admitted docs (no near-dup in history,
+    * no lower-id near-dup within the shard). This is what a production
+    * ingest keeps; [[dedupDelta]] is the evidence it acted on. */
+  def dedupAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val idx = java.nio.file.Files.createTempDirectory("dedupadmit").toString
+    graft.analytics.DedupIndex.build(docs.filter(col("doc_id") <= mid), idx)
+    graft.analytics.DedupIndex
+      .admitDelta(spark, idx, docs.filter(col("doc_id") > mid), minJaccard = 0.6)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables(spark, dir).documents
@@ -934,6 +950,7 @@ object AnalyticsQueries {
     "dedup_quality_keepers" -> (dedupQualityKeepers(_, _)),
     "dedup_minhash"    -> (dedupMinhash(_, _)),
     "dedup_delta"      -> (dedupDelta(_, _)),
+    "dedup_admit"      -> (dedupAdmit(_, _)),
     "dedup_simhash"    -> (dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),
     "dedup_fuzzy_verify" -> (dedupFuzzyVerify(_, _)),
