@@ -671,6 +671,43 @@ object AnalyticsOracles {
          |  (tok_end - 1) // 1024 AS last_window,
          |  (tok_end - 1) // 1024 - (tok_end - n_tok) // 1024 + 1 AS n_windows
          |FROM ps ORDER BY mix_id""".stripMargin,
+    // sketch-calibrated quality gate: quality formula -> integer micro-units
+    // -> DDSketch bucket walk for the corpus p25 -> filter. The bucket math
+    // is the agg_quantile_cube fragment; the quality formula is the
+    // dedup_quality_keepers fragment.
+    "text_quality_calibrated" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+        |        + 0.3 * (1.0 - punct)
+        |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
+        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+        |  FROM (SELECT *,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
+        |    FROM tok)),
+        |qm AS (SELECT doc_id, round(quality * 10000)::BIGINT AS q_micro FROM qual),
+        |cents AS (SELECT greatest(q_micro, 1) AS c FROM qm),
+        |withb AS (SELECT c, length(bin(c))::BIGINT AS b FROM cents),
+        |k AS (
+        |  SELECT CASE WHEN c < 32 THEN c
+        |              ELSE (b - 1) * 32 + ((c >> (b - 6)) & 31) END AS bucket,
+        |         CASE WHEN c < 32 THEN c
+        |              ELSE ((32 + ((c >> (b - 6)) & 31)) << (b - 6)) END AS rep
+        |  FROM withb),
+        |hist AS (SELECT bucket, rep, count(*)::BIGINT AS cnt FROM k GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT rep, cnt,
+        |    sum(cnt) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM hist),
+        |thr AS (
+        |  SELECT min(CASE WHEN cum >= ceil(0.25 * n) THEN rep END)::BIGINT AS p25
+        |  FROM cum)
+        |SELECT doc_id, q_micro, p25 FROM qm CROSS JOIN thr
+        |WHERE q_micro >= p25 ORDER BY doc_id""".stripMargin,
     "contamination_report" -> (tokCte +
       """, ps AS (SELECT doc_id AS probe_id, unnest(sh) AS shingle FROM sh WHERE doc_id < 5),
         |cs AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id >= 5),

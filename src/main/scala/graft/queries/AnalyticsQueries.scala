@@ -771,6 +771,31 @@ object AnalyticsQueries {
     out
   }
 
+  /** Sketch-CALIBRATED quality gate: the keep threshold is not a magic
+    * constant but the corpus's own 25th percentile, read from the mergeable
+    * DDSketch histogram ([[QuantileSketch]]) over integer quality
+    * micro-units — the adaptive-threshold pattern a 100 TB pipeline needs
+    * (an exact percentile would be a full sort; the sketch is one narrow
+    * pass + a ≤512-row walk, and distributed shards merge by count-sum
+    * before the walk). Output: every kept doc with its quality and the
+    * threshold it cleared, integer-deterministic end to end. */
+  def textQualityCalibrated(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables(spark, dir).documents
+    val scored = docs.select(col("doc_id"),
+        GraftFunctions.qualityFast(col("text")).as("quality"))
+      .withColumn("q_micro", round(col("quality") * 10000).cast("long"))
+    val hist = graft.analytics.QuantileSketch.histogram(
+      scored.withColumn("g", lit(1L)), Seq("g"), col("q_micro"))
+    val thr = graft.analytics.QuantileSketch.quantiles(
+        hist, Seq("g"), Seq(("p25", 0.25)))
+      .select(col("p25"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("q_micro") >= col("p25"))
+      .select(col("doc_id"), col("q_micro"), col("p25"))
+      .orderBy(col("doc_id"))
+  }
+
   /** JL random projection of the embeddings to 16 dims (per-(vec, plane)
     * rows) — the storage/compute shrink step ahead of clustering or ANN. */
   def embedProject(spark: SparkSession, dir: String): DataFrame =
@@ -893,6 +918,7 @@ object AnalyticsQueries {
     "pipeline_pack"    -> (pipelinePack(_, _)),
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "pipeline_full"    -> (pipelineFull(_, _)),
+    "text_quality_calibrated" -> (textQualityCalibrated(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
     "decontaminate_bloom" -> (decontaminateBloom(_, _)),
     "decontaminate_index" -> (decontaminateIndex(_, _)),
