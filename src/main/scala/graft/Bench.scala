@@ -4,72 +4,84 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
-  /** Round-7 FINAL per-query seconds (sf0.1, local[8], quiet box — no
-    * concurrent sbt/test JVMs; 121 queries, 0 failures, 0 regressions,
-    * 2 transient reruns) — the regression baseline for round 8. Flagged
-    * slowdowns are re-measured TWICE before being reported (see below). */
+  /** Round-8 FINAL per-query seconds (sf0.1, local[8], quiet box — no
+    * concurrent sbt/test JVMs; 142 queries, 0 failures, 0 regressions,
+    * 2 transient reruns; full artifact committed as BENCH_LOCAL_r08.json)
+    * — the regression baseline for round 9, re-recorded on the regenerated
+    * testdata (us-NTZ events). Flagged slowdowns are re-measured TWICE
+    * before being reported (see below). */
   val baselinePrev: Map[String, Double] = Map(
-    "agg_approx" -> 4.227, "agg_approx_pct" -> 2.353,
-    "agg_stats" -> 1.355, "asof_native" -> 0.910,
-    "asof_signup" -> 1.339, "bm25_index_search" -> 5.997,
-    "bm25_search" -> 0.838, "clf_train" -> 2.397,
-    "contamination_report" -> 0.934, "decontaminate" -> 1.014,
-    "dedup_cc_keepers" -> 3.914, "dedup_closure" -> 4.071,
-    "dedup_containment" -> 3.193, "dedup_delta" -> 2.121,
-    "dedup_exact" -> 0.301, "dedup_fuzzy_verify" -> 1.079,
-    "dedup_minhash" -> 0.977, "dedup_ngram" -> 3.137,
-    "dedup_ngram_keepers" -> 2.652, "dedup_prefix" -> 0.531,
-    "dedup_simhash" -> 0.296, "dedup_simhash_pairs" -> 0.890,
-    "dedup_spans" -> 0.884, "dedup_spans_keepers" -> 0.936,
-    "dedup_winnow_pairs" -> 1.656, "doc_chunks" -> 0.386,
-    "doc_len_histogram" -> 0.296, "embed_kmeans" -> 1.734,
-    "embed_neardup" -> 3.001, "embed_pq" -> 2.426,
-    "embed_quantize" -> 0.495, "mm_decode" -> 0.409,
-    "mm_frames" -> 0.284, "mm_resize" -> 0.238,
-    "o10_escape" -> 1.311, "o11_o13_route" -> 2.227,
-    "o12_optout_dim" -> 0.794, "o14_format_values" -> 2.109,
-    "o3_count_range" -> 0.148, "o4_o5_extract" -> 1.507,
-    "o6_o7_anonymize" -> 0.868, "o8_o9_statement_json" -> 1.503,
-    "o8_withfield" -> 1.637, "pack_shards" -> 0.455,
-    "pack_shuffled" -> 0.399, "pack_window_map" -> 0.380,
-    "pack_windows" -> 0.374, "pipeline_curate" -> 4.438,
-    "pipeline_pack" -> 1.363, "q10_cube" -> 0.496,
-    "q11_full_outer" -> 0.383, "q12_corr_subquery" -> 0.608,
-    "q13_grouping_sets" -> 0.243, "q14_range_frame" -> 0.704,
-    "q15_explode" -> 0.238, "q16_anti" -> 0.452,
-    "q17_window_nav" -> 0.567, "q18_month_series" -> 0.354,
-    "q19_sorted_collect" -> 0.309, "q1_agg" -> 0.406,
-    "q20_cond_agg" -> 0.266, "q21_range_join" -> 0.538,
-    "q22_map_agg" -> 0.387, "q23_corr" -> 0.333,
-    "q24_null_safe" -> 0.387, "q25_array_ops" -> 0.525,
-    "q26_rank_dist" -> 1.067, "q27_datetime" -> 0.341,
-    "q28_regr" -> 0.340, "q29_mode" -> 0.322,
-    "q30_cum_distinct" -> 0.563, "q31_variant" -> 0.557,
-    "q32_lateral" -> 0.852, "q33_gapfill" -> 0.369,
-    "q34_interval_merge" -> 0.830, "q35_unpivot" -> 0.333,
-    "q36_try" -> 1.636, "q3_topk" -> 0.741,
-    "q5_multijoin" -> 0.999, "q6_rollup" -> 0.555,
-    "q7_percentile" -> 1.944, "q8_pivot" -> 0.490,
-    "q9_exists" -> 0.500, "sample_epochs" -> 0.430,
-    "sample_mix" -> 0.490, "sample_per_group" -> 0.258,
-    "sample_stratified" -> 0.186, "sample_temperature" -> 0.314,
-    "sample_weighted" -> 0.342, "semdedup_keepers" -> 1.917,
-    "set_except" -> 0.463, "set_intersect" -> 0.316,
-    "shard_stats" -> 0.365, "sim_ivf_topk" -> 2.525,
-    "sim_ivfpq_topk" -> 3.875, "sim_lsh_banded" -> 1.565,
-    "sim_lsh_bucket" -> 0.727, "sim_pq_adc" -> 3.007,
-    "sim_pqindex_topk" -> 6.548, "sim_topk" -> 0.363,
-    "split_assign" -> 0.260, "text_card_redact" -> 0.408,
-    "text_clf_score" -> 1.171, "text_fingerprint" -> 0.185,
-    "text_gopher_gates" -> 0.676, "text_hash_vec" -> 0.718,
-    "text_langid" -> 0.270, "text_lm_score" -> 1.830,
-    "text_pii_redact" -> 0.398, "text_quality" -> 0.676,
-    "text_repetition" -> 1.268, "text_tok_freq" -> 0.642,
-    "text_tokens" -> 0.474, "text_tokens_re" -> 0.894,
-    "text_top_tokens" -> 0.172, "text_winnow" -> 0.460,
-    "tfidf_top_terms" -> 1.331, "w1_topn_per_group" -> 0.649,
-    "w2_running_sum" -> 0.625, "w3_sessionize" -> 1.062,
-    "w4_ntile" -> 0.989)
+    "agg_approx" -> 4.505, "agg_approx_pct" -> 2.599,
+    "agg_hll_cube" -> 1.641, "agg_quantile_cube" -> 1.504,
+    "agg_stats" -> 1.525, "asof_native" -> 0.887,
+    "asof_signup" -> 1.417, "bm25_index_search" -> 6.792,
+    "bm25_search" -> 1.085, "bpe_encode" -> 5.240,
+    "bpe_merges" -> 1.014, "clf_train" -> 2.592,
+    "cluster_topics" -> 4.099, "contamination_report" -> 1.128,
+    "corpus_report" -> 0.721, "decontaminate" -> 0.924,
+    "decontaminate_bloom" -> 0.877, "decontaminate_index" -> 1.144,
+    "dedup_admit" -> 3.100, "dedup_cc_keepers" -> 4.491,
+    "dedup_cc_star" -> 4.589, "dedup_closure" -> 3.843,
+    "dedup_containment" -> 2.982, "dedup_delta" -> 1.845,
+    "dedup_exact" -> 0.366, "dedup_fuzzy_verify" -> 1.193,
+    "dedup_minhash" -> 1.099, "dedup_ngram" -> 4.033,
+    "dedup_ngram_keepers" -> 3.088, "dedup_prefix" -> 0.568,
+    "dedup_quality_keepers" -> 4.967, "dedup_simhash" -> 0.355,
+    "dedup_simhash_pairs" -> 0.938, "dedup_spans" -> 1.221,
+    "dedup_spans_keepers" -> 1.133, "dedup_winnow_pairs" -> 1.886,
+    "doc_chunks" -> 0.431, "doc_len_histogram" -> 0.411,
+    "dsir_weights" -> 2.236, "embed_kmeans" -> 1.936,
+    "embed_neardup" -> 3.051, "embed_outliers" -> 2.153,
+    "embed_pq" -> 2.081, "embed_project" -> 0.660,
+    "embed_quantize" -> 0.431, "mm_decode" -> 0.416,
+    "mm_frames" -> 0.267, "mm_resize" -> 0.249,
+    "o10_escape" -> 1.451, "o11_o13_route" -> 2.194,
+    "o12_optout_dim" -> 0.764, "o14_format_values" -> 2.307,
+    "o3_count_range" -> 0.159, "o4_o5_extract" -> 1.815,
+    "o6_o7_anonymize" -> 0.853, "o8_o9_statement_json" -> 1.422,
+    "o8_withfield" -> 1.645, "pack_shards" -> 0.452,
+    "pack_shuffled" -> 0.393, "pack_window_map" -> 0.352,
+    "pack_windows" -> 0.294, "pipeline_curate" -> 4.340,
+    "pipeline_full" -> 8.389, "pipeline_pack" -> 1.288,
+    "q10_cube" -> 0.457, "q11_full_outer" -> 0.401,
+    "q12_corr_subquery" -> 0.649, "q13_grouping_sets" -> 0.280,
+    "q14_range_frame" -> 0.680, "q15_explode" -> 0.373,
+    "q16_anti" -> 0.478, "q17_window_nav" -> 0.616,
+    "q18_month_series" -> 0.490, "q19_sorted_collect" -> 0.325,
+    "q1_agg" -> 0.499, "q20_cond_agg" -> 0.327,
+    "q21_range_join" -> 0.592, "q22_map_agg" -> 0.413,
+    "q23_corr" -> 0.458, "q24_null_safe" -> 0.444,
+    "q25_array_ops" -> 0.612, "q26_rank_dist" -> 1.051,
+    "q27_datetime" -> 0.371, "q28_regr" -> 0.431,
+    "q29_mode" -> 0.407, "q30_cum_distinct" -> 0.681,
+    "q31_variant" -> 0.649, "q32_lateral" -> 0.942,
+    "q33_gapfill" -> 0.398, "q34_interval_merge" -> 0.876,
+    "q35_unpivot" -> 0.326, "q36_try" -> 1.601,
+    "q3_topk" -> 0.768, "q5_multijoin" -> 1.023,
+    "q6_rollup" -> 0.501, "q7_percentile" -> 1.989,
+    "q8_pivot" -> 0.464, "q9_exists" -> 0.445,
+    "sample_epochs" -> 0.501, "sample_mix" -> 0.549,
+    "sample_per_group" -> 0.321, "sample_stratified" -> 0.180,
+    "sample_temperature" -> 0.274, "sample_weighted" -> 0.340,
+    "search_rrf" -> 1.307, "semdedup_keepers" -> 2.044,
+    "set_except" -> 0.403, "set_intersect" -> 0.334,
+    "shard_stats" -> 0.303, "sim_ivf_topk" -> 2.707,
+    "sim_ivfpq_topk" -> 4.484, "sim_lsh_banded" -> 1.663,
+    "sim_lsh_bucket" -> 0.672, "sim_pq_adc" -> 3.042,
+    "sim_pqindex_topk" -> 7.339, "sim_topk" -> 0.486,
+    "split_assign" -> 0.357, "text_card_redact" -> 0.354,
+    "text_clf_score" -> 0.941, "text_cms_topk" -> 0.816,
+    "text_collocations" -> 1.293, "text_fingerprint" -> 0.194,
+    "text_gopher_gates" -> 0.652, "text_hash_vec" -> 0.697,
+    "text_kn_heldout" -> 1.788, "text_kn_score" -> 1.713,
+    "text_langid" -> 0.256, "text_lm_score" -> 1.312,
+    "text_pii_redact" -> 0.319, "text_quality" -> 0.416,
+    "text_quality_calibrated" -> 0.730, "text_repetition" -> 1.220,
+    "text_tok_freq" -> 0.575, "text_tokens" -> 0.388,
+    "text_tokens_re" -> 0.649, "text_top_tokens" -> 0.175,
+    "text_winnow" -> 0.363, "tfidf_top_terms" -> 1.143,
+    "w1_topn_per_group" -> 0.633, "w2_running_sum" -> 0.537,
+    "w3_sessionize" -> 0.725, "w4_ntile" -> 0.761)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
