@@ -149,6 +149,7 @@ object SparkEntry {
     "q34_interval_merge" -> (Relational.q34IntervalMerge(_, _)),
     "q35_unpivot"      -> (Relational.q35Unpivot(_, _)),
     "q36_try"          -> (Relational.q36Try(_, _)),
+    "q37_scd2"         -> (Relational.q37Scd2(_, _)),
     "agg_approx_pct"   -> (Relational.aggApproxPct(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
@@ -636,6 +637,19 @@ object SparkEntry {
         |    (value * 100) / nullif((k % 3)::DOUBLE, 0.0) AS q
         |  FROM extracted)
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "q37_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
+        |  FROM events),
+        |c AS (
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_type
+        |  FROM e),
+        |ch AS (SELECT * FROM c WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS version,
+        |  event_type, ts_s AS valid_from_s,
+        |  lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS valid_to_s
+        |FROM ch ORDER BY user_id, version""".stripMargin,
     "agg_approx_pct" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,

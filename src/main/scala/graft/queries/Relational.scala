@@ -801,6 +801,28 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** SCD-2 dimension build from the event stream: collapse each user's
+    * event_type sequence into versioned validity intervals — a new version
+    * only when the state CHANGES, `valid_to_s` = the next change's start,
+    * NULL for the open current version. The slowly-changing-dimension
+    * maintenance a warehouse runs over CDC output (the reference's O12
+    * argmax keeps only the LATEST version; this keeps the full history a
+    * point-in-time join needs). Both windows and the final sort share one
+    * (user_id) partitioning, so the plan carries a single exchange. */
+  def q37Scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+    Tables(spark, dir).events
+      .select($"user_id", $"event_type", $"ts".cast("long").as("ts_s"), $"event_id")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_s", lead($"ts_s", 1).over(w))
+      .select($"user_id", $"version", $"event_type",
+        $"ts_s".as("valid_from_s"), $"valid_to_s")
+      .orderBy($"user_id", $"version")
+  }
+
   /** Semi-structured VARIANT path: `parse_json` the props payload into a
     * VARIANT column, extract a typed field with `variant_get`, aggregate.
     * Variant is the 100 TB answer to ragged JSON: one binary-encoded
