@@ -150,6 +150,8 @@ object SparkEntry {
     "q35_unpivot"      -> (Relational.q35Unpivot(_, _)),
     "q36_try"          -> (Relational.q36Try(_, _)),
     "q37_scd2"         -> (Relational.q37Scd2(_, _)),
+    "q38_retention"    -> (Relational.q38Retention(_, _)),
+    "q39_funnel"       -> (Relational.q39Funnel(_, _)),
     "agg_approx_pct"   -> (Relational.aggApproxPct(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
@@ -650,6 +652,43 @@ object SparkEntry {
         |  event_type, ts_s AS valid_from_s,
         |  lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS valid_to_s
         |FROM ch ORDER BY user_id, version""".stripMargin,
+    "q38_retention" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
+        |s AS (SELECT cohort_week, count(*)::BIGINT AS cohort_n FROM c GROUP BY 1),
+        |r AS (
+        |  SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+        |    count(DISTINCT w.user_id)::BIGINT AS n_active
+        |  FROM w JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_active, cohort_n,
+        |  round(n_active::DOUBLE / cohort_n, 4) AS retention
+        |FROM r JOIN s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q39_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.us) AS t2, min(t1.t1) AS t1b
+        |  FROM e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.us > t1.t1 AND e.us <= t1.t1 + 604800000000
+        |  GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.us) AS t3
+        |  FROM e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us > t2.t2 AND e.us <= t2.t1b + 604800000000
+        |  GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT level, count(*)::BIGINT AS n_users FROM (
+        |  SELECT CASE WHEN t3.t3 IS NOT NULL THEN 3
+        |              WHEN t2.t2 IS NOT NULL THEN 2
+        |              WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS level
+        |  FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
+        |         LEFT JOIN t2 ON u.user_id = t2.user_id
+        |         LEFT JOIN t3 ON u.user_id = t3.user_id)
+        |GROUP BY level ORDER BY level""".stripMargin,
     "agg_approx_pct" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,

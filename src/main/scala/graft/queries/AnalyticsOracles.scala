@@ -708,6 +708,16 @@ object AnalyticsOracles {
         |  FROM cum)
         |SELECT doc_id, q_micro, p25 FROM qm CROSS JOIN thr
         |WHERE q_micro >= p25 ORDER BY doc_id""".stripMargin,
+    // per-doc novelty: distinct-shingle df across the corpus, share of
+    // df=1 shingles per doc
+    "text_novelty" -> (tokCte +
+      """, exp AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |dfc AS (SELECT s, count(*)::BIGINT AS df FROM exp GROUP BY s)
+        |SELECT doc_id, count(*)::BIGINT AS n_sh,
+        |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+        |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS novelty
+        |FROM exp JOIN dfc USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "contamination_report" -> (tokCte +
       """, ps AS (SELECT doc_id AS probe_id, unnest(sh) AS shingle FROM sh WHERE doc_id < 5),
         |cs AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id >= 5),

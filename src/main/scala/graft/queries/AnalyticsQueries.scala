@@ -796,6 +796,26 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-doc n-gram NOVELTY: the fraction of a doc's distinct trigram
+    * shingles that occur nowhere else in the corpus (df = 1) — the
+    * boilerplate-vs-original signal that complements [[textTokFreq]]'s
+    * token-level rarity (a doc of common words in a unique ORDER scores
+    * high here, low there). One shingle-keyed df aggregate + one
+    * doc-keyed ratio aggregate; the shuffle keys are shingle strings and
+    * doc ids, nothing quadratic. */
+  def textNovelty(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val exp = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("s"))
+    val dfc = exp.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    exp.join(dfc, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty", round(col("n_unique").cast("double") / col("n_sh"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** JL random projection of the embeddings to 16 dims (per-(vec, plane)
     * rows) — the storage/compute shrink step ahead of clustering or ANN. */
   def embedProject(spark: SparkSession, dir: String): DataFrame =
@@ -919,6 +939,7 @@ object AnalyticsQueries {
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "pipeline_full"    -> (pipelineFull(_, _)),
     "text_quality_calibrated" -> (textQualityCalibrated(_, _)),
+    "text_novelty"     -> (textNovelty(_, _)),
     "decontaminate"    -> (decontaminate(_, _)),
     "decontaminate_bloom" -> (decontaminateBloom(_, _)),
     "decontaminate_index" -> (decontaminateIndex(_, _)),

@@ -823,6 +823,58 @@ object Relational {
       .orderBy($"user_id", $"version")
   }
 
+  /** Weekly cohort retention — the product-analytics matrix every events
+    * warehouse serves: cohort = a user's first active week, one row per
+    * (cohort, week offset) with the fraction of the cohort still active.
+    * Three aggregates and a join, ALL keyed on user_id / cohort_week —
+    * nothing event-sized survives the first distinct. */
+  def q38Retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weeks = Tables(spark, dir).events
+      .select($"user_id", expr("(CAST(ts AS LONG) div 86400) div 7").as("week"))
+      .distinct()
+    val cohort = weeks.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    val sizes = cohort.groupBy($"cohort_week").agg(count(lit(1)).as("cohort_n"))
+    weeks.join(cohort, "user_id")
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+      .agg(count_distinct($"user_id").as("n_active"))
+      .join(sizes, "cohort_week")
+      .withColumn("retention", round($"n_active".cast("double") / $"cohort_n", 4))
+      .select($"cohort_week", $"week_offset", $"n_active", $"cohort_n", $"retention")
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  /** Conversion funnel (the ClickHouse `windowFunnel` analog for the
+    * reference's sink ecosystem): view → click → purchase, each later
+    * stage strictly after the previous and within 7 days of the FIRST
+    * stage. Stage times resolve as chained conditional mins — three
+    * user_id-keyed aggregates/joins sharing one partitioning — then users
+    * histogram by deepest stage reached. Microsecond timestamps, so stage
+    * ordering never ties. */
+  def q39Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 7L * 86400L * 1000000L
+    val ev = Tables(spark, dir).events
+      .select($"user_id", $"event_type", expr("unix_micros(ts)").as("us"))
+    val t1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val t2 = ev.join(t1, "user_id")
+      .filter($"event_type" === "click" && $"us" > $"t1" && $"us" <= $"t1" + W)
+      .groupBy($"user_id").agg(min($"us").as("t2"), min($"t1").as("t1b"))
+    val t3 = ev.join(t2, "user_id")
+      .filter($"event_type" === "purchase" && $"us" > $"t2" && $"us" <= $"t1b" + W)
+      .groupBy($"user_id").agg(min($"us").as("t3"))
+    Tables(spark, dir).events.select($"user_id").distinct()
+      .join(t1.select($"user_id", lit(1).as("l1")), Seq("user_id"), "left")
+      .join(t2.select($"user_id", lit(1).as("l2")), Seq("user_id"), "left")
+      .join(t3.select($"user_id", lit(1).as("l3")), Seq("user_id"), "left")
+      .withColumn("level",
+        when($"l3".isNotNull, 3L).when($"l2".isNotNull, 2L)
+          .when($"l1".isNotNull, 1L).otherwise(0L))
+      .groupBy($"level").agg(count(lit(1)).as("n_users"))
+      .orderBy($"level")
+  }
+
   /** Semi-structured VARIANT path: `parse_json` the props payload into a
     * VARIANT column, extract a typed field with `variant_get`, aggregate.
     * Variant is the 100 TB answer to ragged JSON: one binary-encoded
