@@ -81,7 +81,11 @@ object Bench {
     "text_tokens_re" -> 0.649, "text_top_tokens" -> 0.175,
     "text_winnow" -> 0.363, "tfidf_top_terms" -> 1.143,
     "w1_topn_per_group" -> 0.633, "w2_running_sum" -> 0.537,
-    "w3_sessionize" -> 0.725, "w4_ntile" -> 0.761)
+    "w3_sessionize" -> 0.725, "w4_ntile" -> 0.761,
+    // appended from a quiet subset recording (cold-start conservative):
+    // the four queries added after the full round-8 recording above
+    "q37_scd2" -> 2.744, "q38_retention" -> 2.209,
+    "q39_funnel" -> 2.119, "text_novelty" -> 1.685)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
