@@ -152,6 +152,8 @@ object SparkEntry {
     "q37_scd2"         -> (Relational.q37Scd2(_, _)),
     "q38_retention"    -> (Relational.q38Retention(_, _)),
     "q39_funnel"       -> (Relational.q39Funnel(_, _)),
+    "q40_transitions"  -> (Relational.q40Transitions(_, _)),
+    "q41_twa"          -> (Relational.q41Twa(_, _)),
     "agg_approx_pct"   -> (Relational.aggApproxPct(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
@@ -689,6 +691,31 @@ object SparkEntry {
         |         LEFT JOIN t2 ON u.user_id = t2.user_id
         |         LEFT JOIN t3 ON u.user_id = t3.user_id)
         |GROUP BY level ORDER BY level""".stripMargin,
+    "q40_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |nx AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM nx
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n)::BIGINT AS total FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n, round(n::DOUBLE / total, 4) AS p
+        |FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+    "q41_twa" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(ts) AS us
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, cents,
+        |    (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us) // 1000 AS dt_ms
+        |  FROM e)
+        |SELECT user_id, count(*)::BIGINT AS n, sum(dt_ms)::BIGINT AS sum_dt_ms,
+        |  round((sum(cents * dt_ms)::DOUBLE / sum(dt_ms)) / 100.0, 4) AS twa
+        |FROM d WHERE dt_ms IS NOT NULL AND dt_ms > 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_approx_pct" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,

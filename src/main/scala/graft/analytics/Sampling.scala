@@ -309,9 +309,28 @@ object Sampling {
         Seq(Dedup.hash60(concat(col(idCol).cast("string"), lit(":" + seed))), col(idCol))
       case None => Seq(col(idCol))
     }
+    packWithOrder(docs, windowTokens, nShards, idCol, textCol, Nil, order)
+  }
+
+  /** CURRICULUM packing: each shard's stream ordered by a caller-supplied
+    * score (descending — highest-quality/easiest first), ties by id — the
+    * curriculum-learning order, on the identical per-shard prefix-sum
+    * plumbing as [[packSequences]] (same shards, same window math, still
+    * never a global sort: ordering is within shard partitions only). The
+    * score rides the output so consumers can verify the ordering key. */
+  def packCurriculum(docs: DataFrame, windowTokens: Int, nShards: Int,
+                     scoreCol: Column,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    packWithOrder(docs, windowTokens, nShards, idCol, textCol,
+      Seq(scoreCol.as("score")), Seq(col("score").desc, col(idCol)))
+
+  private def packWithOrder(docs: DataFrame, windowTokens: Int, nShards: Int,
+                            idCol: String, textCol: String,
+                            carry: Seq[Column],
+                            order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(order: _*)
-    docs.select(col(idCol), strictTokenCount(col(textCol)).as("n_tok"),
-        shardOf(col(idCol), nShards).as("shard"))
+    docs.select(col(idCol) +: strictTokenCount(col(textCol)).as("n_tok") +:
+        shardOf(col(idCol), nShards).as("shard") +: carry: _*)
       .filter(col("n_tok") > 0)
       .withColumn("tok_end", sum(col("n_tok")).over(w))
       .withColumn("tok_start", col("tok_end") - col("n_tok"))

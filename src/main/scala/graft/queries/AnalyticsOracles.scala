@@ -372,6 +372,36 @@ object AnalyticsOracles {
         |  (tok_end - 1) // 1024 AS last_window,
         |  (tok_end - 1) // 1024 - (tok_end - n_tok) // 1024 + 1 AS n_windows
         |FROM ps ORDER BY mix_id""".stripMargin,
+    // curriculum packing: quality DESC, id tiebreak, same window math as
+    // pack_windows; quality formula is the dedup_quality_keepers fragment
+    "pack_curriculum" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+        |        + 0.3 * (1.0 - punct)
+        |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
+        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+        |  FROM (SELECT *,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
+        |    FROM tok)),
+        |d AS (
+        |  SELECT tok.doc_id, round(quality * 10000)::BIGINT AS score,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tok,
+        |    ('0x'||substr(sha256(tok.doc_id::VARCHAR),1,15))::BIGINT % 8 AS shard
+        |  FROM tok JOIN qual ON tok.doc_id = qual.doc_id),
+        |s AS (
+        |  SELECT doc_id, score, n_tok, shard,
+        |    sum(n_tok) OVER (PARTITION BY shard ORDER BY score DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS tok_end
+        |  FROM d WHERE n_tok > 0)
+        |SELECT doc_id, score, n_tok, shard, tok_end - n_tok AS tok_start, tok_end,
+        |  (tok_end - n_tok) // 1024 AS first_window,
+        |  (tok_end - 1) // 1024 AS last_window,
+        |  (tok_end - 1) // 1024 - (tok_end - n_tok) // 1024 + 1 AS n_windows
+        |FROM s ORDER BY doc_id""".stripMargin,
     "pack_shuffled" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -672,6 +672,23 @@ object AnalyticsQueries {
         windowTokens = 1024, nShards = 8)
       .orderBy(col("shard"))
 
+  /** Curriculum-ordered packing: each shard's stream ordered by the
+    * quality score DESCENDING (easiest/cleanest first, the curriculum-
+    * learning schedule), ties by id — same shards and window math as
+    * [[packWindows]], ordering within shard partitions only (no global
+    * sort). The score rides the output as the ordering witness. */
+  def packCurriculumQ(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables(spark, dir).documents
+      .withColumn("q_micro",
+        round(GraftFunctions.qualityFast(col("text")) * 10000).cast("long"))
+    Sampling.packCurriculum(docs, windowTokens = 1024, nShards = 8, col("q_micro"))
+      .select(col("doc_id"), col("score"), col("n_tok"), col("shard"),
+        col("tok_start"), col("tok_end"), col("first_window"),
+        col("last_window"), col("n_windows"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shuffled-order packing (seed "ord"): same shards and windows, but
     * each shard's stream is hash-decorrelated — the order a trainer
     * actually consumes. */
@@ -935,6 +952,7 @@ object AnalyticsQueries {
     "pack_shards"      -> (packShardsQ(_, _)),
     "pack_window_map"  -> (packWindowMapQ(_, _)),
     "pack_shuffled"    -> (packShuffled(_, _)),
+    "pack_curriculum"  -> (packCurriculumQ(_, _)),
     "pipeline_pack"    -> (pipelinePack(_, _)),
     "pipeline_curate"  -> (pipelineCurate(_, _)),
     "pipeline_full"    -> (pipelineFull(_, _)),

@@ -875,6 +875,53 @@ object Relational {
       .orderBy($"level")
   }
 
+  /** Event-type transition matrix (first-order Markov over each user's
+    * event sequence): one lead window per user, then a (from, to)-keyed
+    * count with per-from probabilities — the "what happens next" model a
+    * product warehouse derives from clickstreams. The matrix is
+    * |types|²-sized; totals broadcast-join back. */
+  def q40Transitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val withNext = Tables(spark, dir).events
+      .select($"user_id", $"event_id", $"event_type", expr("unix_micros(ts)").as("us"))
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+    val counts = withNext.groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy($"from_type").agg(sum($"n").as("total"))
+    counts.join(broadcast(totals), "from_type")
+      .withColumn("p", round($"n".cast("double") / $"total", 4))
+      .select($"from_type", $"to_type", $"n", $"p")
+      .orderBy($"from_type", $"to_type")
+  }
+
+  /** Time-weighted average of `value` per user — the irregular-sampling
+    * mean an IoT/metrics warehouse needs (a value holds until the next
+    * observation; a plain AVG over-weights bursts). Weights are integer
+    * millisecond durations and values integer cents, so the weighted sums
+    * stay exact BIGINTs; the single double division happens once at the
+    * output boundary. One lead window + one aggregate, both on user_id. */
+  def q41Twa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables(spark, dir).events
+      .select($"user_id", $"event_id",
+        round($"value" * 100).cast("long").as("cents"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("next_us", lead($"us", 1).over(w))
+      .withColumn("dt_ms", expr("(next_us - us) div 1000"))
+      .filter($"dt_ms".isNotNull && $"dt_ms" > 0)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"dt_ms").as("sum_dt_ms"),
+        sum($"cents" * $"dt_ms").as("sum_w_cents"))
+      .withColumn("twa",
+        round($"sum_w_cents".cast("double") / $"sum_dt_ms" / 100.0, 4))
+      .select($"user_id", $"n", $"sum_dt_ms", $"twa")
+      .orderBy($"user_id")
+  }
+
   /** Semi-structured VARIANT path: `parse_json` the props payload into a
     * VARIANT column, extract a typed field with `variant_get`, aggregate.
     * Variant is the 100 TB answer to ragged JSON: one binary-encoded
