@@ -46,6 +46,17 @@ object Recall {
       val pqidx = recall(pairs(PqIndex.query(spark, idx, queries, k, nprobe = np)))
       println(f"$np%-8d${np.toDouble / lists}%-9.4f$ivf%-8.3f$ivfpq%-8.3f$pqidx%-8.3f")
     }
+    // the PRECISION knob: at fixed probe fraction, finer subspace codebooks
+    // (more, narrower subspaces) should lift the ADC plateau — measured
+    // against the same ground truth
+    println(f"${"nprobe"}%-8s${"m=8,sub=8"}%-12s${"m=16,sub=4"}%-12s")
+    for (np <- Seq(8, 16)) {
+      def recall(s: Set[(Long, Long)]): Double = (s & truth).size.toDouble / truth.size
+      val r8 = recall(pairs(ProductQuantization.ivfPqTopK(emb, queries, k, nprobe = np)))
+      val r16 = recall(pairs(ProductQuantization.ivfPqTopK(emb, queries, k, nprobe = np,
+        m = 16, subDim = 4)))
+      println(f"$np%-8d$r8%-12.3f$r16%-12.3f")
+    }
     emb.unpersist()
     spark.stop()
   }
