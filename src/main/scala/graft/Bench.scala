@@ -5,87 +5,87 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Round-8 FINAL per-query seconds (sf0.1, local[8], quiet box — no
-    * concurrent sbt/test JVMs; 142 queries, 0 failures, 0 regressions,
+    * concurrent sbt/test JVMs; ALL 149 queries, 0 failures, 0 regressions,
     * 2 transient reruns; full artifact committed as BENCH_LOCAL_r08.json)
-    * — the regression baseline for round 9, re-recorded on the regenerated
+    * — the regression baseline for round 9, recorded on the regenerated
     * testdata (us-NTZ events). Flagged slowdowns are re-measured TWICE
     * before being reported (see below). */
   val baselinePrev: Map[String, Double] = Map(
-    "agg_approx" -> 4.505, "agg_approx_pct" -> 2.599,
-    "agg_hll_cube" -> 1.641, "agg_quantile_cube" -> 1.504,
-    "agg_stats" -> 1.525, "asof_native" -> 0.887,
-    "asof_signup" -> 1.417, "bm25_index_search" -> 6.792,
-    "bm25_search" -> 1.085, "bpe_encode" -> 5.240,
-    "bpe_merges" -> 1.014, "clf_train" -> 2.592,
-    "cluster_topics" -> 4.099, "contamination_report" -> 1.128,
-    "corpus_report" -> 0.721, "decontaminate" -> 0.924,
-    "decontaminate_bloom" -> 0.877, "decontaminate_index" -> 1.144,
-    "dedup_admit" -> 3.100, "dedup_cc_keepers" -> 4.491,
-    "dedup_cc_star" -> 4.589, "dedup_closure" -> 3.843,
-    "dedup_containment" -> 2.982, "dedup_delta" -> 1.845,
-    "dedup_exact" -> 0.366, "dedup_fuzzy_verify" -> 1.193,
-    "dedup_minhash" -> 1.099, "dedup_ngram" -> 4.033,
-    "dedup_ngram_keepers" -> 3.088, "dedup_prefix" -> 0.568,
-    "dedup_quality_keepers" -> 4.967, "dedup_simhash" -> 0.355,
-    "dedup_simhash_pairs" -> 0.938, "dedup_spans" -> 1.221,
-    "dedup_spans_keepers" -> 1.133, "dedup_winnow_pairs" -> 1.886,
-    "doc_chunks" -> 0.431, "doc_len_histogram" -> 0.411,
-    "dsir_weights" -> 2.236, "embed_kmeans" -> 1.936,
-    "embed_neardup" -> 3.051, "embed_outliers" -> 2.153,
-    "embed_pq" -> 2.081, "embed_project" -> 0.660,
-    "embed_quantize" -> 0.431, "mm_decode" -> 0.416,
-    "mm_frames" -> 0.267, "mm_resize" -> 0.249,
-    "o10_escape" -> 1.451, "o11_o13_route" -> 2.194,
-    "o12_optout_dim" -> 0.764, "o14_format_values" -> 2.307,
-    "o3_count_range" -> 0.159, "o4_o5_extract" -> 1.815,
-    "o6_o7_anonymize" -> 0.853, "o8_o9_statement_json" -> 1.422,
-    "o8_withfield" -> 1.645, "pack_shards" -> 0.452,
-    "pack_shuffled" -> 0.393, "pack_window_map" -> 0.352,
-    "pack_windows" -> 0.294, "pipeline_curate" -> 4.340,
-    "pipeline_full" -> 8.389, "pipeline_pack" -> 1.288,
-    "q10_cube" -> 0.457, "q11_full_outer" -> 0.401,
-    "q12_corr_subquery" -> 0.649, "q13_grouping_sets" -> 0.280,
-    "q14_range_frame" -> 0.680, "q15_explode" -> 0.373,
-    "q16_anti" -> 0.478, "q17_window_nav" -> 0.616,
-    "q18_month_series" -> 0.490, "q19_sorted_collect" -> 0.325,
-    "q1_agg" -> 0.499, "q20_cond_agg" -> 0.327,
-    "q21_range_join" -> 0.592, "q22_map_agg" -> 0.413,
-    "q23_corr" -> 0.458, "q24_null_safe" -> 0.444,
-    "q25_array_ops" -> 0.612, "q26_rank_dist" -> 1.051,
-    "q27_datetime" -> 0.371, "q28_regr" -> 0.431,
-    "q29_mode" -> 0.407, "q30_cum_distinct" -> 0.681,
-    "q31_variant" -> 0.649, "q32_lateral" -> 0.942,
-    "q33_gapfill" -> 0.398, "q34_interval_merge" -> 0.876,
-    "q35_unpivot" -> 0.326, "q36_try" -> 1.601,
-    "q3_topk" -> 0.768, "q5_multijoin" -> 1.023,
-    "q6_rollup" -> 0.501, "q7_percentile" -> 1.989,
-    "q8_pivot" -> 0.464, "q9_exists" -> 0.445,
-    "sample_epochs" -> 0.501, "sample_mix" -> 0.549,
-    "sample_per_group" -> 0.321, "sample_stratified" -> 0.180,
-    "sample_temperature" -> 0.274, "sample_weighted" -> 0.340,
-    "search_rrf" -> 1.307, "semdedup_keepers" -> 2.044,
-    "set_except" -> 0.403, "set_intersect" -> 0.334,
-    "shard_stats" -> 0.303, "sim_ivf_topk" -> 2.707,
-    "sim_ivfpq_topk" -> 4.484, "sim_lsh_banded" -> 1.663,
-    "sim_lsh_bucket" -> 0.672, "sim_pq_adc" -> 3.042,
-    "sim_pqindex_topk" -> 7.339, "sim_topk" -> 0.486,
-    "split_assign" -> 0.357, "text_card_redact" -> 0.354,
-    "text_clf_score" -> 0.941, "text_cms_topk" -> 0.816,
-    "text_collocations" -> 1.293, "text_fingerprint" -> 0.194,
-    "text_gopher_gates" -> 0.652, "text_hash_vec" -> 0.697,
-    "text_kn_heldout" -> 1.788, "text_kn_score" -> 1.713,
-    "text_langid" -> 0.256, "text_lm_score" -> 1.312,
-    "text_pii_redact" -> 0.319, "text_quality" -> 0.416,
-    "text_quality_calibrated" -> 0.730, "text_repetition" -> 1.220,
-    "text_tok_freq" -> 0.575, "text_tokens" -> 0.388,
-    "text_tokens_re" -> 0.649, "text_top_tokens" -> 0.175,
-    "text_winnow" -> 0.363, "tfidf_top_terms" -> 1.143,
-    "w1_topn_per_group" -> 0.633, "w2_running_sum" -> 0.537,
-    "w3_sessionize" -> 0.725, "w4_ntile" -> 0.761,
-    // appended from a quiet subset recording (cold-start conservative):
-    // the four queries added after the full round-8 recording above
-    "q37_scd2" -> 2.744, "q38_retention" -> 2.209,
-    "q39_funnel" -> 2.119, "text_novelty" -> 1.685)
+    "agg_approx" -> 5.138, "agg_approx_pct" -> 2.380,
+    "agg_hll_cube" -> 1.724, "agg_quantile_cube" -> 1.474,
+    "agg_stats" -> 1.449, "asof_native" -> 0.921,
+    "asof_signup" -> 1.153, "bm25_index_search" -> 5.963,
+    "bm25_search" -> 0.904, "bpe_encode" -> 4.106,
+    "bpe_merges" -> 0.948, "clf_train" -> 2.368,
+    "cluster_topics" -> 3.639, "contamination_report" -> 0.972,
+    "corpus_report" -> 0.568, "decontaminate" -> 0.800,
+    "decontaminate_bloom" -> 0.980, "decontaminate_index" -> 1.488,
+    "dedup_admit" -> 3.307, "dedup_cc_keepers" -> 4.077,
+    "dedup_cc_star" -> 4.525, "dedup_closure" -> 4.973,
+    "dedup_containment" -> 3.211, "dedup_delta" -> 1.724,
+    "dedup_exact" -> 0.303, "dedup_fuzzy_verify" -> 1.113,
+    "dedup_minhash" -> 0.934, "dedup_ngram" -> 3.416,
+    "dedup_ngram_keepers" -> 2.631, "dedup_prefix" -> 0.583,
+    "dedup_quality_keepers" -> 4.162, "dedup_simhash" -> 0.348,
+    "dedup_simhash_pairs" -> 1.248, "dedup_spans" -> 0.996,
+    "dedup_spans_keepers" -> 1.114, "dedup_winnow_pairs" -> 1.700,
+    "doc_chunks" -> 0.384, "doc_len_histogram" -> 0.353,
+    "dsir_weights" -> 2.181, "embed_kmeans" -> 1.583,
+    "embed_neardup" -> 3.097, "embed_outliers" -> 2.240,
+    "embed_pq" -> 1.875, "embed_project" -> 0.685,
+    "embed_quantize" -> 0.389, "mm_decode" -> 0.458,
+    "mm_frames" -> 0.250, "mm_resize" -> 0.226,
+    "o10_escape" -> 1.570, "o11_o13_route" -> 2.081,
+    "o12_optout_dim" -> 0.607, "o14_format_values" -> 1.841,
+    "o3_count_range" -> 0.206, "o4_o5_extract" -> 1.200,
+    "o6_o7_anonymize" -> 0.813, "o8_o9_statement_json" -> 1.640,
+    "o8_withfield" -> 1.988, "pack_curriculum" -> 0.661,
+    "pack_shards" -> 0.477, "pack_shuffled" -> 0.426,
+    "pack_window_map" -> 0.407, "pack_windows" -> 0.325,
+    "pipeline_curate" -> 4.723, "pipeline_full" -> 7.873,
+    "pipeline_pack" -> 1.119, "q10_cube" -> 0.430,
+    "q11_full_outer" -> 0.413, "q12_corr_subquery" -> 0.632,
+    "q13_grouping_sets" -> 0.280, "q14_range_frame" -> 0.669,
+    "q15_explode" -> 0.304, "q16_anti" -> 0.484,
+    "q17_window_nav" -> 0.568, "q18_month_series" -> 0.400,
+    "q19_sorted_collect" -> 0.415, "q1_agg" -> 0.470,
+    "q20_cond_agg" -> 0.311, "q21_range_join" -> 0.552,
+    "q22_map_agg" -> 0.360, "q23_corr" -> 0.362,
+    "q24_null_safe" -> 0.463, "q25_array_ops" -> 0.597,
+    "q26_rank_dist" -> 1.197, "q27_datetime" -> 0.383,
+    "q28_regr" -> 0.412, "q29_mode" -> 0.417,
+    "q30_cum_distinct" -> 0.749, "q31_variant" -> 0.624,
+    "q32_lateral" -> 1.063, "q33_gapfill" -> 0.594,
+    "q34_interval_merge" -> 0.857, "q35_unpivot" -> 0.444,
+    "q36_try" -> 1.892, "q37_scd2" -> 0.806,
+    "q38_retention" -> 0.788, "q39_funnel" -> 1.147,
+    "q3_topk" -> 0.747, "q40_transitions" -> 0.869,
+    "q41_twa" -> 0.703, "q5_multijoin" -> 0.934,
+    "q6_rollup" -> 0.447, "q7_percentile" -> 1.897,
+    "q8_pivot" -> 0.407, "q9_exists" -> 0.476,
+    "sample_epochs" -> 0.504, "sample_mix" -> 0.524,
+    "sample_per_group" -> 0.253, "sample_stratified" -> 0.163,
+    "sample_temperature" -> 0.251, "sample_weighted" -> 0.334,
+    "search_rrf" -> 1.087, "semdedup_keepers" -> 1.999,
+    "set_except" -> 0.438, "set_intersect" -> 0.328,
+    "shard_stats" -> 0.316, "sim_ivf_topk" -> 3.162,
+    "sim_ivfpq_topk" -> 4.035, "sim_lsh_banded" -> 1.500,
+    "sim_lsh_bucket" -> 0.707, "sim_pq_adc" -> 2.531,
+    "sim_pqindex_topk" -> 6.409, "sim_topk" -> 0.370,
+    "split_assign" -> 0.306, "text_card_redact" -> 0.340,
+    "text_clf_score" -> 0.889, "text_cms_topk" -> 0.646,
+    "text_collocations" -> 0.948, "text_fingerprint" -> 0.193,
+    "text_gopher_gates" -> 0.695, "text_hash_vec" -> 0.747,
+    "text_kn_heldout" -> 1.818, "text_kn_score" -> 2.175,
+    "text_langid" -> 0.345, "text_lm_score" -> 1.667,
+    "text_novelty" -> 1.128, "text_pii_redact" -> 0.359,
+    "text_quality" -> 0.524, "text_quality_calibrated" -> 0.892,
+    "text_repetition" -> 1.265, "text_tok_freq" -> 0.597,
+    "text_tokens" -> 0.420, "text_tokens_re" -> 0.716,
+    "text_top_tokens" -> 0.208, "text_winnow" -> 0.419,
+    "tfidf_top_terms" -> 1.302, "w1_topn_per_group" -> 0.748,
+    "w2_running_sum" -> 0.583, "w3_sessionize" -> 0.847,
+    "w4_ntile" -> 0.815)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
