@@ -154,6 +154,7 @@ object SparkEntry {
     "q39_funnel"       -> (Relational.q39Funnel(_, _)),
     "q40_transitions"  -> (Relational.q40Transitions(_, _)),
     "q41_twa"          -> (Relational.q41Twa(_, _)),
+    "q42_dau"          -> (Relational.q42Dau(_, _)),
     "agg_approx_pct"   -> (Relational.aggApproxPct(_, _)),
   ) ++ graft.queries.AnalyticsQueries.all
 
@@ -716,6 +717,17 @@ object SparkEntry {
         |  round((sum(cents * dt_ms)::DOUBLE / sum(dt_ms)) / 100.0, 4) AS twa
         |FROM d WHERE dt_ms IS NOT NULL AND dt_ms > 0
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q42_dau" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(*)::BIGINT AS dau FROM days GROUP BY 1),
+        |wau AS (
+        |  SELECT day, count(DISTINCT user_id)::BIGINT AS wau
+        |  FROM (SELECT user_id, unnest(generate_series(day, day + 6)) AS day FROM days)
+        |  GROUP BY 1)
+        |SELECT day, dau, wau, round(dau::DOUBLE / wau, 4) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
     "agg_approx_pct" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,

@@ -922,6 +922,28 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Rolling DAU / trailing-7-day WAU / stickiness — the engagement
+    * dashboard row. A rolling COUNT DISTINCT has no window-frame form, so
+    * each (user, active day) contributes itself to the 7 trailing days it
+    * supports (a 7× narrow explode of the DISTINCT day table, already
+    * users×days-sized, NOT the event table) and WAU becomes a plain
+    * day-keyed distinct aggregate. Early days carry partial windows by
+    * construction, identically in both engines. */
+  def q42Dau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables(spark, dir).events
+      .select($"user_id", expr("CAST(ts AS LONG) div 86400").as("day"))
+      .distinct()
+    val dau = days.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val wau = days
+      .select($"user_id", explode(sequence($"day", $"day" + 6)).as("day"))
+      .groupBy($"day").agg(count_distinct($"user_id").as("wau"))
+    dau.join(wau, "day")
+      .withColumn("stickiness", round($"dau".cast("double") / $"wau", 4))
+      .select($"day", $"dau", $"wau", $"stickiness")
+      .orderBy($"day")
+  }
+
   /** Semi-structured VARIANT path: `parse_json` the props payload into a
     * VARIANT column, extract a typed field with `variant_get`, aggregate.
     * Variant is the 100 TB answer to ragged JSON: one binary-encoded
