@@ -85,7 +85,10 @@ object Bench {
     "text_top_tokens" -> 0.208, "text_winnow" -> 0.419,
     "tfidf_top_terms" -> 1.302, "w1_topn_per_group" -> 0.748,
     "w2_running_sum" -> 0.583, "w3_sessionize" -> 0.847,
-    "w4_ntile" -> 0.815)
+    "w4_ntile" -> 0.815,
+    // quiet subset recording (cold-start conservative), added after the
+    // full round-8 recording above
+    "q42_dau" -> 2.581)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
