@@ -41,7 +41,16 @@ final case class Tables(spark: SparkSession, dir: String) {
     import org.apache.spark.sql.functions.{col, expr}
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType =>
+        // the NTZ→TimestampType cast is a pure type-tag change ONLY under a
+        // UTC session; any other zone silently shifts every epoch value, so
+        // a consumer session missing the pin must fail loudly here
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ and spark.sql.session.timeZone=$tz; " +
+            "the UTC-reinterpretation cast requires session.timeZone=UTC " +
+            "(every graft entry point pins it) — set it or the epoch math shifts")
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _                => raw
     }
   }

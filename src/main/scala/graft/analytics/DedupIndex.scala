@@ -55,14 +55,23 @@ object DedupIndex {
              bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
              idCol: String = "doc_id", textCol: String = "text"): Unit =
     IndexLock.withLock(delta.sparkSession, dir) {
-      val withSh = Dedup.shingleFrame(delta, n, idCol, textCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Dedup.minhashBanded(withSh, bands, rowsPerBand)
-        .repartition(col("band"))
-        .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
-      withSh.write.mode("append").parquet(s"$dir/shingles")
-      withSh.unpersist(): Unit
+      appendUnlocked(delta, dir, bands, rowsPerBand, n, idCol, textCol)
     }
+
+  /** The append body without lock acquisition — for callers ([[ingest]])
+    * that already hold the index lock across a wider read-check-append
+    * critical section (the lock is non-reentrant). */
+  private def appendUnlocked(delta: DataFrame, dir: String,
+                             bands: Int, rowsPerBand: Int, n: Int,
+                             idCol: String, textCol: String): Unit = {
+    val withSh = Dedup.shingleFrame(delta, n, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.minhashBanded(withSh, bands, rowsPerBand)
+      .repartition(col("band"))
+      .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
+    withSh.write.mode("append").parquet(s"$dir/shingles")
+    withSh.unpersist(): Unit
+  }
 
   /** Admission pass for an arriving shard — the decision layer over
     * [[dedupDelta]]'s pairs: a delta doc is ADMITTED iff it has no verified
@@ -107,17 +116,21 @@ object DedupIndex {
     * append ONLY the admitted docs, return them (for the caller's sink).
     * Repeated calls compose: each shard is screened against history plus
     * every previously admitted doc — rejected docs never pollute the
-    * index. Single-writer per index dir ([[IndexLock]] guards the append);
-    * run from `foreachBatch` for streaming ingest (one batch per shard). */
+    * index. The WHOLE read-check-append runs under one [[IndexLock]]: two
+    * concurrent ingests must not both screen against the same stale history
+    * and co-admit mutual near-dups (the screen is part of the critical
+    * section, not just the append). Run from `foreachBatch` for streaming
+    * ingest (one batch per shard). */
   def ingest(spark: SparkSession, dir: String, delta: DataFrame,
              minJaccard: Double,
              bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
-             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val admitted = admitDelta(spark, dir, delta, minJaccard, bands, rowsPerBand,
-      n, idCol, textCol)
-    append(admitted, dir, bands, rowsPerBand, n, idCol, textCol)
-    admitted
-  }
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    IndexLock.withLock(spark, dir) {
+      val admitted = admitDelta(spark, dir, delta, minJaccard, bands, rowsPerBand,
+        n, idCol, textCol)
+      appendUnlocked(admitted, dir, bands, rowsPerBand, n, idCol, textCol)
+      admitted
+    }
 
   /** Near-dup pairs TOUCHING the delta: delta-vs-history (via the stored
     * band index) plus delta-internal, both exact-Jaccard verified. History

@@ -13,6 +13,23 @@ import graft.functions.GraftFunctions
   */
 object AnalyticsQueries {
 
+  /** Scratch dir for the per-query throwaway index builds, deleted on JVM
+    * exit — repeated bench/verify runs must not accumulate orphaned index
+    * copies in /tmp. Deletion is a shutdown hook (not eager) because the
+    * returned DataFrames read the index lazily at the caller's action. */
+  private def scratchIndexDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"),
@@ -70,7 +87,7 @@ object AnalyticsQueries {
   def dedupDelta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-    val idx = java.nio.file.Files.createTempDirectory("dedupindex").toString
+    val idx = scratchIndexDir("dedupindex")
     graft.analytics.DedupIndex.build(docs.filter(col("doc_id") <= mid), idx)
     graft.analytics.DedupIndex
       .dedupDelta(spark, idx, docs.filter(col("doc_id") > mid), minJaccard = 0.6)
@@ -85,7 +102,7 @@ object AnalyticsQueries {
   def dedupAdmit(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-    val idx = java.nio.file.Files.createTempDirectory("dedupadmit").toString
+    val idx = scratchIndexDir("dedupadmit")
     graft.analytics.DedupIndex.build(docs.filter(col("doc_id") <= mid), idx)
     graft.analytics.DedupIndex
       .admitDelta(spark, idx, docs.filter(col("doc_id") > mid), minJaccard = 0.6)
@@ -346,7 +363,7 @@ object AnalyticsQueries {
     * so this row oracles the append/merge semantics too. */
   def decontaminateIndex(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val idx = java.nio.file.Files.createTempDirectory("bloomindex").toString
+    val idx = scratchIndexDir("bloomindex")
     graft.analytics.BloomIndex.build(docs.filter(col("doc_id") < 3), idx)
     graft.analytics.BloomIndex.append(
       docs.filter(col("doc_id") >= 3 && col("doc_id") < 5), idx)
@@ -439,7 +456,7 @@ object AnalyticsQueries {
   /** Same ranking served from the persisted inverted index: build once,
     * probe only the query terms' hash-bucket partitions. */
   def bm25IndexSearch(spark: SparkSession, dir: String): DataFrame = {
-    val idx = java.nio.file.Files.createTempDirectory("searchindex").toString
+    val idx = scratchIndexDir("searchindex")
     graft.analytics.SearchIndex.build(Tables(spark, dir).documents, idx)
     graft.analytics.SearchIndex.query(spark, idx,
       queryTerms = Seq("data", "fast", "query"), k = 20)
@@ -605,7 +622,7 @@ object AnalyticsQueries {
     * that oracle SQL. */
   def simPqIndexTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val idx = java.nio.file.Files.createTempDirectory("pqindex").toString
+    val idx = scratchIndexDir("pqindex")
     PqIndex.build(emb, idx)
     PqIndex.query(spark, idx, emb.filter(col("vec_id") < 5), k = 5)
       .orderBy(col("query_id"), col("rank"))

@@ -86,6 +86,69 @@ class IndexLockSpec extends SparkSpec {
     assert(after == want)
   }
 
+  /** The crashed-holder fixture: a `_lock` FILE left on disk with no live
+    * OS lock behind it — exactly what a kill -9'd writer leaves (the kernel
+    * released its advisory lock the instant the process died). */
+  private def plantStaleLock(dir: String): java.nio.file.Path = {
+    val lock = java.nio.file.Paths.get(dir).resolve(IndexLock.LockFile)
+    Files.write(lock,
+      "pid=1999999999 thread=crashed-writer at=2026-01-01T00:00:00Z".getBytes("UTF-8"))
+  }
+
+  test("a lock orphaned by a dead holder is reclaimed automatically") {
+    val dir = Files.createTempDirectory("lockdead").toString
+    plantStaleLock(dir)
+    // no operator intervention: the next acquire reclaims and proceeds
+    IndexLock.withLock(spark, dir) { () }
+    assert(!Files.exists(java.nio.file.Paths.get(dir).resolve(IndexLock.LockFile)),
+      "reclaimed-and-released lock file should be gone")
+  }
+
+  test("a lock held by a LIVE holder is refused, never reclaimed") {
+    val dir = Files.createTempDirectory("locklive").toString
+    IndexLock.acquire(spark, dir) // live holder: this JVM
+    val e = intercept[IndexLock.ConcurrentWriterException] {
+      IndexLock.acquire(spark, dir)
+    }
+    assert(e.getMessage.contains(s"pid=${ProcessHandle.current().pid()}"),
+      s"refusal should name the live holder, got: ${e.getMessage}")
+    // the live holder's lock survived the refused contender
+    assert(Files.exists(java.nio.file.Paths.get(dir).resolve(IndexLock.LockFile)))
+    IndexLock.release(spark, dir)
+  }
+
+  test("racing reclaim of a dead lock is safe: mutual exclusion holds throughout") {
+    val dir = Files.createTempDirectory("lockreclaim").toString
+    val threads = 8
+    val active = new AtomicInteger(0)
+    val maxActive = new AtomicInteger(0)
+    val wins = new AtomicInteger(0)
+    val losses = new AtomicInteger(0)
+    for (_ <- 1 to 3) {
+      plantStaleLock(dir) // every round starts with a stale lock
+      val start = new CyclicBarrier(threads)
+      val done = new CountDownLatch(threads)
+      for (_ <- 1 to threads) {
+        new Thread(() => {
+          start.await()
+          try IndexLock.withLock(spark, dir) {
+            val a = active.incrementAndGet()
+            maxActive.getAndUpdate(m => math.max(m, a))
+            Thread.sleep(20)
+            active.decrementAndGet()
+            wins.incrementAndGet()
+          } catch {
+            case _: IndexLock.ConcurrentWriterException => losses.incrementAndGet()
+          } finally done.countDown()
+        }).start()
+      }
+      done.await()
+    }
+    assert(maxActive.get() == 1, "a reclaimer and a holder overlapped")
+    assert(wins.get() >= 3, s"at least one reclaimer must win per round, got ${wins.get()}")
+    assert(wins.get() + losses.get() == threads * 3)
+  }
+
   test("bloom append race cannot lose an update: second writer is refused while first holds") {
     import spark.implicits._
     val regA = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
