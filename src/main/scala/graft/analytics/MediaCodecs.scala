@@ -1,0 +1,306 @@
+package graft.analytics
+
+/** Pure-JVM media codecs behind the [[Multimodal]] batched-partition
+  * boundary: real byte-level BMP / PPM image and RIFF WAV-PCM audio
+  * encode+decode, no native libraries. This closes the one honest stub the
+  * engine carried ([[Multimodal.FakeDecoder]] stays for the synthetic-probe
+  * queries; the `mm_*_image`/`mm_*_wav` queries run THESE decoders on real
+  * container bytes).
+  *
+  * Reference behavior mirrored: the reference treats media as opaque blobs
+  * and defers decode to the sink side; here decode is a first-class
+  * per-partition operator (see `/root/reference/src/main.rs` statement
+  * payload handling — bytes in, typed fields out).
+  *
+  * Format coverage (deliberately the self-describing core of each spec):
+  *  - BMP: BITMAPFILEHEADER + BITMAPINFOHEADER (biSize >= 40 tolerated),
+  *    24 bpp uncompressed (BI_RGB), bottom-up AND top-down (negative
+  *    height) row order, BGR channel order, rows padded to 4 bytes.
+  *  - PPM: binary P6, comment lines and arbitrary whitespace in the
+  *    header, maxval 255, top-down RGB rows.
+  *  - WAV: RIFF/WAVE chunk walk (unknown chunks skipped, odd-size chunk
+  *    pad byte honored), PCM (format 1) 16-bit little-endian signed or
+  *    8-bit unsigned, interleaved channels.
+  *
+  * Decoders are strict: malformed magic / unsupported bpp / truncated
+  * payload throw `IllegalArgumentException` with the offending field —
+  * upstream wraps rows through the DLQ path rather than guessing.
+  *
+  * 100 TB notes: codecs are allocation-tight per row and run inside
+  * `mapPartitions`, so the blob never crosses a shuffle — only the small
+  * feature rows do. Encode exists for fixture generation and the
+  * resize-reencode path; production ingest would receive already-encoded
+  * bytes from the source.
+  */
+object MediaCodecs {
+
+  /** Decoded raster: row-major top-down RGB triplets (3 bytes/pixel). */
+  final case class ImageRgb(width: Int, height: Int, pixels: Array[Byte]) {
+    require(pixels.length == width * height * 3,
+      s"pixel buffer ${pixels.length} != $width*$height*3")
+  }
+
+  /** Decoded PCM clip: interleaved samples widened to Int (16-bit signed
+    * range for 16 bps, 0..255 for 8 bps). */
+  final case class WavPcm(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                          samples: Array[Int]) {
+    def nFrames: Int = samples.length / channels
+    def durationMicros: Long = nFrames.toLong * 1000000L / sampleRate
+  }
+
+  // ---- little-endian helpers -------------------------------------------
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def i32(b: Array[Byte], o: Int): Int = u32(b, o).toInt
+  private def putU16(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def putU32(b: Array[Byte], o: Int, v: Long): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  // ---- BMP --------------------------------------------------------------
+
+  /** 24 bpp BI_RGB bottom-up BMP (the classic layout real writers emit). */
+  def encodeBmp(img: ImageRgb): Array[Byte] = {
+    val rowBytes = img.width * 3
+    val stride = (rowBytes + 3) & ~3 // pad each row to 4 bytes
+    val dataSize = stride * img.height
+    val out = new Array[Byte](54 + dataSize)
+    out(0) = 'B'; out(1) = 'M'
+    putU32(out, 2, out.length.toLong)
+    putU32(out, 10, 54L) // pixel data offset
+    putU32(out, 14, 40L) // BITMAPINFOHEADER size
+    putU32(out, 18, img.width.toLong)
+    putU32(out, 22, img.height.toLong) // positive => bottom-up
+    putU16(out, 26, 1) // planes
+    putU16(out, 28, 24) // bpp
+    putU32(out, 30, 0L) // BI_RGB
+    putU32(out, 34, dataSize.toLong)
+    var y = 0
+    while (y < img.height) {
+      // destination row: bottom-up — image row y lands at (height-1-y)
+      val dst = 54 + (img.height - 1 - y) * stride
+      var x = 0
+      while (x < img.width) {
+        val src = (y * img.width + x) * 3
+        out(dst + x * 3) = img.pixels(src + 2) // B
+        out(dst + x * 3 + 1) = img.pixels(src + 1) // G
+        out(dst + x * 3 + 2) = img.pixels(src) // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def decodeBmp(bytes: Array[Byte]): ImageRgb = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP: missing BM magic")
+    val pixelOffset = u32(bytes, 10).toInt
+    val headerSize = u32(bytes, 14).toInt
+    require(headerSize >= 40, s"unsupported BMP header size $headerSize")
+    val width = i32(bytes, 18)
+    val rawHeight = i32(bytes, 22)
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    val bpp = u16(bytes, 28)
+    val compression = u32(bytes, 30)
+    require(bpp == 24, s"unsupported BMP bpp $bpp (only 24)")
+    require(compression == 0, s"unsupported BMP compression $compression")
+    val stride = (width * 3 + 3) & ~3
+    require(bytes.length >= pixelOffset + stride * height,
+      s"truncated BMP: need ${pixelOffset + stride * height}, have ${bytes.length}")
+    val pixels = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = pixelOffset + (if (topDown) y else height - 1 - y) * stride
+      var x = 0
+      while (x < width) {
+        val dst = (y * width + x) * 3
+        pixels(dst) = bytes(srcRow + x * 3 + 2) // R
+        pixels(dst + 1) = bytes(srcRow + x * 3 + 1) // G
+        pixels(dst + 2) = bytes(srcRow + x * 3) // B
+        x += 1
+      }
+      y += 1
+    }
+    ImageRgb(width, height, pixels)
+  }
+
+  // ---- PPM (binary P6) ---------------------------------------------------
+
+  def encodePpm(img: ImageRgb): Array[Byte] = {
+    val header = s"P6\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + img.pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.pixels, 0, out, header.length, img.pixels.length)
+    out
+  }
+
+  def decodePpm(bytes: Array[Byte]): ImageRgb = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      "not a P6 PPM: missing magic")
+    var pos = 2
+    // read the next header token, skipping whitespace and # comments
+    def nextToken(): Int = {
+      while (pos < bytes.length &&
+        (Character.isWhitespace(bytes(pos)) || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      var v = 0
+      require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9',
+        s"PPM header: expected integer at byte $pos")
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val width = nextToken()
+    val height = nextToken()
+    val maxval = nextToken()
+    require(maxval == 255, s"unsupported PPM maxval $maxval (only 255)")
+    pos += 1 // exactly one whitespace byte separates header from raster
+    val n = width * height * 3
+    require(bytes.length >= pos + n,
+      s"truncated PPM: need ${pos + n}, have ${bytes.length}")
+    val pixels = new Array[Byte](n)
+    System.arraycopy(bytes, pos, pixels, 0, n)
+    ImageRgb(width, height, pixels)
+  }
+
+  /** Container dispatch on magic bytes — what a real ingest path does. */
+  def decodeImage(bytes: Array[Byte]): ImageRgb =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else throw new IllegalArgumentException(
+      s"unknown image container (first bytes: ${bytes.take(2).map(_ & 0xff).mkString(",")})")
+
+  /** Detected container name, for feature rows. */
+  def imageFormat(bytes: Array[Byte]): String =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') "ppm"
+    else "unknown"
+
+  /** Nearest-neighbor resample (deterministic: source pixel = floor scale). */
+  def resizeNearest(img: ImageRgb, outW: Int, outH: Int): ImageRgb = {
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = math.min(img.height - 1, y.toLong * img.height / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = math.min(img.width - 1, x.toLong * img.width / outW).toInt
+        System.arraycopy(img.pixels, (sy * img.width + sx) * 3, out, (y * outW + x) * 3, 3)
+        x += 1
+      }
+      y += 1
+    }
+    ImageRgb(outW, outH, out)
+  }
+
+  // ---- WAV (RIFF PCM) ----------------------------------------------------
+
+  /** PCM WAV writer: 16-bit signed LE (bits=16) or 8-bit unsigned (bits=8),
+    * samples interleaved. */
+  def encodeWav(w: WavPcm): Array[Byte] = {
+    require(w.bitsPerSample == 16 || w.bitsPerSample == 8,
+      s"unsupported bps ${w.bitsPerSample}")
+    val bytesPerSample = w.bitsPerSample / 8
+    val dataSize = w.samples.length * bytesPerSample
+    val out = new Array[Byte](44 + dataSize)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    putU32(out, 4, (36 + dataSize).toLong)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    putU32(out, 16, 16L) // PCM fmt chunk size
+    putU16(out, 20, 1) // audio format = PCM
+    putU16(out, 22, w.channels)
+    putU32(out, 24, w.sampleRate.toLong)
+    putU32(out, 28, w.sampleRate.toLong * w.channels * bytesPerSample) // byte rate
+    putU16(out, 32, w.channels * bytesPerSample) // block align
+    putU16(out, 34, w.bitsPerSample)
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    putU32(out, 40, dataSize.toLong)
+    var i = 0
+    while (i < w.samples.length) {
+      if (w.bitsPerSample == 16) putU16(out, 44 + i * 2, w.samples(i) & 0xffff)
+      else out(44 + i) = (w.samples(i) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** RIFF chunk walk: find `fmt ` and `data` wherever they sit, skipping
+    * unknown chunks (LIST/INFO/fact/…) and honoring the odd-size pad byte. */
+  def decodeWav(bytes: Array[Byte]): WavPcm = {
+    require(bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+      "not a RIFF/WAVE stream")
+    var pos = 12
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val size = u32(bytes, pos + 4).toInt
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too small: $size")
+          val fmt = u16(bytes, body)
+          require(fmt == 1, s"unsupported WAV format tag $fmt (only PCM=1)")
+          channels = u16(bytes, body + 2)
+          sampleRate = u32(bytes, body + 4).toInt
+          bits = u16(bytes, body + 14)
+          require(bits == 16 || bits == 8, s"unsupported bps $bits")
+        case "data" =>
+          dataOff = body; dataLen = size
+        case _ => () // skip LIST, fact, bext, …
+      }
+      pos = body + size + (size & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0, "WAV: no fmt chunk found")
+    require(dataOff >= 0, "WAV: no data chunk found")
+    require(bytes.length >= dataOff + dataLen,
+      s"truncated WAV: need ${dataOff + dataLen}, have ${bytes.length}")
+    val bytesPerSample = bits / 8
+    val n = dataLen / bytesPerSample
+    val samples = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      samples(i) =
+        if (bits == 16) {
+          val u = u16(bytes, dataOff + i * 2)
+          if (u >= 0x8000) u - 0x10000 else u // sign-extend
+        } else bytes(dataOff + i) & 0xff
+      i += 1
+    }
+    WavPcm(sampleRate, channels, bits, samples)
+  }
+
+  /** Position-weighted digest Σ v(i)·(i+1) — ORDER-SENSITIVE on purpose: a
+    * decoder that mixes up BGR↔RGB, bottom-up↔top-down rows, channel
+    * interleave, or row padding produces the same plain sum but a different
+    * digest, so the oracle catches layout bugs a sum would miss. */
+  def positionDigest(values: Iterator[Int]): Long = {
+    var d = 0L; var i = 1L
+    while (values.hasNext) { d += values.next().toLong * i; i += 1 }
+    d
+  }
+
+  def pixelDigest(img: ImageRgb): Long =
+    positionDigest(img.pixels.iterator.map(_ & 0xff))
+
+  /** Digest over unsigned sample space (s+32768 for 16-bit) so the oracle
+    * can reproduce it with plain modular arithmetic. */
+  def sampleDigest(w: WavPcm): Long =
+    positionDigest(w.samples.iterator.map(s =>
+      if (w.bitsPerSample == 16) s + 32768 else s))
+}

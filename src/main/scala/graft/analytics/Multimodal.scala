@@ -150,4 +150,113 @@ object Multimodal {
     implicit val s: SparkSession = spark
     sampleFrames(asMediaTable(graft.Tables(spark, dir).documents)).toDF()
   }
+
+  // ---- REAL decoders ([[MediaCodecs]]) ----------------------------------
+  //
+  // The queries below run genuine container parsing: each doc_id is mapped
+  // by a closed-form formula to raster/PCM content, ENCODED into real
+  // BMP / PPM / WAV bytes, then DECODED back by the byte-level parsers in
+  // [[MediaCodecs]]. The oracle recomputes the expected dimensions,
+  // duration, and a position-weighted pixel/sample digest from the same
+  // closed form — so any decoder bug in BGR order, bottom-up rows, row
+  // padding, chunk walking, or sign extension breaks the digest. The
+  // synthesis happens inside mapPartitions: media bytes never leave the
+  // partition; only feature rows survive (the 100 TB contract).
+
+  /** Deterministic raster for doc_id: w=4+id%13, h=3+id%7, and the
+    * row-major RGB byte at index i is (id·31 + y·7 + x·3 + c·11) mod 256 —
+    * chosen to be reproducible in plain SQL by the oracle. */
+  def synthImage(docId: Long): MediaCodecs.ImageRgb = {
+    val w = (4 + docId % 13).toInt
+    val h = (3 + docId % 7).toInt
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < px.length) {
+      val y = i / (w * 3); val x = (i % (w * 3)) / 3; val c = i % 3
+      px(i) = ((docId * 31 + y * 7 + x * 3 + c * 11) % 256).toByte
+      i += 1
+    }
+    MediaCodecs.ImageRgb(w, h, px)
+  }
+
+  /** Deterministic PCM clip for doc_id: 8 kHz, 1+id%2 channels, 50+id%97
+    * frames, 16-bit sample i = ((id·131 + i·17) mod 65536) − 32768. */
+  def synthWav(docId: Long): MediaCodecs.WavPcm = {
+    val ch = (1 + docId % 2).toInt
+    val nf = (50 + docId % 97).toInt
+    val samples = new Array[Int](nf * ch)
+    var i = 0
+    while (i < samples.length) {
+      samples(i) = ((docId * 131 + i * 17) % 65536).toInt - 32768
+      i += 1
+    }
+    MediaCodecs.WavPcm(8000, ch, 16, samples)
+  }
+
+  final case class ImageFeat(doc_id: Long, format: String, width: Long,
+                             height: Long, pixel_digest: Long)
+  final case class ResizeFeat(doc_id: Long, width_in: Long, height_in: Long,
+                              width_out: Long, height_out: Long,
+                              pixel_digest: Long)
+  final case class WavFeat(doc_id: Long, sample_rate: Long, channels: Long,
+                           n_frames: Long, duration_us: Long,
+                           sample_digest: Long)
+
+  /** Real image decode: even ids travel as BMP, odd as PPM; the decoder
+    * dispatches on magic bytes and reports the container it detected. */
+  def decodeImageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables(spark, dir).documents.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val raster = synthImage(id)
+          val container =
+            if (id % 2 == 0) MediaCodecs.encodeBmp(raster)
+            else MediaCodecs.encodePpm(raster)
+          val img = MediaCodecs.decodeImage(container) // REAL byte-level parse
+          ImageFeat(id, MediaCodecs.imageFormat(container),
+            img.width.toLong, img.height.toLong, MediaCodecs.pixelDigest(img))
+        }
+      }.toDF().orderBy("doc_id")
+  }
+
+  /** Real decode → nearest-neighbor halve → RE-ENCODE → re-decode: the
+    * digest is taken after a second full codec round trip, so encode and
+    * decode must both be byte-faithful for the oracle to match. */
+  def resizeImageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables(spark, dir).documents.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val raster = synthImage(id)
+          val container =
+            if (id % 2 == 0) MediaCodecs.encodeBmp(raster)
+            else MediaCodecs.encodePpm(raster)
+          val img = MediaCodecs.decodeImage(container)
+          val ow = (img.width + 1) / 2; val oh = (img.height + 1) / 2
+          val small = MediaCodecs.resizeNearest(img, ow, oh)
+          // second round trip through the OTHER container than the input
+          val re =
+            if (id % 2 == 0) MediaCodecs.decodePpm(MediaCodecs.encodePpm(small))
+            else MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(small))
+          ResizeFeat(id, img.width.toLong, img.height.toLong,
+            re.width.toLong, re.height.toLong, MediaCodecs.pixelDigest(re))
+        }
+      }.toDF().orderBy("doc_id")
+  }
+
+  /** Real WAV PCM decode: RIFF chunk walk, fmt parse, 16-bit LE sign
+    * extension; duration derived from frames/rate like a real probe. */
+  def decodeWavFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables(spark, dir).documents.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val clip = synthWav(id)
+          val wav = MediaCodecs.decodeWav(MediaCodecs.encodeWav(clip))
+          WavFeat(id, wav.sampleRate.toLong, wav.channels.toLong,
+            wav.nFrames.toLong, wav.durationMicros, MediaCodecs.sampleDigest(wav))
+        }
+      }.toDF().orderBy("doc_id")
+  }
 }

@@ -1729,6 +1729,34 @@ object AnalyticsOracles {
         |FROM documents
         |WHERE length(text) > 0 AND regexp_matches(text, '^[ -~]*$')
         |ORDER BY doc_id""".stripMargin,
+    // Real-codec oracles: the Spark side ENCODES a closed-form raster/clip
+    // into genuine BMP/PPM/WAV bytes and DECODES them with byte-level
+    // parsers (MediaCodecs); the oracle recomputes dimensions, duration,
+    // and the position-weighted digest straight from the closed form — an
+    // order-sensitive check that breaks on any BGR/row-order/padding/
+    // chunk-walk/sign-extension decoder bug.
+    "mm_decode_image" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(generate_series(0, w*h*3 - 1)) AS i FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+        |  w AS width, h AS height,
+        |  sum(((doc_id*31 + (i//(w*3))*7 + ((i%(w*3))//3)*3 + (i%3)*11) % 256) * (i+1))::BIGINT AS pixel_digest
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    "mm_resize_image" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents),
+        |d2 AS (SELECT doc_id, w, h, (w+1)//2 AS ow, (h+1)//2 AS oh FROM d),
+        |px AS (SELECT doc_id, w, h, ow, oh, unnest(generate_series(0, ow*oh*3 - 1)) AS j FROM d2)
+        |SELECT doc_id, w AS width_in, h AS height_in, ow AS width_out, oh AS height_out,
+        |  sum(((doc_id*31 + ((j//(ow*3))*h//oh)*7 + (((j%(ow*3))//3)*w//ow)*3 + (j%3)*11) % 256) * (j+1))::BIGINT AS pixel_digest
+        |FROM px GROUP BY doc_id, w, h, ow, oh ORDER BY doc_id""".stripMargin,
+    "mm_decode_wav" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 97 AS nf FROM documents),
+        |s AS (SELECT doc_id, ch, nf, unnest(generate_series(0, nf*ch - 1)) AS i FROM d)
+        |SELECT doc_id, 8000::BIGINT AS sample_rate, ch AS channels, nf AS n_frames,
+        |  (nf*125)::BIGINT AS duration_us,
+        |  sum(((doc_id*131 + i*17) % 65536) * (i+1))::BIGINT AS sample_digest
+        |FROM s GROUP BY doc_id, ch, nf ORDER BY doc_id""".stripMargin,
   )
 
   /** sim_pqindex_topk — IVF-PQ served from the PERSISTED index

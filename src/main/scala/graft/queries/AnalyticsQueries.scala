@@ -258,6 +258,17 @@ object AnalyticsQueries {
       .select(col("doc_id"), col("format"), col("n_bytes"), col("first_byte"), col("checksum"))
       .orderBy(col("doc_id"))
 
+  // Real-codec passes (MediaCodecs): genuine BMP/PPM/WAV byte parsing, not
+  // the synthetic probe — dims/duration/digest verified by closed-form oracle.
+  def mmDecodeImage(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImageFeatures(spark, dir)
+
+  def mmResizeImage(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeImageFeatures(spark, dir)
+
+  def mmDecodeWav(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeWavFeatures(spark, dir)
+
   /** Data-mixing primitive: keep 50% of `en` docs, 10% of the rest —
     * hash-deterministic (reproducible across runs/retries, oracled). */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame =
@@ -1045,5 +1056,8 @@ object AnalyticsQueries {
     "mm_decode"        -> (mmDecode(_, _)),
     "mm_resize"        -> (mmResize(_, _)),
     "mm_frames"        -> (mmFrames(_, _)),
+    "mm_decode_image"  -> (mmDecodeImage(_, _)),
+    "mm_resize_image"  -> (mmResizeImage(_, _)),
+    "mm_decode_wav"    -> (mmDecodeWav(_, _)),
   )
 }
