@@ -128,7 +128,48 @@ object PqIndex {
     * [[ProductQuantization.ivfPqTopK]] exactly. */
   def query(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
             nprobe: Int = 6, m: Int = 8, subDim: Int = 8,
-            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ProductQuantization.adcRank(
+      adcJoined(spark, dir, queries, nprobe, m, subDim, idCol, vecCol), m, k)
+
+  /** Two-stage serving: ADC ranks the probed lists, the top `depth`
+    * survivors per query are re-scored by EXACT cosine against their raw
+    * vectors, and the final top-k is ranked on the exact score.
+    *
+    * This is the production answer to the measured ADC plateau (SCALING.md
+    * recall curve: ADC saturates where codebook quantization error exceeds
+    * neighbor gaps): the quantized scan still prunes the corpus to
+    * ~nprobe/L, but the ranking the user sees is exact over a
+    * |queries|·depth candidate set. At 100 TB the rescore leg is a
+    * broadcast of the (tiny) candidate ids against the raw-vector table —
+    * a static semi-join fetch of `depth` rows per query, NOT a corpus
+    * scan; cost scales with depth, not corpus size. Output:
+    * (query_id, rank, vec_id, cos) — same shape as the exact operators. */
+  def queryRescored(spark: SparkSession, dir: String, queries: DataFrame,
+                    corpus: DataFrame, k: Int, depth: Int = 20,
+                    nprobe: Int = 6, m: Int = 8, subDim: Int = 8,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cand = ProductQuantization.adcRank(
+        adcJoined(spark, dir, queries, nprobe, m, subDim, idCol, vecCol), m, depth)
+      .select(col("query_id"), col("vec_id"))
+    val c = Similarity.withNorm(corpus, idCol, vecCol, "vec_id", "v", "nv")
+    val q = Similarity.withNorm(queries, idCol, vecCol, "query_id", "qv", "nqv")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    c.join(broadcast(cand), "vec_id") // candidate ids broadcast: pruned fetch, no corpus shuffle
+      .join(broadcast(q), "query_id")
+      .withColumn("cos", round(Similarity.cosPre(col("qv"), col("v"), col("nqv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cos"))
+  }
+
+  /** Shared probe + ADC-score leg of [[query]]/[[queryRescored]]: probe
+    * `nprobe` lists per query (literal partition filter on the codes scan),
+    * join stored codes to the query distance tables. */
+  private def adcJoined(spark: SparkSession, dir: String, queries: DataFrame,
+                        nprobe: Int, m: Int, subDim: Int,
+                        idCol: String, vecCol: String): DataFrame = {
     GraftFunctions.register(spark)
     val cent = broadcast(spark.read.parquet(s"$dir/coarse")
       .select(col("cid").as("centroid_id"), col("m").as("cm"), col("nm").as("cnm")))
@@ -160,9 +201,8 @@ object PqIndex {
     val dt = qsubs.join(books, "sub")
       .select(col("query_id"), col("sub"), col("cid"),
         (col("nq") + col("nm") - lit(2.0) * GraftFunctions.arrayDot(col("sqd"), col("m"))).as("d2"))
-    val joined = probes.join(codes, "centroid_id")
+    probes.join(codes, "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(dt), Seq("query_id", "sub", "cid"))
-    ProductQuantization.adcRank(joined, m, k)
   }
 }

@@ -1766,6 +1766,29 @@ object AnalyticsOracles {
     // querying a freshly built PQ index returns bit-identical rows to the
     // one-shot operator, so the index query shares its oracle verbatim
     ("sim_pqindex_topk" -> base("sim_ivfpq_topk")) +
+    // two-stage serving: the ivfpq oracle's ADC ranking truncated at depth
+    // 20 per query, then re-scored by EXACT cosine over the raw vectors —
+    // derived from the base oracle so the candidate leg stays bit-identical
+    ("sim_pqindex_rescored" -> base("sim_ivfpq_topk").replace(
+      """SELECT query_id, rank, vec_id, round(adc)::BIGINT AS adc FROM (
+        |  SELECT query_id, vec_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+        |  FROM tt)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      s""", cand20 AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn FROM tt)
+         |  WHERE rn <= 20),
+         |re AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |resc AS (
+         |  SELECT c.query_id, c.vec_id, ${cosSql("qe.v", "ce.v")} AS cos
+         |  FROM cand20 c JOIN re qe ON qe.vec_id = c.query_id
+         |  JOIN re ce ON ce.vec_id = c.vec_id)
+         |SELECT query_id, rank, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM resc)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)) +
     // alternating star contraction computes the SAME cluster-exact keeper
     // set as capped label propagation (both = true connected components),
     // so it shares the recursive-CTE reachability oracle verbatim

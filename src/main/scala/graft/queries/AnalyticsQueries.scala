@@ -639,6 +639,18 @@ object AnalyticsQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Two-stage IVF-PQ serving: ADC prunes + ranks inside the probed lists,
+    * the top-20 survivors per query are re-scored by exact cosine. The
+    * recall lift over raw ADC is measured (tools.Recall / SCALING.md). */
+  def simPqIndexRescored(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val idx = scratchIndexDir("pqindex-rs")
+    PqIndex.build(emb, idx)
+    PqIndex.queryRescored(spark, idx, emb.filter(col("vec_id") < 5), emb,
+        k = 5, depth = 20)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def simIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val res = ProductQuantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
@@ -1021,6 +1033,7 @@ object AnalyticsQueries {
     "text_hash_vec"    -> (textHashVec(_, _)),
     "sim_ivfpq_topk"   -> (simIvfPqTopK(_, _)),
     "sim_pqindex_topk" -> (simPqIndexTopK(_, _)),
+    "sim_pqindex_rescored" -> (simPqIndexRescored(_, _)),
     "dedup_closure"    -> (dedupClosure(_, _)),
     "embed_kmeans"     -> (embedKmeans(_, _)),
     "embed_quantize"   -> (embedQuantize(_, _)),

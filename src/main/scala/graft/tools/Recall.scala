@@ -38,13 +38,27 @@ object Recall {
     val idx = java.nio.file.Files.createTempDirectory("recallidx").toString
     PqIndex.build(emb, idx)
 
-    println(f"${"nprobe"}%-8s${"probed"}%-9s${"ivf"}%-8s${"ivfpq"}%-8s${"pqindex"}%-8s")
+    println(f"${"nprobe"}%-8s${"probed"}%-9s${"ivf"}%-8s${"ivfpq"}%-8s${"pqindex"}%-8s${"rescored"}%-9s")
     for (np <- Seq(1, 2, 4, 6, 8, 16)) {
       def recall(s: Set[(Long, Long)]): Double = (s & truth).size.toDouble / truth.size
       val ivf = recall(pairs(Similarity.ivfTopK(emb, queries, k, centroidStep = 25, nprobe = np)))
       val ivfpq = recall(pairs(ProductQuantization.ivfPqTopK(emb, queries, k, nprobe = np)))
       val pqidx = recall(pairs(PqIndex.query(spark, idx, queries, k, nprobe = np)))
-      println(f"$np%-8d${np.toDouble / lists}%-9.4f$ivf%-8.3f$ivfpq%-8.3f$pqidx%-8.3f")
+      val resc = recall(pairs(PqIndex.queryRescored(spark, idx, queries, emb, k,
+        depth = 4 * k, nprobe = np)))
+      println(f"$np%-8d${np.toDouble / lists}%-9.4f$ivf%-8.3f$ivfpq%-8.3f$pqidx%-8.3f$resc%-9.3f")
+    }
+    // serving-config sweep for the rescored path: coarse list count (probed
+    // fraction at fixed nprobe) × PQ codebook granularity × rescore depth —
+    // the knobs SCALING.md's guidance quotes
+    println(f"${"config"}%-34s${"nprobe=8 rescored recall@10"}%-12s")
+    for ((cs, mm, sd, dep) <- Seq((25, 8, 8, 40), (40, 8, 8, 40), (40, 16, 4, 40), (50, 16, 4, 40))) {
+      def recall(s: Set[(Long, Long)]): Double = (s & truth).size.toDouble / truth.size
+      val idx2 = java.nio.file.Files.createTempDirectory("recallidx2").toString
+      PqIndex.build(emb, idx2, coarseStep = cs, m = mm, subDim = sd)
+      val r = recall(pairs(PqIndex.queryRescored(spark, idx2, queries, emb, k,
+        depth = dep, nprobe = 8, m = mm, subDim = sd)))
+      println(f"coarseStep=$cs%-3d m=$mm%-3d subDim=$sd%-3d depth=$dep%-4d  $r%-8.3f")
     }
     // the PRECISION knob: at fixed probe fraction, finer subspace codebooks
     // (more, narrower subspaces) should lift the ADC plateau — measured
