@@ -853,8 +853,19 @@ object Relational {
     * ordering never ties. */
   def q39Funnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    funnelLevels(Tables(spark, dir).events)
+      .groupBy($"level").agg(count(lit(1)).as("n_users"))
+      .orderBy($"level")
+  }
+
+  /** Per-user deepest funnel stage (the shared core of [[q39Funnel]] and
+    * the streaming-parity assertion in EventTimeSpec): t1 = min view,
+    * t2 = min click in (t1, t1+W], t3 = min purchase in (t2, t1+W]. */
+  def funnelLevels(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
     val W = 7L * 86400L * 1000000L
-    val ev = Tables(spark, dir).events
+    val ev = events
       .select($"user_id", $"event_type", expr("unix_micros(ts)").as("us"))
     val t1 = ev.filter($"event_type" === "view")
       .groupBy($"user_id").agg(min($"us").as("t1"))
@@ -864,15 +875,14 @@ object Relational {
     val t3 = ev.join(t2, "user_id")
       .filter($"event_type" === "purchase" && $"us" > $"t2" && $"us" <= $"t1b" + W)
       .groupBy($"user_id").agg(min($"us").as("t3"))
-    Tables(spark, dir).events.select($"user_id").distinct()
+    ev.select($"user_id").distinct()
       .join(t1.select($"user_id", lit(1).as("l1")), Seq("user_id"), "left")
       .join(t2.select($"user_id", lit(1).as("l2")), Seq("user_id"), "left")
       .join(t3.select($"user_id", lit(1).as("l3")), Seq("user_id"), "left")
       .withColumn("level",
         when($"l3".isNotNull, 3L).when($"l2".isNotNull, 2L)
           .when($"l1".isNotNull, 1L).otherwise(0L))
-      .groupBy($"level").agg(count(lit(1)).as("n_users"))
-      .orderBy($"level")
+      .select($"user_id", $"level")
   }
 
   /** Event-type transition matrix (first-order Markov over each user's

@@ -261,6 +261,98 @@ object EventTimeOps {
       }
   }
 
+  final case class FunnelIn(user_id: Long, event_type: String, us: Long)
+  /** Per-user funnel memory: min view time, plus every click/purchase that
+    * could still participate as the view minimum moves (see pruning rule).
+    * `seq` counts absorbed events so downstream can pick the LAST emission
+    * per user without relying on sink ordering. */
+  final case class FunnelState(minView: Long, clicks: List[Long],
+                               purchases: List[Long], seq: Long)
+  final case class FunnelProgress(user_id: Long, seq: Long, level: Long)
+
+  /** Streaming conversion funnel — the stateful twin of the batch
+    * `q39_funnel` (view → click → purchase, later stages strictly after the
+    * previous and within `windowUs` of the FIRST view).
+    *
+    * Exact-parity design under out-of-order arrival: a late, EARLIER view
+    * can retroactively move the whole window, so the state keeps (a) the
+    * running min view and (b) every click/purchase that could still become
+    * valid. The pruning rule that keeps (b) bounded: minView only ever
+    * DECREASES, so the validity window (t1, t1+W] only moves LEFT — any
+    * stamp > current minView+W can never enter it and is dropped. What
+    * remains is at most one W-span of the user's activity, TTL'd by
+    * processing time on continuous streams (same contract as
+    * [[streamingSimhashPairs]]: leave None for bounded replays). `maxList`
+    * caps hostile keys; the cap keeps the SMALLEST stamps, which are the
+    * ones a left-moving window can still reach.
+    *
+    * Emission is append-only eventual consistency: each micro-batch emits
+    * the user's recomputed level with a monotone `seq`; the row with the
+    * max seq per user equals the batch answer over everything ingested
+    * (EventTimeSpec proves equality against `q39_funnel`'s per-user
+    * levels). Levels may go DOWN across emissions (a late earlier view
+    * shrinking the window is the documented example) — which is exactly
+    * why last-emission-wins, not max-level, is the read rule. */
+  def streamingFunnel(events: DataFrame,
+                      windowUs: Long = 7L * 86400L * 1000000L,
+                      ttlMs: Option[Long] = None, maxList: Int = 10000)
+                     (implicit spark: SparkSession): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    val ev = events
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      .as[FunnelIn]
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeoutConf) {
+        (uid: Long, rows: Iterator[FunnelIn], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(Long.MaxValue, Nil, Nil, 0L))
+            var n = 0L
+            rows.foreach { r =>
+              n += 1
+              r.event_type match {
+                case "view" =>
+                  if (r.us < st.minView) st = st.copy(minView = r.us)
+                case "click" => st = st.copy(clicks = r.us :: st.clicks)
+                case "purchase" => st = st.copy(purchases = r.us :: st.purchases)
+                case _ => () // other event types only mark the user as present
+              }
+            }
+            val horizon =
+              if (st.minView == Long.MaxValue) Long.MaxValue
+              else st.minView + windowUs
+            st = FunnelState(st.minView,
+              st.clicks.filter(_ <= horizon).sorted.take(maxList),
+              st.purchases.filter(_ <= horizon).sorted.take(maxList),
+              st.seq + n)
+            state.update(st)
+            ttlMs.foreach(state.setTimeoutDuration)
+            Iterator.single(FunnelProgress(uid, st.seq, funnelLevel(st, windowUs)))
+          }
+      }
+  }
+
+  /** Deepest funnel stage reachable from the buffered stamps — the same
+    * chained-min rule as the batch query: t1 = min view; t2 = min click in
+    * (t1, t1+W]; t3 = min purchase in (t2, t1+W]. */
+  private def funnelLevel(st: FunnelState, w: Long): Long =
+    if (st.minView == Long.MaxValue) 0L
+    else {
+      val t1 = st.minView
+      val valid = st.clicks.filter(c => c > t1 && c <= t1 + w)
+      if (valid.isEmpty) 1L
+      else {
+        val t2 = valid.min
+        if (st.purchases.exists(p => p > t2 && p <= t1 + w)) 3L else 2L
+      }
+    }
+
   /** Exactly-once-per-key emission with TTL'd state
     * (`mapGroupsWithState`): emits a key's payload only the first time the
     * key is seen; the seen-marker expires after `ttlMs` of processing time

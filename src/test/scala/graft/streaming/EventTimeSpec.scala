@@ -541,4 +541,49 @@ class EventTimeSpec extends SparkSpec {
     assert(quantMixed.nonEmpty && quantMixed == quantBatch)
     ev.unpersist(): Unit
   }
+
+  test("streaming funnel matches batch per-user levels across out-of-order micro-batches") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
+    val ev = graft.Tables(spark, sf("sf0.01")).events.persist()
+    // split by event_id PARITY, not time: for most users the two drops
+    // interleave stages out of order (clicks can arrive a micro-batch
+    // before the view that anchors their window) — the retroactive-window
+    // state path is what's under test
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/d0")
+    ev.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/d1")
+    val schema = spark.read.parquet(s"$srcDir/d0").schema
+
+    val q = EventTimeOps.streamingFunnel(
+        Sources.fileStream(spark, s"$srcDir/d*", schema))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir).start()
+    assert(q.awaitTermination(180000), "streaming funnel did not finish in time")
+
+    // read rule: last emission (max seq) per user — levels may legitimately
+    // move down when a late earlier view shrinks the window
+    val got = spark.read.parquet(outDir)
+      .groupBy("user_id")
+      .agg(max_by(col("level"), col("seq")).as("level"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = graft.queries.Relational.funnelLevels(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Set(1L, 2L, 3L).subsetOf(want.values.toSet),
+      "corpus should exercise partial and full conversions")
+    assert(got == want)
+    // and the out-of-order path really fired: some user's min view sits in
+    // the SECOND drop while a click of theirs sits in the first
+    val evUs = ev.select(col("user_id"), col("event_type"), col("event_id"),
+      expr("unix_micros(ts)").as("us"))
+    val minViews = evUs.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min_by(col("event_id"), col("us")).as("view_eid"),
+        min(col("us")).as("t1"))
+    val straddlers = minViews.filter(col("view_eid") % 2 === 1)
+      .join(evUs.filter(col("event_type") === "click" && col("event_id") % 2 === 0),
+        "user_id")
+      .filter(col("us") > col("t1")).count()
+    assert(straddlers > 0, "split should put some views after their clicks")
+    ev.unpersist(): Unit
+  }
 }
