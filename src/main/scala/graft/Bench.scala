@@ -137,8 +137,13 @@ object Bench {
       if (!ok) failed ::= name
       name -> t
     }
+    // The baseline (and thus the rerun/regression protocol) is only
+    // meaningful on the sf0.1 recording box; scale probes at other SFs set
+    // this to skip re-measurement — there every heavy query trips the
+    // sf0.1 thresholds by design and the reruns would triple the run.
+    val noRerun = sys.env.contains("SPARK_GRAFT_NO_RERUN")
     def regressed(k: String, v: Double): Boolean =
-      baselinePrev.get(k).exists(b => v > b * 1.3 && v - b > 0.5)
+      !noRerun && baselinePrev.get(k).exists(b => v > b * 1.3 && v - b > 0.5)
     // Re-measure any flagged outlier up to TWICE and keep the min: a
     // transient burst of contention on the bench box (observed in the
     // driver's r02 recording — 25 s for a query that re-measures at 1.7 s
