@@ -830,9 +830,18 @@ object Relational {
     * nothing event-sized survives the first distinct. */
   def q38Retention(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val weeks = Tables(spark, dir).events
+    retentionMatrix(Tables(spark, dir).events
       .select($"user_id", expr("(CAST(ts AS LONG) div 86400) div 7").as("week"))
-      .distinct()
+      .distinct())
+  }
+
+  /** The cohort matrix over a distinct (user_id, week) activity frame —
+    * the shared core of [[q38Retention]] and the streaming-parity
+    * assertion in EventTimeSpec (the streaming twin reconstructs the same
+    * activity frame from its per-user snapshots). */
+  def retentionMatrix(weeks: DataFrame): DataFrame = {
+    val spark = weeks.sparkSession
+    import spark.implicits._
     val cohort = weeks.groupBy($"user_id").agg(min($"week").as("cohort_week"))
     val sizes = cohort.groupBy($"cohort_week").agg(count(lit(1)).as("cohort_n"))
     weeks.join(cohort, "user_id")

@@ -338,6 +338,74 @@ object EventTimeOps {
       }
   }
 
+  final case class RetentionIn(user_id: Long, week: Long)
+  /** Per-user retention memory: the distinct active weeks seen so far
+    * (cohort = their min) plus the monotone emission counter. */
+  final case class RetentionState(weeks: List[Long], seq: Long)
+  /** One user's full activity snapshot: cohort week + every distinct
+    * active week. Snapshots supersede each other per user (max `seq`
+    * wins); the matrix is an aggregate over the latest snapshots. */
+  final case class RetentionSnapshot(user_id: Long, seq: Long,
+                                     cohort_week: Long, weeks: Seq[Long])
+
+  /** Streaming weekly-cohort retention — the stateful twin of the batch
+    * `q38_retention`.
+    *
+    * Why snapshots rather than (cohort, offset) increment rows: a late,
+    * EARLIER event can retroactively lower a user's cohort week, which
+    * rewrites the offset of every one of their already-reported active
+    * weeks. Emitting the user's whole activity snapshot with a monotone
+    * `seq` makes that retraction a plain last-write-wins read instead of
+    * a distributed correction: the latest snapshot per user IS their
+    * (user, week) activity frame, so `Relational.retentionMatrix` over the
+    * exploded latest snapshots equals the batch matrix over everything
+    * ingested (EventTimeSpec proves exact equality under out-of-order
+    * arrival).
+    *
+    * State is the user's distinct-week list — bounded by the calendar span
+    * of the corpus (52 entries/user-year), the smallest natural state in
+    * the event-time family. `maxWeeks` caps hostile keys; the cap keeps
+    * the EARLIEST weeks so the cohort assignment stays exact and only the
+    * farthest offsets saturate. A batch with no new week for a user emits
+    * nothing (the superseding snapshot would be identical). TTL contract
+    * as [[streamingSimhashPairs]]: leave None for bounded replays. */
+  def streamingRetention(events: DataFrame, ttlMs: Option[Long] = None,
+                         maxWeeks: Int = 5200)
+                        (implicit spark: SparkSession): Dataset[RetentionSnapshot] = {
+    import spark.implicits._
+    val ev = events
+      .select(col("user_id"), expr("(CAST(ts AS LONG) div 86400) div 7").as("week"))
+      .as[RetentionIn]
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionSnapshot](
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeoutConf) {
+        (uid: Long, rows: Iterator[RetentionIn], state: GroupState[RetentionState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(RetentionState(Nil, 0L))
+            var weeks = st.weeks
+            var n = 0L
+            var changed = false
+            rows.foreach { r =>
+              n += 1
+              if (!weeks.contains(r.week)) { weeks = r.week :: weeks; changed = true }
+            }
+            val kept = weeks.sorted.take(maxWeeks)
+            val next = RetentionState(kept, st.seq + n)
+            state.update(next)
+            ttlMs.foreach(state.setTimeoutDuration)
+            if (changed)
+              Iterator.single(RetentionSnapshot(uid, next.seq, kept.head, kept))
+            else Iterator.empty
+          }
+      }
+  }
+
   /** Deepest funnel stage reachable from the buffered stamps — the same
     * chained-min rule as the batch query: t1 = min view; t2 = min click in
     * (t1, t1+W]; t3 = min purchase in (t2, t1+W]. */

@@ -586,4 +586,51 @@ class EventTimeSpec extends SparkSpec {
     assert(straddlers > 0, "split should put some views after their clicks")
     ev.unpersist(): Unit
   }
+
+  test("streaming retention matches the batch cohort matrix across out-of-order micro-batches") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
+    val ev = graft.Tables(spark, sf("sf0.01")).events.persist()
+    // parity split: for some users the week holding their FIRST event lands
+    // only in the second drop, so the cohort-lowering retraction path (a
+    // late earlier event rewriting every already-reported offset) fires
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/d0")
+    ev.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/d1")
+    val schema = spark.read.parquet(s"$srcDir/d0").schema
+
+    val q = EventTimeOps.streamingRetention(
+        Sources.fileStream(spark, s"$srcDir/d*", schema))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir).start()
+    assert(q.awaitTermination(180000), "streaming retention did not finish in time")
+
+    // read rule: the latest snapshot (max seq) per user IS their activity
+    // frame; the batch matrix over the exploded frames is the answer
+    val latest = spark.read.parquet(outDir)
+      .groupBy("user_id")
+      .agg(max_by(col("weeks"), col("seq")).as("weeks"))
+      .select(col("user_id"), explode(col("weeks")).as("week"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset"),
+        r.getAs[Long]("n_active"), r.getAs[Long]("cohort_n"),
+        r.getAs[Double]("retention"))).toSeq
+    val got = rows(graft.queries.Relational.retentionMatrix(latest))
+    val want = rows(graft.queries.Relational.retentionMatrix(
+      ev.select(col("user_id"), expr("(CAST(ts AS LONG) div 86400) div 7").as("week"))
+        .distinct()))
+    assert(want.exists(_._2 > 0), "corpus should span more than one week per cohort")
+    assert(got == want)
+    // and the retraction path really fired: some user's earliest week
+    // arrives only in the SECOND drop, after a later week of theirs was
+    // already snapshotted from the first
+    val wk = ev.select(col("user_id"), col("event_id"),
+      expr("(CAST(ts AS LONG) div 86400) div 7").as("week"))
+    val straddlers = wk.groupBy("user_id").agg(min(col("week")).as("w_all"))
+      .join(wk.filter(col("event_id") % 2 === 0)
+        .groupBy("user_id").agg(min(col("week")).as("w_even")), "user_id")
+      .filter(col("w_even") > col("w_all")).count()
+    assert(straddlers > 0, "split should lower some user's cohort in drop 2")
+    ev.unpersist(): Unit
+  }
 }
