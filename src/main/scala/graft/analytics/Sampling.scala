@@ -372,4 +372,41 @@ object Sampling {
         (takeEnd - takeStart).as("n_tok_in_window"),
         (takeStart - col("tok_start")).as("doc_skip"))
   }
+
+  /** Per-domain admission cap (the C4/RefinedWeb-style anti-dominance
+    * quota): no single source may contribute more than
+    * `shareNum/shareDen` of the corpus (floored, never below `minKeep`);
+    * inside an over-quota source the HIGHEST-quality documents win, ties
+    * to the lowest doc_id. This is the curation guard against one crawled
+    * domain (or one boilerplate mill) swamping the mix — orthogonal to the
+    * per-language temperature weights, which rebalance BETWEEN strata but
+    * cannot stop one domain from owning a stratum.
+    *
+    * The cap is collected as ONE scalar (a 1-row aggregate — same budget
+    * class as the dims/k collects) so it lands in the plan as a LITERAL:
+    * that keeps the `row_number ≤ cap` filter eligible for Spark's
+    * WindowGroupLimit inference, which prunes each source's tail to the
+    * top-`cap` per MAP PARTITION before the source-keyed exchange — the
+    * difference between shuffling a hot domain's full document list and
+    * shuffling `cap` rows per partition. Quality ordering runs on integer
+    * ten-thousandths of the round-4 score, so rank order is
+    * engine-exactly the oracle's. */
+  def domainCap(docs: DataFrame, shareNum: Long = 1, shareDen: Long = 25,
+                minKeep: Long = 10, srcCol: String = "source",
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(shareNum > 0 && shareDen >= shareNum, "need 0 < shareNum <= shareDen")
+    val total = docs.count()
+    val cap = math.max(minKeep, total * shareNum / shareDen)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("qmicro").desc, col("doc_id"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(srcCol).as("source"), col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions.qualityFast(col(textCol)).as("quality"))
+      .withColumn("qmicro", round(col("quality") * 10000).cast("long"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .filter(col("src_rank") <= cap)
+      .select(col("source"), col("doc_id"), col("quality"), col("src_rank"),
+        lit(cap).as("src_cap"))
+  }
 }

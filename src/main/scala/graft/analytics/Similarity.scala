@@ -259,4 +259,69 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Maximal-marginal-relevance diversified top-k: greedy selection where
+    * round `s` keeps the candidate maximizing
+    * `lamNum·cos(q,c) − lamCompl·max(sim(c, already-selected))` — the
+    * standard retrieval re-rank that trades raw relevance for novelty so k
+    * near-duplicate passages don't fill the whole result.
+    *
+    * Distribution shape: the CORPUS-scale work is exactly one
+    * [[bruteForceTopK]] candidate pass (at serving scale, substitute the
+    * IVF-PQ index probe — any (query_id, vec_id, cos) candidate frame
+    * works) plus one broadcast-semi-join fetch of the candidates' raw
+    * vectors; everything after operates on |queries|·depth rows. The
+    * greedy loop is unrolled at PLAN-construction time into k static
+    * stages (anti-join the selected set, max-sim aggregate against it,
+    * argmax) — no driver-side data loop, no collect.
+    *
+    * Determinism: cosines are quantized to integer micro-units after the
+    * shared round-6 boundary, scores are pure BIGINT arithmetic
+    * (λ = lamNum/(lamNum+lamCompl) without ever forming a double), and
+    * every argmax breaks ties by lowest vec_id — so the SQL-unrolled
+    * DuckDB oracle reproduces the selection sequence exactly.
+    * Output: (query_id, step 1..k, vec_id, mmr_score). */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int = 4, depth: Int = 12,
+              lamNum: Long = 7L, lamCompl: Long = 3L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && depth >= k, "need depth >= k >= 1")
+    val cand = bruteForceTopK(corpus, queries, depth, idCol, vecCol)
+      .withColumn("cosq", round(col("cos") * 1e6).cast("long"))
+      .select(col("query_id"), col("vec_id"), col("cosq"))
+      .localCheckpoint(true) // tiny (|queries|·depth); cut the corpus-scan lineage
+    val cv = withNorm(corpus, idCol, vecCol, "vec_id", "v", "nv")
+      .join(broadcast(cand.select(col("query_id"), col("vec_id"))), "vec_id")
+    val pa = cv.select(col("query_id"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nv").as("na"))
+    val pb = cv.select(col("query_id"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nv").as("nb"))
+    val pairs = pa.join(pb, Seq("query_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("sim",
+        round(round(cosPre(col("va"), col("vb"), col("na"), col("nb")), 6) * 1e6).cast("long"))
+      .select(col("query_id"), col("id_a"), col("id_b"), col("sim"))
+      .localCheckpoint(true) // |queries|·depth² rows
+    // argmax per query with lowest-vec_id tie break, as one max(struct) agg
+    def pick(scored: DataFrame): DataFrame =
+      scored.groupBy(col("query_id"))
+        .agg(max(struct(col("score"), (-col("vec_id")).as("ni"))).as("m"))
+        .select(col("query_id"), (-col("m.ni")).as("vec_id"),
+          col("m.score").as("mmr_score"))
+    var selected = pick(cand.withColumn("score", col("cosq") * lamNum))
+      .withColumn("step", lit(1L))
+    for (s <- 2 to k) {
+      val rem = cand.join(selected.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_anti")
+      val ms = pairs
+        .join(selected.select(col("query_id"), col("vec_id").as("id_b")),
+          Seq("query_id", "id_b"))
+        .groupBy(col("query_id"), col("id_a").as("vec_id"))
+        .agg(max(col("sim")).as("maxsel"))
+      val scored = rem.join(ms, Seq("query_id", "vec_id"))
+        .withColumn("score", col("cosq") * lamNum - col("maxsel") * lamCompl)
+      selected = selected.unionByName(
+        pick(scored).withColumn("step", lit(s.toLong)))
+    }
+    selected.select(col("query_id"), col("step"), col("vec_id"), col("mmr_score"))
+  }
 }

@@ -196,6 +196,54 @@ object AnalyticsOracles {
     """round(len(list_intersect(a.sh, b.sh))::DOUBLE /
       |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)""".stripMargin
 
+  /** SQL-unrolled greedy MMR, the DuckDB twin of
+    * [[graft.analytics.Similarity.mmrTopK]]: `cand` is the exact
+    * top-`depth` per query (cos DESC, vec_id ties), each step `s` CTE pair
+    * (m_s, s_s) replicates the Spark plan's anti-join + max-sim-to-selected
+    * aggregate + argmax stages in the same integer micro-unit arithmetic. */
+  private def mmrSql(nQueries: Int, depth: Int, k: Int,
+                     lamNum: Int, lamCompl: Int): String = {
+    val steps = (2 to k).map { s =>
+      s"""m$s AS (
+         |  SELECT c.query_id, c.vec_id, c.cosq, max(p.sim) AS maxsel
+         |  FROM cand c
+         |  JOIN pairs p ON p.query_id = c.query_id AND p.id_a = c.vec_id
+         |  JOIN sel${s - 1} w ON w.query_id = p.query_id AND w.vec_id = p.id_b
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${s - 1} x
+         |    WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+         |  GROUP BY c.query_id, c.vec_id, c.cosq),
+         |s$s AS (
+         |  SELECT query_id, vec_id, mmr_score, $s::BIGINT AS step FROM (
+         |    SELECT query_id, vec_id, $lamNum * cosq - $lamCompl * maxsel AS mmr_score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY $lamNum * cosq - $lamCompl * maxsel DESC, vec_id) AS rn
+         |    FROM m$s) WHERE rn = 1),
+         |sel$s AS (SELECT * FROM sel${s - 1} UNION ALL SELECT * FROM s$s),
+         |""".stripMargin
+    }.mkString
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, ${cosSql("q.v", "c.v")} AS cos
+       |  FROM e q JOIN e c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT query_id, vec_id, round(cos * 1000000)::BIGINT AS cosq FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM scored) WHERE rnk <= $depth),
+       |cv AS (SELECT cand.query_id, cand.vec_id, e.v FROM cand JOIN e USING (vec_id)),
+       |pairs AS (
+       |  SELECT a.query_id, a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(${cosSql("a.v", "b.v")} * 1000000)::BIGINT AS sim
+       |  FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+       |s1 AS (
+       |  SELECT query_id, vec_id, $lamNum * cosq AS mmr_score, 1::BIGINT AS step FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY $lamNum * cosq DESC, vec_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |sel1 AS (SELECT * FROM s1),
+       |${steps}fin AS (SELECT * FROM sel$k)
+       |SELECT query_id, step, vec_id, mmr_score FROM fin ORDER BY query_id, step""".stripMargin
+  }
+
   private val base: Map[String, String] = Map(
     "text_gopher_gates" ->
       """WITH t AS (
@@ -1623,6 +1671,29 @@ object AnalyticsOracles {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "embed_mmr" -> mmrSql(nQueries = 3, depth = 12, k = 4, lamNum = 7, lamCompl = 3),
+    "curate_domain_cap" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, source, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |qual AS (
+        |  SELECT doc_id, source,
+        |    round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+        |        + 0.3 * (1.0 - punct)
+        |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
+        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+        |  FROM (SELECT *,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
+        |    FROM tok)),
+        |tot AS (SELECT greatest(10, (count(*) * 1) // 25)::BIGINT AS cap FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, quality,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY round(quality * 10000)::BIGINT DESC, doc_id)::BIGINT AS src_rank
+        |  FROM qual)
+        |SELECT source, doc_id, quality, src_rank, (SELECT cap FROM tot) AS src_cap
+        |FROM r WHERE src_rank <= (SELECT cap FROM tot)
+        |ORDER BY source, src_rank""".stripMargin,
     "embed_project" -> (embCte +
       """, proj AS (
         |  SELECT vec_id, p,

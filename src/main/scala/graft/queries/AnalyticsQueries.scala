@@ -205,6 +205,26 @@ object AnalyticsQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** MMR-diversified retrieval: the greedy relevance-vs-novelty re-rank
+    * over the exact top-12 candidates (λ = 7/10, k = 4 picks), unrolled
+    * into static plan stages; selection sequence is integer-deterministic
+    * and reproduced step-for-step by the SQL-unrolled oracle. */
+  def embedMmr(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 3), k = 4, depth = 12)
+      .orderBy(col("query_id"), col("step"))
+  }
+
+  /** Anti-dominance curation quota: no source over 4% of the corpus
+    * (a bite-vs-this-corpus default: 20 uniform sources hold 5% each, so
+    * every source is over quota and sheds its lowest-quality fifth);
+    * best-quality docs win inside an over-quota source. */
+  def curateDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Sampling.domainCap(Tables(spark, dir).documents)
+      .orderBy(col("source"), col("src_rank"))
+  }
+
   /** Two-round Lloyd k-means over the embedding corpus (deterministic
     * id-step seeding, integer-exact quantized arithmetic). */
   def embedKmeans(spark: SparkSession, dir: String): DataFrame = {
@@ -1034,6 +1054,8 @@ object AnalyticsQueries {
     "sim_ivfpq_topk"   -> (simIvfPqTopK(_, _)),
     "sim_pqindex_topk" -> (simPqIndexTopK(_, _)),
     "sim_pqindex_rescored" -> (simPqIndexRescored(_, _)),
+    "embed_mmr"        -> (embedMmr(_, _)),
+    "curate_domain_cap" -> (curateDomainCap(_, _)),
     "dedup_closure"    -> (dedupClosure(_, _)),
     "embed_kmeans"     -> (embedKmeans(_, _)),
     "embed_quantize"   -> (embedQuantize(_, _)),

@@ -2,26 +2,53 @@
 """Local pre-check of the driver's correctness gate (dev tool only; the
 shipped Scala library does not depend on this).
 
-Usage: python3 tools/verify_local.py [sfdir] [outdir]
+Usage: python3 tools/verify_local.py [sfdir] [outdir] [oracle_timeout_sec]
   1. expects `sbt "runMain graft.Verify <sfdir> <outdir>"` to have been run
   2. loads each <outdir>/<name> parquet and runs the matching oracle_sql.json
      entry in DuckDB over <sfdir>'s tables
   3. compares: row count, column names (sorted), and values (rows sorted,
      columns sorted by name) — reports per-query PASS/FAIL with diffs.
+
+With oracle_timeout_sec set (scale probes: a handful of oracles are the
+documented all-pairs baselines and are quadratic in DUCKDB even where the
+Spark operator is bucketed), an oracle exceeding the budget is interrupted
+and reported as TIMEOUT — listed separately, never counted as PASS.
 """
-import sys, json, glob, os
+import sys, json, glob, os, threading
 import duckdb
 import pandas as pd
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+timeout_sec = float(sys.argv[3]) if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
+class OracleTimeout(Exception):
+    pass
+
+def run_oracle(sql):
+    """Run oracle SQL; under a timeout budget, interrupt from a watchdog."""
+    if timeout_sec is None:
+        return con.sql(sql).df()
+    done = threading.Event()
+    def watchdog():
+        if not done.wait(timeout_sec):
+            con.interrupt()
+    w = threading.Thread(target=watchdog, daemon=True)
+    w.start()
+    try:
+        return con.sql(sql).df()
+    except duckdb.InterruptException:
+        raise OracleTimeout()
+    finally:
+        done.set()
+
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
+timeouts = []
 for name, sql in sorted(oracle.items()):
     pdir = f"{outdir}/{name}"
     if not os.path.isdir(pdir):
@@ -31,7 +58,10 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         print(f"FAIL {name}: cannot read spark output: {e}"); fails.append(name); continue
     try:
-        ora_df = con.sql(sql).df()
+        ora_df = run_oracle(sql)
+    except OracleTimeout:
+        print(f"TIMEOUT {name}: oracle exceeded {timeout_sec}s budget")
+        timeouts.append(name); continue
     except Exception as e:
         print(f"FAIL {name}: oracle sql error: {e}"); fails.append(name); continue
 
@@ -56,5 +86,8 @@ for name, sql in sorted(oracle.items()):
         print("  oracle:", bstr[idx].head(3).to_dict("records"))
         fails.append(name)
 
-print(f"\n{len(oracle)-len(fails)}/{len(oracle)} PASS" + (f"; FAILED: {fails}" if fails else ""))
+npass = len(oracle) - len(fails) - len(timeouts)
+print(f"\n{npass}/{len(oracle)} PASS"
+      + (f"; ORACLE TIMEOUTS ({len(timeouts)}): {timeouts}" if timeouts else "")
+      + (f"; FAILED: {fails}" if fails else ""))
 sys.exit(1 if fails else 0)
