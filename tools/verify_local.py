@@ -24,7 +24,11 @@ timeout_sec = float(sys.argv[3]) if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # driver testdata is one parquet FILE per table; Spark-written scale
+    # corpora (tools.ScaleUp) are part-file DIRECTORIES - glob those
+    path = f"{sfdir}/{t}.parquet"
+    src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
 class OracleTimeout(Exception):
     pass
