@@ -833,4 +833,97 @@ object Dedup {
           sort_array(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
           s => s.getField("chunk_text")), " ").as("kept_text"),
         count(lit(1)).as("n_kept_spans"))
+
+  /** WITHIN-document repeated-span removal — the intra-doc twin of the
+    * corpus-level C4 span dedup above: every non-overlapping
+    * `spanTokens`-token span that repeats EARLIER IN THE SAME DOCUMENT is
+    * dropped, first occurrence kept in position order. This is the
+    * surgical form of the Gopher repetition gates: `gopherGates` DROPS a
+    * document whose repeated-fraction crosses a threshold, this operator
+    * REPAIRS it (looping scraper output, chat transcripts with repeated
+    * boilerplate turns) and keeps the informative prefix.
+    *
+    * Scale shape is the interesting part: because the spans under test all
+    * live in ONE row, this needs none of the corpus machinery — no
+    * explode, no hash-keyed aggregate, no join. It is a single narrow
+    * projection (tokens → span array → first-occurrence filter), ZERO
+    * shuffles at any corpus size, streaming-safe as a stateless map. The
+    * per-row filter is O(spans²) string compares (`array_position` scan
+    * per element); spans = tokens/spanTokens keeps that quadratic in the
+    * hundreds even for book-length rows — the per-row bound the corpus
+    * operators can never assume about corpus-wide span sets. */
+  def intraDocSpanDedup(docs: DataFrame, spanTokens: Int = 16,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val st = spanTokens
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.analytics.TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__spans", expr(
+        s"""transform(sequence(0L, (size(__toks) + ${st - 1}L) div ${st}L - 1L),
+           |  i -> array_join(slice(__toks, int(i * $st + 1), $st), ' '))""".stripMargin))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("__spans")).cast("long").as("n_spans"),
+        expr("filter(__spans, (s, i) -> array_position(__spans, s) = i + 1)").as("__kept"))
+      .select(col("doc_id"), col("n_spans"),
+        (col("n_spans") - org.apache.spark.sql.functions.size(col("__kept")))
+          .cast("long").as("n_removed"),
+        array_join(col("__kept"), " ").as("kept_text"))
+  }
+
+  /** Cross-split contamination audit — did the hash split leak eval
+    * content into training? For each precedence-ordered split pair
+    * (train→val, train→test, val→test): how many docs of the LATER split
+    * share at least one word `n`-gram with any doc of the earlier one.
+    * This is the report a pipeline gates a release on: `decontaminate`
+    * removes known eval sets from the corpus, this measures what the
+    * SPLIT itself leaks (near-duplicate docs landing across the boundary,
+    * shared boilerplate straddling train/test). The 8-gram default is the
+    * discriminative scale on this corpus: 3-grams saturate at 100% (every
+    * doc shares common trigrams), 8-grams isolate the true near-dup
+    * straddlers.
+    *
+    * Scale shape: NO pair join anywhere (unlike `contaminationReport`,
+    * whose per-pair output is its point) — shingles collapse to per-split
+    * presence counts keyed on the 60-bit shingle hash, docs pick up
+    * leak flags through a join that REUSES the aggregate's hash exchange,
+    * and the rollup is split-keyed. Output is 3 rows at any corpus size;
+    * the only corpus-sized shuffles carry 8-byte shingle hashes. */
+  def splitLeakageReport(docs: DataFrame, n: Int = 8,
+                         trainPerMille: Int = 800, valPerMille: Int = 100,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val withSplit = Sampling.splitAssign(docs, idCol, trainPerMille, valPerMille)
+    val ds = withSplit
+      .select(col("split"), col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("g"))
+      .select(col("split"), col("doc_id"), hash60(col("g")).as("h"))
+    val counts = ds.groupBy("h").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+    // a doc's own shingles are distinct, so for CROSS-split pairs its own
+    // contribution to the earlier split's count is zero — n >= 1 suffices
+    val flags = ds.join(counts, Seq("h"))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(
+        max(when(col("n_train") >= 1 && col("split") =!= "train", 1L)
+          .otherwise(0L)).as("from_train"),
+        max(when(col("n_val") >= 1 && col("split") =!= "val", 1L)
+          .otherwise(0L)).as("from_val"))
+    val leaked = flags.groupBy("split")
+      .agg(sum(col("from_train")).as("lt"), sum(col("from_val")).as("lv"))
+    // denominators from the split assignment itself: docs too short to
+    // shingle never leak but still belong to the split
+    val agg = withSplit.groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .join(leaked, Seq("split"), "left")
+      .na.fill(0L, Seq("lt", "lv"))
+    def row(from: String, to: String, leakCol: String) =
+      agg.filter(col("split") === to)
+        .select(lit(from).as("from_split"), lit(to).as("to_split"),
+          col("n_docs"), col(leakCol).as("n_leaked"))
+    row("train", "val", "lt")
+      .unionByName(row("train", "test", "lt"))
+      .unionByName(row("val", "test", "lv"))
+      .withColumn("leak_frac",
+        round(col("n_leaked").cast("double") / col("n_docs"), 4))
+  }
 }

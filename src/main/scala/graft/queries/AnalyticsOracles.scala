@@ -1672,6 +1672,59 @@ object AnalyticsOracles {
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "embed_mmr" -> mmrSql(nQueries = 3, depth = 12, k = 4, lamNum = 7, lamCompl = 3),
+    "dedup_intradoc" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |sp AS (SELECT doc_id,
+        |  [array_to_string(toks[(i-1)*2+1:(i-1)*2+2], ' ')
+        |   for i in generate_series(1, (len(toks) + 1) // 2)] AS spans
+        |  FROM tok),
+        |k AS (SELECT doc_id, len(spans)::BIGINT AS n_spans,
+        |  [spans[i] for i in generate_series(1, len(spans))
+        |   if list_position(spans, spans[i]) = i] AS kept
+        |  FROM sp)
+        |SELECT doc_id, n_spans, (n_spans - len(kept))::BIGINT AS n_removed,
+        |  array_to_string(kept, ' ') AS kept_text
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "split_leakage" ->
+      (s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, list_distinct([${(0 until 8).map(j => s"toks[i+$j]").mkString("||' '||")}
+         |    for i in generate_series(1, len(toks)-7)]) AS sh
+         |  FROM tok WHERE len(toks) >= 8
+         |)
+         |""".stripMargin +
+      """, spl AS (SELECT doc_id,
+        |  CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 AS b
+        |    FROM documents)),
+        |gs AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        |ds AS (SELECT gs.doc_id, spl.split,
+        |  ('0x'||substr(sha256(g),1,15))::BIGINT AS h
+        |  FROM gs JOIN spl USING (doc_id)),
+        |cnt AS (SELECT h,
+        |    count(*) FILTER (split = 'train') AS n_train,
+        |    count(*) FILTER (split = 'val') AS n_val
+        |  FROM ds GROUP BY h),
+        |fl AS (SELECT ds.doc_id, ds.split,
+        |    max(CASE WHEN cnt.n_train >= 1 AND ds.split <> 'train' THEN 1 ELSE 0 END) AS from_train,
+        |    max(CASE WHEN cnt.n_val >= 1 AND ds.split <> 'val' THEN 1 ELSE 0 END) AS from_val
+        |  FROM ds JOIN cnt USING (h) GROUP BY ds.doc_id, ds.split),
+        |lk AS (SELECT split, sum(from_train) AS lt, sum(from_val) AS lv FROM fl GROUP BY split),
+        |sz AS (SELECT split, count(*)::BIGINT AS n_docs FROM spl GROUP BY split),
+        |ag AS (SELECT sz.split, sz.n_docs, coalesce(lk.lt, 0)::BIGINT AS lt,
+        |         coalesce(lk.lv, 0)::BIGINT AS lv
+        |       FROM sz LEFT JOIN lk ON sz.split = lk.split)
+        |SELECT * FROM (
+        |  SELECT 'train' AS from_split, 'val' AS to_split, n_docs, lt AS n_leaked,
+        |         round(lt::DOUBLE / n_docs, 4) AS leak_frac FROM ag WHERE split = 'val'
+        |  UNION ALL
+        |  SELECT 'train', 'test', n_docs, lt, round(lt::DOUBLE / n_docs, 4) FROM ag WHERE split = 'test'
+        |  UNION ALL
+        |  SELECT 'val', 'test', n_docs, lv, round(lv::DOUBLE / n_docs, 4) FROM ag WHERE split = 'test')
+        |ORDER BY from_split, to_split""".stripMargin),
     "curate_domain_cap" ->
       """WITH tok AS (
         |  SELECT doc_id, text, source, string_split_regex(text, '\s+') AS toks

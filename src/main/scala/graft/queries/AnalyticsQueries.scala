@@ -215,6 +215,20 @@ object AnalyticsQueries {
       .orderBy(col("query_id"), col("step"))
   }
 
+  /** Intra-document repeated-span trim (spanTokens=2 fits this corpus:
+    * its within-doc repetition lives at the 1–2-token scale; real crawls
+    * use 16). Zero-shuffle narrow op — see Dedup.intraDocSpanDedup. */
+  def dedupIntradoc(spark: SparkSession, dir: String): DataFrame =
+    Dedup.intraDocSpanDedup(Tables(spark, dir).documents, spanTokens = 2)
+      .orderBy(col("doc_id"))
+
+  /** Cross-split 8-gram-leakage audit over the standard 80/10/10 hash
+    * split — the release-gate report for eval integrity (8-grams because
+    * trigram leakage saturates at 100% on shared boilerplate). */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    Dedup.splitLeakageReport(Tables(spark, dir).documents)
+      .orderBy(col("from_split"), col("to_split"))
+
   /** Anti-dominance curation quota: no source over 4% of the corpus
     * (a bite-vs-this-corpus default: 20 uniform sources hold 5% each, so
     * every source is over quota and sheds its lowest-quality fifth);
@@ -1056,6 +1070,8 @@ object AnalyticsQueries {
     "sim_pqindex_rescored" -> (simPqIndexRescored(_, _)),
     "embed_mmr"        -> (embedMmr(_, _)),
     "curate_domain_cap" -> (curateDomainCap(_, _)),
+    "dedup_intradoc"   -> (dedupIntradoc(_, _)),
+    "split_leakage"    -> (splitLeakage(_, _)),
     "dedup_closure"    -> (dedupClosure(_, _)),
     "embed_kmeans"     -> (embedKmeans(_, _)),
     "embed_quantize"   -> (embedQuantize(_, _)),
