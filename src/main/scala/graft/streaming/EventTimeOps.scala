@@ -406,6 +406,51 @@ object EventTimeOps {
       }
   }
 
+  final case class QuotaIn(source: String, doc_id: Long)
+  final case class QuotaState(admitted: Long)
+  final case class QuotaVerdict(source: String, doc_id: Long,
+                                admitted: Boolean, quota_idx: Long)
+
+  /** Streaming per-source admission quota — the INGEST-time form of the
+    * batch [[graft.analytics.Sampling.domainCap]]: each source may admit at
+    * most `cap` documents; everything past the quota is rejected (to the
+    * caller's DLQ/overflow sink) the moment it arrives, so a misbehaving
+    * crawl domain is throttled in flight instead of after a batch pass.
+    * Where the batch cap keeps the best-QUALITY docs (it sees the whole
+    * corpus), the streaming quota necessarily admits by ARRIVAL order —
+    * the honest online semantics; re-rank the admitted set offline if
+    * quality ordering matters.
+    *
+    * State per source is ONE long (the admitted count) — nSources longs
+    * total, the same minimal-state class as [[streamingPack]], and like
+    * the packer it must never be TTL'd while the stream lives (an evicted
+    * count would re-open a closed quota). Within a micro-batch rows admit
+    * in doc_id order so verdicts never depend on partition order; when
+    * arrival follows doc_id order per source, verdicts equal the batch
+    * `row_number() OVER (PARTITION BY source ORDER BY doc_id) <= cap`
+    * exactly (QuotaSpec parity). Every document gets a verdict row
+    * (admitted or not) with its 1-based quota index, so the rejected
+    * stream is itself routable. */
+  def streamingSourceQuota(docs: DataFrame, cap: Long)
+                          (implicit spark: SparkSession): Dataset[QuotaVerdict] = {
+    import spark.implicits._
+    val rows = docs.select(col("source"), col("doc_id")).as[QuotaIn]
+    rows.groupByKey(_.source)
+      .flatMapGroupsWithState[QuotaState, QuotaVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[QuotaIn], state: GroupState[QuotaState]) =>
+          var n = state.getOption.map(_.admitted).getOrElse(0L)
+          val out = it.toArray.sortBy(_.doc_id).map { r =>
+            val admit = n < cap
+            if (admit) n += 1
+            QuotaVerdict(src, r.doc_id, admit, if (admit) n else 0L)
+          }
+          state.update(QuotaState(n))
+          out.iterator
+      }
+  }
+
   /** Deepest funnel stage reachable from the buffered stamps — the same
     * chained-min rule as the batch query: t1 = min view; t2 = min click in
     * (t1, t1+W]; t3 = min purchase in (t2, t1+W]. */

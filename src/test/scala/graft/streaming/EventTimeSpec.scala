@@ -633,4 +633,48 @@ class EventTimeSpec extends SparkSpec {
     assert(straddlers > 0, "split should lower some user's cohort in drop 2")
     ev.unpersist(): Unit
   }
+
+  test("streaming source quota matches the batch arrival-order cap on a doc_id-ordered replay") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
+    val docs = graft.Tables(spark, sf("sf0.01")).documents.persist()
+    val mid = 250L
+    // doc_id-ordered replay: batch 1 = low ids, batch 2 = high ids, so
+    // arrival follows doc_id order per source ACROSS micro-batches too
+    docs.filter(col("doc_id") < mid).coalesce(1).write.parquet(s"$srcDir/d0")
+    docs.filter(col("doc_id") >= mid).coalesce(1).write.parquet(s"$srcDir/d1")
+    val schema = spark.read.parquet(s"$srcDir/d0").schema
+
+    val cap = 15L
+    val q = EventTimeOps.streamingSourceQuota(
+        Sources.fileStream(spark, s"$srcDir/d*", schema), cap)
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir).start()
+    assert(q.awaitTermination(180000), "streaming quota did not finish in time")
+
+    val got = spark.read.parquet(outDir)
+    // every doc got exactly one verdict
+    assert(got.count() == docs.count())
+    // quota binds: each source admits exactly min(cap, |source|)
+    val admittedPerSrc = got.filter(col("admitted"))
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    val sizes = docs.groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    assert(sizes.values.exists(_ > cap), "corpus should overflow the quota")
+    assert(admittedPerSrc == sizes.map { case (k, v) => k -> math.min(cap, v) })
+    // verdict-for-verdict equality with the batch arrival-order cap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val batch = docs.select(col("source"), col("doc_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("source"), col("doc_id"), (col("rn") <= cap).as("admitted"),
+        when(col("rn") <= cap, col("rn")).otherwise(0L).as("quota_idx"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("source", "doc_id", "admitted", "quota_idx")
+      .collect().map(_.toSeq).toSet
+    assert(rows(got) == rows(batch))
+    docs.unpersist(): Unit
+  }
 }
