@@ -884,10 +884,12 @@ object Dedup {
     *
     * Scale shape: NO pair join anywhere (unlike `contaminationReport`,
     * whose per-pair output is its point) — shingles collapse to per-split
-    * presence counts keyed on the 60-bit shingle hash, docs pick up
-    * leak flags through a join that REUSES the aggregate's hash exchange,
-    * and the rollup is split-keyed. Output is 3 rows at any corpus size;
-    * the only corpus-sized shuffles carry 8-byte shingle hashes. */
+    * presence counts keyed on the 60-bit shingle hash, docs pick up leak
+    * flags through a join on the same hash key, and the rollup is
+    * split-keyed. Output is 3 rows at any corpus size; every corpus-sized
+    * exchange carries 8-byte shingle hashes, never text. (The shingle
+    * stream is evaluated on both the aggregate and join legs — at 100 TB,
+    * persist `ds` or let AQE's runtime exchange reuse collapse them.) */
   def splitLeakageReport(docs: DataFrame, n: Int = 8,
                          trainPerMille: Int = 800, valPerMille: Int = 100,
                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
