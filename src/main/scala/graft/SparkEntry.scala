@@ -244,19 +244,33 @@ object SparkEntry {
         |  CASE WHEN hashed_id IN (SELECT hashed_id FROM optout) THEN 'opt_out' ELSE 'main' END AS route
         |FROM anon ORDER BY id""".stripMargin),
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      """WITH c AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    round(l_quantity)::BIGINT AS qc,
+        |    round(l_extendedprice * 100)::BIGINT AS pc,
+        |    round(l_discount * 100)::BIGINT AS dp,
+        |    round(l_tax * 100)::BIGINT AS tp
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'),
+        |g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    sum(qc) AS sq, sum(pc) AS sp,
+        |    sum(pc * (100 - dp)) AS sd,
+        |    sum(pc * (100 - dp) * (100 + tp)) AS sc,
+        |    sum(dp) AS sdp, count(*) AS n
+        |  FROM c GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus,
+        |  sq::DOUBLE AS sum_qty,
+        |  sp::DOUBLE / 100.0 AS sum_base_price,
+        |  ((sd + 50) // 100)::DOUBLE / 100.0 AS sum_disc_price,
+        |  ((sc + 5000) // 10000)::DOUBLE / 100.0 AS sum_charge,
+        |  ((sq * 20000 + n) // (2 * n))::DOUBLE / 10000.0 AS avg_qty,
+        |  ((sdp * 200 + n) // (2 * n))::DOUBLE / 10000.0 AS avg_disc,
+        |  n::BIGINT AS count_order
+        |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_topk" ->
       """SELECT l_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS orderdate,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  ((sum(round(l_extendedprice * 100)::BIGINT *
+        |     (100 - round(l_discount * 100)::BIGINT)) + 50) // 100)::DOUBLE / 100.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -264,7 +278,9 @@ object SparkEntry {
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_multijoin" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT n_name,
+        |  ((sum(round(l_extendedprice * 100)::BIGINT *
+        |     (100 - round(l_discount * 100)::BIGINT)) + 50) // 100)::DOUBLE / 100.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey

@@ -365,10 +365,10 @@ object AnalyticsOracles {
         |    CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'unknown'
         |         WHEN en >= es AND en >= de THEN 'en'
         |         WHEN es >= de THEN 'es' ELSE 'de' END AS lang_pred,
-        |    round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
         |        + 0.3 * (1.0 - punct)
         |        + 0.2 * (en::DOUBLE / len(toks))
-        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
         |  FROM (
         |    SELECT *,
         |      len(list_filter(toks, t -> t IN ('the','a','of','to','and'))) AS en,
@@ -427,10 +427,10 @@ object AnalyticsOracles {
         |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
         |qual AS (
         |  SELECT doc_id,
-        |    round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
         |        + 0.3 * (1.0 - punct)
         |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
         |  FROM (SELECT *,
         |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
         |    FROM tok)),
@@ -613,10 +613,10 @@ object AnalyticsOracles {
          |    CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'unknown'
          |         WHEN en >= es AND en >= de THEN 'en'
          |         WHEN es >= de THEN 'es' ELSE 'de' END AS lang_pred,
-         |    round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+         |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
          |        + 0.3 * (1.0 - punct)
          |        + 0.2 * (en::DOUBLE / len(toks))
-         |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+         |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
          |  FROM (
          |    SELECT *,
          |      len(list_filter(toks, t -> t IN ('the','a','of','to','and'))) AS en,
@@ -691,10 +691,10 @@ object AnalyticsOracles {
          |minlab AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
          |qual AS (
          |  SELECT doc_id,
-         |    round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+         |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
          |        + 0.3 * (1.0 - punct)
          |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-         |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+         |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
          |  FROM (SELECT *,
          |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text) AS punct
          |    FROM tok)),
@@ -758,10 +758,10 @@ object AnalyticsOracles {
         |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
         |qual AS (
         |  SELECT doc_id,
-        |    round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
         |        + 0.3 * (1.0 - punct)
         |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
         |  FROM (SELECT *,
         |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
         |    FROM tok)),
@@ -1104,7 +1104,7 @@ object AnalyticsOracles {
         |    round(ln((c1 + v)::DOUBLE / (c2 + 1)::DOUBLE) * 1000000)::BIGINT AS sm
         |  FROM bgw JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(sum(sm)::DOUBLE / count(*) / 1000000.0, 4) AS avg_surprisal
+        |  round(CAST((sum(sm)::DOUBLE / count(*) / 1000000.0) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS avg_surprisal
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // interpolated Kneser-Ney (D = 3/4): one integer ratio per bigram —
     // P = (max(4*c2-3,0)*Nt + 3*n1p*n1m) / (4*c1*Nt) — micro-nat quantized
@@ -1135,7 +1135,7 @@ object AnalyticsOracles {
         |  FROM bgw JOIN c2 USING (bg) JOIN c1 USING (w1)
         |    JOIN n1m USING (w2) CROSS JOIN nt)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(sum(sm)::DOUBLE / count(*) / 1000000.0, 4) AS avg_kn_surprisal
+        |  round(CAST((sum(sm)::DOUBLE / count(*) / 1000000.0) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS avg_kn_surprisal
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // held-out KN: LM trained on sha-bucket < 800, scores the >= 800 docs.
     // Pc(w2) = (n1m+1)/Z with Z = Nt + V + 1 (add-one continuation + OOV
@@ -1182,7 +1182,7 @@ object AnalyticsOracles {
         |  FROM s)
         |SELECT doc_id, count(*) AS n_bigrams,
         |  sum(CASE WHEN c2v = 0 THEN 1 ELSE 0 END)::BIGINT AS n_unseen,
-        |  round(sum(sm)::DOUBLE / count(*) / 1000000.0, 4) AS avg_kn_surprisal
+        |  round(CAST((sum(sm)::DOUBLE / count(*) / 1000000.0) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS avg_kn_surprisal
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_prefix" ->
       """WITH p AS (
@@ -1453,10 +1453,10 @@ object AnalyticsOracles {
         |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
         |q AS (
         |  SELECT doc_id,
-        |    round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
         |        + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text))
         |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
         |  FROM tok)
         |SELECT doc_id, quality FROM q
         |WHERE ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 < quality * 1000
@@ -1488,10 +1488,10 @@ object AnalyticsOracles {
     "text_quality" -> (tokCte +
       """SELECT doc_id,
         |  round(punct, 4) AS punct_ratio,
-        |  round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+        |  round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
         |      + 0.3 * (1.0 - punct)
         |      + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-        |      + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+        |      + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
         |FROM (SELECT *,
         |  length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
         |  FROM tok) ORDER BY doc_id""".stripMargin),
@@ -1572,10 +1572,10 @@ object AnalyticsOracles {
          |minlab AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
          |qual AS (
          |  SELECT doc_id,
-         |    round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+         |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
          |        + 0.3 * (1.0 - punct)
          |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-         |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+         |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
          |  FROM (SELECT *,
          |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text) AS punct
          |    FROM tok)),
@@ -1731,10 +1731,10 @@ object AnalyticsOracles {
         |  FROM documents),
         |qual AS (
         |  SELECT doc_id, source,
-        |    round(0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
         |        + 0.3 * (1.0 - punct)
         |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0), 4) AS quality
+        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
         |  FROM (SELECT *,
         |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
         |    FROM tok)),
@@ -1748,11 +1748,13 @@ object AnalyticsOracles {
         |FROM r WHERE src_rank <= (SELECT cap FROM tot)
         |ORDER BY source, src_rank""".stripMargin,
     "embed_project" -> (embCte +
+      // decimal-string rounding: sign-flipped replicas can sum to exactly
+      // -0.0, which Spark's BigDecimal boundary canonicalizes to 0.0
       """, proj AS (
         |  SELECT vec_id, p,
-        |    round(list_reduce(list_prepend(0.0, [v[d] *
+        |    round(CAST((list_reduce(list_prepend(0.0, [v[d] *
         |      (CASE WHEN ('0x'||substr(sha256(p||'_'||(d-1)),1,2))::INT % 2 = 0 THEN 1.0 ELSE -1.0 END)
-        |      for d in generate_series(1, len(v))]), (x,y) -> x+y), 4) AS proj
+        |      for d in generate_series(1, len(v))]), (x,y) -> x+y)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS proj
         |  FROM e, generate_series(0, 15) t(p))
         |SELECT vec_id, p::BIGINT AS p, proj FROM proj ORDER BY vec_id, p""".stripMargin),
     "sim_lsh_bucket" -> (embCte +

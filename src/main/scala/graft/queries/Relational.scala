@@ -29,20 +29,39 @@ object Relational {
 
   /** TPC-H Q1-like pricing summary: scan-heavy multi-aggregate.
     * Exercises: predicate pushdown to parquet, partial aggregation,
-    * multi-expression HashAggregate inside one WholeStageCodegen span. */
+    * multi-expression HashAggregate inside one WholeStageCodegen span.
+    *
+    * Money arithmetic is EXACT-INTEGER (cents / e4 / e6 micro-units summed
+    * as int64, HALF_UP-divided back at the output boundary): a corpus-sized
+    * group's `round(sum(double), 2)` depends on partial-aggregation
+    * accumulation ORDER, which differs between engines — and between two
+    * Spark runs — once the group is large enough (the sf1 verify caught
+    * exactly this on q5's 600k-row groups: a one-cent flip). The input
+    * columns are 2-decimal-valued by data contract, so the integer lift is
+    * lossless. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val qc = round($"l_quantity").cast("long")                 // integer qty
+    val pc = round($"l_extendedprice" * 100).cast("long")      // cents
+    val dp = round($"l_discount" * 100).cast("long")           // discount pct
+    val tp = round($"l_tax" * 100).cast("long")                // tax pct
     Tables(spark, dir).lineitem
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
-        round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_discount"), 4).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        sum(qc).as("sq"), sum(pc).as("sp"),
+        sum(pc * (lit(100L) - dp)).as("sd"),                   // e4 units
+        sum(pc * (lit(100L) - dp) * (lit(100L) + tp)).as("sc"), // e6 units
+        sum(dp).as("sdp"), count(lit(1)).as("n"))
+      .select($"l_returnflag", $"l_linestatus",
+        $"sq".cast("double").as("sum_qty"),
+        ($"sp".cast("double") / 100.0).as("sum_base_price"),
+        (expr("(sd + 50) div 100").cast("double") / 100.0).as("sum_disc_price"),
+        (expr("(sc + 5000) div 10000").cast("double") / 100.0).as("sum_charge"),
+        // HALF_UP rational rounding: floor(p·10⁴/q + ½) = (2p·10⁴ + q) div 2q
+        (expr("(sq * 20000 + n) div (2 * n)").cast("double") / 10000.0).as("avg_qty"),
+        (expr("(sdp * 200 + n) div (2 * n)").cast("double") / 10000.0).as("avg_disc"),
+        $"n".as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
@@ -60,7 +79,10 @@ object Relational {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy($"l_orderkey", to_date($"o_orderdate").as("orderdate"))
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      // exact e4-unit integer sum -> HALF_UP cents (see q1Agg's money note)
+      .agg(sum(round($"l_extendedprice" * 100).cast("long") *
+        (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rev_e4"))
+      .withColumn("revenue", expr("(rev_e4 + 50) div 100").cast("double") / 100.0)
       .orderBy($"revenue".desc, $"l_orderkey")
       .limit(10)
       .select($"l_orderkey".as("orderkey"), $"orderdate", $"revenue")
@@ -80,7 +102,12 @@ object Relational {
       .join(broadcast(t.customer.select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(nr), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      // exact e4-unit integer sum -> HALF_UP cents (see q1Agg's money note;
+      // the sf1 verify caught the double-sum form flipping a cent here)
+      .agg(sum(round($"l_extendedprice" * 100).cast("long") *
+        (lit(100L) - round($"l_discount" * 100).cast("long"))).as("rev_e4"))
+      .withColumn("revenue", expr("(rev_e4 + 50) div 100").cast("double") / 100.0)
+      .drop("rev_e4")
       .orderBy($"revenue".desc, $"n_name")
   }
 

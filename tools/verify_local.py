@@ -51,6 +51,11 @@ def run_oracle(sql):
         done.set()
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# VERIFY_ONLY="a b c": restrict the compare to these queries (dev iteration
+# on a subset without re-grinding every oracle)
+only = set(os.environ.get("VERIFY_ONLY", "").split()) or None
+if only:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fails = []
 timeouts = []
 for name, sql in sorted(oracle.items()):
