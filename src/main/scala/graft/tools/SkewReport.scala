@@ -14,12 +14,19 @@ import graft.operators.ChunkedWindows
   * times vanilla vs chunked forms of the sessionize / time-weighted-average
   * family. Wall times and the hot-task shape go to SCALING.md.
   *
-  * Usage: SkewReport [sfdir] [hotPct=10]
+  * The mitigation only pays once the hot partition DOMINATES wall time
+  * (hot rows ≫ rows/core): below that, the chunked form's extra stages
+  * cost more than the skew they remove — measured both regimes, see
+  * SCALING.md. `replicas` densifies the slice (event_id-strided unions)
+  * to reach the dominating regime on a small box.
+  *
+  * Usage: SkewReport [sfdir] [hotPct=10] [replicas=1]
   */
 object SkewReport {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/data/sf1")
     val hotPct = if (args.length > 1) args(1).toInt else 10
+    val replicas = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,10 +39,17 @@ object SkewReport {
     spark.sparkContext.setLogLevel("ERROR")
 
     // hot key: pct% of events collapse onto user 1, deterministically
-    val skewed = graft.Tables(spark, dir).events
+    val base = graft.Tables(spark, dir).events
+    val dense =
+      if (replicas <= 1) base
+      else base.crossJoin(spark.range(replicas).toDF("__r").hint("broadcast"))
+        .withColumn("event_id", expr("event_id + __r * 1000000000L"))
+        .drop("__r")
+    val skewed = dense
       .withColumn("user_id",
         when(pmod(col("event_id"), lit(100L)) < hotPct, lit(1L))
           .otherwise(col("user_id")))
+      .repartition(cpus.toInt) // spread replicas; freeze below
       .localCheckpoint(true) // freeze the input so both forms read identical bytes
 
     def time(name: String)(df: => DataFrame): Double = {
