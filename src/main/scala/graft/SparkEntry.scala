@@ -318,7 +318,8 @@ object SparkEntry {
         |  count(DISTINCT l_orderkey) AS n_orders,
         |  round(min(l_extendedprice), 2) AS min_price,
         |  round(max(l_extendedprice), 2) AS max_price,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  ((sum(round(l_extendedprice * 100)::BIGINT) * 200 + count(*))
+        |    // (2 * count(*)))::DOUBLE / 10000.0 AS avg_price,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q6_rollup" ->
@@ -345,15 +346,15 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q8_pivot" ->
       """SELECT user_id,
-        |  round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2) AS click,
-        |  round(sum(CASE WHEN event_type = 'error' THEN value ELSE 0 END), 2) AS error,
-        |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase,
-        |  round(sum(CASE WHEN event_type = 'signup' THEN value ELSE 0 END), 2) AS signup,
-        |  round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 2) AS view
+        |  sum(CASE WHEN event_type = 'click' THEN round(value * 100)::BIGINT ELSE 0 END)::DOUBLE / 100.0 AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN round(value * 100)::BIGINT ELSE 0 END)::DOUBLE / 100.0 AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN round(value * 100)::BIGINT ELSE 0 END)::DOUBLE / 100.0 AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN round(value * 100)::BIGINT ELSE 0 END)::DOUBLE / 100.0 AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN round(value * 100)::BIGINT ELSE 0 END)::DOUBLE / 100.0 AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q10_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+        |  sum(round(o_totalprice * 100)::BIGINT)::DOUBLE / 100.0 AS sum_price, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "set_intersect" ->
@@ -370,7 +371,7 @@ object SparkEntry {
         |ORDER BY custkey, orderkey""".stripMargin,
     "q13_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+        |  sum(round(o_totalprice * 100)::BIGINT)::DOUBLE / 100.0 AS sum_price, count(*) AS n
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q11_full_outer" ->
@@ -438,7 +439,7 @@ object SparkEntry {
     "q18_month_series" ->
       """WITH monthly AS (
         |  SELECT date_trunc('month', o_orderdate)::DATE AS month,
-        |    round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |    sum(round(o_totalprice * 100)::BIGINT)::DOUBLE / 100.0 AS revenue, count(*) AS n_orders
         |  FROM orders GROUP BY month)
         |SELECT month, revenue, n_orders,
         |  CASE WHEN lag(revenue, 1) OVER (ORDER BY month) IS NULL THEN 0.0
@@ -455,7 +456,11 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_total,
         |  count(CASE WHEN value > 150.0 THEN 1 END) AS n_high,
         |  round(count(CASE WHEN value > 150.0 THEN 1 END)::DOUBLE / count(*), 4) AS share_high,
-        |  round(avg(CASE WHEN value > 150.0 THEN value END), 4) AS avg_high,
+        |  CASE WHEN count(CASE WHEN value > 150.0 THEN 1 END) > 0 THEN
+        |    ((sum(CASE WHEN value > 150.0 THEN round(value * 100)::BIGINT END) * 200
+        |      + count(CASE WHEN value > 150.0 THEN 1 END))
+        |     // (2 * count(CASE WHEN value > 150.0 THEN 1 END)))::DOUBLE / 10000.0
+        |  END AS avg_high,
         |  max(value) > 190.0 AS has_extreme
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q21_range_join" ->

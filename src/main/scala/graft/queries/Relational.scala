@@ -204,7 +204,9 @@ object Relational {
     Tables(spark, dir).orders
       .groupingSets(Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority")),
         $"o_orderstatus", $"o_orderpriority")
-      .agg(round(sum($"o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+      // exact-int cents sum (q1Agg's money note: corpus-sized groups)
+      .agg((sum(round($"o_totalprice" * 100).cast("long")).cast("double") / 100.0)
+        .as("sum_price"), count(lit(1)).as("n"))
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
@@ -224,7 +226,9 @@ object Relational {
     import spark.implicits._
     Tables(spark, dir).orders
       .cube($"o_orderstatus", $"o_orderpriority")
-      .agg(round(sum($"o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+      // exact-int cents sum (q1Agg's money note: corpus-sized groups)
+      .agg((sum(round($"o_totalprice" * 100).cast("long")).cast("double") / 100.0)
+        .as("sum_price"), count(lit(1)).as("n"))
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
@@ -284,8 +288,13 @@ object Relational {
         countDistinct($"l_orderkey").as("n_orders"),
         round(min($"l_extendedprice"), 2).as("min_price"),
         round(max($"l_extendedprice"), 2).as("max_price"),
-        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        // exact-int cents avg (q1Agg's money note: corpus-sized groups)
+        sum(round($"l_extendedprice" * 100).cast("long")).as("sc"),
         count(lit(1)).as("n_rows"))
+      .withColumn("avg_price",
+        expr("(sc * 200 + n_rows) div (2 * n_rows)").cast("double") / 10000.0)
+      .select($"l_returnflag", $"n_orders", $"min_price", $"max_price",
+        $"avg_price", $"n_rows")
       .orderBy($"l_returnflag")
   }
 
@@ -332,7 +341,8 @@ object Relational {
     val pivoted = Tables(spark, dir).events
       .groupBy($"user_id")
       .pivot("event_type", types)
-      .agg(round(sum($"value"), 2))
+      // exact-int cents sum (q1Agg's money note; hot users can be large)
+      .agg((sum(round($"value" * 100).cast("long")).cast("double") / 100.0))
     pivoted.select($"user_id" +: types.map(t => coalesce(col(t), lit(0.0)).as(t)): _*)
       .orderBy($"user_id")
   }
@@ -419,7 +429,9 @@ object Relational {
     import spark.implicits._
     val monthly = Tables(spark, dir).orders
       .groupBy(to_date(date_trunc("month", $"o_orderdate")).as("month"))
-      .agg(round(sum($"o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      // exact-int cents sum (q1Agg's money note: month-sized groups)
+      .agg((sum(round($"o_totalprice" * 100).cast("long")).cast("double") / 100.0)
+        .as("revenue"), count(lit(1)).as("n_orders"))
     val w = Window.orderBy($"month")
     monthly
       .withColumn("prev", lag($"revenue", 1).over(w))
@@ -455,8 +467,11 @@ object Relational {
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_total"),
         count(when($"value" > 150.0, 1)).as("n_high"),
-        round(avg(when($"value" > 150.0, $"value")), 4).as("avg_high"),
+        // exact-int cents avg (q1Agg's money note: corpus-sized groups)
+        sum(when($"value" > 150.0, round($"value" * 100).cast("long"))).as("shc"),
         (max($"value") > 190.0).as("has_extreme"))
+      .withColumn("avg_high", when($"n_high" > 0,
+        expr("(shc * 200 + n_high) div (2 * n_high)").cast("double") / 10000.0))
       .withColumn("share_high", round($"n_high".cast("double") / $"n_total", 4))
       .select($"event_type", $"n_total", $"n_high", $"share_high", $"avg_high", $"has_extreme")
       .orderBy($"event_type")
