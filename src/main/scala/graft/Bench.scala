@@ -4,91 +4,93 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
-  /** Round-8 FINAL per-query seconds (sf0.1, local[8], quiet box — no
-    * concurrent sbt/test JVMs; ALL 149 queries, 0 failures, 0 regressions,
-    * 2 transient reruns; full artifact committed as BENCH_LOCAL_r08.json)
-    * — the regression baseline for round 9, recorded on the regenerated
-    * testdata (us-NTZ events). Flagged slowdowns are re-measured TWICE
-    * before being reported (see below). */
+  /** Round-9 FINAL per-query seconds (sf0.1, local[8], quiet box — no
+    * concurrent sbt/test JVMs; ALL 158 queries, 0 failures, 0 regressions,
+    * 2 transient reruns; full artifact committed as BENCH_LOCAL_r09.json)
+    * — the regression baseline for round 10, recorded after the round-9
+    * determinism fixes (exact-int money arithmetic, decimal-string oracle
+    * rounding). Flagged slowdowns are re-measured TWICE before being
+    * reported (see below). */
   val baselinePrev: Map[String, Double] = Map(
-    "agg_approx" -> 5.138, "agg_approx_pct" -> 2.380,
-    "agg_hll_cube" -> 1.724, "agg_quantile_cube" -> 1.474,
-    "agg_stats" -> 1.449, "asof_native" -> 0.921,
-    "asof_signup" -> 1.153, "bm25_index_search" -> 5.963,
-    "bm25_search" -> 0.904, "bpe_encode" -> 4.106,
-    "bpe_merges" -> 0.948, "clf_train" -> 2.368,
-    "cluster_topics" -> 3.639, "contamination_report" -> 0.972,
-    "corpus_report" -> 0.568, "decontaminate" -> 0.800,
-    "decontaminate_bloom" -> 0.980, "decontaminate_index" -> 1.488,
-    "dedup_admit" -> 3.307, "dedup_cc_keepers" -> 4.077,
-    "dedup_cc_star" -> 4.525, "dedup_closure" -> 4.973,
-    "dedup_containment" -> 3.211, "dedup_delta" -> 1.724,
-    "dedup_exact" -> 0.303, "dedup_fuzzy_verify" -> 1.113,
-    "dedup_minhash" -> 0.934, "dedup_ngram" -> 3.416,
-    "dedup_ngram_keepers" -> 2.631, "dedup_prefix" -> 0.583,
-    "dedup_quality_keepers" -> 4.162, "dedup_simhash" -> 0.348,
-    "dedup_simhash_pairs" -> 1.248, "dedup_spans" -> 0.996,
-    "dedup_spans_keepers" -> 1.114, "dedup_winnow_pairs" -> 1.700,
-    "doc_chunks" -> 0.384, "doc_len_histogram" -> 0.353,
-    "dsir_weights" -> 2.181, "embed_kmeans" -> 1.583,
-    "embed_neardup" -> 3.097, "embed_outliers" -> 2.240,
-    "embed_pq" -> 1.875, "embed_project" -> 0.685,
-    "embed_quantize" -> 0.389, "mm_decode" -> 0.458,
-    "mm_frames" -> 0.250, "mm_resize" -> 0.226,
-    "o10_escape" -> 1.570, "o11_o13_route" -> 2.081,
-    "o12_optout_dim" -> 0.607, "o14_format_values" -> 1.841,
-    "o3_count_range" -> 0.206, "o4_o5_extract" -> 1.200,
-    "o6_o7_anonymize" -> 0.813, "o8_o9_statement_json" -> 1.640,
-    "o8_withfield" -> 1.988, "pack_curriculum" -> 0.661,
-    "pack_shards" -> 0.477, "pack_shuffled" -> 0.426,
-    "pack_window_map" -> 0.407, "pack_windows" -> 0.325,
-    "pipeline_curate" -> 4.723, "pipeline_full" -> 7.873,
-    "pipeline_pack" -> 1.119, "q10_cube" -> 0.430,
-    "q11_full_outer" -> 0.413, "q12_corr_subquery" -> 0.632,
-    "q13_grouping_sets" -> 0.280, "q14_range_frame" -> 0.669,
-    "q15_explode" -> 0.304, "q16_anti" -> 0.484,
-    "q17_window_nav" -> 0.568, "q18_month_series" -> 0.400,
-    "q19_sorted_collect" -> 0.415, "q1_agg" -> 0.470,
-    "q20_cond_agg" -> 0.311, "q21_range_join" -> 0.552,
-    "q22_map_agg" -> 0.360, "q23_corr" -> 0.362,
-    "q24_null_safe" -> 0.463, "q25_array_ops" -> 0.597,
-    "q26_rank_dist" -> 1.197, "q27_datetime" -> 0.383,
-    "q28_regr" -> 0.412, "q29_mode" -> 0.417,
-    "q30_cum_distinct" -> 0.749, "q31_variant" -> 0.624,
-    "q32_lateral" -> 1.063, "q33_gapfill" -> 0.594,
-    "q34_interval_merge" -> 0.857, "q35_unpivot" -> 0.444,
-    "q36_try" -> 1.892, "q37_scd2" -> 0.806,
-    "q38_retention" -> 0.788, "q39_funnel" -> 1.147,
-    "q3_topk" -> 0.747, "q40_transitions" -> 0.869,
-    "q41_twa" -> 0.703, "q5_multijoin" -> 0.934,
-    "q6_rollup" -> 0.447, "q7_percentile" -> 1.897,
-    "q8_pivot" -> 0.407, "q9_exists" -> 0.476,
-    "sample_epochs" -> 0.504, "sample_mix" -> 0.524,
-    "sample_per_group" -> 0.253, "sample_stratified" -> 0.163,
-    "sample_temperature" -> 0.251, "sample_weighted" -> 0.334,
-    "search_rrf" -> 1.087, "semdedup_keepers" -> 1.999,
-    "set_except" -> 0.438, "set_intersect" -> 0.328,
-    "shard_stats" -> 0.316, "sim_ivf_topk" -> 3.162,
-    "sim_ivfpq_topk" -> 4.035, "sim_lsh_banded" -> 1.500,
-    "sim_lsh_bucket" -> 0.707, "sim_pq_adc" -> 2.531,
-    "sim_pqindex_topk" -> 6.409, "sim_topk" -> 0.370,
-    "split_assign" -> 0.306, "text_card_redact" -> 0.340,
-    "text_clf_score" -> 0.889, "text_cms_topk" -> 0.646,
-    "text_collocations" -> 0.948, "text_fingerprint" -> 0.193,
-    "text_gopher_gates" -> 0.695, "text_hash_vec" -> 0.747,
-    "text_kn_heldout" -> 1.818, "text_kn_score" -> 2.175,
-    "text_langid" -> 0.345, "text_lm_score" -> 1.667,
-    "text_novelty" -> 1.128, "text_pii_redact" -> 0.359,
-    "text_quality" -> 0.524, "text_quality_calibrated" -> 0.892,
-    "text_repetition" -> 1.265, "text_tok_freq" -> 0.597,
-    "text_tokens" -> 0.420, "text_tokens_re" -> 0.716,
-    "text_top_tokens" -> 0.208, "text_winnow" -> 0.419,
-    "tfidf_top_terms" -> 1.302, "w1_topn_per_group" -> 0.748,
-    "w2_running_sum" -> 0.583, "w3_sessionize" -> 0.847,
-    "w4_ntile" -> 0.815,
-    // quiet subset recording (cold-start conservative), added after the
-    // full round-8 recording above
-    "q42_dau" -> 2.581)
+"agg_approx" -> 5.307, "agg_approx_pct" -> 2.537,
+    "agg_hll_cube" -> 2.048, "agg_quantile_cube" -> 1.866,
+    "agg_stats" -> 1.886, "asof_native" -> 0.871,
+    "asof_signup" -> 1.482, "bm25_index_search" -> 7.371,
+    "bm25_search" -> 1.207, "bpe_encode" -> 4.965,
+    "bpe_merges" -> 1.028, "clf_train" -> 2.585,
+    "cluster_topics" -> 4.356, "contamination_report" -> 1.123,
+    "corpus_report" -> 0.676, "curate_domain_cap" -> 0.612,
+    "decontaminate" -> 0.905, "decontaminate_bloom" -> 0.989,
+    "decontaminate_index" -> 1.605, "dedup_admit" -> 2.987,
+    "dedup_cc_keepers" -> 3.821, "dedup_cc_star" -> 4.928,
+    "dedup_closure" -> 4.483, "dedup_containment" -> 2.928,
+    "dedup_delta" -> 1.941, "dedup_exact" -> 0.422,
+    "dedup_fuzzy_verify" -> 1.551, "dedup_intradoc" -> 1.353,
+    "dedup_minhash" -> 1.208, "dedup_ngram" -> 4.057,
+    "dedup_ngram_keepers" -> 3.341, "dedup_prefix" -> 0.670,
+    "dedup_quality_keepers" -> 4.813, "dedup_simhash" -> 0.325,
+    "dedup_simhash_pairs" -> 1.137, "dedup_spans" -> 0.997,
+    "dedup_spans_keepers" -> 1.195, "dedup_winnow_pairs" -> 1.926,
+    "doc_chunks" -> 0.456, "doc_len_histogram" -> 0.368,
+    "dsir_weights" -> 2.412, "embed_kmeans" -> 1.739,
+    "embed_mmr" -> 3.473, "embed_neardup" -> 2.907,
+    "embed_outliers" -> 2.574, "embed_pq" -> 2.433,
+    "embed_project" -> 0.742, "embed_quantize" -> 0.471,
+    "mm_decode" -> 0.483, "mm_decode_image" -> 0.302,
+    "mm_decode_wav" -> 0.266, "mm_frames" -> 0.327,
+    "mm_resize" -> 0.323, "mm_resize_image" -> 0.272,
+    "o10_escape" -> 1.475, "o11_o13_route" -> 2.315,
+    "o12_optout_dim" -> 0.796, "o14_format_values" -> 2.217,
+    "o3_count_range" -> 0.203, "o4_o5_extract" -> 1.690,
+    "o6_o7_anonymize" -> 0.848, "o8_o9_statement_json" -> 1.761,
+    "o8_withfield" -> 1.947, "pack_curriculum" -> 0.585,
+    "pack_shards" -> 0.470, "pack_shuffled" -> 0.419,
+    "pack_window_map" -> 0.440, "pack_windows" -> 0.366,
+    "pipeline_curate" -> 4.683, "pipeline_full" -> 8.846,
+    "pipeline_pack" -> 1.313, "q10_cube" -> 0.619,
+    "q11_full_outer" -> 0.490, "q12_corr_subquery" -> 0.798,
+    "q13_grouping_sets" -> 0.479, "q14_range_frame" -> 0.699,
+    "q15_explode" -> 0.287, "q16_anti" -> 0.521,
+    "q17_window_nav" -> 0.582, "q18_month_series" -> 0.387,
+    "q19_sorted_collect" -> 0.330, "q1_agg" -> 0.610,
+    "q20_cond_agg" -> 0.333, "q21_range_join" -> 0.542,
+    "q22_map_agg" -> 0.402, "q23_corr" -> 0.352,
+    "q24_null_safe" -> 0.441, "q25_array_ops" -> 0.521,
+    "q26_rank_dist" -> 1.083, "q27_datetime" -> 0.396,
+    "q28_regr" -> 0.382, "q29_mode" -> 0.357,
+    "q30_cum_distinct" -> 0.645, "q31_variant" -> 0.611,
+    "q32_lateral" -> 0.957, "q33_gapfill" -> 0.456,
+    "q34_interval_merge" -> 0.837, "q35_unpivot" -> 0.337,
+    "q36_try" -> 1.772, "q37_scd2" -> 0.802,
+    "q38_retention" -> 1.002, "q39_funnel" -> 0.890,
+    "q3_topk" -> 0.784, "q40_transitions" -> 0.744,
+    "q41_twa" -> 0.600, "q42_dau" -> 0.719,
+    "q5_multijoin" -> 1.024, "q6_rollup" -> 0.523,
+    "q7_percentile" -> 2.302, "q8_pivot" -> 0.459,
+    "q9_exists" -> 0.476, "sample_epochs" -> 0.445,
+    "sample_mix" -> 0.580, "sample_per_group" -> 0.307,
+    "sample_stratified" -> 0.178, "sample_temperature" -> 0.256,
+    "sample_weighted" -> 0.402, "search_rrf" -> 1.294,
+    "semdedup_keepers" -> 2.213, "set_except" -> 0.433,
+    "set_intersect" -> 0.361, "shard_stats" -> 0.306,
+    "sim_ivf_topk" -> 2.451, "sim_ivfpq_topk" -> 4.175,
+    "sim_lsh_banded" -> 1.737, "sim_lsh_bucket" -> 0.714,
+    "sim_pq_adc" -> 2.732, "sim_pqindex_rescored" -> 7.072,
+    "sim_pqindex_topk" -> 6.596, "sim_topk" -> 0.363,
+    "split_assign" -> 0.296, "split_leakage" -> 2.749,
+    "text_card_redact" -> 0.322, "text_clf_score" -> 0.884,
+    "text_cms_topk" -> 0.686, "text_collocations" -> 1.024,
+    "text_fingerprint" -> 0.173, "text_gopher_gates" -> 0.602,
+    "text_hash_vec" -> 0.654, "text_kn_heldout" -> 1.553,
+    "text_kn_score" -> 1.642, "text_langid" -> 0.257,
+    "text_lm_score" -> 1.436, "text_novelty" -> 0.980,
+    "text_pii_redact" -> 0.311, "text_quality" -> 0.435,
+    "text_quality_calibrated" -> 0.756, "text_repetition" -> 1.277,
+    "text_tok_freq" -> 0.573, "text_tokens" -> 0.319,
+    "text_tokens_re" -> 0.621, "text_top_tokens" -> 0.182,
+    "text_winnow" -> 0.371, "tfidf_top_terms" -> 1.156,
+    "w1_topn_per_group" -> 0.619, "w2_running_sum" -> 0.545,
+    "w3_sessionize" -> 0.754, "w4_ntile" -> 0.735)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
