@@ -44,6 +44,25 @@ object EventTimeOps {
       .select(col("user_id"), col("s.start").as("session_start"),
         col("s.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** EXACT streaming daily active users — the event-time twin of the DAU
+    * leg of `q42_dau`, and the exact counterpart of the approximate
+    * [[streamingHllRegisters]] cube: a watermarked per-(user, day)
+    * `dropDuplicates` (state = one tiny entry per active user-day, evicted
+    * when the watermark passes the day) feeds an ordinary windowed count,
+    * so append mode emits each closed day's exact distinct-user count
+    * once. Choose by cardinality: exact state grows with users/day, the
+    * HLL cube's stays 256 registers — same answer surface, different
+    * memory contract (parity on closed days proven in EventTimeSpec). */
+  def streamingDau(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id"), window(col("ts"), "1 day").as("w"), col("ts"))
+      .dropDuplicates("user_id", "w")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("dau"))
+      .select((unix_timestamp(col("w.start")) / 86400).cast("long").as("day"),
+        col("dau"))
+
   /** Streaming build of the [[graft.analytics.HllSketch]] register cube:
     * `max(rho)` per (cell, bucket) is an ordinary streaming aggregate, so
     * the distinct-count cube stays fresh under continuous ingest with

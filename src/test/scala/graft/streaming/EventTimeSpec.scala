@@ -634,6 +634,39 @@ class EventTimeSpec extends SparkSpec {
     ev.unpersist(): Unit
   }
 
+  test("streaming exact DAU matches batch distinct counts on every watermark-closed day") {
+    val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
+    val ev = graft.Tables(spark, sf("sf0.01")).events.persist()
+    // chronological drops: the watermark must only ever advance, so late
+    // rows are never dropped and the emitted days are exactly the closed ones
+    val bounds = ev.agg(min(expr("CAST(ts AS LONG)")), max(expr("CAST(ts AS LONG)"))).head()
+    val (minTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
+    val midTs = (minTs + maxTs) / 2
+    ev.filter(expr(s"CAST(ts AS LONG) < $midTs")).coalesce(1).write.parquet(s"$srcDir/d0")
+    ev.filter(expr(s"CAST(ts AS LONG) >= $midTs")).coalesce(1).write.parquet(s"$srcDir/d1")
+    val schema = spark.read.parquet(s"$srcDir/d0").schema
+
+    val q = EventTimeOps.streamingDau(
+        Sources.fileStream(spark, s"$srcDir/d*", schema))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir).start()
+    assert(q.awaitTermination(180000), "streaming dau did not finish in time")
+
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("dau")).toMap
+    val batch = ev.select(col("user_id"), expr("CAST(ts AS LONG) div 86400").as("day"))
+      .distinct().groupBy("day").agg(count(lit(1)).as("dau")).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("dau")).toMap
+    // append emits exactly the days whose end the final watermark passed
+    val watermark = maxTs - 600
+    val closed = batch.keySet.filter(d => (d + 1) * 86400 <= watermark)
+    assert(closed.nonEmpty && closed.size >= 2, "corpus should close multiple days")
+    assert(got.keySet == closed)
+    assert(closed.forall(d => got(d) == batch(d)))
+    ev.unpersist(): Unit
+  }
+
   test("streaming source quota matches the batch arrival-order cap on a doc_id-ordered replay") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
