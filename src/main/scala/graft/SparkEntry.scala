@@ -366,8 +366,10 @@ object SparkEntry {
       """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
         |  round(o_totalprice, 2) AS totalprice
         |FROM orders o
-        |WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders i
-        |                      WHERE i.o_custkey = o.o_custkey)
+        |WHERE round(o_totalprice * 100)::BIGINT *
+        |      (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |    > (SELECT sum(round(i.o_totalprice * 100)::BIGINT)
+        |       FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY custkey, orderkey""".stripMargin,
     "q13_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,

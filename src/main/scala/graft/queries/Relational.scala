@@ -188,12 +188,18 @@ object Relational {
     * to an aggregate + join: no per-row re-execution. */
   def q12CorrSubquery(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir).orders.createOrReplaceTempView("orders_v")
+    // "price above the customer's average" as the exact integer
+    // cross-multiplication price_cents·n > Σcents: `> avg(double)` puts a
+    // boundary row's fate at the mercy of accumulation order (q1Agg's
+    // money note — the comparison-predicate form of the same class)
     spark.sql(
       """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
         |  round(o_totalprice, 2) AS totalprice
         |FROM orders_v o
-        |WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders_v i
-        |                      WHERE i.o_custkey = o.o_custkey)
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
+        |      (SELECT count(*) FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+        |    > (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+        |       FROM orders_v i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY custkey, orderkey""".stripMargin)
   }
 
