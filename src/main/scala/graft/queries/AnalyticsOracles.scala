@@ -1672,6 +1672,71 @@ object AnalyticsOracles {
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "embed_mmr" -> mmrSql(nQueries = 3, depth = 12, k = 4, lamNum = 7, lamCompl = 3),
+    "corpus_datasheet" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, lang, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+        |        + 0.3 * (1.0 - punct)
+        |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
+        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
+        |  FROM (SELECT *,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
+        |    FROM tok)),
+        |base AS (
+        |  SELECT tok.doc_id, tok.lang,
+        |    CASE WHEN len(trim(tok.text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(tok.text), '\s+')) END::BIGINT AS n_tok,
+        |    length(tok.text)::BIGINT AS n_chars,
+        |    round(qual.quality * 10000)::BIGINT AS q_micro
+        |  FROM tok JOIN qual ON tok.doc_id = qual.doc_id),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(n_tok)::BIGINT AS st,
+        |        sum(n_chars)::BIGINT AS sc FROM base),
+        |cents AS (SELECT greatest(q_micro, 1) AS c FROM base),
+        |withb AS (SELECT c, length(bin(c))::BIGINT AS b FROM cents),
+        |k AS (
+        |  SELECT CASE WHEN c < 32 THEN c
+        |              ELSE (b - 1) * 32 + ((c >> (b - 6)) & 31) END AS bucket,
+        |         CASE WHEN c < 32 THEN c
+        |              ELSE ((32 + ((c >> (b - 6)) & 31)) << (b - 6)) END AS rep
+        |  FROM withb),
+        |hist AS (SELECT bucket, rep, count(*)::BIGINT AS cnt FROM k GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT rep, cnt,
+        |    sum(cnt) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM hist),
+        |thr AS (SELECT
+        |    min(CASE WHEN cum >= ceil(0.25 * n) THEN rep END)::BIGINT AS p25,
+        |    min(CASE WHEN cum >= ceil(0.5 * n) THEN rep END)::BIGINT AS p50,
+        |    min(CASE WHEN cum >= ceil(0.75 * n) THEN rep END)::BIGINT AS p75
+        |  FROM cum),
+        |spl AS (SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+        |               ELSE 'test' END AS split
+        |        FROM (SELECT ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 AS b
+        |              FROM documents))
+        |SELECT section, metric, value FROM (
+        |  SELECT 'size' AS section, 'n_docs' AS metric, n::DOUBLE AS value FROM tot
+        |  UNION ALL SELECT 'size', 'n_tokens', st::DOUBLE FROM tot
+        |  UNION ALL SELECT 'size', 'n_chars', sc::DOUBLE FROM tot
+        |  UNION ALL SELECT 'size', 'avg_tokens',
+        |    ((st * 20000 + n) // (2 * n))::DOUBLE / 10000.0 FROM tot
+        |  UNION ALL SELECT 'lang_share', lang,
+        |    ((c * 20000 + n) // (2 * n))::DOUBLE / 10000.0
+        |  FROM (SELECT lang, count(*)::BIGINT AS c FROM base GROUP BY lang)
+        |  CROSS JOIN tot
+        |  UNION ALL SELECT 'dedup', 'exact_dup_rate',
+        |    (((n - d) * 20000 + n) // (2 * n))::DOUBLE / 10000.0
+        |  FROM (SELECT count(*)::BIGINT AS n,
+        |        count(DISTINCT sha256(text))::BIGINT AS d FROM documents)
+        |  UNION ALL SELECT 'quality_micro', 'p25', p25::DOUBLE FROM thr
+        |  UNION ALL SELECT 'quality_micro', 'p50', p50::DOUBLE FROM thr
+        |  UNION ALL SELECT 'quality_micro', 'p75', p75::DOUBLE FROM thr
+        |  UNION ALL SELECT 'split', split, count(*)::DOUBLE FROM spl GROUP BY split)
+        |ORDER BY section, metric""".stripMargin,
     "dedup_intradoc" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),

@@ -591,6 +591,65 @@ object AnalyticsQueries {
   }
 
   /** Per-source corpus mix report (docs/tokens/length/lang/dup-rate). */
+  /** The DATASET CARD in one oracled query — the (section, metric, value)
+    * datasheet a corpus release ships with: size totals, per-language
+    * shares, the exact-duplicate rate, quality quartiles read from the
+    * DDSketch histogram (no global sort), and the train/val/test split
+    * sizes. Composes the existing aggregate shapes over ONE cached scoring
+    * pass plus the text-hash pass; every output frame is sections-sized,
+    * every ratio is exact-integer rational rounding (HALF_UP micro-units),
+    * so the whole card hash-matches its SQL twin. At 100 TB this is the
+    * cheap release gate: two corpus scans, no joins wider than a broadcast
+    * 1-row total. */
+  def corpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables(spark, dir).documents
+    val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+        Sampling.strictTokenCount(col("text")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"),
+        round(GraftFunctions.qualityFast(col("text")) * 10000).cast("long").as("q_micro"))
+      .persist()
+    def entry(section: String, metric: String, value: org.apache.spark.sql.Column) =
+      struct(lit(section).as("section"), lit(metric).as("metric"),
+        value.cast("double").as("value"))
+    val size = scored
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("st"), sum(col("n_chars")).as("sc"))
+      .select(explode(array(
+        entry("size", "n_docs", col("n")),
+        entry("size", "n_tokens", col("st")),
+        entry("size", "n_chars", col("sc")),
+        entry("size", "avg_tokens",
+          expr("(st * 20000 + n) div (2 * n)").cast("double") / 10000.0)
+      )).as("r")).select(col("r.*"))
+    val langs = scored.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+      .select(lit("lang_share").as("section"), col("lang").as("metric"),
+        (expr("(c * 20000 + n) div (2 * n)").cast("double") / 10000.0).as("value"))
+    val dup = docs
+      .agg(count(lit(1)).as("n"), count_distinct(sha2(col("text"), 256)).as("d"))
+      .select(lit("dedup").as("section"), lit("exact_dup_rate").as("metric"),
+        (expr("((n - d) * 20000 + n) div (2 * n)").cast("double") / 10000.0).as("value"))
+    val hist = graft.analytics.QuantileSketch.histogram(
+      scored.withColumn("g", lit(1L)), Seq("g"), col("q_micro"))
+    val quartiles = graft.analytics.QuantileSketch.quantiles(hist, Seq("g"),
+        Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
+      .select(explode(array(
+        entry("quality_micro", "p25", col("p25")),
+        entry("quality_micro", "p50", col("p50")),
+        entry("quality_micro", "p75", col("p75"))
+      )).as("r")).select(col("r.*"))
+    val splits = Sampling.splitAssign(docs, "doc_id")
+      .groupBy(col("split")).agg(count(lit(1)).as("c"))
+      .select(lit("split").as("section"), col("split").as("metric"),
+        col("c").cast("double").as("value"))
+    val out = size.unionByName(langs).unionByName(dup)
+      .unionByName(quartiles).unionByName(splits)
+      .orderBy(col("section"), col("metric"))
+      .localCheckpoint(true)
+    scored.unpersist()
+    out
+  }
+
   def corpusReport(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusReport(Tables(spark, dir).documents)
 
@@ -1072,6 +1131,7 @@ object AnalyticsQueries {
     "curate_domain_cap" -> (curateDomainCap(_, _)),
     "dedup_intradoc"   -> (dedupIntradoc(_, _)),
     "split_leakage"    -> (splitLeakage(_, _)),
+    "corpus_datasheet" -> (corpusDatasheet(_, _)),
     "dedup_closure"    -> (dedupClosure(_, _)),
     "embed_kmeans"     -> (embedKmeans(_, _)),
     "embed_quantize"   -> (embedQuantize(_, _)),
