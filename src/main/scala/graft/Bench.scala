@@ -5,92 +5,93 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Round-9 FINAL per-query seconds (sf0.1, local[8], quiet box — no
-    * concurrent sbt/test JVMs; ALL 158 queries, 0 failures, 0 regressions,
-    * 2 transient reruns; full artifact committed as BENCH_LOCAL_r09.json)
+    * concurrent sbt/test JVMs; ALL 159 queries, 0 failures, 0 regressions,
+    * 1 transient rerun; full artifact committed as BENCH_LOCAL_r09.json)
     * — the regression baseline for round 10, recorded after the round-9
     * determinism fixes (exact-int money arithmetic, decimal-string oracle
     * rounding). Flagged slowdowns are re-measured TWICE before being
     * reported (see below). */
   val baselinePrev: Map[String, Double] = Map(
-"agg_approx" -> 5.307, "agg_approx_pct" -> 2.537,
-    "agg_hll_cube" -> 2.048, "agg_quantile_cube" -> 1.866,
-    "agg_stats" -> 1.886, "asof_native" -> 0.871,
-    "asof_signup" -> 1.482, "bm25_index_search" -> 7.371,
-    "bm25_search" -> 1.207, "bpe_encode" -> 4.965,
-    "bpe_merges" -> 1.028, "clf_train" -> 2.585,
-    "cluster_topics" -> 4.356, "contamination_report" -> 1.123,
-    "corpus_report" -> 0.676, "curate_domain_cap" -> 0.612,
-    "decontaminate" -> 0.905, "decontaminate_bloom" -> 0.989,
-    "decontaminate_index" -> 1.605, "dedup_admit" -> 2.987,
-    "dedup_cc_keepers" -> 3.821, "dedup_cc_star" -> 4.928,
-    "dedup_closure" -> 4.483, "dedup_containment" -> 2.928,
-    "dedup_delta" -> 1.941, "dedup_exact" -> 0.422,
-    "dedup_fuzzy_verify" -> 1.551, "dedup_intradoc" -> 1.353,
-    "dedup_minhash" -> 1.208, "dedup_ngram" -> 4.057,
-    "dedup_ngram_keepers" -> 3.341, "dedup_prefix" -> 0.670,
-    "dedup_quality_keepers" -> 4.813, "dedup_simhash" -> 0.325,
-    "dedup_simhash_pairs" -> 1.137, "dedup_spans" -> 0.997,
-    "dedup_spans_keepers" -> 1.195, "dedup_winnow_pairs" -> 1.926,
-    "doc_chunks" -> 0.456, "doc_len_histogram" -> 0.368,
-    "dsir_weights" -> 2.412, "embed_kmeans" -> 1.739,
-    "embed_mmr" -> 3.473, "embed_neardup" -> 2.907,
-    "embed_outliers" -> 2.574, "embed_pq" -> 2.433,
-    "embed_project" -> 0.742, "embed_quantize" -> 0.471,
-    "mm_decode" -> 0.483, "mm_decode_image" -> 0.302,
-    "mm_decode_wav" -> 0.266, "mm_frames" -> 0.327,
-    "mm_resize" -> 0.323, "mm_resize_image" -> 0.272,
-    "o10_escape" -> 1.475, "o11_o13_route" -> 2.315,
-    "o12_optout_dim" -> 0.796, "o14_format_values" -> 2.217,
-    "o3_count_range" -> 0.203, "o4_o5_extract" -> 1.690,
-    "o6_o7_anonymize" -> 0.848, "o8_o9_statement_json" -> 1.761,
-    "o8_withfield" -> 1.947, "pack_curriculum" -> 0.585,
-    "pack_shards" -> 0.470, "pack_shuffled" -> 0.419,
-    "pack_window_map" -> 0.440, "pack_windows" -> 0.366,
-    "pipeline_curate" -> 4.683, "pipeline_full" -> 8.846,
-    "pipeline_pack" -> 1.313, "q10_cube" -> 0.619,
-    "q11_full_outer" -> 0.490, "q12_corr_subquery" -> 0.798,
-    "q13_grouping_sets" -> 0.479, "q14_range_frame" -> 0.699,
-    "q15_explode" -> 0.287, "q16_anti" -> 0.521,
-    "q17_window_nav" -> 0.582, "q18_month_series" -> 0.387,
-    "q19_sorted_collect" -> 0.330, "q1_agg" -> 0.610,
-    "q20_cond_agg" -> 0.333, "q21_range_join" -> 0.542,
-    "q22_map_agg" -> 0.402, "q23_corr" -> 0.352,
-    "q24_null_safe" -> 0.441, "q25_array_ops" -> 0.521,
-    "q26_rank_dist" -> 1.083, "q27_datetime" -> 0.396,
-    "q28_regr" -> 0.382, "q29_mode" -> 0.357,
-    "q30_cum_distinct" -> 0.645, "q31_variant" -> 0.611,
-    "q32_lateral" -> 0.957, "q33_gapfill" -> 0.456,
-    "q34_interval_merge" -> 0.837, "q35_unpivot" -> 0.337,
-    "q36_try" -> 1.772, "q37_scd2" -> 0.802,
-    "q38_retention" -> 1.002, "q39_funnel" -> 0.890,
-    "q3_topk" -> 0.784, "q40_transitions" -> 0.744,
-    "q41_twa" -> 0.600, "q42_dau" -> 0.719,
-    "q5_multijoin" -> 1.024, "q6_rollup" -> 0.523,
-    "q7_percentile" -> 2.302, "q8_pivot" -> 0.459,
-    "q9_exists" -> 0.476, "sample_epochs" -> 0.445,
-    "sample_mix" -> 0.580, "sample_per_group" -> 0.307,
-    "sample_stratified" -> 0.178, "sample_temperature" -> 0.256,
-    "sample_weighted" -> 0.402, "search_rrf" -> 1.294,
-    "semdedup_keepers" -> 2.213, "set_except" -> 0.433,
-    "set_intersect" -> 0.361, "shard_stats" -> 0.306,
-    "sim_ivf_topk" -> 2.451, "sim_ivfpq_topk" -> 4.175,
-    "sim_lsh_banded" -> 1.737, "sim_lsh_bucket" -> 0.714,
-    "sim_pq_adc" -> 2.732, "sim_pqindex_rescored" -> 7.072,
-    "sim_pqindex_topk" -> 6.596, "sim_topk" -> 0.363,
-    "split_assign" -> 0.296, "split_leakage" -> 2.749,
-    "text_card_redact" -> 0.322, "text_clf_score" -> 0.884,
-    "text_cms_topk" -> 0.686, "text_collocations" -> 1.024,
-    "text_fingerprint" -> 0.173, "text_gopher_gates" -> 0.602,
-    "text_hash_vec" -> 0.654, "text_kn_heldout" -> 1.553,
-    "text_kn_score" -> 1.642, "text_langid" -> 0.257,
-    "text_lm_score" -> 1.436, "text_novelty" -> 0.980,
-    "text_pii_redact" -> 0.311, "text_quality" -> 0.435,
-    "text_quality_calibrated" -> 0.756, "text_repetition" -> 1.277,
-    "text_tok_freq" -> 0.573, "text_tokens" -> 0.319,
-    "text_tokens_re" -> 0.621, "text_top_tokens" -> 0.182,
-    "text_winnow" -> 0.371, "tfidf_top_terms" -> 1.156,
-    "w1_topn_per_group" -> 0.619, "w2_running_sum" -> 0.545,
-    "w3_sessionize" -> 0.754, "w4_ntile" -> 0.735)
+"agg_approx" -> 4.754, "agg_approx_pct" -> 2.305,
+    "agg_hll_cube" -> 1.644, "agg_quantile_cube" -> 1.541,
+    "agg_stats" -> 1.659, "asof_native" -> 0.973,
+    "asof_signup" -> 1.587, "bm25_index_search" -> 6.361,
+    "bm25_search" -> 0.946, "bpe_encode" -> 4.941,
+    "bpe_merges" -> 1.209, "clf_train" -> 2.461,
+    "cluster_topics" -> 4.282, "contamination_report" -> 1.201,
+    "corpus_datasheet" -> 1.576, "corpus_report" -> 0.634,
+    "curate_domain_cap" -> 0.725, "decontaminate" -> 0.851,
+    "decontaminate_bloom" -> 0.973, "decontaminate_index" -> 1.281,
+    "dedup_admit" -> 3.236, "dedup_cc_keepers" -> 3.957,
+    "dedup_cc_star" -> 4.568, "dedup_closure" -> 3.945,
+    "dedup_containment" -> 2.789, "dedup_delta" -> 1.632,
+    "dedup_exact" -> 0.322, "dedup_fuzzy_verify" -> 1.166,
+    "dedup_intradoc" -> 1.006, "dedup_minhash" -> 1.026,
+    "dedup_ngram" -> 3.910, "dedup_ngram_keepers" -> 2.886,
+    "dedup_prefix" -> 0.512, "dedup_quality_keepers" -> 4.213,
+    "dedup_simhash" -> 0.295, "dedup_simhash_pairs" -> 1.000,
+    "dedup_spans" -> 0.812, "dedup_spans_keepers" -> 0.977,
+    "dedup_winnow_pairs" -> 1.606, "doc_chunks" -> 0.380,
+    "doc_len_histogram" -> 0.333, "dsir_weights" -> 2.257,
+    "embed_kmeans" -> 1.867, "embed_mmr" -> 2.905,
+    "embed_neardup" -> 3.344, "embed_outliers" -> 2.524,
+    "embed_pq" -> 2.135, "embed_project" -> 0.646,
+    "embed_quantize" -> 0.398, "mm_decode" -> 0.378,
+    "mm_decode_image" -> 0.276, "mm_decode_wav" -> 0.302,
+    "mm_frames" -> 0.270, "mm_resize" -> 0.249,
+    "mm_resize_image" -> 0.202, "o10_escape" -> 1.446,
+    "o11_o13_route" -> 2.308, "o12_optout_dim" -> 0.751,
+    "o14_format_values" -> 2.449, "o3_count_range" -> 0.165,
+    "o4_o5_extract" -> 1.512, "o6_o7_anonymize" -> 0.843,
+    "o8_o9_statement_json" -> 1.935, "o8_withfield" -> 1.629,
+    "pack_curriculum" -> 0.594, "pack_shards" -> 0.427,
+    "pack_shuffled" -> 0.422, "pack_window_map" -> 0.432,
+    "pack_windows" -> 0.338, "pipeline_curate" -> 4.789,
+    "pipeline_full" -> 8.819, "pipeline_pack" -> 1.125,
+    "q10_cube" -> 0.576, "q11_full_outer" -> 0.413,
+    "q12_corr_subquery" -> 0.853, "q13_grouping_sets" -> 0.339,
+    "q14_range_frame" -> 0.809, "q15_explode" -> 0.309,
+    "q16_anti" -> 0.480, "q17_window_nav" -> 0.570,
+    "q18_month_series" -> 0.441, "q19_sorted_collect" -> 0.326,
+    "q1_agg" -> 0.533, "q20_cond_agg" -> 0.360,
+    "q21_range_join" -> 0.558, "q22_map_agg" -> 0.447,
+    "q23_corr" -> 0.363, "q24_null_safe" -> 0.431,
+    "q25_array_ops" -> 0.512, "q26_rank_dist" -> 0.911,
+    "q27_datetime" -> 0.352, "q28_regr" -> 0.341,
+    "q29_mode" -> 0.328, "q30_cum_distinct" -> 0.655,
+    "q31_variant" -> 0.565, "q32_lateral" -> 0.948,
+    "q33_gapfill" -> 0.434, "q34_interval_merge" -> 0.811,
+    "q35_unpivot" -> 0.316, "q36_try" -> 1.576,
+    "q37_scd2" -> 0.812, "q38_retention" -> 0.622,
+    "q39_funnel" -> 0.851, "q3_topk" -> 0.746,
+    "q40_transitions" -> 0.773, "q41_twa" -> 0.659,
+    "q42_dau" -> 0.752, "q5_multijoin" -> 1.019,
+    "q6_rollup" -> 0.517, "q7_percentile" -> 2.177,
+    "q8_pivot" -> 0.602, "q9_exists" -> 0.495,
+    "sample_epochs" -> 0.446, "sample_mix" -> 0.605,
+    "sample_per_group" -> 0.314, "sample_stratified" -> 0.201,
+    "sample_temperature" -> 0.286, "sample_weighted" -> 0.333,
+    "search_rrf" -> 1.313, "semdedup_keepers" -> 1.989,
+    "set_except" -> 0.434, "set_intersect" -> 0.419,
+    "shard_stats" -> 0.349, "sim_ivf_topk" -> 2.591,
+    "sim_ivfpq_topk" -> 4.342, "sim_lsh_banded" -> 1.680,
+    "sim_lsh_bucket" -> 0.729, "sim_pq_adc" -> 3.109,
+    "sim_pqindex_rescored" -> 7.351, "sim_pqindex_topk" -> 6.941,
+    "sim_topk" -> 0.452, "split_assign" -> 0.305,
+    "split_leakage" -> 2.716, "text_card_redact" -> 0.397,
+    "text_clf_score" -> 0.961, "text_cms_topk" -> 0.684,
+    "text_collocations" -> 1.079, "text_fingerprint" -> 0.190,
+    "text_gopher_gates" -> 0.630, "text_hash_vec" -> 0.674,
+    "text_kn_heldout" -> 1.732, "text_kn_score" -> 1.791,
+    "text_langid" -> 0.269, "text_lm_score" -> 1.331,
+    "text_novelty" -> 1.029, "text_pii_redact" -> 0.318,
+    "text_quality" -> 0.452, "text_quality_calibrated" -> 0.778,
+    "text_repetition" -> 1.195, "text_tok_freq" -> 0.560,
+    "text_tokens" -> 0.315, "text_tokens_re" -> 0.627,
+    "text_top_tokens" -> 0.187, "text_winnow" -> 0.369,
+    "tfidf_top_terms" -> 1.073, "w1_topn_per_group" -> 0.578,
+    "w2_running_sum" -> 0.493, "w3_sessionize" -> 0.736,
+    "w4_ntile" -> 0.744)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
