@@ -58,6 +58,58 @@ class MmrCapSpec extends SparkSpec {
     assert(first == Seq(5L))
   }
 
+  test("mmrTopK differential: matches an independent driver-side greedy on random corpora") {
+    // exact replicas of the engine's arithmetic: sequential-fold cosine,
+    // Spark's decimal-string HALF_UP rounding, integer micro-unit scores
+    def round6(x: Double): Double =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def micro(x: Double): Long =
+      new java.math.BigDecimal(java.lang.Double.toString(x * 1e6))
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    def cosq(a: Seq[Double], b: Seq[Double]): Long = {
+      val dot = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      def n(v: Seq[Double]) = math.sqrt(v.map(z => z * z).foldLeft(0.0)(_ + _))
+      micro(round6(dot / (n(a) * n(b))))
+    }
+    for (seed <- 1 to 4) {
+      // deterministic LCG vectors (floats first: the table column is float)
+      var s = seed.toLong
+      def next(): Double = { s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 33).toDouble / (1L << 31).toDouble - 0.5) }
+      val vecs = (0L until 9L).map(i =>
+        i -> Seq.fill(5)(next().toFloat.toDouble)).toMap
+      val (k, depth, ln, lc) = (3, 7, 7L, 3L)
+      // independent greedy: top-depth by (cosq desc, id), then k argmax steps
+      val q = vecs(0L)
+      val cand = vecs.keys.filter(_ != 0L).toSeq
+        .map(i => i -> cosq(q, vecs(i)))
+        .sortBy { case (i, c) => (-c, i) }.take(depth)
+      var selected = List.empty[(Long, Long, Long)] // (step, id, score)
+      for (step <- 1 to k) {
+        val rem = cand.filterNot { case (i, _) => selected.exists(_._2 == i) }
+        if (rem.nonEmpty) {
+          val scored = rem.map { case (i, cq) =>
+            val maxsel =
+              if (selected.isEmpty) 0L
+              else selected.map(sel => cosq(vecs(i), vecs(sel._2))).max
+            (i, if (selected.isEmpty) ln * cq else ln * cq - lc * maxsel)
+          }
+          val (id, sc) = scored.minBy { case (i, v) => (-v, i) }
+          selected = selected :+ ((step.toLong, id, sc))
+        }
+      }
+      val e = vecs.toSeq.map { case (i, v) => (i, v) }.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      val got = Similarity.mmrTopK(e, e.filter($"vec_id" === 0L), k = k,
+          depth = depth, lamNum = ln, lamCompl = lc)
+        .orderBy($"step").collect()
+        .map(r => (r.getAs[Long]("step"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("mmr_score"))).toList
+      assert(got == selected, s"seed $seed")
+    }
+  }
+
   private def docs(rows: (Long, String, String)*) =
     rows.toSeq.toDF("doc_id", "source", "text")
 
