@@ -915,9 +915,12 @@ object Dedup {
       .agg(sum(col("from_train")).as("lt"), sum(col("from_val")).as("lv"))
     // denominators from the split assignment itself: docs too short to
     // shingle never leak but still belong to the split
+    // materialize the 3-row rollup ONCE: the three output branches below
+    // would otherwise each re-run the corpus-sized shingle aggregation
     val agg = withSplit.groupBy("split").agg(count(lit(1)).as("n_docs"))
       .join(leaked, Seq("split"), "left")
       .na.fill(0L, Seq("lt", "lv"))
+      .localCheckpoint(true)
     def row(from: String, to: String, leakCol: String) =
       agg.filter(col("split") === to)
         .select(lit(from).as("from_split"), lit(to).as("to_split"),

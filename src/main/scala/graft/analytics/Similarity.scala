@@ -319,8 +319,15 @@ object Similarity {
         .agg(max(col("sim")).as("maxsel"))
       val scored = rem.join(ms, Seq("query_id", "vec_id"))
         .withColumn("score", col("cosq") * lamNum - col("maxsel") * lamCompl)
+      // checkpoint the ≤|queries|·s-row frame each round: `selected` feeds
+      // THREE legs of the next step (anti-join, sim join, union), so an
+      // un-checkpointed unroll re-embeds every earlier step's subtree per
+      // leg — plan size (and repeated tiny-join work) grows exponentially
+      // in k (measured: 212 exchanges at k=4). Eager tiny barriers keep
+      // the unrolled plan linear in k.
       selected = selected.unionByName(
         pick(scored).withColumn("step", lit(s.toLong)))
+        .localCheckpoint(true)
     }
     selected.select(col("query_id"), col("step"), col("vec_id"), col("mmr_score"))
   }
