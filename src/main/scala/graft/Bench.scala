@@ -6,92 +6,93 @@ object Bench {
 
   /** Round-9 FINAL per-query seconds (sf0.1, local[8], quiet box — no
     * concurrent sbt/test JVMs; ALL 159 queries, 0 failures, 0 regressions,
-    * 1 transient rerun; full artifact committed as BENCH_LOCAL_r09.json)
+    * 14 transient reruns (noisier box than the interim recording; every
+    * flag cleared by the re-measure protocol); full artifact committed as BENCH_LOCAL_r09.json)
     * — the regression baseline for round 10, recorded after the round-9
     * determinism fixes (exact-int money arithmetic, decimal-string oracle
     * rounding). Flagged slowdowns are re-measured TWICE before being
     * reported (see below). */
   val baselinePrev: Map[String, Double] = Map(
-"agg_approx" -> 4.754, "agg_approx_pct" -> 2.305,
-    "agg_hll_cube" -> 1.644, "agg_quantile_cube" -> 1.541,
-    "agg_stats" -> 1.659, "asof_native" -> 0.973,
-    "asof_signup" -> 1.587, "bm25_index_search" -> 6.361,
-    "bm25_search" -> 0.946, "bpe_encode" -> 4.941,
-    "bpe_merges" -> 1.209, "clf_train" -> 2.461,
-    "cluster_topics" -> 4.282, "contamination_report" -> 1.201,
-    "corpus_datasheet" -> 1.576, "corpus_report" -> 0.634,
-    "curate_domain_cap" -> 0.725, "decontaminate" -> 0.851,
-    "decontaminate_bloom" -> 0.973, "decontaminate_index" -> 1.281,
-    "dedup_admit" -> 3.236, "dedup_cc_keepers" -> 3.957,
-    "dedup_cc_star" -> 4.568, "dedup_closure" -> 3.945,
-    "dedup_containment" -> 2.789, "dedup_delta" -> 1.632,
-    "dedup_exact" -> 0.322, "dedup_fuzzy_verify" -> 1.166,
-    "dedup_intradoc" -> 1.006, "dedup_minhash" -> 1.026,
-    "dedup_ngram" -> 3.910, "dedup_ngram_keepers" -> 2.886,
-    "dedup_prefix" -> 0.512, "dedup_quality_keepers" -> 4.213,
-    "dedup_simhash" -> 0.295, "dedup_simhash_pairs" -> 1.000,
-    "dedup_spans" -> 0.812, "dedup_spans_keepers" -> 0.977,
-    "dedup_winnow_pairs" -> 1.606, "doc_chunks" -> 0.380,
-    "doc_len_histogram" -> 0.333, "dsir_weights" -> 2.257,
-    "embed_kmeans" -> 1.867, "embed_mmr" -> 2.905,
-    "embed_neardup" -> 3.344, "embed_outliers" -> 2.524,
-    "embed_pq" -> 2.135, "embed_project" -> 0.646,
-    "embed_quantize" -> 0.398, "mm_decode" -> 0.378,
-    "mm_decode_image" -> 0.276, "mm_decode_wav" -> 0.302,
-    "mm_frames" -> 0.270, "mm_resize" -> 0.249,
-    "mm_resize_image" -> 0.202, "o10_escape" -> 1.446,
-    "o11_o13_route" -> 2.308, "o12_optout_dim" -> 0.751,
-    "o14_format_values" -> 2.449, "o3_count_range" -> 0.165,
-    "o4_o5_extract" -> 1.512, "o6_o7_anonymize" -> 0.843,
-    "o8_o9_statement_json" -> 1.935, "o8_withfield" -> 1.629,
-    "pack_curriculum" -> 0.594, "pack_shards" -> 0.427,
-    "pack_shuffled" -> 0.422, "pack_window_map" -> 0.432,
-    "pack_windows" -> 0.338, "pipeline_curate" -> 4.789,
-    "pipeline_full" -> 8.819, "pipeline_pack" -> 1.125,
-    "q10_cube" -> 0.576, "q11_full_outer" -> 0.413,
-    "q12_corr_subquery" -> 0.853, "q13_grouping_sets" -> 0.339,
-    "q14_range_frame" -> 0.809, "q15_explode" -> 0.309,
-    "q16_anti" -> 0.480, "q17_window_nav" -> 0.570,
-    "q18_month_series" -> 0.441, "q19_sorted_collect" -> 0.326,
-    "q1_agg" -> 0.533, "q20_cond_agg" -> 0.360,
-    "q21_range_join" -> 0.558, "q22_map_agg" -> 0.447,
-    "q23_corr" -> 0.363, "q24_null_safe" -> 0.431,
-    "q25_array_ops" -> 0.512, "q26_rank_dist" -> 0.911,
-    "q27_datetime" -> 0.352, "q28_regr" -> 0.341,
-    "q29_mode" -> 0.328, "q30_cum_distinct" -> 0.655,
-    "q31_variant" -> 0.565, "q32_lateral" -> 0.948,
-    "q33_gapfill" -> 0.434, "q34_interval_merge" -> 0.811,
-    "q35_unpivot" -> 0.316, "q36_try" -> 1.576,
-    "q37_scd2" -> 0.812, "q38_retention" -> 0.622,
-    "q39_funnel" -> 0.851, "q3_topk" -> 0.746,
-    "q40_transitions" -> 0.773, "q41_twa" -> 0.659,
-    "q42_dau" -> 0.752, "q5_multijoin" -> 1.019,
-    "q6_rollup" -> 0.517, "q7_percentile" -> 2.177,
-    "q8_pivot" -> 0.602, "q9_exists" -> 0.495,
-    "sample_epochs" -> 0.446, "sample_mix" -> 0.605,
-    "sample_per_group" -> 0.314, "sample_stratified" -> 0.201,
-    "sample_temperature" -> 0.286, "sample_weighted" -> 0.333,
-    "search_rrf" -> 1.313, "semdedup_keepers" -> 1.989,
-    "set_except" -> 0.434, "set_intersect" -> 0.419,
-    "shard_stats" -> 0.349, "sim_ivf_topk" -> 2.591,
-    "sim_ivfpq_topk" -> 4.342, "sim_lsh_banded" -> 1.680,
-    "sim_lsh_bucket" -> 0.729, "sim_pq_adc" -> 3.109,
-    "sim_pqindex_rescored" -> 7.351, "sim_pqindex_topk" -> 6.941,
-    "sim_topk" -> 0.452, "split_assign" -> 0.305,
-    "split_leakage" -> 2.716, "text_card_redact" -> 0.397,
-    "text_clf_score" -> 0.961, "text_cms_topk" -> 0.684,
-    "text_collocations" -> 1.079, "text_fingerprint" -> 0.190,
-    "text_gopher_gates" -> 0.630, "text_hash_vec" -> 0.674,
-    "text_kn_heldout" -> 1.732, "text_kn_score" -> 1.791,
-    "text_langid" -> 0.269, "text_lm_score" -> 1.331,
-    "text_novelty" -> 1.029, "text_pii_redact" -> 0.318,
-    "text_quality" -> 0.452, "text_quality_calibrated" -> 0.778,
-    "text_repetition" -> 1.195, "text_tok_freq" -> 0.560,
-    "text_tokens" -> 0.315, "text_tokens_re" -> 0.627,
-    "text_top_tokens" -> 0.187, "text_winnow" -> 0.369,
-    "tfidf_top_terms" -> 1.073, "w1_topn_per_group" -> 0.578,
-    "w2_running_sum" -> 0.493, "w3_sessionize" -> 0.736,
-    "w4_ntile" -> 0.744)
+"agg_approx" -> 2.621, "agg_approx_pct" -> 1.818,
+    "agg_hll_cube" -> 0.757, "agg_quantile_cube" -> 0.852,
+    "agg_stats" -> 1.279, "asof_native" -> 1.163,
+    "asof_signup" -> 1.714, "bm25_index_search" -> 5.310,
+    "bm25_search" -> 1.284, "bpe_encode" -> 4.104,
+    "bpe_merges" -> 1.290, "clf_train" -> 2.000,
+    "cluster_topics" -> 5.138, "contamination_report" -> 1.278,
+    "corpus_datasheet" -> 1.760, "corpus_report" -> 0.710,
+    "curate_domain_cap" -> 0.722, "decontaminate" -> 1.119,
+    "decontaminate_bloom" -> 1.386, "decontaminate_index" -> 1.495,
+    "dedup_admit" -> 3.593, "dedup_cc_keepers" -> 4.797,
+    "dedup_cc_star" -> 5.095, "dedup_closure" -> 4.020,
+    "dedup_containment" -> 3.011, "dedup_delta" -> 2.061,
+    "dedup_exact" -> 0.490, "dedup_fuzzy_verify" -> 1.479,
+    "dedup_intradoc" -> 1.066, "dedup_minhash" -> 1.177,
+    "dedup_ngram" -> 3.930, "dedup_ngram_keepers" -> 3.271,
+    "dedup_prefix" -> 0.713, "dedup_quality_keepers" -> 4.168,
+    "dedup_simhash" -> 0.388, "dedup_simhash_pairs" -> 1.227,
+    "dedup_spans" -> 1.099, "dedup_spans_keepers" -> 1.135,
+    "dedup_winnow_pairs" -> 1.890, "doc_chunks" -> 0.450,
+    "doc_len_histogram" -> 0.406, "dsir_weights" -> 2.651,
+    "embed_kmeans" -> 1.960, "embed_mmr" -> 2.058,
+    "embed_neardup" -> 3.399, "embed_outliers" -> 2.995,
+    "embed_pq" -> 2.310, "embed_project" -> 0.848,
+    "embed_quantize" -> 0.478, "mm_decode" -> 0.455,
+    "mm_decode_image" -> 0.324, "mm_decode_wav" -> 0.308,
+    "mm_frames" -> 0.317, "mm_resize" -> 0.298,
+    "mm_resize_image" -> 0.255, "o10_escape" -> 1.608,
+    "o11_o13_route" -> 2.657, "o12_optout_dim" -> 0.882,
+    "o14_format_values" -> 2.888, "o3_count_range" -> 0.161,
+    "o4_o5_extract" -> 1.486, "o6_o7_anonymize" -> 1.049,
+    "o8_o9_statement_json" -> 1.845, "o8_withfield" -> 1.857,
+    "pack_curriculum" -> 0.650, "pack_shards" -> 0.493,
+    "pack_shuffled" -> 0.464, "pack_window_map" -> 0.435,
+    "pack_windows" -> 0.417, "pipeline_curate" -> 5.251,
+    "pipeline_full" -> 9.073, "pipeline_pack" -> 1.498,
+    "q10_cube" -> 0.644, "q11_full_outer" -> 0.554,
+    "q12_corr_subquery" -> 0.860, "q13_grouping_sets" -> 0.378,
+    "q14_range_frame" -> 0.939, "q15_explode" -> 0.349,
+    "q16_anti" -> 0.602, "q17_window_nav" -> 0.819,
+    "q18_month_series" -> 0.541, "q19_sorted_collect" -> 0.398,
+    "q1_agg" -> 0.725, "q20_cond_agg" -> 0.421,
+    "q21_range_join" -> 0.715, "q22_map_agg" -> 0.482,
+    "q23_corr" -> 0.421, "q24_null_safe" -> 0.530,
+    "q25_array_ops" -> 0.715, "q26_rank_dist" -> 1.047,
+    "q27_datetime" -> 0.446, "q28_regr" -> 0.429,
+    "q29_mode" -> 0.432, "q30_cum_distinct" -> 0.729,
+    "q31_variant" -> 0.749, "q32_lateral" -> 1.177,
+    "q33_gapfill" -> 0.503, "q34_interval_merge" -> 1.000,
+    "q35_unpivot" -> 0.380, "q36_try" -> 1.733,
+    "q37_scd2" -> 0.896, "q38_retention" -> 0.775,
+    "q39_funnel" -> 1.148, "q3_topk" -> 0.963,
+    "q40_transitions" -> 0.853, "q41_twa" -> 0.731,
+    "q42_dau" -> 0.844, "q5_multijoin" -> 1.202,
+    "q6_rollup" -> 0.507, "q7_percentile" -> 2.329,
+    "q8_pivot" -> 0.638, "q9_exists" -> 0.512,
+    "sample_epochs" -> 0.486, "sample_mix" -> 0.606,
+    "sample_per_group" -> 0.362, "sample_stratified" -> 0.205,
+    "sample_temperature" -> 0.303, "sample_weighted" -> 0.376,
+    "search_rrf" -> 1.405, "semdedup_keepers" -> 2.452,
+    "set_except" -> 0.479, "set_intersect" -> 0.385,
+    "shard_stats" -> 0.360, "sim_ivf_topk" -> 3.096,
+    "sim_ivfpq_topk" -> 4.985, "sim_lsh_banded" -> 2.005,
+    "sim_lsh_bucket" -> 0.667, "sim_pq_adc" -> 3.086,
+    "sim_pqindex_rescored" -> 7.770, "sim_pqindex_topk" -> 7.274,
+    "sim_topk" -> 0.484, "split_assign" -> 0.330,
+    "split_leakage" -> 2.614, "text_card_redact" -> 0.403,
+    "text_clf_score" -> 0.985, "text_cms_topk" -> 0.720,
+    "text_collocations" -> 1.160, "text_fingerprint" -> 0.176,
+    "text_gopher_gates" -> 0.641, "text_hash_vec" -> 0.715,
+    "text_kn_heldout" -> 1.789, "text_kn_score" -> 1.985,
+    "text_langid" -> 0.258, "text_lm_score" -> 1.510,
+    "text_novelty" -> 1.199, "text_pii_redact" -> 0.352,
+    "text_quality" -> 0.479, "text_quality_calibrated" -> 0.850,
+    "text_repetition" -> 1.384, "text_tok_freq" -> 0.627,
+    "text_tokens" -> 0.387, "text_tokens_re" -> 0.763,
+    "text_top_tokens" -> 0.253, "text_winnow" -> 0.420,
+    "tfidf_top_terms" -> 1.298, "w1_topn_per_group" -> 0.712,
+    "w2_running_sum" -> 0.618, "w3_sessionize" -> 0.933,
+    "w4_ntile" -> 0.853)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
