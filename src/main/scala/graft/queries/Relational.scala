@@ -949,18 +949,28 @@ object Relational {
     * |types|²-sized; totals broadcast-join back. */
   def q40Transitions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
-    val withNext = Tables(spark, dir).events
-      .select($"user_id", $"event_id", $"event_type", expr("unix_micros(ts)").as("us"))
-      .withColumn("to_type", lead($"event_type", 1).over(w))
-      .filter($"to_type".isNotNull)
-    val counts = withNext.groupBy($"event_type".as("from_type"), $"to_type")
-      .agg(count(lit(1)).as("n"))
+    val counts = transitionCounts(Tables(spark, dir).events)
     val totals = counts.groupBy($"from_type").agg(sum($"n").as("total"))
     counts.join(broadcast(totals), "from_type")
       .withColumn("p", round($"n".cast("double") / $"total", 4))
       .select($"from_type", $"to_type", $"n", $"p")
       .orderBy($"from_type", $"to_type")
+  }
+
+  /** The (from, to) adjacency counts under [[q40Transitions]] — the shared
+    * core of the batch matrix and the streaming delta twin's parity
+    * assertion ([[graft.streaming.EventTimeOps.streamingTransitions]]):
+    * adjacency is defined on each user's (us, event_id)-sorted sequence. */
+  def transitionCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    events
+      .select($"user_id", $"event_id", $"event_type", expr("unix_micros(ts)").as("us"))
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
   }
 
   /** Time-weighted average of `value` per user — the irregular-sampling

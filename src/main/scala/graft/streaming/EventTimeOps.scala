@@ -425,6 +425,71 @@ object EventTimeOps {
       }
   }
 
+  final case class TransIn(user_id: Long, event_id: Long, us: Long,
+                           event_type: String)
+  final case class TransState(events: List[(Long, Long, String)])
+  /** A signed adjacency-count contribution: the matrix is `sum(delta)`
+    * per (from_type, to_type) over everything emitted. */
+  final case class TransDelta(user_id: Long, from_type: String,
+                              to_type: String, delta: Long)
+
+  /** Streaming event-transition matrix — the stateful twin of
+    * `q40_transitions`, and the operator where out-of-order arrival forces
+    * true RETRACTIONS: adjacency is defined on each user's time-sorted
+    * sequence, so a late event landing BETWEEN two already-paired events
+    * splits the pair (a,c) into (a,b) and (b,c) — the (a,c) count emitted
+    * earlier is now WRONG, not merely stale. Emissions are therefore
+    * signed deltas (the multiset difference between the user's new and old
+    * adjacency-pair lists); the matrix at read time is the plain additive
+    * `sum(delta)` per (from, to) — no last-write-wins bookkeeping, and the
+    * sum equals the batch matrix exactly over everything ingested
+    * (EventTimeSpec proves equality under a parity split AND that negative
+    * deltas actually fire).
+    *
+    * State is the user's (us, event_id, type) sequence — the one operator
+    * in this family whose exactness genuinely needs the full ordered
+    * history (any dropped event corrupts adjacency around it), so
+    * `maxBuffer` is an explicit exactness-vs-memory valve for hostile keys
+    * (keeps the EARLIEST events; beyond it, late splices past the horizon
+    * are lost) and the TTL contract is the usual one: leave None for
+    * bounded replays, set it for continuous streams where a user's history
+    * naturally closes. */
+  def streamingTransitions(events: DataFrame, ttlMs: Option[Long] = None,
+                           maxBuffer: Int = 100000)
+                          (implicit spark: SparkSession): Dataset[TransDelta] = {
+    import spark.implicits._
+    val ev = events
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"),
+        col("event_type"))
+      .as[TransIn]
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransDelta](
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeoutConf) {
+        (uid: Long, rows: Iterator[TransIn], state: GroupState[TransState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val old = state.getOption.map(_.events).getOrElse(Nil)
+            val add = rows.map(r => (r.us, r.event_id, r.event_type)).toList
+            val merged = (old ++ add).sortBy(t => (t._1, t._2)).take(maxBuffer)
+            def pairs(l: List[(Long, Long, String)]) =
+              l.lazyZip(l.drop(1)).map((a, b) => (a._3, b._3))
+            val deltas = scala.collection.mutable.Map.empty[(String, String), Long]
+            pairs(merged).foreach(p => deltas(p) = deltas.getOrElse(p, 0L) + 1)
+            pairs(old).foreach(p => deltas(p) = deltas.getOrElse(p, 0L) - 1)
+            state.update(TransState(merged))
+            ttlMs.foreach(state.setTimeoutDuration)
+            deltas.iterator.collect { case ((f, t), d) if d != 0 =>
+              TransDelta(uid, f, t, d)
+            }.toList.iterator
+          }
+      }
+  }
+
   final case class QuotaIn(source: String, doc_id: Long)
   final case class QuotaState(admitted: Long)
   final case class QuotaVerdict(source: String, doc_id: Long,

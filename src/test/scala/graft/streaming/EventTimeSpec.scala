@@ -634,6 +634,37 @@ class EventTimeSpec extends SparkSpec {
     ev.unpersist(): Unit
   }
 
+  test("streaming transitions sum to the batch matrix with real retractions under out-of-order arrival") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
+    val ev = graft.Tables(spark, sf("sf0.01")).events.persist()
+    // parity split: for most users batch 2 splices late events BETWEEN
+    // already-adjacent pairs, so earlier (a,c) counts must be retracted
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/d0")
+    ev.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/d1")
+    val schema = spark.read.parquet(s"$srcDir/d0").schema
+
+    val q = EventTimeOps.streamingTransitions(
+        Sources.fileStream(spark, s"$srcDir/d*", schema))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir).start()
+    assert(q.awaitTermination(180000), "streaming transitions did not finish in time")
+
+    val emitted = spark.read.parquet(outDir)
+    // the retraction path really fired: some pair's earlier count came back
+    assert(emitted.filter(col("delta") < 0).count() > 0,
+      "expected negative deltas from spliced-in late events")
+    // read rule: the matrix is the plain additive sum of deltas
+    val got = emitted.groupBy("from_type", "to_type")
+      .agg(sum(col("delta")).as("n")).filter(col("n") =!= 0).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    val want = graft.queries.Relational.transitionCounts(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(want.nonEmpty && got == want)
+    ev.unpersist(): Unit
+  }
+
   test("streaming exact DAU matches batch distinct counts on every watermark-closed day") {
     val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
     val ev = graft.Tables(spark, sf("sf0.01")).events.persist()
