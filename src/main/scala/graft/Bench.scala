@@ -4,95 +4,95 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
-  /** Round-9 FINAL per-query seconds (sf0.1, local[8], quiet box — no
-    * concurrent sbt/test JVMs; ALL 159 queries, 0 failures, 0 regressions,
-    * 14 transient reruns (noisier box than the interim recording; every
-    * flag cleared by the re-measure protocol); full artifact committed as BENCH_LOCAL_r09.json)
-    * — the regression baseline for round 10, recorded after the round-9
-    * determinism fixes (exact-int money arithmetic, decimal-string oracle
-    * rounding). Flagged slowdowns are re-measured TWICE before being
-    * reported (see below). */
+  /** Round-9 FINAL regression baseline: per-query MINIMUM over the three
+    * closing quiet recordings (sf0.1, local[8]; 159-, 160-, and 160-query
+    * runs, each 0 failures / 0 regressions) — the box turned ~35% noisier
+    * between them for reasons outside this repo, so the minimum keeps the
+    * round-10 gate TIGHT instead of baking host noise into the baseline.
+    * The committed artifact BENCH_LOCAL_r09.json is the last complete
+    * single run verbatim. Flagged slowdowns are re-measured TWICE before
+    * being reported (see below). */
   val baselinePrev: Map[String, Double] = Map(
-"agg_approx" -> 2.621, "agg_approx_pct" -> 1.818,
-    "agg_hll_cube" -> 0.757, "agg_quantile_cube" -> 0.852,
-    "agg_stats" -> 1.279, "asof_native" -> 1.163,
-    "asof_signup" -> 1.714, "bm25_index_search" -> 5.310,
-    "bm25_search" -> 1.284, "bpe_encode" -> 4.104,
-    "bpe_merges" -> 1.290, "clf_train" -> 2.000,
-    "cluster_topics" -> 5.138, "contamination_report" -> 1.278,
-    "corpus_datasheet" -> 1.760, "corpus_report" -> 0.710,
-    "curate_domain_cap" -> 0.722, "decontaminate" -> 1.119,
-    "decontaminate_bloom" -> 1.386, "decontaminate_index" -> 1.495,
-    "dedup_admit" -> 3.593, "dedup_cc_keepers" -> 4.797,
-    "dedup_cc_star" -> 5.095, "dedup_closure" -> 4.020,
-    "dedup_containment" -> 3.011, "dedup_delta" -> 2.061,
-    "dedup_exact" -> 0.490, "dedup_fuzzy_verify" -> 1.479,
-    "dedup_intradoc" -> 1.066, "dedup_minhash" -> 1.177,
-    "dedup_ngram" -> 3.930, "dedup_ngram_keepers" -> 3.271,
-    "dedup_prefix" -> 0.713, "dedup_quality_keepers" -> 4.168,
-    "dedup_simhash" -> 0.388, "dedup_simhash_pairs" -> 1.227,
-    "dedup_spans" -> 1.099, "dedup_spans_keepers" -> 1.135,
-    "dedup_winnow_pairs" -> 1.890, "doc_chunks" -> 0.450,
-    "doc_len_histogram" -> 0.406, "dsir_weights" -> 2.651,
-    "embed_kmeans" -> 1.960, "embed_mmr" -> 2.058,
-    "embed_neardup" -> 3.399, "embed_outliers" -> 2.995,
-    "embed_pq" -> 2.310, "embed_project" -> 0.848,
-    "embed_quantize" -> 0.478, "mm_decode" -> 0.455,
-    "mm_decode_image" -> 0.324, "mm_decode_wav" -> 0.308,
-    "mm_frames" -> 0.317, "mm_resize" -> 0.298,
-    "mm_resize_image" -> 0.255, "o10_escape" -> 1.608,
-    "o11_o13_route" -> 2.657, "o12_optout_dim" -> 0.882,
-    "o14_format_values" -> 2.888, "o3_count_range" -> 0.161,
-    "o4_o5_extract" -> 1.486, "o6_o7_anonymize" -> 1.049,
-    "o8_o9_statement_json" -> 1.845, "o8_withfield" -> 1.857,
-    "pack_curriculum" -> 0.650, "pack_shards" -> 0.493,
-    "pack_shuffled" -> 0.464, "pack_window_map" -> 0.435,
-    "pack_windows" -> 0.417, "pipeline_curate" -> 5.251,
-    "pipeline_full" -> 9.073, "pipeline_pack" -> 1.498,
-    "q10_cube" -> 0.644, "q11_full_outer" -> 0.554,
-    "q12_corr_subquery" -> 0.860, "q13_grouping_sets" -> 0.378,
-    "q14_range_frame" -> 0.939, "q15_explode" -> 0.349,
-    "q16_anti" -> 0.602, "q17_window_nav" -> 0.819,
-    "q18_month_series" -> 0.541, "q19_sorted_collect" -> 0.398,
-    "q1_agg" -> 0.725, "q20_cond_agg" -> 0.421,
-    "q21_range_join" -> 0.715, "q22_map_agg" -> 0.482,
-    "q23_corr" -> 0.421, "q24_null_safe" -> 0.530,
-    "q25_array_ops" -> 0.715, "q26_rank_dist" -> 1.047,
-    "q27_datetime" -> 0.446, "q28_regr" -> 0.429,
-    "q29_mode" -> 0.432, "q30_cum_distinct" -> 0.729,
-    "q31_variant" -> 0.749, "q32_lateral" -> 1.177,
-    "q33_gapfill" -> 0.503, "q34_interval_merge" -> 1.000,
-    "q35_unpivot" -> 0.380, "q36_try" -> 1.733,
-    "q37_scd2" -> 0.896, "q38_retention" -> 0.775,
-    "q39_funnel" -> 1.148, "q3_topk" -> 0.963,
-    "q40_transitions" -> 0.853, "q41_twa" -> 0.731,
-    "q42_dau" -> 0.844, "q5_multijoin" -> 1.202,
-    "q6_rollup" -> 0.507, "q7_percentile" -> 2.329,
-    "q8_pivot" -> 0.638, "q9_exists" -> 0.512,
-    "sample_epochs" -> 0.486, "sample_mix" -> 0.606,
-    "sample_per_group" -> 0.362, "sample_stratified" -> 0.205,
-    "sample_temperature" -> 0.303, "sample_weighted" -> 0.376,
-    "search_rrf" -> 1.405, "semdedup_keepers" -> 2.452,
-    "set_except" -> 0.479, "set_intersect" -> 0.385,
-    "shard_stats" -> 0.360, "sim_ivf_topk" -> 3.096,
-    "sim_ivfpq_topk" -> 4.985, "sim_lsh_banded" -> 2.005,
-    "sim_lsh_bucket" -> 0.667, "sim_pq_adc" -> 3.086,
-    "sim_pqindex_rescored" -> 7.770, "sim_pqindex_topk" -> 7.274,
-    "sim_topk" -> 0.484, "split_assign" -> 0.330,
-    "split_leakage" -> 2.614, "text_card_redact" -> 0.403,
-    "text_clf_score" -> 0.985, "text_cms_topk" -> 0.720,
-    "text_collocations" -> 1.160, "text_fingerprint" -> 0.176,
-    "text_gopher_gates" -> 0.641, "text_hash_vec" -> 0.715,
-    "text_kn_heldout" -> 1.789, "text_kn_score" -> 1.985,
-    "text_langid" -> 0.258, "text_lm_score" -> 1.510,
-    "text_novelty" -> 1.199, "text_pii_redact" -> 0.352,
-    "text_quality" -> 0.479, "text_quality_calibrated" -> 0.850,
-    "text_repetition" -> 1.384, "text_tok_freq" -> 0.627,
-    "text_tokens" -> 0.387, "text_tokens_re" -> 0.763,
-    "text_top_tokens" -> 0.253, "text_winnow" -> 0.420,
-    "tfidf_top_terms" -> 1.298, "w1_topn_per_group" -> 0.712,
-    "w2_running_sum" -> 0.618, "w3_sessionize" -> 0.933,
-    "w4_ntile" -> 0.853)
+    "agg_approx" -> 2.242, "agg_approx_pct" -> 1.693,
+    "agg_hll_cube" -> 0.710, "agg_quantile_cube" -> 0.720,
+    "agg_stats" -> 1.240, "asof_native" -> 0.973,
+    "asof_signup" -> 1.567, "bm25_index_search" -> 5.113,
+    "bm25_search" -> 0.906, "bpe_encode" -> 3.696,
+    "bpe_merges" -> 1.028, "clf_train" -> 2.000,
+    "cluster_topics" -> 4.225, "contamination_report" -> 1.105,
+    "corpus_datasheet" -> 1.405, "corpus_report" -> 0.629,
+    "curate_domain_cap" -> 0.560, "decontaminate" -> 0.829,
+    "decontaminate_bloom" -> 0.953, "decontaminate_index" -> 1.260,
+    "dedup_admit" -> 3.188, "dedup_cc_keepers" -> 4.003,
+    "dedup_cc_star" -> 4.363, "dedup_closure" -> 3.895,
+    "dedup_containment" -> 2.830, "dedup_delta" -> 1.815,
+    "dedup_exact" -> 0.392, "dedup_fuzzy_verify" -> 1.149,
+    "dedup_intradoc" -> 0.887, "dedup_minhash" -> 1.040,
+    "dedup_ngram" -> 3.906, "dedup_ngram_keepers" -> 3.112,
+    "dedup_prefix" -> 0.514, "dedup_quality_keepers" -> 4.028,
+    "dedup_simhash" -> 0.290, "dedup_simhash_pairs" -> 1.110,
+    "dedup_spans" -> 0.799, "dedup_spans_keepers" -> 0.984,
+    "dedup_winnow_pairs" -> 1.646, "doc_chunks" -> 0.350,
+    "doc_len_histogram" -> 0.312, "dsir_weights" -> 2.228,
+    "embed_kmeans" -> 1.671, "embed_mmr" -> 1.799,
+    "embed_neardup" -> 2.939, "embed_outliers" -> 2.744,
+    "embed_pq" -> 2.046, "embed_project" -> 0.745,
+    "embed_quantize" -> 0.446, "mm_decode" -> 0.427,
+    "mm_decode_image" -> 0.266, "mm_decode_wav" -> 0.233,
+    "mm_frames" -> 0.280, "mm_resize" -> 0.270,
+    "mm_resize_image" -> 0.207, "o10_escape" -> 1.412,
+    "o11_o13_route" -> 2.202, "o12_optout_dim" -> 0.726,
+    "o14_format_values" -> 2.774, "o3_count_range" -> 0.159,
+    "o4_o5_extract" -> 1.247, "o6_o7_anonymize" -> 0.784,
+    "o8_o9_statement_json" -> 1.576, "o8_withfield" -> 1.687,
+    "pack_curriculum" -> 0.650, "pack_shards" -> 0.461,
+    "pack_shuffled" -> 0.429, "pack_window_map" -> 0.361,
+    "pack_windows" -> 0.326, "pipeline_admit" -> 89.188,
+    "pipeline_curate" -> 4.598, "pipeline_full" -> 8.940,
+    "pipeline_pack" -> 1.217, "q10_cube" -> 0.584,
+    "q11_full_outer" -> 0.431, "q12_corr_subquery" -> 0.860,
+    "q13_grouping_sets" -> 0.352, "q14_range_frame" -> 0.718,
+    "q15_explode" -> 0.287, "q16_anti" -> 0.529,
+    "q17_window_nav" -> 0.626, "q18_month_series" -> 0.446,
+    "q19_sorted_collect" -> 0.338, "q1_agg" -> 0.555,
+    "q20_cond_agg" -> 0.360, "q21_range_join" -> 0.626,
+    "q22_map_agg" -> 0.415, "q23_corr" -> 0.417,
+    "q24_null_safe" -> 0.499, "q25_array_ops" -> 0.548,
+    "q26_rank_dist" -> 1.015, "q27_datetime" -> 0.419,
+    "q28_regr" -> 0.376, "q29_mode" -> 0.386,
+    "q30_cum_distinct" -> 0.725, "q31_variant" -> 0.749,
+    "q32_lateral" -> 1.043, "q33_gapfill" -> 0.486,
+    "q34_interval_merge" -> 0.980, "q35_unpivot" -> 0.380,
+    "q36_try" -> 1.733, "q37_scd2" -> 0.875,
+    "q38_retention" -> 0.683, "q39_funnel" -> 1.148,
+    "q3_topk" -> 0.963, "q40_transitions" -> 0.809,
+    "q41_twa" -> 0.643, "q42_dau" -> 0.780,
+    "q5_multijoin" -> 1.194, "q6_rollup" -> 0.497,
+    "q7_percentile" -> 1.859, "q8_pivot" -> 0.405,
+    "q9_exists" -> 0.473, "sample_epochs" -> 0.441,
+    "sample_mix" -> 0.524, "sample_per_group" -> 0.279,
+    "sample_stratified" -> 0.194, "sample_temperature" -> 0.278,
+    "sample_weighted" -> 0.319, "search_rrf" -> 1.357,
+    "semdedup_keepers" -> 2.353, "set_except" -> 0.379,
+    "set_intersect" -> 0.321, "shard_stats" -> 0.301,
+    "sim_ivf_topk" -> 2.512, "sim_ivfpq_topk" -> 4.038,
+    "sim_lsh_banded" -> 1.660, "sim_lsh_bucket" -> 0.667,
+    "sim_pq_adc" -> 2.957, "sim_pqindex_rescored" -> 7.770,
+    "sim_pqindex_topk" -> 7.274, "sim_topk" -> 0.430,
+    "split_assign" -> 0.330, "split_leakage" -> 2.403,
+    "text_card_redact" -> 0.403, "text_clf_score" -> 0.985,
+    "text_cms_topk" -> 0.720, "text_collocations" -> 1.160,
+    "text_fingerprint" -> 0.176, "text_gopher_gates" -> 0.641,
+    "text_hash_vec" -> 0.704, "text_kn_heldout" -> 1.662,
+    "text_kn_score" -> 1.766, "text_langid" -> 0.232,
+    "text_lm_score" -> 1.414, "text_novelty" -> 1.042,
+    "text_pii_redact" -> 0.352, "text_quality" -> 0.479,
+    "text_quality_calibrated" -> 0.820, "text_repetition" -> 1.257,
+    "text_tok_freq" -> 0.557, "text_tokens" -> 0.356,
+    "text_tokens_re" -> 0.659, "text_top_tokens" -> 0.215,
+    "text_winnow" -> 0.400, "tfidf_top_terms" -> 1.092,
+    "w1_topn_per_group" -> 0.626, "w2_running_sum" -> 0.528,
+    "w3_sessionize" -> 0.819, "w4_ntile" -> 0.838)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1672,6 +1672,72 @@ object AnalyticsOracles {
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "embed_mmr" -> mmrSql(nQueries = 3, depth = 12, k = 4, lamNum = 7, lamCompl = 3),
+    "pipeline_admit" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, source, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |qual0 AS (
+        |  SELECT doc_id, source,
+        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+        |        + 0.3 * (1.0 - punct)
+        |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
+        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
+        |  FROM (SELECT *,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
+        |    FROM tok)),
+        |tot AS (SELECT greatest(10, (count(*) * 1) // 25)::BIGINT AS cap FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY round(quality * 10000)::BIGINT DESC, doc_id)::BIGINT AS src_rank
+        |  FROM qual0),
+        |capped AS (SELECT source, doc_id, src_rank FROM r
+        |           WHERE src_rank <= (SELECT cap FROM tot)),
+        |sp AS (
+        |  SELECT d.doc_id,
+        |    [array_to_string(toks[(i-1)*2+1:(i-1)*2+2], ' ')
+        |     for i in generate_series(1, (len(toks) + 1) // 2)] AS spans
+        |  FROM tok d JOIN capped USING (doc_id)),
+        |k2 AS (SELECT doc_id, len(spans)::BIGINT AS n_spans,
+        |  [spans[i] for i in generate_series(1, len(spans))
+        |   if list_position(spans, spans[i]) = i] AS kept
+        |  FROM sp),
+        |tr AS (SELECT doc_id, (n_spans - len(kept))::BIGINT AS n_removed,
+        |       array_to_string(kept, ' ') AS kept_text FROM k2),
+        |tok2 AS (SELECT doc_id, kept_text AS text,
+        |         string_split_regex(kept_text, '\s+') AS toks FROM tr),
+        |qual2 AS (
+        |  SELECT doc_id,
+        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+        |        + 0.3 * (1.0 - punct)
+        |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
+        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
+        |  FROM (SELECT *,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
+        |    FROM tok2)),
+        |qm AS (SELECT doc_id, round(quality * 10000)::BIGINT AS q_micro FROM qual2),
+        |cents AS (SELECT greatest(q_micro, 1) AS c FROM qm),
+        |withb AS (SELECT c, length(bin(c))::BIGINT AS b FROM cents),
+        |kk AS (
+        |  SELECT CASE WHEN c < 32 THEN c
+        |              ELSE (b - 1) * 32 + ((c >> (b - 6)) & 31) END AS bucket,
+        |         CASE WHEN c < 32 THEN c
+        |              ELSE ((32 + ((c >> (b - 6)) & 31)) << (b - 6)) END AS rep
+        |  FROM withb),
+        |hist AS (SELECT bucket, rep, count(*)::BIGINT AS cnt FROM kk GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT rep, cnt,
+        |    sum(cnt) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM hist),
+        |thr AS (
+        |  SELECT min(CASE WHEN cum >= ceil(0.25 * n) THEN rep END)::BIGINT AS p25
+        |  FROM cum)
+        |SELECT qm.doc_id, capped.source, capped.src_rank, tr.n_removed,
+        |       qm.q_micro, thr.p25
+        |FROM qm JOIN tr USING (doc_id) JOIN capped USING (doc_id) CROSS JOIN thr
+        |WHERE q_micro >= p25 ORDER BY qm.doc_id""".stripMargin,
     "corpus_datasheet" ->
       """WITH tok AS (
         |  SELECT doc_id, text, lang, string_split_regex(text, '\s+') AS toks

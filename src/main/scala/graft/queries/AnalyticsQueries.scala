@@ -650,6 +650,38 @@ object AnalyticsQueries {
     out
   }
 
+  /** The round-9 curation guards composed into ONE oracled admission DAG:
+    * per-domain anti-dominance cap (best-quality docs win inside an
+    * over-quota source) → intra-doc repeated-span REPAIR of the admitted
+    * text → sketch-calibrated quality gate scored on the REPAIRED text
+    * (threshold = that corpus's own p25, so the gate adapts to what the
+    * repair did). Output carries the provenance a pipeline logs per
+    * admitted doc: its domain rank, how many spans the repair removed, its
+    * repaired-text score, and the threshold it cleared. Scale shape is the
+    * parts': one corpus pass per stage, no join wider than doc_id, the
+    * sketch walk instead of a global sort. */
+  def pipelineAdmit(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables(spark, dir).documents
+    val capped = Sampling.domainCap(docs)
+      .select(col("doc_id"), col("source"), col("src_rank"))
+    val trimmed = Dedup.intraDocSpanDedup(
+      docs.join(capped.select(col("doc_id")), Seq("doc_id")), spanTokens = 2)
+    val scored = trimmed.select(col("doc_id"), col("n_removed"),
+      round(GraftFunctions.qualityFast(col("kept_text")) * 10000).cast("long").as("q_micro"))
+    val hist = graft.analytics.QuantileSketch.histogram(
+      scored.withColumn("g", lit(1L)), Seq("g"), col("q_micro"))
+    val thr = graft.analytics.QuantileSketch.quantiles(
+        hist, Seq("g"), Seq(("p25", 0.25)))
+      .select(col("p25"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("q_micro") >= col("p25"))
+      .join(capped, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        col("n_removed"), col("q_micro"), col("p25"))
+      .orderBy(col("doc_id"))
+  }
+
   def corpusReport(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusReport(Tables(spark, dir).documents)
 
@@ -1132,6 +1164,7 @@ object AnalyticsQueries {
     "dedup_intradoc"   -> (dedupIntradoc(_, _)),
     "split_leakage"    -> (splitLeakage(_, _)),
     "corpus_datasheet" -> (corpusDatasheet(_, _)),
+    "pipeline_admit"   -> (pipelineAdmit(_, _)),
     "dedup_closure"    -> (dedupClosure(_, _)),
     "embed_kmeans"     -> (embedKmeans(_, _)),
     "embed_quantize"   -> (embedQuantize(_, _)),
