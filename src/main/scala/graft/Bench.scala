@@ -47,7 +47,11 @@ object Bench {
     "o8_o9_statement_json" -> 1.576, "o8_withfield" -> 1.687,
     "pack_curriculum" -> 0.650, "pack_shards" -> 0.461,
     "pack_shuffled" -> 0.429, "pack_window_map" -> 0.361,
-    "pack_windows" -> 0.326, "pipeline_admit" -> 89.188,
+    // pipeline_admit re-baselined mid-r10: the r9 89.188 s was recompute
+    // amplification (unmaterialized multi-referenced subtrees + the
+    // quadratic intra-doc span filter); fixed to 4.70 s measured cold
+    // (quiet map swap at round close refreshes it again)
+    "pack_windows" -> 0.326, "pipeline_admit" -> 4.696,
     "pipeline_curate" -> 4.598, "pipeline_full" -> 8.940,
     "pipeline_pack" -> 1.217, "q10_cube" -> 0.584,
     "q11_full_outer" -> 0.431, "q12_corr_subquery" -> 0.860,
@@ -212,6 +216,22 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"): Unit
     }
+    // The harness that records BENCH_r{N}.json keeps only the LAST 2000
+    // chars of stdout and json-parses what it finds there — a 160-query
+    // map (~4 KB) can never fit, which is why r06–r09 shipped
+    // "parsed": null. Emit a compact summary as the FINAL line (total,
+    // counts, the 15 slowest queries at ms precision, and a pointer to
+    // the full map) so the driver's window always contains one complete,
+    // parseable JSON object. The full line above remains the authoritative
+    // artifact.
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val top = results.sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_failed":${failed.size},""" +
+      s""""regressions_vs_prev":$regressions,"slowest":$top,""" +
+      s""""full_map":"SPARK_GRAFT_BENCH_OUT or the stdout line above","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -847,11 +847,13 @@ object Dedup {
     * live in ONE row, this needs none of the corpus machinery — no
     * explode, no hash-keyed aggregate, no join. It is a single narrow
     * projection (tokens → span array → first-occurrence filter), ZERO
-    * shuffles at any corpus size, streaming-safe as a stateless map. The
-    * per-row filter is O(spans²) string compares (`array_position` scan
-    * per element); spans = tokens/spanTokens keeps that quadratic in the
-    * hundreds even for book-length rows — the per-row bound the corpus
-    * operators can never assume about corpus-wide span sets. */
+    * shuffles at any corpus size, streaming-safe as a stateless map.
+    * First-occurrence-in-position-order is exactly `array_distinct`
+    * semantics, and Spark's ArrayDistinct is a LINEAR hash-set walk that
+    * preserves first-occurrence order — O(spans) per row with hashed
+    * lookups, so even a 100k-token document at spanTokens=2 (50k spans)
+    * costs one hash pass, not the 2.5e9 string compares the earlier
+    * `array_position`-per-element form paid. */
   def intraDocSpanDedup(docs: DataFrame, spanTokens: Int = 16,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val st = spanTokens
@@ -863,7 +865,7 @@ object Dedup {
            |  i -> array_join(slice(__toks, int(i * $st + 1), $st), ' '))""".stripMargin))
       .select(col("doc_id"),
         org.apache.spark.sql.functions.size(col("__spans")).cast("long").as("n_spans"),
-        expr("filter(__spans, (s, i) -> array_position(__spans, s) = i + 1)").as("__kept"))
+        array_distinct(col("__spans")).as("__kept"))
       .select(col("doc_id"), col("n_spans"),
         (col("n_spans") - org.apache.spark.sql.functions.size(col("__kept")))
           .cast("long").as("n_removed"),

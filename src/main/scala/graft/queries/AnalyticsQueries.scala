@@ -659,16 +659,26 @@ object AnalyticsQueries {
     * admitted doc: its domain rank, how many spans the repair removed, its
     * repaired-text score, and the threshold it cleared. Scale shape is the
     * parts': one corpus pass per stage, no join wider than doc_id, the
-    * sketch walk instead of a global sort. */
+    * sketch walk instead of a global sort. The two multi-referenced
+    * stages are MATERIALIZED (the `corpusDatasheet` pattern): `capped`
+    * feeds both the trim join and the final provenance join, and `scored`
+    * feeds both the threshold histogram and the final filter — without
+    * the eager `localCheckpoint` each reference would re-run every
+    * upstream stage (domain-cap window + trim + scoring), a recompute
+    * amplifier that compounds at 100×. Materialized, each stage runs
+    * exactly once and the checkpointed frames are narrow (ids + a few
+    * longs), never the document text. */
   def pipelineAdmit(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val docs = Tables(spark, dir).documents
     val capped = Sampling.domainCap(docs)
       .select(col("doc_id"), col("source"), col("src_rank"))
+      .localCheckpoint(true)
     val trimmed = Dedup.intraDocSpanDedup(
       docs.join(capped.select(col("doc_id")), Seq("doc_id")), spanTokens = 2)
     val scored = trimmed.select(col("doc_id"), col("n_removed"),
-      round(GraftFunctions.qualityFast(col("kept_text")) * 10000).cast("long").as("q_micro"))
+        round(GraftFunctions.qualityFast(col("kept_text")) * 10000).cast("long").as("q_micro"))
+      .localCheckpoint(true)
     val hist = graft.analytics.QuantileSketch.histogram(
       scored.withColumn("g", lit(1L)), Seq("g"), col("q_micro"))
     val thr = graft.analytics.QuantileSketch.quantiles(
