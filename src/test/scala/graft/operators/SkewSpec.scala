@@ -104,6 +104,47 @@ class SkewSpec extends SparkSpec {
     assert(rows(ChunkedWindows.scd2(skewed)) == rows(vanillaScd2(skewed)))
   }
 
+  test("AdaptiveWindows probes the key distribution and both branches trigger per the measured rule") {
+    val natural = graft.Tables(spark, sf("sf0.01")).events
+    // probe tells the truth on both corpora
+    val (hotN, totalN) = AdaptiveWindows.hotKeyStats(natural)
+    val (hotS, totalS) = AdaptiveWindows.hotKeyStats(skewed)
+    assert(totalN == totalS)
+    assert(hotS.toDouble / totalS >= 0.09 && hotN.toDouble / totalN < 0.05)
+    // the rule compares the hot key to `factor` × a core's even share;
+    // the test box's parallelism is whatever SparkSpec runs at, so derive
+    // factors that straddle the skewed fixture's measured ratio instead
+    // of assuming a scheduler width
+    val par = spark.sparkContext.defaultParallelism.toDouble
+    val hotRatio = hotS / (totalS / par) // hot rows in units of a core share
+    val engages = hotRatio * 0.5         // bar below the ratio -> chunked
+    val staysVanilla = hotRatio * 2.0    // bar above the ratio -> vanilla
+    assert(!AdaptiveWindows.wouldChunk(natural, factor = staysVanilla))
+    assert(!AdaptiveWindows.wouldChunk(skewed, factor = staysVanilla))
+    assert(AdaptiveWindows.wouldChunk(skewed, factor = engages))
+    // both dispatch branches emit rows identical to this spec's
+    // independent vanilla reference
+    assert(rows(AdaptiveWindows.sessionize(skewed, factor = staysVanilla)) ==
+      rows(vanillaSessionize(skewed)))
+    assert(rows(AdaptiveWindows.sessionize(skewed, factor = engages)) ==
+      rows(vanillaSessionize(skewed)))
+    // and the dispatch really switches plans: chunked branch carries
+    // (user_id, chunk) windows, vanilla branch has none
+    def chunkWindows(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.flatMap(_.references.map(_.name))
+            .exists(_.startsWith("chunk")) => w
+      }.size
+    assert(chunkWindows(AdaptiveWindows.sessionize(skewed, factor = engages)) >= 2)
+    assert(chunkWindows(AdaptiveWindows.sessionize(skewed, factor = staysVanilla)) == 0)
+    // twa + scd2 dispatch through the same probe — chunked branch parity
+    assert(rows(AdaptiveWindows.timeWeightedAvg(skewed, factor = engages)) ==
+      rows(vanillaTwa(skewed)))
+    assert(rows(AdaptiveWindows.scd2(skewed, factor = engages)) ==
+      rows(vanillaScd2(skewed)))
+  }
+
   test("event-sized windows in the chunked plan partition by (user_id, chunk)") {
     val plan = ChunkedWindows.sessionize(skewed).queryExecution.optimizedPlan
     val windows = plan.collect {

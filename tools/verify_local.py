@@ -22,33 +22,53 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 timeout_sec = float(sys.argv[3]) if len(sys.argv) > 3 else None
 
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    # driver testdata is one parquet FILE per table; Spark-written scale
-    # corpora (tools.ScaleUp) are part-file DIRECTORIES - glob those
-    path = f"{sfdir}/{t}.parquet"
-    src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+def fresh_connection():
+    c = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+        # driver testdata is one parquet FILE per table; Spark-written scale
+        # corpora (tools.ScaleUp) are part-file DIRECTORIES - glob those
+        path = f"{sfdir}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    return c
+
+con = fresh_connection()
 
 class OracleTimeout(Exception):
     pass
 
 def run_oracle(sql):
-    """Run oracle SQL; under a timeout budget, interrupt from a watchdog."""
+    """Run oracle SQL; under a timeout budget, interrupt from a watchdog.
+
+    Race closed (r10): the watchdog could fire in the window between the
+    query returning and `done.set()`, leaving a pending `con.interrupt()`
+    that aborts the NEXT oracle and misreports it as FAIL. The watchdog
+    now records that it fired; if it fired, the (possibly poisoned)
+    connection is torn down and rebuilt before the next query, and a
+    query that actually completed despite a late interrupt is still
+    returned as its real result."""
+    global con
     if timeout_sec is None:
         return con.sql(sql).df()
     done = threading.Event()
+    fired = threading.Event()
     def watchdog():
         if not done.wait(timeout_sec):
+            fired.set()
             con.interrupt()
     w = threading.Thread(target=watchdog, daemon=True)
     w.start()
     try:
-        return con.sql(sql).df()
+        result = con.sql(sql).df()
+        return result
     except duckdb.InterruptException:
         raise OracleTimeout()
     finally:
         done.set()
+        if fired.is_set():
+            # interrupt may still be pending on this connection — rebuild
+            con.close()
+            con = fresh_connection()
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 # VERIFY_ONLY="a b c": restrict the compare to these queries (dev iteration
@@ -99,4 +119,20 @@ npass = len(oracle) - len(fails) - len(timeouts)
 print(f"\n{npass}/{len(oracle)} PASS"
       + (f"; ORACLE TIMEOUTS ({len(timeouts)}): {timeouts}" if timeouts else "")
       + (f"; FAILED: {fails}" if fails else ""))
-sys.exit(1 if fails else 0)
+# Machine-readable totals: the single source every round artifact
+# (COVERAGE.md, SCALING.md, VERIFY_SF1_r*) must quote — the r9 tally
+# drift (141/159 vs 142/160, neither summing) came from hand-copied
+# counts across partial reruns. Invariant enforced here: pass+fail+
+# timeout == total, always.
+totals = {"sfdir": sfdir, "total": len(oracle), "pass": npass,
+          "fail": len(fails), "timeout": len(timeouts),
+          "failed_names": sorted(fails), "timeout_names": sorted(timeouts)}
+if only:
+    totals["subset"] = True  # dev-iteration run; not the round tally
+assert totals["pass"] + totals["fail"] + totals["timeout"] == totals["total"]
+with open(f"{outdir}/verify_totals.json", "w") as f:
+    json.dump(totals, f, indent=1)
+print("TOTALS " + json.dumps(totals, separators=(",", ":")))
+# exit 0 = all pass; 1 = hard fails; 2 = no fails but timeouts occurred
+# (a budgeted run where every oracle timed out must NOT look green)
+sys.exit(1 if fails else (2 if timeouts else 0))
