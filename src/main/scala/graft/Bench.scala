@@ -101,9 +101,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — the scale
+    // probe runs the heavy tier on local-cluster[W,C,M] (separate
+    // executor JVMs: real serialization + loopback shuffle, the half of
+    // the 100× story a saturated local[N] cannot show). Executor JVMs
+    // need this repo's classes shipped: SPARK_GRAFT_JARS=<path to
+    // `sbt package` jar>.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    val spark = sys.env.get("SPARK_GRAFT_JARS")
+      .fold(builder0)(j => builder0.config("spark.jars", j))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // UTC pin: Tables.events reinterprets NTZ wall-clock as session-TZ
       // instant; without this, epoch math would drift on a non-UTC host.

@@ -855,21 +855,31 @@ object Dedup {
     * costs one hash pass, not the 2.5e9 string compares the earlier
     * `array_position`-per-element form paid. */
   def intraDocSpanDedup(docs: DataFrame, spanTokens: Int = 16,
-                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    withSpanTrim(docs.select(col(idCol).as("doc_id"), col(textCol)),
+        spanTokens, textCol)
+      .select(col("doc_id"), col("n_spans"), col("n_removed"), col("kept_text"))
+
+  /** Column-adding form of [[intraDocSpanDedup]]: appends
+    * (n_spans, n_removed, kept_text) and PRESERVES every input column —
+    * the shape a streaming ingest needs, where provenance columns
+    * (source, quota index) must ride along through the stateless trim.
+    * Same zero-shuffle narrow projection; streaming-safe. */
+  def withSpanTrim(docs: DataFrame, spanTokens: Int = 16,
+                   textCol: String = "text"): DataFrame = {
     val st = spanTokens
     docs
-      .select(col(idCol).as("doc_id"),
-        graft.analytics.TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__toks", graft.analytics.TextAnalysis.tokens(col(textCol)))
       .withColumn("__spans", expr(
         s"""transform(sequence(0L, (size(__toks) + ${st - 1}L) div ${st}L - 1L),
            |  i -> array_join(slice(__toks, int(i * $st + 1), $st), ' '))""".stripMargin))
-      .select(col("doc_id"),
-        org.apache.spark.sql.functions.size(col("__spans")).cast("long").as("n_spans"),
-        array_distinct(col("__spans")).as("__kept"))
-      .select(col("doc_id"), col("n_spans"),
-        (col("n_spans") - org.apache.spark.sql.functions.size(col("__kept")))
-          .cast("long").as("n_removed"),
-        array_join(col("__kept"), " ").as("kept_text"))
+      .withColumn("n_spans",
+        org.apache.spark.sql.functions.size(col("__spans")).cast("long"))
+      .withColumn("__kept", array_distinct(col("__spans")))
+      .withColumn("n_removed",
+        (col("n_spans") - org.apache.spark.sql.functions.size(col("__kept"))).cast("long"))
+      .withColumn("kept_text", array_join(col("__kept"), " "))
+      .drop("__toks", "__spans", "__kept")
   }
 
   /** Cross-split contamination audit — did the hash split leak eval

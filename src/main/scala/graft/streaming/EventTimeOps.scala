@@ -535,6 +535,71 @@ object EventTimeOps {
       }
   }
 
+  final case class AdmitIn(source: String, doc_id: Long, text: String, qmicro: Long)
+  final case class AdmitQuota(source: String, doc_id: Long, text: String,
+                              quota_admitted: Boolean, quota_idx: Long)
+
+  /** Streaming twin of the batch admission DAG
+    * ([[graft.queries.AnalyticsQueries.pipelineAdmit]]): per-source quota →
+    * intra-doc repeated-span trim (stateless map) → calibrated quality gate
+    * on the REPAIRED text — the reference's own shape (an ingest-time guard
+    * DAG ahead of the sink) applied to the curation layer.
+    *
+    * Stage semantics vs the batch DAG, and when they coincide exactly:
+    *
+    *  - QUOTA: state per source is ONE long, as in
+    *    [[streamingSourceQuota]]; within a micro-batch rows admit in the
+    *    batch cap's OWN rank order (quality-micro desc, doc_id — computed
+    *    on the ORIGINAL text, exactly `Sampling.domainCap`'s sort key), so
+    *    when arrival across micro-batches also follows that per-source
+    *    order — the nightly re-rank replay, or any quality-sorted backfill
+    *    — quota verdicts equal the batch cap's keeper set row-for-row.
+    *    Under arbitrary arrival the quota is the documented arrival-order
+    *    semantics (the honest online cap; see streamingSourceQuota).
+    *  - TRIM: `Dedup.withSpanTrim` — stateless, zero-shuffle, identical
+    *    expressions to the batch stage, so parity is unconditional.
+    *  - GATE: the batch DAG self-calibrates (threshold = its own corpus's
+    *    p25); a stream cannot know the final quantile mid-flight, so the
+    *    gate takes the threshold as an input — the production calibrate-
+    *    on-yesterday pattern. Feeding the batch DAG's own p25 reproduces
+    *    its gate verdicts exactly (AdmitParitySpec).
+    *
+    * EVERY document gets a verdict row (quota verdict, span counts,
+    * repaired-text score, final admit) so the rejected stream is routable
+    * to a DLQ/overflow sink — the spec's foreachBatch sink dual-routes
+    * exactly as the reference splits opt-out rows. */
+  def streamingAdmit(docs: DataFrame, cap: Long, threshold: Double,
+                     spanTokens: Int = 2)
+                    (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = docs.select(col("source"), col("doc_id"), col("text"),
+        round(graft.functions.GraftFunctions.qualityFast(col("text")) * 10000)
+          .cast("long").as("qmicro")).as[AdmitIn]
+    val quota = rows.groupByKey(_.source)
+      .flatMapGroupsWithState[QuotaState, AdmitQuota](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[AdmitIn], state: GroupState[QuotaState]) =>
+          var n = state.getOption.map(_.admitted).getOrElse(0L)
+          val out = it.toArray.sortBy(r => (-r.qmicro, r.doc_id)).map { r =>
+            val admit = n < cap
+            if (admit) n += 1
+            AdmitQuota(src, r.doc_id, r.text, admit, if (admit) n else 0L)
+          }
+          state.update(QuotaState(n))
+          out.iterator
+      }
+    graft.analytics.Dedup.withSpanTrim(quota.toDF(), spanTokens, "text")
+      .withColumn("q_micro",
+        round(graft.functions.GraftFunctions.qualityFast(col("kept_text")) * 10000)
+          .cast("long"))
+      .select(col("doc_id"), col("source"), col("quota_admitted"),
+        col("quota_idx"), col("n_removed"), col("q_micro"),
+        (col("quota_admitted") && col("q_micro") >= lit(threshold)).as("admit"),
+        lit(threshold).as("threshold"))
+  }
+
   /** Deepest funnel stage reachable from the buffered stamps — the same
     * chained-min rule as the batch query: t1 = min view; t2 = min click in
     * (t1, t1+W]; t3 = min purchase in (t2, t1+W]. */
