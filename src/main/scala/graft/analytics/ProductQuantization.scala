@@ -164,6 +164,33 @@ object ProductQuantization {
         col("vec_id"), round(col("adc_raw"), 0).cast("long").as("adc"))
   }
 
+  /** Scale-stable probe width. Probing a FIXED number of lists is not a
+    * scale-stable default: with `coarseStep`-sized cells the list count is
+    * n/coarseStep, so fixed nprobe shrinks the probed corpus SHARE
+    * linearly as the corpus grows — measured by the r10 sampled sf1
+    * oracle, where recall@5 fell to 0.12 (ADC) / 0.32 (rescored) at 10×
+    * the corpus with nprobe=6. The stable knob is the probed share:
+    * nprobe = ceil(shareMille/1000 × nlist) — exactly 6 on the 500-vector
+    * oracle corpus (20 lists × 0.3), so the sf0.01 oracle is unchanged,
+    * and the probed fraction (hence recall-vs-cost) holds at ANY scale.
+    * Candidates per query stay share × n: linear, partition-pruned. */
+  def scaledNprobe(nVecs: Long, coarseStep: Int = 25, shareMille: Long = 300): Int = {
+    val nlist = math.max(1L, nVecs / coarseStep)
+    math.max(1L, (nlist * shareMille + 999L) / 1000L).toInt
+  }
+
+  /** Scale-stable rescore depth for two-stage serving: the exact-cosine
+    * rescore pass must cover a fixed FRACTION of the ADC-scanned
+    * candidates, not a fixed count — depth 20 over the oracle corpus's
+    * ~150 probed candidates is ~13%; holding the count at 20 while the
+    * probed set grows 40× starves the rescorer (measured: recall@5 0.48
+    * at sf1 with depth=20 vs the 0.5 floor). depth = max(20, nlist)
+    * keeps the fraction (nlist = probed-share × n / coarseStep × ...):
+    * exactly 20 on the 500-vector oracle corpus, so the sf0.01 oracle's
+    * `rn <= 20` is unchanged. */
+  def scaledDepth(nVecs: Long, coarseStep: Int = 25): Int =
+    math.max(20L, nVecs / coarseStep).toInt
+
   /** IVF-PQ: the composed production shape — IVF coarse lists prune the
     * candidate set ([[Similarity.ivfTopK]]'s exact rules: TRAINED coarse
     * centroids ([[Clustering.trainedCentroids]]), highest-coarse-cosine

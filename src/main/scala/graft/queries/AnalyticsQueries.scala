@@ -199,9 +199,13 @@ object AnalyticsQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** nprobe scales with the corpus to hold the probed SHARE at 30% (= 6
+    * lists on the 500-vector oracle corpus, so the sf0.01 oracle is
+    * byte-unchanged; see ProductQuantization.scaledNprobe). */
   def simIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5, centroidStep = 25, nprobe = 6)
+    val nprobe = graft.analytics.ProductQuantization.scaledNprobe(emb.count())
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5, centroidStep = 25, nprobe = nprobe)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -768,9 +772,10 @@ object AnalyticsQueries {
     * that oracle SQL. */
   def simPqIndexTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
+    val nprobe = graft.analytics.ProductQuantization.scaledNprobe(emb.count())
     val idx = scratchIndexDir("pqindex")
     PqIndex.build(emb, idx)
-    PqIndex.query(spark, idx, emb.filter(col("vec_id") < 5), k = 5)
+    PqIndex.query(spark, idx, emb.filter(col("vec_id") < 5), k = 5, nprobe = nprobe)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -779,16 +784,21 @@ object AnalyticsQueries {
     * recall lift over raw ADC is measured (tools.Recall / SCALING.md). */
   def simPqIndexRescored(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
+    val n = emb.count()
+    val nprobe = graft.analytics.ProductQuantization.scaledNprobe(n)
+    val depth = graft.analytics.ProductQuantization.scaledDepth(n)
     val idx = scratchIndexDir("pqindex-rs")
     PqIndex.build(emb, idx)
     PqIndex.queryRescored(spark, idx, emb.filter(col("vec_id") < 5), emb,
-        k = 5, depth = 20)
+        k = 5, depth = depth, nprobe = nprobe)
       .orderBy(col("query_id"), col("rank"))
   }
 
   def simIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val res = ProductQuantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+    val nprobe = graft.analytics.ProductQuantization.scaledNprobe(emb.count())
+    val res = ProductQuantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+      nprobe = nprobe)
     // caller-must-unpersist contract (see semdedupKeepers)
     val out = res.orderBy(col("query_id"), col("rank")).localCheckpoint(true)
     res.unpersist()
