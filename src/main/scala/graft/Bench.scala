@@ -111,8 +111,10 @@ object Bench {
     val builder0 = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
-    val spark = sys.env.get("SPARK_GRAFT_JARS")
+    val builder1 = sys.env.get("SPARK_GRAFT_JARS")
       .fold(builder0)(j => builder0.config("spark.jars", j))
+    val spark = sys.env.get("SPARK_GRAFT_EXEC_MEM")
+      .fold(builder1)(m => builder1.config("spark.executor.memory", m))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // UTC pin: Tables.events reinterprets NTZ wall-clock as session-TZ
       // instant; without this, epoch math would drift on a non-UTC host.

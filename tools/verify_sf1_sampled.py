@@ -373,6 +373,46 @@ def curate_checks():
 
 curate_checks()
 
+# -------------------------------------------------------------- pipeline_full
+def full_pipeline_checks():
+    """pipeline_full gets a FULL exact oracle at sf1, not a sampled one:
+    its oracle SQL is linear end-to-end EXCEPT the near-dup pair
+    generation (`FROM sh a JOIN sh b ON a.doc_id < b.doc_id`). Any pair
+    with Jaccard > 0 shares >= 1 shingle, so routing the self-join
+    through a shingle-bucket candidate set is EXACTLY equivalent and
+    sub-quadratic (sum df^2 instead of n^2). String-surgery on the
+    committed oracle keeps every other stage verbatim."""
+    name = "pipeline_full"
+    try:
+        sql = json.load(open(f"{out1}/oracle_sql.json"))[name]
+    except Exception as e:
+        check(name, False, f"no oracle_sql.json entry: {e}")
+        return
+    quad = "FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
+    if sql.count(quad) != 1:
+        check(name, False, "oracle no longer matches the expected pair-join shape")
+        return
+    sub = ("FROM (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb\n"
+           "      FROM (SELECT doc_id, unnest(sh) AS g FROM sh) x\n"
+           "      JOIN (SELECT doc_id, unnest(sh) AS g FROM sh) y USING (g)\n"
+           "      WHERE x.doc_id < y.doc_id) cnd\n"
+           " JOIN sh a ON a.doc_id = cnd.ida JOIN sh b ON b.doc_id = cnd.idb)")
+    got = c1.sql(f"SELECT * FROM {outp(name)}").df()
+    exp = c1.sql(sql.replace(quad, sub)).df()
+    a = got.reindex(sorted(got.columns), axis=1)
+    b = exp.reindex(sorted(exp.columns), axis=1)
+    if list(a.columns) != list(b.columns) or len(a) != len(b):
+        check(name, False, f"shape: {len(a)}x{list(a.columns)} vs {len(b)}x{list(b.columns)}")
+        return
+    a = a.sort_values(by=list(a.columns), ignore_index=True)
+    b = b.sort_values(by=list(b.columns), ignore_index=True)
+    same = a.astype(str).equals(b.astype(str))
+    check(name, same,
+          f"FULL oracle (bucket-join pair stage), {len(a)} rows "
+          + ("hash-equal" if same else "DIFFER"))
+
+full_pipeline_checks()
+
 # ---------------------------------------------------------------------- totals
 npass = sum(1 for v in results.values() if v)
 fails = sorted(k for k, v in results.items() if not v)
