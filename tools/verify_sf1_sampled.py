@@ -71,6 +71,12 @@ def cos_exact(av, bv):
             f"(sqrt(list_reduce(list_prepend(0.0, [z*z for z in {av}]), (x,y) -> x+y)) * "
             f"sqrt(list_reduce(list_prepend(0.0, [z*z for z in {bv}]), (x,y) -> x+y))), 6)")
 
+# SAMPLED_ONLY="a b": rerun a subset (dev iteration); totals then carry
+# a subset marker and are not the round tally
+only = set(os.environ.get("SAMPLED_ONLY", "").split()) or None
+def want(name):
+    return only is None or name in only
+
 results = {}
 def check(name, ok, detail=""):
     tag = "PASS" if ok else "FAIL"
@@ -133,8 +139,10 @@ def pair_checks(name, metric_sql, metric_col, thr, eps):
     n_s = one(c1, f"SELECT count(*) FROM sh WHERE doc_id % {MOD} = 7")
     check(name, miss2 == 0, f"sampled completeness: {n_s} sample docs, {miss2} qualifying pairs missing")
 
-pair_checks("dedup_ngram", JACC, "jaccard", 0.6, 0)
-pair_checks("dedup_containment", CONT, "containment", 0.9, 0)
+if want("dedup_ngram"):
+    pair_checks("dedup_ngram", JACC, "jaccard", 0.6, 0)
+if want("dedup_containment"):
+    pair_checks("dedup_containment", CONT, "containment", 0.9, 0)
 
 # ------------------------------------------------------------- embed_neardup
 def neardup_checks():
@@ -176,7 +184,8 @@ def neardup_checks():
     n_s = one(c1, f"SELECT count(*) FROM emb WHERE vec_id % {MOD} = 3")
     check(name, miss2 == 0, f"sampled completeness: {n_s} sample vectors, {miss2} missing")
 
-neardup_checks()
+if want("embed_neardup"):
+    neardup_checks()
 
 # ---------------------------------------- derived from the verified pair set
 PAIRS = f"(SELECT id_a, id_b FROM {outp('dedup_ngram')})"
@@ -260,7 +269,10 @@ def derived_checks():
     check("dedup_quality_keepers", diff == 0,
           f"full recompute from verified pairs + linear quality: {diff} row diffs")
 
-derived_checks()
+if only is None or only & {"dedup_ngram_keepers", "dedup_closure",
+                           "dedup_cc_keepers", "dedup_cc_star",
+                           "dedup_quality_keepers"}:
+    derived_checks()
 
 # ------------------------------------------------------------------ ANN family
 def topk_checks(name, exact_scores, floor, k=5):
@@ -297,18 +309,22 @@ def topk_checks(name, exact_scores, floor, k=5):
           f"recall@{k} vs exact brute force = {recall:.3f} ({hit}/{total}), floor {floor}")
     return recall
 
-topk_checks("sim_ivf_topk", exact_scores=True, floor=0.3)
-topk_checks("sim_pqindex_rescored", exact_scores=True, floor=0.5)
-topk_checks("sim_ivfpq_topk", exact_scores=False, floor=0.2)
-topk_checks("sim_pqindex_topk", exact_scores=False, floor=0.2)
-# persisted index twin must be row-identical to the one-shot operator
-diff = one(c1, f"""
-  SELECT (SELECT count(*) FROM (SELECT * FROM {outp('sim_pqindex_topk')} EXCEPT
-           SELECT * FROM {outp('sim_ivfpq_topk')}))
-       + (SELECT count(*) FROM (SELECT * FROM {outp('sim_ivfpq_topk')} EXCEPT
-           SELECT * FROM {outp('sim_pqindex_topk')}))""")
-check("sim_pqindex_topk", diff == 0,
-      f"persisted-index twin row-identical to one-shot ivfpq: {diff} diffs")
+if want("sim_ivf_topk"):
+    topk_checks("sim_ivf_topk", exact_scores=True, floor=0.3)
+if want("sim_pqindex_rescored"):
+    topk_checks("sim_pqindex_rescored", exact_scores=True, floor=0.5)
+if want("sim_ivfpq_topk"):
+    topk_checks("sim_ivfpq_topk", exact_scores=False, floor=0.2)
+if want("sim_pqindex_topk"):
+    topk_checks("sim_pqindex_topk", exact_scores=False, floor=0.2)
+    # persisted index twin must be row-identical to the one-shot operator
+    diff = one(c1, f"""
+      SELECT (SELECT count(*) FROM (SELECT * FROM {outp('sim_pqindex_topk')} EXCEPT
+               SELECT * FROM {outp('sim_ivfpq_topk')}))
+           + (SELECT count(*) FROM (SELECT * FROM {outp('sim_ivfpq_topk')} EXCEPT
+               SELECT * FROM {outp('sim_pqindex_topk')}))""")
+    check("sim_pqindex_topk", diff == 0,
+          f"persisted-index twin row-identical to one-shot ivfpq: {diff} diffs")
 
 # -------------------------------------------------------------- pipeline_curate
 def curate_checks():
@@ -371,7 +387,8 @@ def curate_checks():
     check(name, ghosts == 0,
           f"sampled admitted completeness: {n_s} sample docs, {ghosts} wrongly admitted")
 
-curate_checks()
+if want("pipeline_curate"):
+    curate_checks()
 
 # -------------------------------------------------------------- pipeline_full
 def full_pipeline_checks():
@@ -392,13 +409,24 @@ def full_pipeline_checks():
     if sql.count(quad) != 1:
         check(name, False, "oracle no longer matches the expected pair-join shape")
         return
-    sub = ("FROM (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb\n"
+    # shingles are list_distinct per doc, so the bucket-join row count per
+    # pair IS the intersection size — jaccard from three integers, never a
+    # per-candidate list_intersect over the full shingle arrays (the
+    # list-op form ground for 40+ min at sf1; this one is minutes)
+    sub = ("FROM (SELECT x.doc_id AS ida, y.doc_id AS idb, count(*) AS inter\n"
            "      FROM (SELECT doc_id, unnest(sh) AS g FROM sh) x\n"
            "      JOIN (SELECT doc_id, unnest(sh) AS g FROM sh) y USING (g)\n"
-           "      WHERE x.doc_id < y.doc_id) cnd\n"
+           "      WHERE x.doc_id < y.doc_id GROUP BY 1, 2) cnd\n"
            " JOIN sh a ON a.doc_id = cnd.ida JOIN sh b ON b.doc_id = cnd.idb)")
+    sql2 = sql.replace(quad, sub)
+    # DuckDB inlines multi-referenced CTEs — without MATERIALIZED hints the
+    # whole span-rewrite chain (tok0→sh0→clean→…→sh) re-executes once per
+    # reference (sh is read 4× here) and the check grinds for 40+ min at
+    # 90 GB; materialized it is minutes
+    for cte in ["sh0 AS (", "mat AS (", "tok AS (", "sh AS (", "pairs AS ("]:
+        sql2 = sql2.replace(cte, cte[:-1] + "MATERIALIZED (", 1)
     got = c1.sql(f"SELECT * FROM {outp(name)}").df()
-    exp = c1.sql(sql.replace(quad, sub)).df()
+    exp = c1.sql(sql2).df()
     a = got.reindex(sorted(got.columns), axis=1)
     b = exp.reindex(sorted(exp.columns), axis=1)
     if list(a.columns) != list(b.columns) or len(a) != len(b):
@@ -411,7 +439,8 @@ def full_pipeline_checks():
           f"FULL oracle (bucket-join pair stage), {len(a)} rows "
           + ("hash-equal" if same else "DIFFER"))
 
-full_pipeline_checks()
+if want("pipeline_full"):
+    full_pipeline_checks()
 
 # ---------------------------------------------------------------------- totals
 npass = sum(1 for v in results.values() if v)
@@ -419,6 +448,8 @@ fails = sorted(k for k, v in results.items() if not v)
 totals = {"sf1dir": sf1dir, "method": "sampled-oracle (soundness + planted + sampled completeness)",
           "total": len(results), "pass": npass, "fail": len(fails),
           "failed_names": fails, "sample_modulus": MOD}
+if only:
+    totals["subset"] = True
 assert totals["pass"] + totals["fail"] == totals["total"]
 with open(f"{out1}/sampled_totals.json", "w") as f:
     json.dump(totals, f, indent=1)
