@@ -11,7 +11,11 @@ object Bench {
     * a min over uncommitted runs was untraceable; the median resists the
     * host's documented ~±3% drift without baking in a lucky floor).
     * Median totals: 190.0 / 201.2 / 195.2 s -> 193.4 s. Flagged
-    * slowdowns are re-measured TWICE before being reported (below). */
+    * slowdowns are re-measured TWICE before being reported (below).
+    * text_fix_encoding / text_html_extract / text_entropy / dedup_cdc /
+    * dedup_cdc_rewrite joined mid-round-10: their entries are that
+    * session's first sf0.1 recording, refreshed at the closing quiet
+    * re-record. */
   val baselinePrev: Map[String, Double] = Map(
     "agg_approx" -> 2.293, "agg_approx_pct" -> 1.800,
     "agg_hll_cube" -> 0.732, "agg_quantile_cube" -> 0.648,
@@ -25,8 +29,9 @@ object Bench {
     "decontaminate_bloom" -> 0.816, "decontaminate_index" -> 1.057,
     "dedup_admit" -> 2.598, "dedup_cc_keepers" -> 3.370,
     "dedup_cc_star" -> 4.101, "dedup_closure" -> 4.029,
-    "dedup_containment" -> 3.132, "dedup_delta" -> 1.708,
-    "dedup_exact" -> 0.363, "dedup_fuzzy_verify" -> 1.166,
+    "dedup_cdc" -> 1.743, "dedup_cdc_rewrite" -> 3.560, "dedup_containment" -> 3.132, "dedup_delta" -> 1.708,
+    "dedup_exact" -> 0.363, "text_entropy" -> 1.765,
+    "text_fix_encoding" -> 1.112, "text_html_extract" -> 1.686, "dedup_fuzzy_verify" -> 1.166,
     "dedup_intradoc" -> 0.648, "dedup_minhash" -> 1.021,
     "dedup_ngram" -> 3.803, "dedup_ngram_keepers" -> 2.749,
     "dedup_prefix" -> 0.576, "dedup_quality_keepers" -> 4.678,

@@ -943,4 +943,133 @@ object Dedup {
       .withColumn("leak_frac",
         round(col("n_leaked").cast("double") / col("n_docs"), 4))
   }
+
+  /** Content-defined chunking (CDC) duplicate-chunk report — the
+    * rsync/LBFS/FastCDC idea applied to token streams: a boundary falls
+    * AFTER token `i` wherever the rolling hash of the `w`-token window
+    * ending at `i` satisfies `hash % modulus == 0`, so chunk boundaries
+    * are a pure function of local CONTENT. An insertion or deletion
+    * re-chunks only its neighborhood — every chunk outside the edit window
+    * keeps its identity, which is exactly what fixed-stride spans
+    * ([[intraDocSpanDedup]]'s complement) cannot do. Expected chunk length
+    * is `modulus` tokens (+ the `w−1` window warmup).
+    *
+    * Returns the chunk stream (doc_id, chunk_idx, chunk) — a partition of
+    * each document's tokens in order; [[cdcDupChunks]] rolls it up into the
+    * storage-dedup view (every chunk occurring more than once corpus-wide).
+    *
+    * Shape at 100 TB: chunking is ONE narrow per-row projection — windows
+    * come from zipping `w` row-level slices (never `element_at(split(..))`
+    * inside a lambda: interpreted HOFs re-evaluate captured EXPRESSIONS per
+    * element, the measured O(tokens²) trap in [[TextAnalysis.bigrams]]'s
+    * scaladoc; `__toks`/`__win` below are materialized attributes, which
+    * CollapseProject will not inline into multi-use lambdas). Per-chunk
+    * slices are O(chunk) so a document chunks in O(tokens·w). The only
+    * shuffle is the chunk-hash aggregate, whose map-side combine collapses
+    * each partition's duplicate mass before the exchange; the shuffle key
+    * is an 8-byte hash, never chunk text. */
+  def cdcChunks(docs: DataFrame, w: Int = 4, modulus: Int = 16,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 1 && modulus >= 1, s"w and modulus must be >= 1, got w=$w modulus=$modulus")
+    val df = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val t = col("__toks")
+    val nw = greatest(size(t) - (w - 1), lit(0))
+    // w-token window strings by zipping w row-level slices (w fixed at plan time)
+    val windows = (2 to w).foldLeft(slice(t, lit(1), nw)) { (acc, j) =>
+      zip_with(acc, slice(t, lit(j), nw), (a, b) => concat_ws(" ", a, b))
+    }
+    df
+      .withColumn("__win", windows)
+      // 1-based token position of each boundary (window idx is 0-based, the
+      // window ends at token idx + w); hash60 is non-negative so % is safe
+      .withColumn("__bend",
+        filter(
+          transform(col("__win"), (s, i) =>
+            when(hash60(s) % modulus === 0, i + w).otherwise(-1)),
+          p => p > 0))
+      .withColumn("__starts",
+        concat(array(lit(1)), transform(col("__bend"), p => p + 1)))
+      .withColumn("__ends", concat(col("__bend"), array(size(t))))
+      // a boundary at the last token leaves an empty trailing span — drop it
+      .withColumn("__chunks",
+        filter(
+          zip_with(col("__starts"), col("__ends"), (s, e) =>
+            when(e >= s, concat_ws(" ", slice(t, s, e - s + lit(1))))),
+          c => c.isNotNull))
+      // outer + attribute null-filter, NOT plain posexplode: the optimizer
+      // infers `size(child) > 0 AND isnotnull(child)` from a non-outer
+      // Generate and pushes it below the projections by SUBSTITUTING the
+      // whole chunk expression tree into the Filter — the chunking work
+      // would run 3× per row (measured in the executed plan). The outer
+      // form infers nothing; empty docs yield one null row, dropped here
+      // by a cheap attribute predicate.
+      .select(col("doc_id"),
+        posexplode_outer(col("__chunks")).as(Seq("chunk_idx", "chunk")))
+      .filter(col("chunk").isNotNull)
+  }
+
+  /** CORPUS-WIDE chunk-level rewrite over [[cdcChunks]] — the
+    * exact-substring-dedup act (Lee et al.'s "Deduplicating Training Data"
+    * applied at chunk granularity): every chunk keeps only its FIRST
+    * occurrence (lexicographic min of (doc_id, chunk_idx)); later
+    * occurrences — across documents or within one — are removed and each
+    * document is rebuilt from its surviving chunks in order. Because
+    * boundaries are content-defined, two documents sharing a long span
+    * share its interior chunks verbatim even at different offsets, which
+    * is exactly what [[intraDocSpanDedup]]'s fixed strides cannot catch
+    * across documents.
+    *
+    * Shape at 100 TB: chunking is the narrow projection documented on
+    * [[cdcChunks]]. The first-occurrence winner per chunk is ONE
+    * digest-keyed aggregate (min of a (doc_id, idx) struct — map-side
+    * combinable, 8-byte shuffle key); occurrences join winners on the same
+    * digest (co-partitioned from the aggregate, no extra exchange under
+    * AQE), and the rebuild is a doc_id-keyed sorted string_agg. No
+    * corpus-sized collect, no pair join — duplicate mass any size shrinks,
+    * never amplifies. */
+  def cdcRewrite(docs: DataFrame, w: Int = 4, modulus: Int = 16,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // materialize the chunk stream ONCE: it feeds both the winner aggregate
+    // and the join back, and an unmaterialized multi-referenced subtree is
+    // the pipeline_admit recompute amplifier (r9) — the chunking (sha256
+    // per window) would run twice per row. Winner selection stays an
+    // AGGREGATE (map-side-combinable min of a (doc_id, idx) struct), not a
+    // row_number window: a boilerplate chunk with df=10⁷ would pile into
+    // one window group's sort, while the aggregate combines it map-side.
+    val chunks = cdcChunks(docs, w, modulus, idCol, textCol)
+      .withColumn("__h", hash60(col("chunk")))
+      .localCheckpoint(true)
+    val winners = chunks.groupBy(col("__h"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__w"))
+    val flagged = chunks.join(winners, "__h")
+      .withColumn("__keep", struct(col("doc_id"), col("chunk_idx")) === col("__w"))
+    // one doc-keyed pass: totals + surviving text (collect_list drops the
+    // nulls the un-kept branch produces, so no second aggregate is needed)
+    val rebuilt = flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ",
+          sort_array(collect_list(when(col("__keep"),
+            struct(col("chunk_idx"), col("chunk")))))
+            .getField("chunk")).as("kept_text"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Duplicated-chunk rollup over [[cdcChunks]] (see the chunking contract
+    * there): every chunk occurring more than once corpus-wide. */
+  def cdcDupChunks(docs: DataFrame, w: Int = 4, modulus: Int = 16,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    cdcChunks(docs, w, modulus, idCol, textCol)
+      .groupBy(hash60(col("chunk")).as("chunk_hash"))
+      .agg(max(size(split(col("chunk"), " "))).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper_id"))
+      .filter(col("n_occ") > 1)
 }

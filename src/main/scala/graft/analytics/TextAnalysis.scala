@@ -237,6 +237,118 @@ object TextAnalysis {
       .otherwise(array().cast("array<long>"))
   }
 
+  // ---------------------------------------------------------------------
+  // Encoding repair (ftfy-style mojibake fix)
+  // ---------------------------------------------------------------------
+
+  /** The classic double-encoding table: a UTF-8 byte sequence read back
+    * through cp1252 turns one character into the 2–3 character "mojibake"
+    * on the left; repair maps it back. Longest sequences first so the
+    * 3-char punctuation forms never half-match after a 2-char repair.
+    * Only cleanly cp1252-mappable sequences are listed (bytes 0x81/0x8D/
+    * 0x8F/0x90/0x9D have no cp1252 mapping and survive a real decode as
+    * replacement chars — out of scope for the deterministic repair).
+    *
+    * Reference-class operator: the text-cleaning pass every web-scale
+    * training corpus runs before tokenization (ftfy's `fix_encoding`). */
+  val MojibakeTable: Seq[(String, String)] = Seq(
+    "â€™" -> "’", // â€™ -> right single quote
+    "â€œ" -> "“", // â€œ -> left double quote
+    "â€”" -> "—", // â€" -> em dash
+    "â€¦" -> "…", // â€¦ -> ellipsis
+    "Ã©" -> "é",       // Ã© -> é
+    "Ã¶" -> "ö",       // Ã¶ -> ö
+    "Ã¼" -> "ü",       // Ã¼ -> ü
+    "Ã±" -> "ñ",       // Ã± -> ñ
+    "Ã¤" -> "ä")       // Ã¤ -> ä
+
+  /** Repair cp1252 mojibake: a fixed chain of `replace` calls (pure
+    * built-ins, codegen'd, zero shuffle at any scale). Deterministic: the
+    * table order is part of the contract and the DuckDB oracle applies the
+    * identical chain. */
+  def fixMojibake(text: Column): Column =
+    MojibakeTable.foldLeft(text) { case (acc, (bad, good)) =>
+      replace(acc, lit(bad), lit(good))
+    }
+
+  /** The corruption inverse of [[fixMojibake]] — renders clean text the way
+    * a UTF-8→cp1252 mis-decode would. Test/demo helper: lets a query
+    * synthesize deterministic mojibake on an ASCII corpus and prove the
+    * repair round-trips (`fixMojibake(mojibakeEncode(s)) == s` for any `s`
+    * free of mojibake sequences). */
+  def mojibakeEncode(text: Column): Column =
+    MojibakeTable.foldLeft(text) { case (acc, (bad, good)) =>
+      replace(acc, lit(good), lit(bad))
+    }
+
+  // ---------------------------------------------------------------------
+  // HTML boilerplate extraction
+  // ---------------------------------------------------------------------
+
+  /** Whitespace-collapse + trim (the normalization both engines share). */
+  def collapseWs(s: Column): Column = regexp_replace(trim(s), "\\s+", " ")
+
+  /** HTML entity decode for the common named + numeric forms. `&amp;` is
+    * replaced LAST so a literal `&amp;lt;` decodes to `&lt;` (text), not
+    * `<` — the standard single-pass contract. Fixed chain, codegen'd. */
+  def decodeEntities(s: Column): Column =
+    Seq("&quot;" -> "\"", "&#39;" -> "'", "&lt;" -> "<", "&gt;" -> ">",
+        "&copy;" -> "©", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(s) { case (acc, (ent, ch)) => replace(acc, lit(ent), lit(ch)) }
+
+  /** Inter-tag text segments of an HTML document: split on tags, collapse
+    * whitespace, drop empties. One narrow per-row projection. */
+  def htmlSegments(html: Column): Column =
+    filter(transform(split(html, "<[^>]*>"), s => collapseWs(s)),
+      s => length(s) > 0)
+
+  /** Main-content extraction by segment token density — the trafilatura/
+    * jusText-family heuristic reduced to its deterministic core: segments
+    * with fewer than `minTokens` tokens are boilerplate (nav menus,
+    * footers, style payloads), the rest joins in document order and
+    * entity-decodes. Zero shuffle; the whole pass is per-row built-ins so
+    * it rides a parquet scan at 100 TB. */
+  def htmlExtract(html: Column, minTokens: Int = 7): Column =
+    decodeEntities(concat_ws(" ",
+      filter(htmlSegments(html), s => size(split(s, " ")) >= minTokens)))
+
+  // ---------------------------------------------------------------------
+  // Character-entropy gate
+  // ---------------------------------------------------------------------
+
+  /** Per-document Shannon character entropy (nats) — the cheap gibberish /
+    * binary-spill / repeated-char-flood gate a curation pipeline runs
+    * before the token-level quality scores.
+    *
+    * Shape at 100 TB: explode to a (doc, char) stream and aggregate — the
+    * (doc_id, ch) key has at most |alphabet| rows per doc, map-side combine
+    * collapses each partition's counts before the only shuffle (doc_id is
+    * skew-free by construction). The per-doc total joins back on the same
+    * doc_id partitioning. No per-row O(n·alphabet) lambda folds.
+    *
+    * Cross-engine determinism: the only transcendental is `ln`, quantized
+    * per (count, total) pair to integer micro-nats exactly like
+    * [[Search.idfMicro]] — entropy = Σ c·round(ln(N/c)·1e6) / N / 1e6 with
+    * the integer sum exact (≤ N·ln(N)·1e6 ≪ 2^53 for any real document)
+    * and the final double division a fixed two-step chain. */
+  def charEntropy(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val cnt = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("doc_id").agg(sum(col("c")).as("n"))
+    cnt.join(tot, "doc_id")
+      .withColumn("s_micro",
+        round(log(col("n").cast("double") / col("c")) * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("c") * col("s_micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        round(col("sum_micro").cast("double") / col("n_chars") / 1e6, 4)
+          .as("entropy_nats"))
+  }
+
   /** Per-source corpus mix report — the dashboard aggregate a curation
     * pipeline monitors per ingest: document/token mass, mean length,
     * language share, and exact-duplicate rate, one row per source.

@@ -18,6 +18,18 @@ object AnalyticsOracles {
       |)
       |""".stripMargin
 
+  /** SQL string literal with single quotes doubled. */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Nested `replace(...)` chain over `inner`, applied in table order —
+    * generated from the SAME Scala tables the Spark operators fold over
+    * ([[graft.analytics.TextAnalysis.MojibakeTable]] etc.), so the oracle
+    * chain can never drift from the implementation. */
+  private def replaceChainSql(inner: String, table: Seq[(String, String)]): String =
+    table.foldLeft(inner) { case (acc, (from, to)) =>
+      s"replace($acc, ${sqlLit(from)}, ${sqlLit(to)})"
+    }
+
   private val embCte =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
       |""".stripMargin
@@ -2014,6 +2026,163 @@ object AnalyticsOracles {
         |  (nf*125)::BIGINT AS duration_us,
         |  sum(((doc_id*131 + i*17) % 65536) * (i+1))::BIGINT AS sample_digest
         |FROM s GROUP BY doc_id, ch, nf ORDER BY doc_id""".stripMargin,
+    // mojibake round-trip: enrich (same residue classes as the Spark
+    // query), corrupt via the encode chain, repair via the fix chain —
+    // both chains generated from TextAnalysis.MojibakeTable
+    "text_fix_encoding" -> {
+      val tbl = graft.analytics.TextAnalysis.MojibakeTable
+      val enc = replaceChainSql("orig", tbl.map { case (b, g) => (g, b) })
+      val fix = replaceChainSql("bad", tbl)
+      s"""WITH enr AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'é')
+         |         WHEN doc_id % 3 = 1 THEN replace(text, 'o', 'ö')
+         |         ELSE '“' || replace(text, 'a', 'ä') || '’s tail—end…' END AS orig
+         |  FROM documents),
+         |bad AS (SELECT doc_id, orig, $enc AS bad FROM enr),
+         |fx AS (SELECT doc_id, orig, bad, $fix AS fixed FROM bad)
+         |SELECT doc_id, length(orig)::BIGINT AS n_chars_orig,
+         |  length(bad)::BIGINT AS n_chars_bad,
+         |  length(fixed)::BIGINT AS n_chars_fixed,
+         |  fixed = orig AS roundtrip_ok, sha256(fixed) AS fixed_hash
+         |FROM fx ORDER BY doc_id""".stripMargin
+    },
+    // HTML main-content extraction: identical page skeleton, segment
+    // split + collapse, token-density keep >= 7, entity decode chain in
+    // the Spark operator's fixed order (&amp; last)
+    "text_html_extract" -> {
+      val ents = Seq("&quot;" -> "\"", "&#39;" -> "'", "&lt;" -> "<",
+        "&gt;" -> ">", "&copy;" -> "©", "&nbsp;" -> " ", "&amp;" -> "&")
+      val dec = replaceChainSql("array_to_string(kept, ' ')", ents)
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<html><head><title>doc</title><style>p{color:red}</style></head><body><div class="nav">home | about | contact</div><p>'
+         |    || text ||
+         |    '</p><p>quote &quot;metric &amp; value&quot; end of section paragraph</p><div class="footer">&copy; 2026 '
+         |    || source || '</div></body></html>' AS html,
+         |    regexp_replace(trim(text), '\\s+', ' ', 'g')
+         |      || ' quote "metric & value" end of section paragraph' AS want
+         |  FROM documents),
+         |sg AS (
+         |  SELECT doc_id, html, want,
+         |    list_filter(
+         |      list_transform(string_split_regex(html, '<[^>]*>'),
+         |        s -> regexp_replace(trim(s), '\\s+', ' ', 'g')),
+         |      s -> length(s) > 0) AS segs
+         |  FROM h),
+         |kp AS (
+         |  SELECT doc_id, html, want, segs,
+         |    list_filter(segs, s -> len(string_split(s, ' ')) >= 7) AS kept
+         |  FROM sg),
+         |ex AS (SELECT doc_id, html, want, segs, $dec AS extracted FROM kp)
+         |SELECT doc_id, len(segs)::BIGINT AS n_segments,
+         |  length(html)::BIGINT AS n_chars_html,
+         |  length(extracted)::BIGINT AS n_chars_text,
+         |  round(length(extracted)::DOUBLE / length(html), 4) AS density,
+         |  extracted = want AS extract_ok
+         |FROM ex ORDER BY doc_id""".stripMargin
+    },
+    // character entropy in integer micro-nats (ln quantized per (c, n)
+    // pair exactly like the Spark side; fixed two-step double division)
+    "text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |cnt AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+        |term AS (
+        |  SELECT doc_id, c, n, round(ln(n::DOUBLE / c) * 1e6)::BIGINT AS s_micro
+        |  FROM cnt JOIN tot USING (doc_id))
+        |SELECT doc_id, max(n) AS n_chars, count(*)::BIGINT AS n_distinct_chars,
+        |  round(sum(c * s_micro)::DOUBLE / max(n) / 1e6, 4) AS entropy_nats
+        |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // content-defined chunking: boundary after token i where the 60-bit
+    // sha-prefix hash of the 4-token window ending at i is ≡ 0 (mod 16);
+    // duplicated chunks corpus-wide
+    "dedup_cdc" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |win AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])) AS ws
+        |  FROM tk),
+        |bnd AS (
+        |  SELECT doc_id, toks, n,
+        |    list_transform(
+        |      list_filter(range(1, len(ws) + 1),
+        |        i -> ('0x'||substr(sha256(ws[i]),1,15))::BIGINT % 16 = 0),
+        |      i -> i + 3) AS bend
+        |  FROM win),
+        |sp AS (
+        |  SELECT doc_id, toks,
+        |    list_prepend(1, list_transform(bend, p -> p + 1)) AS starts,
+        |    list_append(bend, n) AS ends
+        |  FROM bnd),
+        |cks AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      list_transform(list_zip(starts, ends),
+        |        s -> CASE WHEN s[2] >= s[1]
+        |                  THEN array_to_string(toks[s[1]:s[2]], ' ') END),
+        |      c -> c IS NOT NULL) AS chunks
+        |  FROM sp),
+        |ex AS (SELECT doc_id, unnest(chunks) AS chunk FROM cks)
+        |SELECT ('0x'||substr(sha256(chunk),1,15))::BIGINT AS chunk_hash,
+        |  max(len(string_split(chunk, ' ')))::BIGINT AS n_tokens,
+        |  count(*)::BIGINT AS n_occ,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  min(doc_id) AS keeper_id
+        |FROM ex GROUP BY 1 HAVING count(*) > 1 ORDER BY chunk_hash""".stripMargin,
+    // corpus-wide first-occurrence chunk dedup + per-doc reconstruction:
+    // same chunking CTEs as dedup_cdc; winner = rn 1 over (doc_id, idx)
+    // per chunk hash; string_agg skips the un-kept (NULL) branch
+    "dedup_cdc_rewrite" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |win AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])) AS ws
+        |  FROM tk),
+        |bnd AS (
+        |  SELECT doc_id, toks, n,
+        |    list_transform(
+        |      list_filter(range(1, len(ws) + 1),
+        |        i -> ('0x'||substr(sha256(ws[i]),1,15))::BIGINT % 16 = 0),
+        |      i -> i + 3) AS bend
+        |  FROM win),
+        |sp AS (
+        |  SELECT doc_id, toks,
+        |    list_prepend(1, list_transform(bend, p -> p + 1)) AS starts,
+        |    list_append(bend, n) AS ends
+        |  FROM bnd),
+        |cks AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      list_transform(list_zip(starts, ends),
+        |        s -> CASE WHEN s[2] >= s[1]
+        |                  THEN array_to_string(toks[s[1]:s[2]], ' ') END),
+        |      c -> c IS NOT NULL) AS chunks
+        |  FROM sp),
+        |occ AS (
+        |  SELECT doc_id, unnest(chunks) AS chunk,
+        |    unnest(range(1, len(chunks) + 1)) AS idx
+        |  FROM cks),
+        |rk AS (
+        |  SELECT doc_id, chunk, idx,
+        |    row_number() OVER (
+        |      PARTITION BY ('0x'||substr(sha256(chunk),1,15))::BIGINT
+        |      ORDER BY doc_id, idx) AS rn
+        |  FROM occ),
+        |reb AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |    string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx) AS kept_text
+        |  FROM rk GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_chunks, 0) AS n_chunks,
+        |  coalesce(n_kept, 0) AS n_kept,
+        |  coalesce(kept_text, '') AS kept_text
+        |FROM documents d LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 
   /** sim_pqindex_topk — IVF-PQ served from the PERSISTED index

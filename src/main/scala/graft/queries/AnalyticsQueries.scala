@@ -1122,7 +1122,87 @@ object AnalyticsQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Encoding-repair round-trip: the corpus is ASCII, so the query first
+    * enriches it deterministically with the accented/typographic chars a
+    * real web crawl carries (per doc_id residue class), renders the classic
+    * UTF-8→cp1252 mis-decode with [[TextAnalysis.mojibakeEncode]], then
+    * repairs with the operator under test ([[TextAnalysis.fixMojibake]]).
+    * `roundtrip_ok` proves repair(corrupt(s)) == s per document; the char
+    * counts expose how much mojibake each doc carried. Zero shuffle. */
+  def textFixEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val enriched =
+      when(col("doc_id") % 3 === 0, replace(col("text"), lit("e"), lit("é")))
+        .when(col("doc_id") % 3 === 1, replace(col("text"), lit("o"), lit("ö")))
+        .otherwise(concat(lit("“"), replace(col("text"), lit("a"), lit("ä")),
+          lit("’s tail—end…")))
+    docs.select(col("doc_id"), enriched.as("__orig"))
+      .withColumn("__bad", TextAnalysis.mojibakeEncode(col("__orig")))
+      .withColumn("__fixed", TextAnalysis.fixMojibake(col("__bad")))
+      .select(col("doc_id"),
+        length(col("__orig")).cast("long").as("n_chars_orig"),
+        length(col("__bad")).cast("long").as("n_chars_bad"),
+        length(col("__fixed")).cast("long").as("n_chars_fixed"),
+        (col("__fixed") === col("__orig")).as("roundtrip_ok"),
+        sha2(col("__fixed"), 256).as("fixed_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** HTML main-content extraction: each doc is wrapped in a deterministic
+    * page skeleton (title, style payload, nav menu, a second entity-bearing
+    * content paragraph, a footer) and [[TextAnalysis.htmlExtract]] must
+    * recover exactly the content paragraphs — nav/footer/style die on the
+    * segment token-density gate, entities decode. `extract_ok` is the
+    * per-doc proof; the segment counts and text/html density ride along as
+    * the curation metrics. Zero shuffle. */
+  def textHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val html = concat(
+      lit("<html><head><title>doc</title><style>p{color:red}</style></head>" +
+        "<body><div class=\"nav\">home | about | contact</div><p>"),
+      col("text"),
+      lit("</p><p>quote &quot;metric &amp; value&quot; end of section paragraph</p>" +
+        "<div class=\"footer\">&copy; 2026 "),
+      col("source"), lit("</div></body></html>"))
+    val expected = concat(TextAnalysis.collapseWs(col("text")),
+      lit(" quote \"metric & value\" end of section paragraph"))
+    docs.select(col("doc_id"), html.as("__html"), expected.as("__want"))
+      .withColumn("__segs", TextAnalysis.htmlSegments(col("__html")))
+      .withColumn("__text", TextAnalysis.htmlExtract(col("__html"), minTokens = 7))
+      .select(col("doc_id"),
+        size(col("__segs")).cast("long").as("n_segments"),
+        length(col("__html")).cast("long").as("n_chars_html"),
+        length(col("__text")).cast("long").as("n_chars_text"),
+        round(length(col("__text")).cast("double") / length(col("__html")), 4)
+          .as("density"),
+        (col("__text") === col("__want")).as("extract_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-doc character-entropy gate (micro-nat-exact — see
+    * [[TextAnalysis.charEntropy]]'s determinism contract). */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(Tables(spark, dir).documents)
+      .orderBy(col("doc_id"))
+
+  /** Content-defined-chunking duplicate-chunk report (w=4 window, expected
+    * 16-token chunks) — see [[Dedup.cdcDupChunks]]. */
+  def dedupCdc(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cdcDupChunks(Tables(spark, dir).documents, w = 4, modulus = 16)
+      .orderBy(col("chunk_hash"))
+
+  /** The rewrite the report justifies: corpus-wide first-occurrence chunk
+    * dedup with per-doc reconstruction — see [[Dedup.cdcRewrite]]. */
+  def dedupCdcRewrite(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cdcRewrite(Tables(spark, dir).documents, w = 4, modulus = 16)
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_fix_encoding" -> (textFixEncoding(_, _)),
+    "text_html_extract" -> (textHtmlExtract(_, _)),
+    "text_entropy"     -> (textEntropy(_, _)),
+    "dedup_cdc"        -> (dedupCdc(_, _)),
+    "dedup_cdc_rewrite" -> (dedupCdcRewrite(_, _)),
     "text_gopher_gates" -> (textGopherGates(_, _)),
     "text_winnow"      -> (textWinnow(_, _)),
     "dedup_spans"      -> (dedupSpans(_, _)),
