@@ -13,7 +13,7 @@ object Bench {
     * Median totals: 190.0 / 201.2 / 195.2 s -> 193.4 s. Flagged
     * slowdowns are re-measured TWICE before being reported (below).
     * text_fix_encoding / text_html_extract / text_entropy / dedup_cdc /
-    * dedup_cdc_rewrite joined mid-round-10: their entries are that
+    * dedup_cdc_rewrite / pipeline_web_ingest joined mid-round-10: their entries are that
     * session's first sf0.1 recording, refreshed at the closing quiet
     * re-record. */
   val baselinePrev: Map[String, Double] = Map(
@@ -52,7 +52,7 @@ object Bench {
     "o8_o9_statement_json" -> 1.652, "o8_withfield" -> 1.528,
     "pack_curriculum" -> 0.519, "pack_shards" -> 0.391,
     "pack_shuffled" -> 0.358, "pack_window_map" -> 0.365,
-    "pack_windows" -> 0.297, "pipeline_admit" -> 1.127,
+    "pack_windows" -> 0.297, "pipeline_admit" -> 1.127, "pipeline_web_ingest" -> 4.356,
     "pipeline_curate" -> 4.321, "pipeline_full" -> 9.359,
     "pipeline_pack" -> 1.494, "q10_cube" -> 0.506,
     "q11_full_outer" -> 0.346, "q12_corr_subquery" -> 0.748,

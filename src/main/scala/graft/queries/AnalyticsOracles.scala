@@ -2078,9 +2078,83 @@ object AnalyticsOracles {
          |SELECT doc_id, len(segs)::BIGINT AS n_segments,
          |  length(html)::BIGINT AS n_chars_html,
          |  length(extracted)::BIGINT AS n_chars_text,
-         |  round(length(extracted)::DOUBLE / length(html), 4) AS density,
+         |  round(CAST((length(extracted)::DOUBLE / length(html)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS density,
          |  extracted = want AS extract_ok
          |FROM ex ORDER BY doc_id""".stripMargin
+    },
+    // composed raw-web ingest: enrichment + page skeleton + encode chain
+    // (fragments of text_fix_encoding / text_html_extract), entropy CTEs
+    // (text_entropy), DDSketch p25 walk (text_quality_calibrated) over
+    // e_micro, verdict row per doc
+    "pipeline_web_ingest" -> {
+      val tbl = graft.analytics.TextAnalysis.MojibakeTable
+      val enc = replaceChainSql("page", tbl.map { case (b, g) => (g, b) })
+      val fix = replaceChainSql("raw", tbl)
+      val ents = Seq("&quot;" -> "\"", "&#39;" -> "'", "&lt;" -> "<",
+        "&gt;" -> ">", "&copy;" -> "©", "&nbsp;" -> " ", "&amp;" -> "&")
+      val dec = replaceChainSql("array_to_string(kept, ' ')", ents)
+      s"""WITH enr AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'é')
+         |         WHEN doc_id % 3 = 1 THEN replace(text, 'o', 'ö')
+         |         ELSE '“' || replace(text, 'a', 'ä') || '’s tail—end…' END AS orig
+         |  FROM documents),
+         |pg AS (
+         |  SELECT doc_id,
+         |    '<html><head><title>doc</title><style>p{color:red}</style></head><body><div class="nav">home | about | contact</div><p>'
+         |    || orig ||
+         |    '</p><p>quote &quot;metric &amp; value&quot; end of section paragraph</p><div class="footer">&copy; 2026 '
+         |    || source || '</div></body></html>' AS page
+         |  FROM enr),
+         |rw AS (SELECT doc_id, $enc AS raw FROM pg),
+         |rp AS (SELECT doc_id, raw, length(raw)::BIGINT AS n_chars_raw, $fix AS rep FROM rw),
+         |sg AS (
+         |  SELECT doc_id, n_chars_raw,
+         |    list_filter(
+         |      list_transform(string_split_regex(rep, '<[^>]*>'),
+         |        s -> regexp_replace(trim(s), '\\s+', ' ', 'g')),
+         |      s -> length(s) > 0) AS segs
+         |  FROM rp),
+         |kp AS (
+         |  SELECT doc_id, n_chars_raw,
+         |    list_filter(segs, s -> len(string_split(s, ' ')) >= 7) AS kept
+         |  FROM sg),
+         |ex AS (SELECT doc_id, n_chars_raw, $dec AS extracted FROM kp),
+         |ch AS (SELECT doc_id, unnest(string_split(extracted, '')) AS ch FROM ex),
+         |cnt AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+         |term AS (
+         |  SELECT doc_id, c, n, round(ln(n::DOUBLE / c) * 1e6)::BIGINT AS s_micro
+         |  FROM cnt JOIN tot USING (doc_id)),
+         |ent AS (
+         |  SELECT doc_id, max(n) AS n_chars, count(*)::BIGINT AS n_distinct_chars,
+         |    round(CAST((sum(c * s_micro)::DOUBLE / max(n) / 1e6) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS entropy_nats
+         |  FROM term GROUP BY doc_id),
+         |em AS (
+         |  SELECT e.doc_id, x.n_chars_raw, e.n_chars, e.n_distinct_chars,
+         |    round(e.entropy_nats * 10000)::BIGINT AS e_micro
+         |  FROM ent e JOIN ex x ON x.doc_id = e.doc_id),
+         |cents AS (SELECT greatest(e_micro, 1) AS c FROM em),
+         |withb AS (SELECT c, length(bin(c))::BIGINT AS b FROM cents),
+         |k AS (
+         |  SELECT CASE WHEN c < 32 THEN c
+         |              ELSE (b - 1) * 32 + ((c >> (b - 6)) & 31) END AS bucket,
+         |         CASE WHEN c < 32 THEN c
+         |              ELSE ((32 + ((c >> (b - 6)) & 31)) << (b - 6)) END AS rep
+         |  FROM withb),
+         |hist AS (SELECT bucket, rep, count(*)::BIGINT AS cnt FROM k GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT rep, cnt,
+         |    sum(cnt) OVER (ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(cnt) OVER () AS n
+         |  FROM hist),
+         |thr AS (
+         |  SELECT min(CASE WHEN cum >= ceil(0.25 * n) THEN rep END)::BIGINT AS p25
+         |  FROM cum)
+         |SELECT doc_id, n_chars_raw, n_chars AS n_chars_text, n_distinct_chars,
+         |  e_micro, p25, e_micro >= p25 AS verdict
+         |FROM em CROSS JOIN thr ORDER BY doc_id""".stripMargin
     },
     // character entropy in integer micro-nats (ln quantized per (c, n)
     // pair exactly like the Spark side; fixed two-step double division)
@@ -2093,7 +2167,7 @@ object AnalyticsOracles {
         |  SELECT doc_id, c, n, round(ln(n::DOUBLE / c) * 1e6)::BIGINT AS s_micro
         |  FROM cnt JOIN tot USING (doc_id))
         |SELECT doc_id, max(n) AS n_chars, count(*)::BIGINT AS n_distinct_chars,
-        |  round(sum(c * s_micro)::DOUBLE / max(n) / 1e6, 4) AS entropy_nats
+        |  round(CAST((sum(c * s_micro)::DOUBLE / max(n) / 1e6) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS entropy_nats
         |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // content-defined chunking: boundary after token i where the 60-bit
     // sha-prefix hash of the 4-token window ending at i is ≡ 0 (mod 16);

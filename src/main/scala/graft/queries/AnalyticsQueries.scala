@@ -1185,6 +1185,61 @@ object AnalyticsQueries {
     TextAnalysis.charEntropy(Tables(spark, dir).documents)
       .orderBy(col("doc_id"))
 
+  /** Composed RAW-WEB ingest DAG — the round-10 guards as one oracled
+    * chain, the "crawl dump → clean corpus" shape: each doc arrives as a
+    * mojibake-corrupted HTML page (synthesized deterministically: the
+    * [[textFixEncoding]] residue-class enrichment → the
+    * [[textHtmlExtract]] page skeleton → cp1252 mis-decode of the WHOLE
+    * page), and ingest runs repair → main-content extraction →
+    * char-entropy gate calibrated to the corpus's own p25 (DDSketch
+    * bucket walk — no global sort). Every doc gets a routable VERDICT row
+    * with provenance (chars at each stage, entropy, threshold) — the
+    * admission-DAG contract, not a silent filter.
+    *
+    * Materialization discipline (the r9 pipeline_admit lesson): the
+    * repair+extract stage feeds both the entropy explode and the final
+    * report, and the scored frame feeds both the histogram and the final
+    * verdict — each is `localCheckpoint(true)`-pinned so no subtree
+    * re-runs. */
+  def pipelineWebIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val enriched =
+      when(col("doc_id") % 3 === 0, replace(col("text"), lit("e"), lit("é")))
+        .when(col("doc_id") % 3 === 1, replace(col("text"), lit("o"), lit("ö")))
+        .otherwise(concat(lit("“"), replace(col("text"), lit("a"), lit("ä")),
+          lit("’s tail—end…")))
+    val page = concat(
+      lit("<html><head><title>doc</title><style>p{color:red}</style></head>" +
+        "<body><div class=\"nav\">home | about | contact</div><p>"),
+      enriched,
+      lit("</p><p>quote &quot;metric &amp; value&quot; end of section paragraph</p>" +
+        "<div class=\"footer\">&copy; 2026 "),
+      col("source"), lit("</div></body></html>"))
+    val stage = docs
+      .select(col("doc_id"), TextAnalysis.mojibakeEncode(page).as("__raw"))
+      .select(col("doc_id"),
+        length(col("__raw")).cast("long").as("n_chars_raw"),
+        TextAnalysis.htmlExtract(TextAnalysis.fixMojibake(col("__raw")), minTokens = 7)
+          .as("__text"))
+      .localCheckpoint(true)
+    val scored = stage.select(col("doc_id"), col("n_chars_raw"))
+      .join(TextAnalysis.charEntropy(
+          stage.select(col("doc_id"), col("__text").as("text"))), "doc_id")
+      .withColumn("e_micro", round(col("entropy_nats") * 10000).cast("long"))
+      .localCheckpoint(true)
+    val hist = graft.analytics.QuantileSketch.histogram(
+      scored.withColumn("g", lit(1L)), Seq("g"), col("e_micro"))
+    val thr = graft.analytics.QuantileSketch.quantiles(
+        hist, Seq("g"), Seq(("p25", 0.25)))
+      .select(col("p25"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_chars_raw"),
+        col("n_chars").as("n_chars_text"), col("n_distinct_chars"),
+        col("e_micro"), col("p25"),
+        (col("e_micro") >= col("p25")).as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content-defined-chunking duplicate-chunk report (w=4 window, expected
     * 16-token chunks) — see [[Dedup.cdcDupChunks]]. */
   def dedupCdc(spark: SparkSession, dir: String): DataFrame =
@@ -1201,6 +1256,7 @@ object AnalyticsQueries {
     "text_fix_encoding" -> (textFixEncoding(_, _)),
     "text_html_extract" -> (textHtmlExtract(_, _)),
     "text_entropy"     -> (textEntropy(_, _)),
+    "pipeline_web_ingest" -> (pipelineWebIngest(_, _)),
     "dedup_cdc"        -> (dedupCdc(_, _)),
     "dedup_cdc_rewrite" -> (dedupCdcRewrite(_, _)),
     "text_gopher_gates" -> (textGopherGates(_, _)),

@@ -153,6 +153,20 @@ class Round10TextSpec extends SparkSpec {
     assert(!badFilter, "chunk expression duplicated into a pushed-down filter")
   }
 
+  test("pipeline_web_ingest: every doc gets a verdict; the p25 gate rejects a calibrated share") {
+    val r = graft.queries.AnalyticsQueries
+      .pipelineWebIngest(spark, sf("sf0.001"))
+      .select("doc_id", "verdict", "e_micro", "p25").collect()
+    val docs = graft.Tables(spark, sf("sf0.001")).documents.count()
+    assert(r.length == docs) // routable verdicts, not a silent filter
+    val rejected = r.count(!_.getBoolean(1))
+    // DDSketch p25 is approximate (bucketed reps): the rejected share must
+    // be material and below half
+    assert(rejected > 0 && rejected < docs / 2, s"rejected=$rejected of $docs")
+    // the verdict is exactly the threshold predicate
+    assert(r.forall(row => row.getBoolean(1) == (row.getLong(2) >= row.getLong(3))))
+  }
+
   test("cdcRewrite: first occurrence survives, later copies vanish, novel docs untouched") {
     val shared = (0 until 100).map(i => s"t$i").mkString(" ")
     val novel = (0 until 60).map(i => s"n$i").mkString(" ")
