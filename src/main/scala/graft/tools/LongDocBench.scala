@@ -89,23 +89,28 @@ object LongDocBench {
     time(Dedup.intraDocSpanDedup(probe, spanTokens = 2))
     time(quadraticForm(probe, spanTokens = 2))
 
-    println(f"${"tokens"}%8s ${"spans"}%8s ${"linear_s"}%10s ${"quadratic_s"}%12s ${"ratio"}%8s")
-    var sizes = List.empty[(Int, Double, Double)]
+    // cdc leg: the round-10 chunking claims O(tokens*w) per document —
+    // timed on the same ladder (chunk stream materialized via noop)
+    time(Dedup.cdcChunks(probe))
+    println(f"${"tokens"}%8s ${"spans"}%8s ${"linear_s"}%10s ${"quadratic_s"}%12s ${"ratio"}%8s ${"cdc_s"}%8s")
+    var sizes = List.empty[(Int, Double, Double, Double)]
     var t = 5000
     while (t <= maxTokens) {
       val d = synth(spark, docsPerSize, t)
       val lin = time(Dedup.intraDocSpanDedup(d, spanTokens = 2))
       val quad = time(quadraticForm(d, spanTokens = 2))
-      println(f"$t%8d ${t / 2}%8d $lin%10.2f $quad%12.2f ${quad / lin}%8.1f")
-      sizes ::= ((t, lin, quad))
+      val cdc = time(Dedup.cdcChunks(d))
+      println(f"$t%8d ${t / 2}%8d $lin%10.2f $quad%12.2f ${quad / lin}%8.1f $cdc%8.2f")
+      sizes ::= ((t, lin, quad, cdc))
       d.unpersist()
       t *= 2
     }
     // fitted exponents over the doubling ladder (log2 slope, last/first)
     val s = sizes.reverse
-    def exp(f: ((Int, Double, Double)) => Double): Double =
+    def exp(f: ((Int, Double, Double, Double)) => Double): Double =
       math.log(f(s.last) / f(s.head)) / math.log(s.last._1.toDouble / s.head._1)
     println(f"fitted exponent linear=${exp(_._2)}%.2f quadratic=${exp(_._3)}%.2f " +
+      f"cdc=${exp(_._4)}%.2f " +
       s"over tokens=${s.head._1}..${s.last._1}")
     spark.stop()
   }
