@@ -349,6 +349,39 @@ object TextAnalysis {
           .as("entropy_nats"))
   }
 
+  /** Per-ROW twin of [[charEntropy]] for STATELESS streaming maps: appends
+    * (n_chars, n_distinct_chars, entropy_nats) computed entirely from the
+    * row's own text — no explode, no shuffle, usable inside a
+    * micro-batch's narrow projection.
+    *
+    * EXACT equality with the distributed aggregate: both sum the same set
+    * of integer micro-nat terms c·round(ln(N/c)·1e6) (integer addition is
+    * order-free) and apply the same final two-step double division, so a
+    * streaming gate against a batch-calibrated threshold decides
+    * identically to the batch gate (proven row-for-row in
+    * Round10TextSpec and end-to-end in WebIngestParitySpec).
+    *
+    * Cost: O(len·alphabet) per row (the per-distinct-char count scans the
+    * char array) vs the aggregate's O(len) — the right trade ONLY inside
+    * a per-row map; corpus-scale batch scoring should use [[charEntropy]].
+    * All intermediates are materialized attributes, so no captured
+    * expression re-evaluates per lambda element. */
+  def withRowEntropy(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__chars", split(col(textCol), ""))
+      .withColumn("__dc", array_distinct(col("__chars")))
+      .withColumn("n_chars", size(col("__chars")).cast("long"))
+      .withColumn("n_distinct_chars", size(col("__dc")).cast("long"))
+      .withColumn("__sum_micro",
+        aggregate(
+          transform(col("__dc"),
+            c => size(filter(col("__chars"), x => x === c)).cast("long")),
+          lit(0L),
+          (acc, cnt) => acc + cnt *
+            round(log(col("n_chars").cast("double") / cnt) * 1e6).cast("long")))
+      .withColumn("entropy_nats",
+        round(col("__sum_micro").cast("double") / col("n_chars") / 1e6, 4))
+      .drop("__chars", "__dc", "__sum_micro")
+
   /** Per-source corpus mix report — the dashboard aggregate a curation
     * pipeline monitors per ingest: document/token mass, mean length,
     * language share, and exact-duplicate rate, one row per source.

@@ -1201,8 +1201,12 @@ object AnalyticsQueries {
     * report, and the scored frame feeds both the histogram and the final
     * verdict — each is `localCheckpoint(true)`-pinned so no subtree
     * re-runs. */
-  def pipelineWebIngest(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+  /** The deterministic corrupted-page synthesis shared by
+    * [[pipelineWebIngest]] and its streaming twin's parity spec
+    * (WebIngestParitySpec): residue-class unicode enrichment → page
+    * skeleton → cp1252 mis-decode of the whole page. Returns
+    * (doc_id, page). */
+  def webIngestPages(docs: DataFrame): DataFrame = {
     val enriched =
       when(col("doc_id") % 3 === 0, replace(col("text"), lit("e"), lit("é")))
         .when(col("doc_id") % 3 === 1, replace(col("text"), lit("o"), lit("ö")))
@@ -1215,8 +1219,13 @@ object AnalyticsQueries {
       lit("</p><p>quote &quot;metric &amp; value&quot; end of section paragraph</p>" +
         "<div class=\"footer\">&copy; 2026 "),
       col("source"), lit("</div></body></html>"))
-    val stage = docs
-      .select(col("doc_id"), TextAnalysis.mojibakeEncode(page).as("__raw"))
+    docs.select(col("doc_id"), TextAnalysis.mojibakeEncode(page).as("page"))
+  }
+
+  def pipelineWebIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val stage = webIngestPages(docs)
+      .select(col("doc_id"), col("page").as("__raw"))
       .select(col("doc_id"),
         length(col("__raw")).cast("long").as("n_chars_raw"),
         TextAnalysis.htmlExtract(TextAnalysis.fixMojibake(col("__raw")), minTokens = 7)

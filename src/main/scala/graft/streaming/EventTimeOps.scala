@@ -539,6 +539,36 @@ object EventTimeOps {
   final case class AdmitQuota(source: String, doc_id: Long, text: String,
                               quota_admitted: Boolean, quota_idx: Long)
 
+  /** Streaming twin of the raw-web ingest DAG
+    * ([[graft.queries.AnalyticsQueries.pipelineWebIngest]]): repair →
+    * main-content extraction → char-entropy gate — and unlike
+    * [[streamingAdmit]] this chain is ENTIRELY STATELESS: every stage is a
+    * per-row expression ([[graft.analytics.TextAnalysis.fixMojibake]],
+    * `htmlExtract`, `withRowEntropy` — the per-row twin proven
+    * integer-identical to the distributed entropy aggregate), so the
+    * operator scales with zero state stores, survives any arrival order,
+    * and parity with the batch DAG is UNCONDITIONAL given the same
+    * threshold. The only batch-coupled piece is calibration: the batch DAG
+    * self-calibrates to its corpus's p25, a stream cannot know a final
+    * quantile mid-flight, so the gate takes `p25` as input — the
+    * calibrate-on-yesterday pattern, same contract as [[streamingAdmit]]'s
+    * threshold. Every page gets a routable verdict row
+    * (WebIngestParitySpec dual-routes and proves verdict-for-verdict
+    * equality with the batch DAG). */
+  def streamingWebIngest(pages: DataFrame, p25: Long, minTokens: Int = 7): DataFrame = {
+    import graft.analytics.TextAnalysis
+    val extracted = pages.select(col("doc_id"),
+      length(col("page")).cast("long").as("n_chars_raw"),
+      TextAnalysis.htmlExtract(TextAnalysis.fixMojibake(col("page")), minTokens)
+        .as("__text"))
+    TextAnalysis.withRowEntropy(extracted, "__text")
+      .withColumn("e_micro", round(col("entropy_nats") * 10000).cast("long"))
+      .select(col("doc_id"), col("n_chars_raw"),
+        col("n_chars").as("n_chars_text"), col("n_distinct_chars"),
+        col("e_micro"), lit(p25).as("p25"),
+        (col("e_micro") >= lit(p25)).as("verdict"))
+  }
+
   /** Streaming twin of the batch admission DAG
     * ([[graft.queries.AnalyticsQueries.pipelineAdmit]]): per-source quota →
     * intra-doc repeated-span trim (stateless map) → calibrated quality gate

@@ -153,6 +153,15 @@ class Round10TextSpec extends SparkSpec {
     assert(!badFilter, "chunk expression duplicated into a pushed-down filter")
   }
 
+  test("withRowEntropy (per-row streaming twin) equals charEntropy (distributed agg) row-for-row") {
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+    val agg = TextAnalysis.charEntropy(docs)
+      .select("doc_id", "n_chars", "n_distinct_chars", "entropy_nats")
+    val row = TextAnalysis.withRowEntropy(docs.select("doc_id", "text"), "text")
+      .select("doc_id", "n_chars", "n_distinct_chars", "entropy_nats")
+    assert(row.exceptAll(agg).isEmpty && agg.exceptAll(row).isEmpty)
+  }
+
   test("pipeline_web_ingest: every doc gets a verdict; the p25 gate rejects a calibrated share") {
     val r = graft.queries.AnalyticsQueries
       .pipelineWebIngest(spark, sf("sf0.001"))
