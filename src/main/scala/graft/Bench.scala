@@ -13,7 +13,8 @@ object Bench {
     * Median totals: 190.0 / 201.2 / 195.2 s -> 193.4 s. Flagged
     * slowdowns are re-measured TWICE before being reported (below).
     * text_fix_encoding / text_html_extract / text_entropy / dedup_cdc /
-    * dedup_cdc_rewrite / pipeline_web_ingest joined mid-round-10: their entries are that
+    * dedup_cdc_rewrite / pipeline_web_ingest / pack_fim /
+    * curate_threshold_sweep joined mid-round-10: their entries are that
     * session's first sf0.1 recording, refreshed at the closing quiet
     * re-record. */
   val baselinePrev: Map[String, Double] = Map(
@@ -50,7 +51,8 @@ object Bench {
     "o14_format_values" -> 1.959, "o3_count_range" -> 0.152,
     "o4_o5_extract" -> 1.431, "o6_o7_anonymize" -> 0.949,
     "o8_o9_statement_json" -> 1.652, "o8_withfield" -> 1.528,
-    "pack_curriculum" -> 0.519, "pack_shards" -> 0.391,
+    "pack_curriculum" -> 0.519, "pack_fim" -> 1.584,
+    "curate_threshold_sweep" -> 2.457, "pack_shards" -> 0.391,
     "pack_shuffled" -> 0.358, "pack_window_map" -> 0.365,
     "pack_windows" -> 0.297, "pipeline_admit" -> 1.127, "pipeline_web_ingest" -> 4.356,
     "pipeline_curate" -> 4.321, "pipeline_full" -> 9.359,

@@ -409,4 +409,83 @@ object Sampling {
       .select(col("source"), col("doc_id"), col("quality"), col("src_rank"),
         lit(cap).as("src_cap"))
   }
+
+  /** Fill-in-the-middle (FIM) transformation — the code/infilling
+    * training-data op (Bavarian et al.'s document-level FIM): for a
+    * deterministic `ratePerMille` share of documents, two hash-derived cut
+    * points split the token stream into prefix/middle/suffix and the doc
+    * re-serializes in PSM order
+    * `<fim_pre> prefix <fim_suf> suffix <fim_mid> middle`; the rest pass
+    * through verbatim. Cuts are a pure function of doc_id (sha-derived, the
+    * [[Dedup.hash60]] idiom) so the transform is reproducible, re-seedable
+    * via the salt, and oracle-exact.
+    *
+    * Shape at 100 TB: one narrow per-row projection — two hashes, three
+    * slices, zero shuffle; rides the scan like every other packing
+    * transform. Sentinels are plan-time literals. */
+  def fimTransform(docs: DataFrame, ratePerMille: Int = 500,
+                   salt: String = "fim",
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(ratePerMille >= 0 && ratePerMille <= 1000, s"bad rate $ratePerMille")
+    val df = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"), col(textCol).as("__text"))
+    val t = col("__toks")
+    val n = size(t)
+    val h1 = Dedup.hash60(concat(lit(salt + "a"), col("doc_id"))) % (n + 1)
+    val h2 = Dedup.hash60(concat(lit(salt + "b"), col("doc_id"))) % (n + 1)
+    val sel = Dedup.hash60(concat(lit(salt + "r"), col("doc_id"))) % 1000 < ratePerMille
+    df
+      .withColumn("fim_applied", sel)
+      .withColumn("__c1", least(h1, h2))
+      .withColumn("__c2", greatest(h1, h2))
+      .withColumn("n_prefix", when(sel, col("__c1")).otherwise(n).cast("long"))
+      .withColumn("n_middle", when(sel, col("__c2") - col("__c1")).otherwise(0).cast("long"))
+      .withColumn("n_suffix", when(sel, n - col("__c2")).otherwise(0).cast("long"))
+      .withColumn("out_text",
+        when(col("fim_applied"),
+          concat(lit("<fim_pre> "),
+            concat_ws(" ", slice(t, lit(1), col("__c1"))),
+            lit(" <fim_suf> "),
+            concat_ws(" ", slice(t, col("__c2") + 1, n - col("__c2"))),
+            lit(" <fim_mid> "),
+            concat_ws(" ", slice(t, col("__c1") + 1, col("__c2") - col("__c1")))))
+          .otherwise(col("__text")))
+      .select(col("doc_id"), col("fim_applied"), col("n_prefix"),
+        col("n_middle"), col("n_suffix"), col("out_text"))
+  }
+
+  /** Gate-tuning curve WITHOUT a corpus rescan: for each decile threshold
+    * of the quality distribution (reps from the [[QuantileSketch]]
+    * histogram — the same integer-deterministic walk the calibrated gate
+    * uses), the number and fraction of documents a gate at that threshold
+    * would keep. One corpus pass builds the histogram; the sweep itself is
+    * histogram-sized arithmetic (≤ ~70 buckets), so tuning a 100 TB gate
+    * costs one scan total, not one per candidate threshold. */
+  def thresholdSweep(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val scored = docs.select(
+      round(graft.functions.GraftFunctions.qualityFast(col(textCol)) * 10000)
+        .cast("long").as("q_micro"))
+    // the histogram is referenced three times below (quantiles, total,
+    // sweep) — materialize the ≤~70-row frame so the corpus scan runs once
+    val hist = QuantileSketch.histogram(
+      scored.withColumn("g", lit(1L)), Seq("g"), col("q_micro"))
+      .localCheckpoint(true)
+    val qs = QuantileSketch.quantiles(hist, Seq("g"),
+      (1 to 9).map(i => (s"p${i * 10}", i / 10.0)))
+    // unpivot the single quantile row to (name, thr_rep)
+    val thr = qs.select(explode(map(
+      (1 to 9).flatMap(i => Seq(lit(s"p${i * 10}"), col(s"p${i * 10}"))): _*))
+      .as(Seq("quantile", "thr_rep")))
+    // kept mass per threshold from the histogram alone: every doc in a
+    // bucket counts as its rep (the sketch's standard rank contract)
+    val total = hist.agg(sum(col("cnt"))).head().getLong(0)
+    thr.crossJoin(broadcast(hist.select(col("rep"), col("cnt"))))
+      .groupBy(col("quantile"), col("thr_rep"))
+      .agg(sum(when(col("rep") >= col("thr_rep"), col("cnt")).otherwise(0L))
+        .as("kept_docs"))
+      .withColumn("total_docs", lit(total))
+      .withColumn("kept_frac",
+        round(col("kept_docs").cast("double") / col("total_docs"), 4))
+  }
 }

@@ -2082,6 +2082,80 @@ object AnalyticsOracles {
          |  extracted = want AS extract_ok
          |FROM ex ORDER BY doc_id""".stripMargin
     },
+    // FIM transform: sha-derived cut points (hash60 idiom), PSM ordering,
+    // 50% rate; pure per-row slicing
+    "pack_fim" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, toks, len(toks) AS n,
+        |    ('0x'||substr(sha256('fima'||doc_id),1,15))::BIGINT % (len(toks)+1) AS h1,
+        |    ('0x'||substr(sha256('fimb'||doc_id),1,15))::BIGINT % (len(toks)+1) AS h2,
+        |    ('0x'||substr(sha256('fimr'||doc_id),1,15))::BIGINT % 1000 < 500 AS sel
+        |  FROM tk),
+        |d AS (
+        |  SELECT doc_id, text, toks, n, sel,
+        |    least(h1, h2) AS c1, greatest(h1, h2) AS c2
+        |  FROM c)
+        |SELECT doc_id, sel AS fim_applied,
+        |  (CASE WHEN sel THEN c1 ELSE n END)::BIGINT AS n_prefix,
+        |  (CASE WHEN sel THEN c2 - c1 ELSE 0 END)::BIGINT AS n_middle,
+        |  (CASE WHEN sel THEN n - c2 ELSE 0 END)::BIGINT AS n_suffix,
+        |  CASE WHEN sel THEN
+        |    '<fim_pre> ' || coalesce(array_to_string(toks[1:c1], ' '), '')
+        |    || ' <fim_suf> ' || coalesce(array_to_string(toks[c2+1:n], ' '), '')
+        |    || ' <fim_mid> ' || coalesce(array_to_string(toks[c1+1:c2], ' '), '')
+        |  ELSE text END AS out_text
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // decile gate-tuning sweep: quality q_micro (text_quality_calibrated
+    // fragment) -> DDSketch histogram -> per-decile rep + kept mass from
+    // the histogram alone; quantile fractions as explicit DOUBLE literals
+    // (d*0.1 would differ from Spark's 0.1..0.9 in the last ulp and flip
+    // ceil() on exact multiples)
+    "curate_threshold_sweep" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
+        |        + 0.3 * (1.0 - punct)
+        |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
+        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
+        |  FROM (SELECT *,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
+        |    FROM tok)),
+        |qm AS (SELECT doc_id, round(quality * 10000)::BIGINT AS q_micro FROM qual),
+        |cents AS (SELECT greatest(q_micro, 1) AS c FROM qm),
+        |withb AS (SELECT c, length(bin(c))::BIGINT AS b FROM cents),
+        |k AS (
+        |  SELECT CASE WHEN c < 32 THEN c
+        |              ELSE (b - 1) * 32 + ((c >> (b - 6)) & 31) END AS bucket,
+        |         CASE WHEN c < 32 THEN c
+        |              ELSE ((32 + ((c >> (b - 6)) & 31)) << (b - 6)) END AS rep
+        |  FROM withb),
+        |hist AS (SELECT bucket, rep, count(*)::BIGINT AS cnt FROM k GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT rep, cnt,
+        |    sum(cnt) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM hist),
+        |qd(quantile, q) AS (VALUES ('p10', 0.1::DOUBLE), ('p20', 0.2::DOUBLE),
+        |  ('p30', 0.3::DOUBLE), ('p40', 0.4::DOUBLE), ('p50', 0.5::DOUBLE),
+        |  ('p60', 0.6::DOUBLE), ('p70', 0.7::DOUBLE), ('p80', 0.8::DOUBLE),
+        |  ('p90', 0.9::DOUBLE)),
+        |thr AS (
+        |  SELECT quantile,
+        |    min(CASE WHEN cum >= ceil(q * n) THEN rep END)::BIGINT AS thr_rep
+        |  FROM cum CROSS JOIN qd GROUP BY quantile),
+        |sw AS (
+        |  SELECT t.quantile, t.thr_rep,
+        |    sum(CASE WHEN h.rep >= t.thr_rep THEN h.cnt ELSE 0 END)::BIGINT AS kept_docs
+        |  FROM thr t CROSS JOIN hist h GROUP BY 1, 2),
+        |tot AS (SELECT sum(cnt)::BIGINT AS total FROM hist)
+        |SELECT quantile, thr_rep, kept_docs, total AS total_docs,
+        |  round(CAST((kept_docs::DOUBLE / total) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS kept_frac
+        |FROM sw CROSS JOIN tot ORDER BY quantile""".stripMargin,
     // composed raw-web ingest: enrichment + page skeleton + encode chain
     // (fragments of text_fix_encoding / text_html_extract), entropy CTEs
     // (text_entropy), DDSketch p25 walk (text_quality_calibrated) over

@@ -1255,6 +1255,18 @@ object AnalyticsQueries {
     Dedup.cdcDupChunks(Tables(spark, dir).documents, w = 4, modulus = 16)
       .orderBy(col("chunk_hash"))
 
+  /** Fill-in-the-middle packing transform (50% rate, sha-derived cuts) —
+    * see [[Sampling.fimTransform]]. */
+  def packFim(spark: SparkSession, dir: String): DataFrame =
+    Sampling.fimTransform(Tables(spark, dir).documents, ratePerMille = 500)
+      .orderBy(col("doc_id"))
+
+  /** Decile gate-tuning curve from one corpus pass — see
+    * [[Sampling.thresholdSweep]]. */
+  def curateThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    Sampling.thresholdSweep(Tables(spark, dir).documents)
+      .orderBy(col("quantile"))
+
   /** The rewrite the report justifies: corpus-wide first-occurrence chunk
     * dedup with per-doc reconstruction — see [[Dedup.cdcRewrite]]. */
   def dedupCdcRewrite(spark: SparkSession, dir: String): DataFrame =
@@ -1268,6 +1280,8 @@ object AnalyticsQueries {
     "pipeline_web_ingest" -> (pipelineWebIngest(_, _)),
     "dedup_cdc"        -> (dedupCdc(_, _)),
     "dedup_cdc_rewrite" -> (dedupCdcRewrite(_, _)),
+    "pack_fim"         -> (packFim(_, _)),
+    "curate_threshold_sweep" -> (curateThresholdSweep(_, _)),
     "text_gopher_gates" -> (textGopherGates(_, _)),
     "text_winnow"      -> (textWinnow(_, _)),
     "dedup_spans"      -> (dedupSpans(_, _)),
