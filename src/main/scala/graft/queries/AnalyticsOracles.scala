@@ -2082,6 +2082,53 @@ object AnalyticsOracles {
          |  extracted = want AS extract_ok
          |FROM ex ORDER BY doc_id""".stripMargin
     },
+    // incremental chunk-level admission: same chunking CTEs; history =
+    // distinct chunk hashes of ids <= max/2, delta docs report integer
+    // per-mille duplicate mass and the <= 500 verdict
+    "dedup_cdc_admit" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |win AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])) AS ws
+        |  FROM tk),
+        |bnd AS (
+        |  SELECT doc_id, toks, n,
+        |    list_transform(
+        |      list_filter(range(1, len(ws) + 1),
+        |        i -> ('0x'||substr(sha256(ws[i]),1,15))::BIGINT % 16 = 0),
+        |      i -> i + 3) AS bend
+        |  FROM win),
+        |sp AS (
+        |  SELECT doc_id, toks,
+        |    list_prepend(1, list_transform(bend, p -> p + 1)) AS starts,
+        |    list_append(bend, n) AS ends
+        |  FROM bnd),
+        |cks AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      list_transform(list_zip(starts, ends),
+        |        s -> CASE WHEN s[2] >= s[1]
+        |                  THEN array_to_string(toks[s[1]:s[2]], ' ') END),
+        |      c -> c IS NOT NULL) AS chunks
+        |  FROM sp),
+        |occ AS (
+        |  SELECT doc_id, ('0x'||substr(sha256(unnest(chunks)),1,15))::BIGINT AS h
+        |  FROM cks),
+        |spl AS (SELECT max(doc_id) // 2 AS s FROM documents),
+        |hh AS (SELECT DISTINCT h FROM occ CROSS JOIN spl WHERE doc_id <= s),
+        |dl AS (
+        |  SELECT doc_id, h, h IN (SELECT h FROM hh) AS hit
+        |  FROM occ CROSS JOIN spl WHERE doc_id > s),
+        |agg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |    sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        |  FROM dl GROUP BY doc_id)
+        |SELECT doc_id, n_chunks, n_dup,
+        |  (1000 * n_dup) // n_chunks AS dup_permille,
+        |  (1000 * n_dup) // n_chunks <= 500 AS admit
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // FIM transform: sha-derived cut points (hash60 idiom), PSM ordering,
     // 50% rate; pure per-row slicing
     "pack_fim" ->

@@ -1255,6 +1255,21 @@ object AnalyticsQueries {
     Dedup.cdcDupChunks(Tables(spark, dir).documents, w = 4, modulus = 16)
       .orderBy(col("chunk_hash"))
 
+  /** Incremental chunk-level admission against the PERSISTED CDC index —
+    * same history/delta split as [[dedupDelta]] (history = ids ≤ max/2
+    * builds the index, the upper half arrives as a shard): per delta doc
+    * the chunk-duplicate mass vs history and the admission verdict. See
+    * [[graft.analytics.CdcIndex]]. */
+  def dedupCdcAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val idx = scratchIndexDir("cdcindex")
+    graft.analytics.CdcIndex.build(docs.filter(col("doc_id") <= mid), idx)
+    graft.analytics.CdcIndex
+      .screenDelta(spark, idx, docs.filter(col("doc_id") > mid))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fill-in-the-middle packing transform (50% rate, sha-derived cuts) —
     * see [[Sampling.fimTransform]]. */
   def packFim(spark: SparkSession, dir: String): DataFrame =
@@ -1281,6 +1296,7 @@ object AnalyticsQueries {
     "dedup_cdc"        -> (dedupCdc(_, _)),
     "dedup_cdc_rewrite" -> (dedupCdcRewrite(_, _)),
     "pack_fim"         -> (packFim(_, _)),
+    "dedup_cdc_admit"  -> (dedupCdcAdmit(_, _)),
     "curate_threshold_sweep" -> (curateThresholdSweep(_, _)),
     "text_gopher_gates" -> (textGopherGates(_, _)),
     "text_winnow"      -> (textWinnow(_, _)),
