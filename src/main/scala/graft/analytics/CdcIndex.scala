@@ -46,14 +46,41 @@ object CdcIndex {
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/chunks")
     }
 
+  private def appendUnlocked(delta: DataFrame, dir: String, w: Int, modulus: Int,
+                             idCol: String, textCol: String): Unit =
+    hashes(delta, w, modulus, idCol, textCol)
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/chunks")
+
   /** Append a shard's chunk hashes (blind — screen first via
-    * [[screenDelta]] when admission should gate the append). */
+    * [[screenDelta]] when admission should gate the append, or use
+    * [[ingest]] which does both under one lock). */
   def append(delta: DataFrame, dir: String, w: Int = 4, modulus: Int = 16,
              idCol: String = "doc_id", textCol: String = "text"): Unit =
     IndexLock.withLock(delta.sparkSession, dir) {
-      hashes(delta, w, modulus, idCol, textCol)
-        .repartition(col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(s"$dir/chunks")
+      appendUnlocked(delta, dir, w, modulus, idCol, textCol)
+    }
+
+  /** Screen-then-admit ingest — the decision layer that makes shards
+    * COMPOSE: every delta doc gets a [[screenDelta]] verdict against the
+    * stored history, and only ADMITTED docs' chunk hashes are appended, so
+    * a later shard's copy of an admitted doc is rejected while a copy of a
+    * REJECTED doc's novel content is not (rejected content never enters
+    * the store — the [[DedupIndex.ingest]] contract at chunk granularity).
+    * One lock spans screen + append; the verdict frame is eagerly pinned
+    * BEFORE the append so the screen can never observe its own write.
+    * Returns the verdicts. */
+  def ingest(spark: SparkSession, dir: String, delta: DataFrame,
+             maxDupPerMille: Int = 500, w: Int = 4, modulus: Int = 16,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    IndexLock.withLock(spark, dir) {
+      val verdicts = screenDelta(spark, dir, delta, maxDupPerMille, w, modulus,
+          idCol, textCol)
+        .localCheckpoint(true)
+      val keep = verdicts.filter(col("admit")).select(col("doc_id").as(idCol))
+      appendUnlocked(delta.join(keep, Seq(idCol), "left_semi"), dir, w, modulus,
+        idCol, textCol)
+      verdicts
     }
 
   /** Screen an arriving shard against the stored history: per delta doc,

@@ -46,4 +46,70 @@ class CdcIndexSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     assert(a.count() == delta.count())
   }
+
+  test("ingest composes: admitted content rejects its later copy, rejected content does not") {
+    val hist = (0 until 120).map(i => s"h$i").mkString(" ")
+    val novel = (0 until 90).map(i => s"n$i").mkString(" ")
+    val mixed = (0 until 120).map(i => s"h$i").mkString(" ") + " " +
+      (0 until 20).map(i => s"m$i").mkString(" ")
+    val tail = (0 until 20).map(i => s"m$i").mkString(" ")
+    val idx = tmp("cdcingest")
+    CdcIndex.build(Seq((1L, hist)).toDF("doc_id", "text"), idx)
+    // shard 1: A is novel (admitted), B is mostly history (rejected)
+    val v1 = CdcIndex.ingest(spark, idx,
+        Seq((10L, novel), (11L, mixed)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("admit")).toMap
+    assert(v1(10L) && !v1(11L))
+    // shard 2: C copies the ADMITTED doc -> rejected (its chunks are now
+    // history); D copies only the REJECTED doc's novel tail -> that
+    // content never entered the store, so D is clean
+    val v2 = CdcIndex.ingest(spark, idx,
+        Seq((20L, novel), (21L, tail)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Boolean]("admit"), r.getAs[Long]("dup_permille"))).toMap
+    assert(!v2(20L)._1 && v2(20L)._2 == 1000L)
+    assert(v2(21L)._1 && v2(21L)._2 == 0L)
+  }
+
+  test("streaming foreachBatch ingest admits exactly what sequential ingest admits") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text")
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (t1, t2) = (mx / 2, mx * 3 / 4)
+    val history = docs.filter(col("doc_id") <= t1)
+    def admitted(df: DataFrame): Set[Long] =
+      df.filter(col("admit")).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val idxSeq = tmp("cdcseq")
+    CdcIndex.build(history, idxSeq)
+    val want =
+      admitted(CdcIndex.ingest(spark, idxSeq,
+        docs.filter(col("doc_id") > t1 && col("doc_id") <= t2))) ++
+      admitted(CdcIndex.ingest(spark, idxSeq, docs.filter(col("doc_id") > t2)))
+
+    val (srcDir, ckpt, outDir) = (tmp("cdcsrc"), tmp("cdcckpt"), tmp("cdcout"))
+    docs.filter(col("doc_id") > t1 && col("doc_id") <= t2)
+      .repartition(1).write.parquet(s"$srcDir/d0")
+    Thread.sleep(1500) // distinct mod times => deterministic batch order
+    docs.filter(col("doc_id") > t2)
+      .repartition(1).write.parquet(s"$srcDir/d1")
+    val idxStream = tmp("cdcstream")
+    CdcIndex.build(history, idxStream)
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/d*")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        CdcIndex.ingest(b.sparkSession, idxStream, b)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination(180000)
+    assert(admitted(spark.read.parquet(outDir)) == want)
+    // ... and the whole-shard verdict surface is total (one row per doc)
+    assert(spark.read.parquet(outDir).count() == docs.filter(col("doc_id") > t1).count())
+  }
 }
