@@ -14,9 +14,12 @@ object Bench {
     * slowdowns are re-measured TWICE before being reported (below).
     * text_fix_encoding / text_html_extract / text_entropy / dedup_cdc /
     * dedup_cdc_rewrite / pipeline_web_ingest / pack_fim /
-    * curate_threshold_sweep joined mid-round-10: their entries are that
-    * session's first sf0.1 recording, refreshed at the closing quiet
-    * re-record. */
+    * curate_threshold_sweep / dedup_cdc_admit / text_boilerplate_lines /
+    * clf_auc / clf_pr_curve / embed_prototypes joined mid-round-10: their
+    * entries are that session's first sf0.1 recording, refreshed at the
+    * closing quiet re-record. dedup_cdc_admit times a FULL index
+    * lifecycle (build + partitioned write + screen), like the
+    * sim_pqindex/bm25_index rows. */
   val baselinePrev: Map[String, Double] = Map(
     "agg_approx" -> 2.293, "agg_approx_pct" -> 1.800,
     "agg_hll_cube" -> 0.732, "agg_quantile_cube" -> 0.648,
@@ -24,13 +27,16 @@ object Bench {
     "asof_signup" -> 1.346, "bm25_index_search" -> 6.498,
     "bm25_search" -> 0.969, "bpe_encode" -> 3.525,
     "bpe_merges" -> 0.857, "clf_train" -> 1.690,
+    "clf_auc" -> 2.152, "clf_pr_curve" -> 1.503,
+    "text_boilerplate_lines" -> 3.277, "embed_prototypes" -> 3.759,
     "cluster_topics" -> 3.441, "contamination_report" -> 0.858,
     "corpus_datasheet" -> 1.238, "corpus_report" -> 0.545,
     "curate_domain_cap" -> 0.522, "decontaminate" -> 0.737,
     "decontaminate_bloom" -> 0.816, "decontaminate_index" -> 1.057,
     "dedup_admit" -> 2.598, "dedup_cc_keepers" -> 3.370,
     "dedup_cc_star" -> 4.101, "dedup_closure" -> 4.029,
-    "dedup_cdc" -> 1.743, "dedup_cdc_rewrite" -> 3.560, "dedup_containment" -> 3.132, "dedup_delta" -> 1.708,
+    "dedup_cdc" -> 1.743, "dedup_cdc_rewrite" -> 3.560, "dedup_cdc_admit" -> 5.613,
+    "dedup_containment" -> 3.132, "dedup_delta" -> 1.708,
     "dedup_exact" -> 0.363, "text_entropy" -> 1.765,
     "text_fix_encoding" -> 1.112, "text_html_extract" -> 1.686, "dedup_fuzzy_verify" -> 1.166,
     "dedup_intradoc" -> 0.648, "dedup_minhash" -> 1.021,

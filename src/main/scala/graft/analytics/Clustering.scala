@@ -204,10 +204,13 @@ object Clustering {
     * themselves. Returned eagerly checkpointed; no caller-visible cache.
     *
     * Output: (vec_id, cid, d2, is_outlier). */
-  def clusterOutliers(emb: DataFrame, centroidStep: Int, rounds: Int = 2,
-                      factor: Double = 4.0,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val asg = kmeansAssignments(emb, centroidStep, rounds, idCol, vecCol)
+  /** Squared distance of every member to its FINAL cluster's recomputed
+    * mean (exact int sums / n, d² rounded to BIGINT — the err2
+    * convention): the shared core of [[clusterOutliers]] and
+    * [[clusterPrototypes]]. Input is the persisted assignment frame from
+    * [[kmeansAssignments]]; centroids broadcast back, so the only shuffle
+    * is the (cid, pos) component aggregate. */
+  private def memberDistances(asg: DataFrame): DataFrame = {
     val sums = asg.select(col("cid"), posexplode(col("qi")).as(Seq("pos", "v")))
       .groupBy("cid", "pos").agg(sum("v").as("s"))
     val counts = asg.groupBy("cid").agg(count(lit(1)).as("n"))
@@ -216,16 +219,61 @@ object Clustering {
       .select(col("cid"),
         transform(array_sort(col("ps")), x => x.getField("s").cast("double") / col("n")).as("m"))
       .withColumn("nm", sqNorm(col("m")))
-    val d = asg.join(broadcast(cents), "cid")
+    asg.join(broadcast(cents), "cid")
       .withColumn("d2",
         round(col("nq") + col("nm") -
           lit(2.0) * GraftFunctions.arrayDot(col("qd"), col("m"))).cast("long"))
       .select(col("vec_id"), col("cid"), col("d2"))
+  }
+
+  def clusterOutliers(emb: DataFrame, centroidStep: Int, rounds: Int = 2,
+                      factor: Double = 4.0,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asg = kmeansAssignments(emb, centroidStep, rounds, idCol, vecCol)
+    val d = memberDistances(asg)
     val stats = d.groupBy("cid").agg(sum(col("d2")).as("sd2"), count(lit(1)).as("n"))
     val out = d.join(broadcast(stats), "cid")
       .withColumn("is_outlier",
         col("d2").cast("double") > lit(factor) * (col("sd2").cast("double") / col("n")))
       .select(col("vec_id"), col("cid"), col("d2"), col("is_outlier"))
+      .localCheckpoint(true)
+    asg.unpersist()
+    out
+  }
+
+  /** D4-style prototypicality pruning (Tirumala et al., "D4: Improving
+    * LLM Pretraining via Document De-Duplication and Diversification"):
+    * after semantic dedup, the examples CLOSEST to their cluster centroid
+    * are the most prototypical — templated, redundant with the cluster
+    * center — and dropping a fraction of them diversifies the corpus.
+    * Per cluster, members rank by ascending d² to the final recomputed
+    * centroid (ties → lowest vec_id) and the first
+    * `floor(n·dropNum/dropDen)` are pruned; `keep` carries the verdict,
+    * rank and d² ride along as provenance. The integer rational cap
+    * (default 1/5 = the paper's ballpark) keeps the cut exact
+    * cross-engine — no float fraction ever compares.
+    *
+    * Shape at 100 TB: distances come from [[memberDistances]] (centroids
+    * broadcast; one component aggregate); the rank window partitions by
+    * cluster — cluster-sized sorts (mean size = centroidStep, corpus-
+    * independent), never a global one. Complements [[clusterOutliers]]
+    * (FAR members = noise) on the same d² frame: the two gates trim both
+    * tails of the cluster-distance distribution. */
+  def clusterPrototypes(emb: DataFrame, centroidStep: Int, rounds: Int = 2,
+                        dropNum: Int = 1, dropDen: Int = 5,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dropNum >= 0 && dropDen >= 1 && dropNum < dropDen,
+      s"drop fraction must be in [0,1): got $dropNum/$dropDen")
+    import org.apache.spark.sql.expressions.Window
+    val asg = kmeansAssignments(emb, centroidStep, rounds, idCol, vecCol)
+    val d = memberDistances(asg)
+    val byCid = Window.partitionBy("cid")
+    val rk = Window.partitionBy("cid").orderBy(col("d2"), col("vec_id"))
+    val out = d
+      .withColumn("proto_rank", row_number().over(rk).cast("long"))
+      .withColumn("__n", count(lit(1)).over(byCid))
+      .withColumn("keep", col("proto_rank") > expr(s"__n * $dropNum div $dropDen"))
+      .select(col("vec_id"), col("cid"), col("d2"), col("proto_rank"), col("keep"))
       .localCheckpoint(true)
     asg.unpersist()
     out

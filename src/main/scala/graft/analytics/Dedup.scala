@@ -1072,4 +1072,55 @@ object Dedup {
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("keeper_id"))
       .filter(col("n_occ") > 1)
+
+  /** Corpus-level boilerplate-LINE removal — the C4/RefinedWeb line rule:
+    * a line occurring in at least `minDocs` DISTINCT documents is
+    * boilerplate (nav menus, footers, cookie banners, license headers) and
+    * EVERY occurrence is removed; each document is rebuilt from its
+    * surviving lines in original order. This deliberately differs from
+    * [[cdcRewrite]]'s keep-first-occurrence contract: a boilerplate line
+    * has no meaningful first owner, so all copies go (C4 drops any line
+    * "appearing in three or more documents" outright). Within-doc
+    * repetition alone never triggers it — the signal is distinct-document
+    * frequency, which is what separates boilerplate from content.
+    *
+    * Output: (doc_id, n_lines, n_kept, kept_text) — one row per input doc
+    * (the rewrite contract shared with [[cdcRewrite]]).
+    *
+    * Shape at 100 TB: line extraction is one narrow split+posexplode; the
+    * df aggregate groups by an 8-byte line hash with map-side partial
+    * distinct on (hash, doc_id), so a line pasted into 10⁷ docs collapses
+    * per partition before the exchange; occurrences join the df table on
+    * the same digest (co-partitioned from the aggregate under AQE) and the
+    * rebuild is one doc_id-keyed sorted aggregate. No corpus-sized
+    * collect, no pair join, text crosses the wire once. */
+  def boilerplateLines(docs: DataFrame, minDocs: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // materialize the line stream ONCE: it feeds both the df aggregate and
+    // the join back (the multi-reference rule — see cdcRewrite)
+    val lines = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode_outer(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+      .filter(col("line").isNotNull)
+      .withColumn("__h", hash60(col("line")))
+      .localCheckpoint(true)
+    val dfTab = lines.groupBy(col("__h"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+    val flagged = lines.join(dfTab, "__h")
+      .withColumn("__keep", col("line_df") < minDocs)
+    val rebuilt = flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws("\n",
+          sort_array(collect_list(when(col("__keep"),
+            struct(col("line_idx"), col("line")))))
+            .getField("line")).as("kept_text"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

@@ -391,6 +391,87 @@ object Search {
       .select(col("bucket"),
         (Dedup.hash60(concat(lit("w"), col("bucket"))) % 2001 - 1000).as("w"))
 
+  /** Per-logit class counts — the corpus-collapsing core under
+    * [[classifierAuc]] and [[classifierPrCurve]]. One
+    * [[linearClassifierScore]] pass joins the lang-ID label (positive =
+    * 'en', the [[perceptronTrain]] convention) and collapses the corpus to
+    * ONE row per distinct integer logit with (n_pos, n_neg) — map-side
+    * combinable, so 10¹² docs exchange at most distinct-logit rows per
+    * partition. Everything downstream (rank statistics, threshold sweeps)
+    * runs on this frame, which is bounded by the distinct-logit count, not
+    * the corpus. */
+  private def perScoreCounts(docs: DataFrame, weights: DataFrame, dims: Int,
+                             textCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val scored = linearClassifierScore(docs, weights, dims, textCol, idCol)
+    val labels = docs.select(col(idCol).as("doc_id"),
+      (graft.functions.GraftFunctions.langIdFast(col(textCol)) === "en").as("__pos"))
+    scored.join(labels, "doc_id")
+      .groupBy("logit")
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("n_neg"))
+  }
+
+  /** Classifier ROC-AUC as an exact integer rank statistic — the quality
+    * gate's own quality gate: before a learned filter prunes a corpus, the
+    * pipeline measures how well its scores separate the classes.
+    * Mann-Whitney with midrank tie handling:
+    *
+    *   AUC = [Σ_s nPos(s) · (negBelow(s) + nNeg(s)/2)] / (P·N)
+    *
+    * reported ×2 to stay integral (`auc_num = Σ nPos·(2·negBelow + nNeg)`,
+    * `auc_den = 2·P·N`) plus the integer-division `auc_permicro` — no
+    * doubles anywhere, so Spark and the SQL oracle agree bit-for-bit.
+    *
+    * Shape at 100 TB: the corpus collapses to [[perScoreCounts]]'s
+    * distinct-logit frame; the single-partition ordered window below runs
+    * over THAT (thousands of rows at most), never the corpus. The int64
+    * products are exact up to P·N < 2⁶³ (≈3·10⁹ docs per class); past
+    * that, swap the two product columns to DECIMAL(38,0) — the shape is
+    * unchanged. */
+  def classifierAuc(docs: DataFrame, weights: DataFrame, dims: Int = 16,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val counts = perScoreCounts(docs, weights, dims, textCol, idCol)
+    val asc = Window.orderBy(col("logit"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("__nb", coalesce(sum(col("n_neg")).over(asc), lit(0L)))
+      .agg(sum(col("n_pos")).as("n_pos"),
+        sum(col("n_neg")).as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        sum(col("n_pos") * (lit(2L) * col("__nb") + col("n_neg"))).as("auc_num"))
+      .withColumn("auc_den", lit(2L) * col("n_pos") * col("n_neg"))
+      .withColumn("auc_permicro", expr("1000000 * auc_num div auc_den"))
+  }
+
+  /** Precision/recall sweep over every distinct logit threshold (predict
+    * positive when logit ≥ t) — the curve a pipeline reads to PICK the
+    * keep threshold [[linearClassifierScore]] then serves. All-integer
+    * permille metrics (precision, recall, F1 = 2tp/(2tp+fp+fn)), so the
+    * sweep is cross-engine exact.
+    *
+    * Shape at 100 TB: one corpus pass collapses to [[perScoreCounts]]'s
+    * distinct-logit frame; the descending cumulative sums and the 1-row
+    * positives total are windows/aggregates over that small frame
+    * (single-partition by design — it is threshold-count-sized). */
+  def classifierPrCurve(docs: DataFrame, weights: DataFrame, dims: Int = 16,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val counts = perScoreCounts(docs, weights, dims, textCol, idCol)
+      .localCheckpoint(true) // feeds the cumulative window AND the totals row
+    val desc = Window.orderBy(col("logit").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = counts.agg(sum(col("n_pos")).as("__p"))
+    counts
+      .withColumn("tp", sum(col("n_pos")).over(desc))
+      .withColumn("fp", sum(col("n_neg")).over(desc))
+      .crossJoin(broadcast(tot))
+      .select(col("logit").as("threshold"), col("tp"), col("fp"),
+        (col("__p") - col("tp")).as("fn"))
+      .withColumn("precision_permille", expr("1000 * tp div (tp + fp)"))
+      .withColumn("recall_permille", expr("1000 * tp div (tp + fn)"))
+      .withColumn("f1_permille", expr("2000 * tp div (2 * tp + fp + fn)"))
+  }
+
   /** PMI collocation mining — the phrase-vocabulary pass a tokenizer-prep
     * pipeline runs before merging multiword units:
     *

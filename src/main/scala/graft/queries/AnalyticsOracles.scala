@@ -953,6 +953,34 @@ object AnalyticsOracles {
         |SELECT vec_id, cid, d2,
         |  (d2::DOUBLE > 4.0 * (sd2::DOUBLE / n)) AS is_outlier
         |FROM d JOIN st USING (cid) ORDER BY vec_id""".stripMargin),
+    // D4 prototypicality: per-cluster ascending-d² rank over the SAME d
+    // frame as embed_outliers; drop floor(n/5) closest (ties -> lowest id)
+    "embed_prototypes" -> (kmeansCte +
+      """, x2 AS (
+        |  SELECT cid, unnest(generate_series(1, len(qi))) AS i, qi
+        |  FROM a2 JOIN q USING (vec_id)),
+        |s2 AS (SELECT cid, i, sum(qi[i]) AS s FROM x2 GROUP BY cid, i),
+        |n2 AS (SELECT cid, count(*) AS n FROM a2 GROUP BY cid),
+        |c2 AS (
+        |  SELECT cid, m,
+        |    list_reduce(list_prepend(0.0, [x*x for x in m]), (a,b) -> a+b) AS nm
+        |  FROM (
+        |    SELECT cid, list(s::DOUBLE / n ORDER BY i) AS m
+        |    FROM s2 JOIN n2 USING (cid) GROUP BY cid, n)),
+        |d AS (
+        |  SELECT qd.vec_id, a2.cid,
+        |    round(nq + nm - 2.0 * list_reduce(list_prepend(0.0,
+        |      [qdv[i] * m[i] for i in generate_series(1, len(qdv))]),
+        |      (a,b) -> a+b))::BIGINT AS d2
+        |  FROM a2 JOIN qd USING (vec_id) JOIN c2 USING (cid)),
+        |rk AS (
+        |  SELECT vec_id, cid, d2,
+        |    row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS proto_rank,
+        |    count(*) OVER (PARTITION BY cid) AS n
+        |  FROM d)
+        |SELECT vec_id, cid, d2, proto_rank::BIGINT AS proto_rank,
+        |  proto_rank > (n * 1) // 5 AS keep
+        |FROM rk ORDER BY vec_id""".stripMargin),
     "semdedup_keepers" -> (kmeansCte +
       """, v AS (
         |  SELECT vec_id, cid, qdv, nq FROM a2 JOIN qd USING (vec_id)),
@@ -2131,6 +2159,113 @@ object AnalyticsOracles {
         |FROM agg ORDER BY doc_id""".stripMargin,
     // FIM transform: sha-derived cut points (hash60 idiom), PSM ordering,
     // 50% rate; pure per-row slicing
+    // C4 line rule: page synthesis must mirror the Spark query byte-for-
+    // byte; df groups on the SAME 60-bit sha-prefix hash the operator
+    // shuffles, never the line text, so a (vanishingly unlikely) collision
+    // would at least be the same collision in both engines
+    "text_boilerplate_lines" ->
+      """WITH paged AS (
+        |  SELECT doc_id, text AS orig,
+        |    'home | products | about | contact — ' || source || chr(10) ||
+        |    text || chr(10) ||
+        |    'subscribe to our newsletter for updates' || chr(10) ||
+        |    'copyright 2026 ' || source || ' all rights reserved' AS page
+        |  FROM documents),
+        |ls AS (SELECT doc_id, orig, string_split(page, chr(10)) AS lns FROM paged),
+        |li AS (SELECT doc_id, orig, unnest(generate_series(1, len(lns))) AS i, lns FROM ls),
+        |lx AS (SELECT doc_id, orig, i AS line_idx, lns[i] AS line,
+        |         ('0x'||substr(sha256(lns[i]),1,15))::BIGINT AS h
+        |       FROM li),
+        |df AS (SELECT h, count(DISTINCT doc_id) AS line_df FROM lx GROUP BY h),
+        |k AS (
+        |  SELECT doc_id, orig,
+        |    count(*)::BIGINT AS n_lines,
+        |    sum(CASE WHEN line_df < 3 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |    coalesce(string_agg(CASE WHEN line_df < 3 THEN line END, chr(10)
+        |      ORDER BY line_idx), '') AS kept_text
+        |  FROM lx JOIN df USING (h) GROUP BY doc_id, orig)
+        |SELECT doc_id, n_lines, n_kept,
+        |  kept_text = orig AS recovered,
+        |  sha256(kept_text) AS kept_hash
+        |FROM k ORDER BY doc_id""".stripMargin,
+    // Mann-Whitney AUC from per-logit class counts — all-integer (×2
+    // numerator for midrank ties); label + logit CTEs are the clf_train /
+    // text_clf_score forms verbatim
+    "clf_auc" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+        |f AS (
+        |  SELECT doc_id, ('0x'||substr(sha256(tok),1,15))::BIGINT % 16 AS bucket,
+        |         count(*) AS cnt
+        |  FROM t WHERE length(tok) > 0 GROUP BY doc_id, bucket),
+        |w AS (
+        |  SELECT i AS bucket,
+        |    ('0x'||substr(sha256('w'||i::VARCHAR),1,15))::BIGINT % 2001 - 1000 AS w
+        |  FROM generate_series(0, 15) g(i)),
+        |s AS (SELECT doc_id, sum(cnt * w)::BIGINT AS logit
+        |      FROM f JOIN w USING (bucket) GROUP BY doc_id),
+        |l AS (
+        |  SELECT doc_id, CASE WHEN NOT (en = 0 AND es = 0 AND de = 0)
+        |                       AND en >= es AND en >= de THEN 1 ELSE 0 END AS pos
+        |  FROM (SELECT doc_id,
+        |      len(list_filter(toks, x -> x IN ('the','a','of','to','and'))) AS en,
+        |      len(list_filter(toks, x -> x IN ('el','la','de','los','y'))) AS es,
+        |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS de
+        |    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents))),
+        |c AS (
+        |  SELECT logit, sum(pos)::BIGINT AS n_pos, sum(1 - pos)::BIGINT AS n_neg
+        |  FROM s JOIN l USING (doc_id) GROUP BY logit),
+        |cc AS (
+        |  SELECT n_pos, n_neg,
+        |    coalesce(sum(n_neg) OVER (ORDER BY logit
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS nb
+        |  FROM c)
+        |SELECT sum(n_pos)::BIGINT AS n_pos, sum(n_neg)::BIGINT AS n_neg,
+        |  count(*)::BIGINT AS n_scores,
+        |  sum(n_pos * (2 * nb + n_neg))::BIGINT AS auc_num,
+        |  (2 * sum(n_pos) * sum(n_neg))::BIGINT AS auc_den,
+        |  ((1000000 * sum(n_pos * (2 * nb + n_neg)))
+        |    // (2 * sum(n_pos) * sum(n_neg)))::BIGINT AS auc_permicro
+        |FROM cc""".stripMargin,
+    // threshold sweep over the same per-logit counts: predict positive at
+    // logit >= t, permille metrics by integer division
+    "clf_pr_curve" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+        |f AS (
+        |  SELECT doc_id, ('0x'||substr(sha256(tok),1,15))::BIGINT % 16 AS bucket,
+        |         count(*) AS cnt
+        |  FROM t WHERE length(tok) > 0 GROUP BY doc_id, bucket),
+        |w AS (
+        |  SELECT i AS bucket,
+        |    ('0x'||substr(sha256('w'||i::VARCHAR),1,15))::BIGINT % 2001 - 1000 AS w
+        |  FROM generate_series(0, 15) g(i)),
+        |s AS (SELECT doc_id, sum(cnt * w)::BIGINT AS logit
+        |      FROM f JOIN w USING (bucket) GROUP BY doc_id),
+        |l AS (
+        |  SELECT doc_id, CASE WHEN NOT (en = 0 AND es = 0 AND de = 0)
+        |                       AND en >= es AND en >= de THEN 1 ELSE 0 END AS pos
+        |  FROM (SELECT doc_id,
+        |      len(list_filter(toks, x -> x IN ('the','a','of','to','and'))) AS en,
+        |      len(list_filter(toks, x -> x IN ('el','la','de','los','y'))) AS es,
+        |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS de
+        |    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents))),
+        |c AS (
+        |  SELECT logit, sum(pos)::BIGINT AS n_pos, sum(1 - pos)::BIGINT AS n_neg
+        |  FROM s JOIN l USING (doc_id) GROUP BY logit),
+        |tot AS (SELECT sum(n_pos)::BIGINT AS p FROM c),
+        |cum AS (
+        |  SELECT logit,
+        |    sum(n_pos) OVER (ORDER BY logit DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp,
+        |    sum(n_neg) OVER (ORDER BY logit DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS fp
+        |  FROM c)
+        |SELECT logit AS threshold, tp, fp, (p - tp)::BIGINT AS fn,
+        |  ((1000 * tp) // (tp + fp))::BIGINT AS precision_permille,
+        |  ((1000 * tp) // p)::BIGINT AS recall_permille,
+        |  ((2000 * tp) // (2 * tp + fp + (p - tp)))::BIGINT AS f1_permille
+        |FROM cum, tot ORDER BY threshold""".stripMargin,
     "pack_fim" ->
       """WITH tk AS (
         |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),

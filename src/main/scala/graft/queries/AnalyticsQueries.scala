@@ -1288,7 +1288,61 @@ object AnalyticsQueries {
     Dedup.cdcRewrite(Tables(spark, dir).documents, w = 4, modulus = 16)
       .orderBy(col("doc_id"))
 
+  /** Corpus-level boilerplate-LINE strip ([[Dedup.boilerplateLines]], the
+    * C4 "line in ≥3 documents" rule): each doc becomes a deterministic
+    * page — a per-source nav header, the doc text, a global subscribe
+    * banner, a per-source copyright footer — and the strip must remove
+    * exactly the shared lines (every source has ≥3 docs; the banner is
+    * corpus-wide) while content survives UNLESS the doc text itself
+    * appears in ≥3 docs (the corpus's planted exact duplicates — the rule
+    * working as specified, recorded by `recovered`). */
+  def textBoilerplateLines(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val paged = docs.select(col("doc_id"),
+      concat_ws("\n",
+        concat(lit("home | products | about | contact — "), col("source")),
+        col("text"),
+        lit("subscribe to our newsletter for updates"),
+        concat(lit("copyright 2026 "), col("source"),
+          lit(" all rights reserved"))).as("text"))
+    Dedup.boilerplateLines(paged, minDocs = 3)
+      .join(docs.select(col("doc_id"), col("text").as("__orig")), "doc_id")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        (col("kept_text") === col("__orig")).as("recovered"),
+        sha2(col("kept_text"), 256).as("kept_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Classifier ROC-AUC over the derived-weight scorer — see
+    * [[Search.classifierAuc]] (exact integer Mann-Whitney; 1-row). */
+  def clfAuc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Search.classifierAuc(docs, Search.derivedWeights(docs))
+  }
+
+  /** Precision/recall/F1 sweep over every distinct logit threshold — see
+    * [[Search.classifierPrCurve]]. */
+  def clfPrCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Search.classifierPrCurve(docs, Search.derivedWeights(docs))
+      .orderBy(col("threshold"))
+  }
+
+  /** D4 prototypicality pruning over the embedding corpus — see
+    * [[Clustering.clusterPrototypes]] (drop the closest 1/5 per
+    * cluster). */
+  def embedPrototypes(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Clustering.clusterPrototypes(Tables(spark, dir).embeddings,
+        centroidStep = 40, rounds = 2)
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate_lines" -> (textBoilerplateLines(_, _)),
+    "clf_auc"          -> (clfAuc(_, _)),
+    "clf_pr_curve"     -> (clfPrCurve(_, _)),
+    "embed_prototypes" -> (embedPrototypes(_, _)),
     "text_fix_encoding" -> (textFixEncoding(_, _)),
     "text_html_extract" -> (textHtmlExtract(_, _)),
     "text_entropy"     -> (textEntropy(_, _)),
