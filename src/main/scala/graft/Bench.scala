@@ -61,6 +61,12 @@ object Bench {
     "curate_threshold_sweep" -> 2.457, "pack_shards" -> 0.391,
     "pack_shuffled" -> 0.358, "pack_window_map" -> 0.365,
     "pack_windows" -> 0.297, "pipeline_admit" -> 1.127, "pipeline_web_ingest" -> 4.356,
+    // joined mid-round-10 (second batch): first sf0.1 recording, to be
+    // refreshed at the closing quiet re-record
+    "curate_url_dedup" -> 1.957, "corpus_diff" -> 0.454,
+    "clf_calibration" -> 1.559, "eval_rouge2" -> 2.385,
+    "pack_length_buckets" -> 0.521, "privacy_k_anon" -> 0.371,
+    "curate_blocklist" -> 0.690, "pack_chat_template" -> 1.253,
     "pipeline_curate" -> 4.321, "pipeline_full" -> 9.359,
     "pipeline_pack" -> 1.494, "q10_cube" -> 0.506,
     "q11_full_outer" -> 0.346, "q12_corr_subquery" -> 0.748,
@@ -222,7 +228,11 @@ object Bench {
         "alone; the build amortizes over queries (PqIndexSpec/SCALING.md)"),
       "bm25_index_search" -> ("times a FULL index lifecycle per run (postings " +
         "build + 64-bucket write + pruned probe) — serving cost is the probe " +
-        "alone; the build amortizes over queries (SearchIndexSpec/SCALING.md)"))
+        "alone; the build amortizes over queries (SearchIndexSpec/SCALING.md)"),
+      "dedup_minhash" -> ("host drift, not a plan change: git-stash A/B mid-r10 " +
+        "measured 1.39 s on the SAME committed code that recorded the 1.02 s " +
+        "baseline median (dedup_exact drifted 2.0x alongside on both sides of " +
+        "the stash); SCALING.md r10 drift note"))
     val notes = results.collect {
       case (k, v) if regressed(k, v) && knownTrades.contains(k) =>
         "\"" + k + "\":\"" + knownTrades(k) + "\""

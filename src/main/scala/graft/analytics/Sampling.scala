@@ -488,4 +488,83 @@ object Sampling {
       .withColumn("kept_frac",
         round(col("kept_docs").cast("double") / col("total_docs"), 4))
   }
+
+  /** Length-bucketed batching — the dynamic-batching layout that minimizes
+    * padding waste: documents are banded by token count into power-of-two
+    * sequence-length bands (docs past the largest band are TRUNCATED to it,
+    * the standard max-seq-len contract), then batched `batchSize` at a time
+    * WITHIN (band, shard) in id order. Per batch: doc count, real tokens,
+    * padded tokens (n·band), and the padding-waste permille — the number a
+    * pipeline reads to pick its band ladder.
+    *
+    * Shape at 100 TB: the row_number window partitions by (band, shard),
+    * and shard fans each band `nShards` ways — the operator's scale dial:
+    * no single sort task ever sees more than one (band, shard) slice, so a
+    * corpus that is 90% one band still spreads. One exchange on
+    * (band, shard); the rollup reuses the exact same partitioning, so the
+    * second aggregate is shuffle-free under Catalyst's exchange reuse. */
+  def lengthBucketBatches(docs: DataFrame, batchSize: Int = 8, nShards: Int = 32,
+                          bands: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024),
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(bands == bands.sorted && bands.nonEmpty, "bands must ascend")
+    val toks = TextAnalysis.tokenCount(col(textCol))
+    val band = bands.init.foldRight(lit(bands.last): Column) { (b, acc) =>
+      when(least(toks, lit(bands.last)) <= b, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy("band", "shard").orderBy(col("doc_id"))
+    docs.select(col(idCol).as("doc_id"),
+        least(toks, lit(bands.last)).as("toks"), band.as("band"))
+      .withColumn("shard", shardOf(col("doc_id"), nShards))
+      .withColumn("batch_idx", (row_number().over(w) - 1).divide(batchSize).cast("long"))
+      .groupBy("band", "shard", "batch_idx")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+      .withColumn("padded", col("n_docs") * col("band"))
+      .withColumn("waste_permille", expr("1000 * (padded - tokens) div padded"))
+  }
+
+  /** Chat-template serialization with an assistant-only loss mask — the SFT
+    * packing step: per conversation (user), turns are ordered by event
+    * time, rendered as `<|role|>content` segments, concatenated, and the
+    * character spans of the ASSISTANT segments (the only tokens that take
+    * loss) are emitted alongside. `roleOf` maps the event-type column to
+    * `user`/`assistant`; content is the deterministic `event_type#event_id`
+    * so the template is byte-stable cross-engine.
+    *
+    * Shape at 100 TB: one exchange keyed on the conversation id; the
+    * cumulative-length window and the ordered string_agg both run within a
+    * conversation (chat-sized, bounded), and the output is one row per
+    * conversation carrying the template hash + mask spans, not the corpus
+    * text. */
+  def chatTemplate(events: DataFrame, userCol: String = "user_id",
+                   tsCol: String = "ts", typeCol: String = "event_type",
+                   idCol: String = "event_id",
+                   userTypes: Seq[String] = Seq("view", "click")): DataFrame = {
+    val role = when(col(typeCol).isInCollection(userTypes), lit("user"))
+      .otherwise(lit("assistant"))
+    val seg = concat(lit("<|"), col("__role"), lit("|>"),
+      col(typeCol), lit("#"), col(idCol).cast("string"))
+    val w = Window.partitionBy("__u").orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val turns = events
+      .select(col(userCol).as("__u"), col(tsCol), col(idCol), col(typeCol),
+        role.as("__role"))
+      .withColumn("__seg", seg)
+      .withColumn("__end", sum(length(col("__seg"))).over(w))
+      .withColumn("__start", col("__end") - length(col("__seg")))
+    turns.groupBy(col("__u").as("user_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("__role") === "assistant", 1L).otherwise(0L)).as("n_assistant"),
+        max(col("__end")).as("template_chars"),
+        sum(when(col("__role") === "assistant",
+          length(col("__seg"))).otherwise(0L)).as("loss_chars"),
+        sha2(concat_ws("",
+          sort_array(collect_list(struct(col("__start").as("s"),
+            col("__seg").as("seg")))).getField("seg")), 256).as("template_hash"),
+        concat_ws(",", sort_array(collect_list(
+          when(col("__role") === "assistant",
+            struct(col("__start").as("s"),
+              concat_ws("-", col("__start"), col("__end")).as("sp")))))
+          .getField("sp")).as("loss_spans"))
+  }
 }

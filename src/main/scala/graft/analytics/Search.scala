@@ -615,4 +615,68 @@ object Search {
     feat.unpersist()
     out
   }
+
+  /** Reliability diagram for the linear scorer — the calibration check run
+    * BEFORE a learned quality filter's scores are trusted as probabilities
+    * (a miscalibrated gate silently over/under-prunes whole domains). The
+    * integer logit is min-max scaled to a confidence permille, binned into
+    * `bins` equal-width bins, and each bin reports observed-positive rate
+    * vs mean confidence plus the |gap| — the per-bin summands of ECE.
+    *
+    * All-integer: scaling/binning divide non-negative numerators, so Spark
+    * `div` (truncating) and SQL floor-division agree; no doubles anywhere.
+    *
+    * Shape at 100 TB: the corpus collapses to [[perScoreCounts]]'s
+    * distinct-logit frame; the min/max extremes are one broadcast row and
+    * the binning aggregate runs over that logit-count-sized frame. */
+  def classifierCalibration(docs: DataFrame, weights: DataFrame, bins: Int = 10,
+                            dims: Int = 16, textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val counts = perScoreCounts(docs, weights, dims, textCol, idCol)
+      .localCheckpoint(true) // feeds the extremes row AND the binning pass
+    val ext = counts.agg(min(col("logit")).as("__lo"), max(col("logit")).as("__hi"))
+    counts.crossJoin(broadcast(ext))
+      .withColumn("__conf", expr("1000 * (logit - __lo) div (__hi - __lo + 1)"))
+      .withColumn("bin", expr(s"$bins * (logit - __lo) div (__hi - __lo + 1)"))
+      .groupBy("bin")
+      .agg(sum(col("n_pos") + col("n_neg")).as("n_docs"),
+        sum(col("n_pos")).as("n_pos"),
+        sum((col("n_pos") + col("n_neg")) * col("__conf")).as("__confsum"))
+      .withColumn("obs_permille", expr("1000 * n_pos div n_docs"))
+      .withColumn("conf_permille", expr("__confsum div n_docs"))
+      .withColumn("gap_permille", abs(col("obs_permille") - col("conf_permille")))
+      .drop("__confsum")
+  }
+
+  /** ROUGE-2 between candidate/reference text pairs — the n-gram overlap
+    * metric an eval harness runs over generated-vs-gold columns (and a
+    * near-dup diagnostic between suspected doc pairs). Standard clipped
+    * counting: per distinct bigram, min(candidate count, reference count);
+    * precision = overlap/|cand|, recall = overlap/|ref|, and the ROUGE F1
+    * closed form 2·overlap/(|cand|+|ref|) — all integer permille.
+    *
+    * Shape at 100 TB: each side aggregates to (pair, bigram-hash, count)
+    * with map-side combine, the overlap is ONE shuffle join keyed on
+    * (pair_id, 8-byte gram hash) — text never crosses the wire — and the
+    * final per-pair rollup is map-side combinable again. Pairs with an
+    * empty side (< 2 tokens) drop out of that side's stream and surface
+    * with null permilles rather than dividing by zero. */
+  def rouge2(pairs: DataFrame, idCol: String = "pair_id",
+             candCol: String = "cand", refCol: String = "ref"): DataFrame = {
+    def gramCounts(c: String, as: String): DataFrame =
+      pairs.select(col(idCol).as("pair_id"),
+          explode(TextAnalysis.bigrams(col(c))).as("__g"))
+        .groupBy(col("pair_id"), Dedup.hash60(col("__g")).as("__gh"))
+        .agg(count(lit(1)).as(as))
+    gramCounts(candCol, "__cc")
+      .join(gramCounts(refCol, "__rc"), Seq("pair_id", "__gh"), "full_outer")
+      .groupBy("pair_id")
+      .agg(sum(coalesce(col("__cc"), lit(0L))).as("cand_grams"),
+        sum(coalesce(col("__rc"), lit(0L))).as("ref_grams"),
+        sum(least(coalesce(col("__cc"), lit(0L)),
+          coalesce(col("__rc"), lit(0L)))).as("overlap"))
+      .withColumn("p_permille", expr("1000 * overlap div cand_grams"))
+      .withColumn("r_permille", expr("1000 * overlap div ref_grams"))
+      .withColumn("f_permille", expr("2000 * overlap div (cand_grams + ref_grams)"))
+  }
 }

@@ -413,4 +413,36 @@ object TextAnalysis {
         round(col("dup_docs").cast("double") / col("n_docs"), 4).as("dup_rate"))
       .orderBy(col("source"))
   }
+
+  /** Term-blocklist gate (the C4 badwords-filter shape): per document, the
+    * count of DISTINCT blocklist terms present, total occurrences, severe
+    * occurrences, and the block verdict — any severe term blocks outright;
+    * otherwise ≥ `minDistinct` distinct ordinary terms block.
+    *
+    * The blocklist arrives as a DataFrame (term, severe) because real
+    * blocklists are config data in the thousands of terms — too big for a
+    * literal IN-array expression, trivially broadcastable. The token stream
+    * inner-joins the broadcast list (only matching tokens survive the
+    * probe), aggregates per doc with map-side combine, and left-joins back
+    * so clean docs still get a verdict row. At 100 TB: one narrow token
+    * pass, broadcast probe, doc-keyed combine — no corpus-sized wide rows
+    * on the wire. */
+  def blocklistGate(docs: DataFrame, blocklist: DataFrame, minDistinct: Int = 3,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val hits = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(blocklist.select(col("term"), col("severe"))), "term")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_hits"),
+        sum(when(col("severe"), 1L).otherwise(0L)).as("n_severe"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_severe"), lit(0L)).as("n_severe"))
+      .withColumn("blocked",
+        col("n_severe") > 0 || col("n_terms") >= minDistinct)
+  }
 }

@@ -2513,6 +2513,190 @@ object AnalyticsOracles {
         |  coalesce(n_kept, 0) AS n_kept,
         |  coalesce(kept_text, '') AS kept_text
         |FROM documents d LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // GROUND-TRUTH canonical URL from the synthesis variables directly —
+    // this oracle checks the regex canonicalization chain against intent,
+    // not against a mirrored copy of itself
+    "curate_url_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    'https://example.com/articles/item' || (doc_id // 3)
+        |      || '?id=' || ((doc_id // 3) % 7) AS canonical_url
+        |  FROM documents),
+        |g AS (SELECT canonical_url, min(doc_id)::BIGINT AS keeper_id,
+        |        count(*)::BIGINT AS n_copies
+        |      FROM c GROUP BY canonical_url)
+        |SELECT doc_id, canonical_url, keeper_id,
+        |  doc_id = keeper_id AS is_keeper, n_copies
+        |FROM c JOIN g USING (canonical_url) ORDER BY doc_id""".stripMargin,
+    // snapshot diff: the release filters/mutations mirror the query's
+    // synthesis; status from hash comparison over the full outer join
+    "corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 3
+        |    THEN text || ' [old revision]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 != 5),
+        |nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 != 9),
+        |j AS (
+        |  SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id,
+        |    sha256(old.text) AS old_hash, sha256(nw.text) AS new_hash
+        |  FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id)
+        |SELECT doc_id, old_hash, new_hash,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash = new_hash THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM j ORDER BY doc_id""".stripMargin,
+    // reliability bins over the SAME per-logit counts as clf_auc; min-max
+    // scaling and binning are non-negative integer divisions so Spark div
+    // and DuckDB // agree
+    "clf_calibration" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+        |f AS (
+        |  SELECT doc_id, ('0x'||substr(sha256(tok),1,15))::BIGINT % 16 AS bucket,
+        |         count(*) AS cnt
+        |  FROM t WHERE length(tok) > 0 GROUP BY doc_id, bucket),
+        |w AS (
+        |  SELECT i AS bucket,
+        |    ('0x'||substr(sha256('w'||i::VARCHAR),1,15))::BIGINT % 2001 - 1000 AS w
+        |  FROM generate_series(0, 15) g(i)),
+        |s AS (SELECT doc_id, sum(cnt * w)::BIGINT AS logit
+        |      FROM f JOIN w USING (bucket) GROUP BY doc_id),
+        |l AS (
+        |  SELECT doc_id, CASE WHEN NOT (en = 0 AND es = 0 AND de = 0)
+        |                       AND en >= es AND en >= de THEN 1 ELSE 0 END AS pos
+        |  FROM (SELECT doc_id,
+        |      len(list_filter(toks, x -> x IN ('the','a','of','to','and'))) AS en,
+        |      len(list_filter(toks, x -> x IN ('el','la','de','los','y'))) AS es,
+        |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS de
+        |    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents))),
+        |c AS (
+        |  SELECT logit, sum(pos)::BIGINT AS n_pos, sum(1 - pos)::BIGINT AS n_neg
+        |  FROM s JOIN l USING (doc_id) GROUP BY logit),
+        |ext AS (SELECT min(logit) AS lo, max(logit) AS hi FROM c),
+        |b AS (
+        |  SELECT (10 * (logit - lo)) // (hi - lo + 1) AS bin,
+        |    (1000 * (logit - lo)) // (hi - lo + 1) AS conf, n_pos, n_neg
+        |  FROM c CROSS JOIN ext),
+        |g AS (
+        |  SELECT bin, sum(n_pos + n_neg)::BIGINT AS n_docs,
+        |    sum(n_pos)::BIGINT AS n_pos,
+        |    sum((n_pos + n_neg) * conf)::BIGINT AS confsum
+        |  FROM b GROUP BY bin)
+        |SELECT bin, n_docs, n_pos,
+        |  (1000 * n_pos) // n_docs AS obs_permille,
+        |  confsum // n_docs AS conf_permille,
+        |  abs((1000 * n_pos) // n_docs - confsum // n_docs) AS gap_permille
+        |FROM g ORDER BY bin""".stripMargin,
+    // ROUGE-2 with clipped counts on the same 60-bit gram hashes the Spark
+    // side joins on (a collision merges identically in both engines)
+    "eval_rouge2" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, [toks[i]||' '||toks[i+1]
+        |    for i in generate_series(1, len(toks)-1)] AS bgs
+        |  FROM tok WHERE len(toks) >= 2),
+        |ex AS (SELECT doc_id, unnest(bgs) AS g FROM bg),
+        |cg AS (SELECT doc_id AS pair_id,
+        |        ('0x'||substr(sha256(g),1,15))::BIGINT AS gh,
+        |        count(*)::BIGINT AS cc
+        |      FROM ex GROUP BY 1, 2),
+        |rg AS (SELECT doc_id - 1 AS pair_id,
+        |        ('0x'||substr(sha256(g),1,15))::BIGINT AS gh,
+        |        count(*)::BIGINT AS rc
+        |      FROM ex GROUP BY 1, 2),
+        |fj AS (
+        |  SELECT coalesce(cg.pair_id, rg.pair_id) AS pair_id,
+        |    coalesce(cc, 0) AS cc, coalesce(rc, 0) AS rc
+        |  FROM cg FULL OUTER JOIN rg ON cg.pair_id = rg.pair_id AND cg.gh = rg.gh),
+        |agg AS (
+        |  SELECT pair_id, sum(cc)::BIGINT AS cand_grams,
+        |    sum(rc)::BIGINT AS ref_grams,
+        |    sum(least(cc, rc))::BIGINT AS overlap
+        |  FROM fj
+        |  WHERE pair_id >= 0 AND pair_id < (SELECT max(doc_id) FROM documents)
+        |  GROUP BY pair_id)
+        |SELECT pair_id, cand_grams, ref_grams, overlap,
+        |  (1000 * overlap) // cand_grams AS p_permille,
+        |  (1000 * overlap) // ref_grams AS r_permille,
+        |  (2000 * overlap) // (cand_grams + ref_grams) AS f_permille
+        |FROM agg ORDER BY pair_id""".stripMargin,
+    // length-band ladder, per-(band,shard) row_number batching, integer
+    // waste permille; shard is the hash60(id) routing expression
+    "pack_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    least(len(string_split_regex(text, '\s+')), 1024) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN toks <= 16 THEN 16 WHEN toks <= 32 THEN 32
+        |         WHEN toks <= 64 THEN 64 WHEN toks <= 128 THEN 128
+        |         WHEN toks <= 256 THEN 256 WHEN toks <= 512 THEN 512
+        |         ELSE 1024 END AS band,
+        |    ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 8 AS shard
+        |  FROM t),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY band, shard ORDER BY doc_id) AS rn FROM b),
+        |g AS (
+        |  SELECT band, shard, (rn - 1) // 8 AS batch_idx,
+        |    count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS tokens
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT band, shard, batch_idx, n_docs, tokens,
+        |  n_docs * band AS padded,
+        |  (1000 * (n_docs * band - tokens)) // (n_docs * band) AS waste_permille
+        |FROM g ORDER BY band, shard, batch_idx""".stripMargin,
+    "privacy_k_anon" ->
+      """WITH q AS (
+        |  SELECT doc_id, source, lang, n_chars // 64 AS len_band FROM documents),
+        |g AS (
+        |  SELECT source, lang, len_band, count(*)::BIGINT AS group_n
+        |  FROM q GROUP BY 1, 2, 3)
+        |SELECT doc_id, source, lang, len_band, group_n, group_n >= 5 AS released
+        |FROM q JOIN g USING (source, lang, len_band) ORDER BY doc_id""".stripMargin,
+    // blocklist = {slow,fast,merge,hash} ordinary + {spark} severe; block
+    // on any severe hit or >= 3 distinct ordinary+severe terms
+    "curate_blocklist" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    count(DISTINCT CASE WHEN term IN ('slow','fast','merge','hash','spark')
+        |      THEN term END)::BIGINT AS n_terms,
+        |    sum(CASE WHEN term IN ('slow','fast','merge','hash','spark')
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+        |    sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END)::BIGINT AS n_severe
+        |  FROM t GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_terms, 0) AS n_terms,
+        |  coalesce(n_hits, 0) AS n_hits, coalesce(n_severe, 0) AS n_severe,
+        |  coalesce(n_severe, 0) > 0 OR coalesce(n_terms, 0) >= 3 AS blocked
+        |FROM documents d LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // chat template: ordered segment concat per user, cumulative char
+    // offsets, assistant-only loss spans; (ts, event_id) is a total order
+    "pack_chat_template" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type IN ('view','click') THEN 'user'
+        |         ELSE 'assistant' END AS role
+        |  FROM events),
+        |s AS (SELECT *,
+        |    '<|' || role || '|>' || event_type || '#' || event_id AS seg
+        |  FROM e),
+        |w AS (SELECT *,
+        |    sum(length(seg)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS e_end
+        |  FROM s),
+        |w2 AS (SELECT *, e_end - length(seg) AS e_start FROM w)
+        |SELECT user_id, count(*)::BIGINT AS n_turns,
+        |  sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+        |  max(e_end)::BIGINT AS template_chars,
+        |  sum(CASE WHEN role = 'assistant' THEN length(seg) ELSE 0 END)::BIGINT AS loss_chars,
+        |  sha256(string_agg(seg, '' ORDER BY e_start)) AS template_hash,
+        |  coalesce(string_agg(CASE WHEN role = 'assistant'
+        |    THEN e_start || '-' || e_end END, ',' ORDER BY e_start), '') AS loss_spans
+        |FROM w2 GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 
   /** sim_pqindex_topk — IVF-PQ served from the PERSISTED index

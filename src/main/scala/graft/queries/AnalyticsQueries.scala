@@ -1338,7 +1338,102 @@ object AnalyticsQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Canonical-URL dedup over a deterministic synthesized crawl manifest:
+    * every consecutive id-triple is the SAME page under three messy
+    * variants — `https://www.` + `utm_` param, uppercase scheme/host +
+    * `:443` + trailing slash + `fbclid`, and a `gclid` + fragment form —
+    * so [[graft.analytics.UrlOps.canonicalizeUrl]] must collapse each
+    * triple to one canonical key. The oracle derives the canonical form
+    * from the synthesis variables DIRECTLY (ground truth, not a mirrored
+    * regex chain), so it verifies canonicalization intent. */
+  def curateUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val page = expr("doc_id div 3").cast("string")
+    val id = expr("(doc_id div 3) % 7").cast("string")
+    val url = when(expr("doc_id % 3 = 0"),
+        concat(lit("https://www.example.com/articles/item"), page,
+          lit("?id="), id, lit("&utm_source=feed")))
+      .when(expr("doc_id % 3 = 1"),
+        concat(lit("HTTPS://EXAMPLE.COM:443/articles/item"), page,
+          lit("/?fbclid=x1y&id="), id))
+      .otherwise(
+        concat(lit("https://example.com/articles/item"), page,
+          lit("?id="), id, lit("&gclid=zz#frag")))
+    graft.analytics.UrlOps.urlDedup(docs.select(col("doc_id"), url.as("url")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Snapshot diff between two deterministic releases of the corpus (old:
+    * drops ids ≡5 mod 13, mutates ids ≡3 mod 11; new: drops ids ≡9 mod
+    * 17) — see [[graft.analytics.Versioning.corpusDiff]]. */
+  def corpusDiffQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val old = docs.filter(expr("doc_id % 13 != 5"))
+      .withColumn("text", when(expr("doc_id % 11 = 3"),
+        concat(col("text"), lit(" [old revision]"))).otherwise(col("text")))
+    val nw = docs.filter(expr("doc_id % 17 != 9"))
+    graft.analytics.Versioning.corpusDiff(old, nw).orderBy(col("doc_id"))
+  }
+
+  /** Reliability diagram of the derived-weight scorer — see
+    * [[Search.classifierCalibration]] (10 bins, all-integer). */
+  def clfCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Search.classifierCalibration(docs, Search.derivedWeights(docs))
+      .orderBy(col("bin"))
+  }
+
+  /** ROUGE-2 between each doc (candidate) and its id-successor (reference)
+    * — see [[Search.rouge2]]; the synthetic corpus's shared vocab makes
+    * overlaps dense and nontrivial. */
+  def evalRouge2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val cand = docs.select(col("doc_id").as("pair_id"), col("text").as("cand"))
+    val ref = docs.select((col("doc_id") - 1).as("pair_id"), col("text").as("ref"))
+    Search.rouge2(cand.join(ref, "pair_id")).orderBy(col("pair_id"))
+  }
+
+  /** Length-bucketed batching layout + padding-waste report — see
+    * [[Sampling.lengthBucketBatches]] (8-doc batches, 8 shards). */
+  def packLengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    Sampling.lengthBucketBatches(Tables(spark, dir).documents,
+        batchSize = 8, nShards = 8)
+      .orderBy(col("band"), col("shard"), col("batch_idx"))
+
+  /** k-anonymity release gate over (source, lang, 64-char size band) — see
+    * [[graft.analytics.Privacy.kAnonymity]] (k=5). */
+  def privacyKAnon(spark: SparkSession, dir: String): DataFrame =
+    graft.analytics.Privacy.kAnonymity(Tables(spark, dir).documents,
+        Seq("source" -> col("source"), "lang" -> col("lang"),
+          "len_band" -> expr("n_chars div 64")), k = 5)
+      .orderBy(col("doc_id"))
+
+  /** Term-blocklist gate with a severe tier — see
+    * [[TextAnalysis.blocklistGate]]; the list is drawn from the corpus
+    * vocabulary so every branch (severe block, distinct-count block,
+    * clean pass) is exercised. */
+  def curateBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    import spark.implicits._
+    val bl = Seq(("slow", false), ("fast", false), ("merge", false),
+      ("hash", false), ("spark", true)).toDF("term", "severe")
+    TextAnalysis.blocklistGate(docs, bl, minDistinct = 3).orderBy(col("doc_id"))
+  }
+
+  /** SFT chat-template serialization of the event stream with
+    * assistant-only loss-mask spans — see [[Sampling.chatTemplate]]. */
+  def packChatTemplate(spark: SparkSession, dir: String): DataFrame =
+    Sampling.chatTemplate(Tables(spark, dir).events).orderBy(col("user_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_url_dedup" -> (curateUrlDedup(_, _)),
+    "corpus_diff"      -> (corpusDiffQ(_, _)),
+    "clf_calibration"  -> (clfCalibration(_, _)),
+    "eval_rouge2"      -> (evalRouge2(_, _)),
+    "pack_length_buckets" -> (packLengthBuckets(_, _)),
+    "privacy_k_anon"   -> (privacyKAnon(_, _)),
+    "curate_blocklist" -> (curateBlocklist(_, _)),
+    "pack_chat_template" -> (packChatTemplate(_, _)),
     "text_boilerplate_lines" -> (textBoilerplateLines(_, _)),
     "clf_auc"          -> (clfAuc(_, _)),
     "clf_pr_curve"     -> (clfPrCurve(_, _)),
