@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output passes through RAW (no "[info] " prefix): the
+// bench harness json-parses the tail of stdout, and sbt's LoggedOutput
+// prefix broke that parse for 5 straight rounds (BENCH_r*.json
+// "parsed": null). StdoutOutput forwards the child's stdout verbatim.
+run / outputStrategy := Some(StdoutOutput)
+// ...and drop the trailing "[success] Total time: ..." line so the final
+// stdout line of `sbt "runMain graft.Bench"` is Bench's own JSON summary.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

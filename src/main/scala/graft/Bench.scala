@@ -237,31 +237,56 @@ object Bench {
       case (k, v) if regressed(k, v) && knownTrades.contains(k) =>
         "\"" + k + "\":\"" + knownTrades(k) + "\""
     }.mkString("{", ",", "}")
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
+    // Build/serve split for the index-lifecycle queries (VERDICT r10 #6):
+    // their `results` rows above time the full lifecycle and remain the
+    // regression-gated truth; this extra pass separates build (train +
+    // partitioned index write) from serve (the pruned probe), so a future
+    // regression on one of these rows localizes immediately. Additive
+    // info — deliberately NOT part of `value`.
+    val indexSplit = graft.queries.AnalyticsQueries.indexLifecycles.toSeq
+      .filter { case (name, _) => names.contains(name) } // skip on dev subsets
+      .sortBy(_._1).flatMap { case (name, mk) =>
+        try {
+          val (build, serve) = mk(spark, sfDir)
+          val t0 = System.nanoTime(); build()
+          val tb = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          serve().write.format("noop").mode("overwrite").save()
+          val ts = (System.nanoTime() - t1) / 1e9
+          Some(name -> ((tb, ts)))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] index_split $name FAILED: ${e.getMessage}")
+          None
+        }
+      }
+    val splitJson = indexSplit.map { case (k, (b, s)) =>
+      "\"" + k + "\":{\"build\":" + f3(b) + ",\"serve\":" + f3(s) + "}"
+    }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failedJson,"reran":$reranJson,"regressions_vs_prev":$regressions,""" +
-      s""""regression_notes":$notes,"sf":"$sfDir"}"""
-    println(line)
-    // durable copy of the FULL per-query map: a consumer that truncates
-    // stdout still has the structured artifact on disk
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"): Unit
-    }
-    // The harness that records BENCH_r{N}.json keeps only the LAST 2000
-    // chars of stdout and json-parses what it finds there — a 160-query
-    // map (~4 KB) can never fit, which is why r06–r09 shipped
-    // "parsed": null. Emit a compact summary as the FINAL line (total,
-    // counts, the 15 slowest queries at ms precision, and a pointer to
-    // the full map) so the driver's window always contains one complete,
-    // parseable JSON object. The full line above remains the authoritative
-    // artifact.
-    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
+      s""""regression_notes":$notes,"index_split":$splitJson,"sf":"$sfDir"}"""
+    // The FULL per-query map (~4 KB for 180 queries) goes to a FILE, never
+    // to stdout: the harness that records BENCH_r{N}.json keeps only the
+    // LAST 2000 chars of stdout and json-parses what it finds there, so a
+    // 4 KB line can never fit (r06–r10 shipped "parsed": null). Default
+    // path keeps the artifact discoverable without env plumbing.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_map.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), line + "\n"): Unit
+    // Exactly ONE JSON object on stdout, as the FINAL line of the process
+    // (after spark.stop(), so no shutdown chatter can follow it on stdout;
+    // build.sbt sets `run / outputStrategy := StdoutOutput` so sbt does not
+    // prepend "[info] ", and suppresses the trailing "[success] Total time"
+    // line). The compact summary carries total, counts, the 15 slowest
+    // queries at ms precision, and a pointer to the full map on disk.
     val top = results.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"n_failed":${failed.size},""" +
-      s""""regressions_vs_prev":$regressions,"slowest":$top,""" +
-      s""""full_map":"SPARK_GRAFT_BENCH_OUT or the stdout line above","sf":"$sfDir"}"""
-    println(compact)
+      s""""regressions_vs_prev":$regressions,"regression_notes":$notes,""" +
+      s""""index_split":$splitJson,"slowest":$top,"full_map":"$fullPath","sf":"$sfDir"}"""
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }

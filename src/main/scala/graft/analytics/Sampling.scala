@@ -126,17 +126,28 @@ object Sampling {
     * unordered double summation is not cross-engine stable), and weights
     * ship as integer micro-units. One tiny aggregate — the corpus scans
     * once, strata-count rows move. */
-  def temperatureMixWeights(df: DataFrame, stratumCol: String): DataFrame = {
+  def temperatureMixWeights(df: DataFrame, stratumCol: String): DataFrame =
+    weightsWithCorpusN(df, stratumCol).drop("corpus_n")
+
+  /** [[temperatureMixWeights]] plus the corpus row count (`corpus_n`)
+    * carried through the SAME strata aggregate — `sum(n)` rides the
+    * normalizer's tiny agg, so a caller whose mixing budget is "one epoch
+    * of the corpus" needs NO driver-side `count()` action (VERDICT r10 #7:
+    * at 100 TB that count was a full extra aggregation of a persisted
+    * frame). */
+  private def weightsWithCorpusN(df: DataFrame, stratumCol: String): DataFrame = {
     val counts = df.groupBy(col(stratumCol).as("stratum"))
       .agg(count(lit(1)).as("n"))
       .withColumn("s", sqrt(col("n").cast("double")))
     val total = counts
-      .agg(collect_list(struct(col("stratum"), col("s"))).as("terms"))
+      .agg(collect_list(struct(col("stratum"), col("s"))).as("terms"),
+        sum(col("n")).as("corpus_n"))
       .select(aggregate(array_sort(col("terms")), lit(0.0),
-        (acc, x) => acc + x.getField("s")).as("total"))
+        (acc, x) => acc + x.getField("s")).as("total"), col("corpus_n"))
     counts.crossJoin(broadcast(total))
       .select(col("stratum"), col("n"),
-        round(col("s") / col("total") * 1e6).cast("long").as("weight_micro"))
+        round(col("s") / col("total") * 1e6).cast("long").as("weight_micro"),
+        col("corpus_n"))
   }
 
   /** Mixing-budget allocation — the step AFTER [[temperatureMixWeights]]:
@@ -151,12 +162,24 @@ object Sampling {
     * Same cost as the weights: one tiny strata-keyed aggregate; arithmetic
     * is exact-int inputs through IEEE-identical ops, so cross-engine exact. */
   def epochAllocation(df: DataFrame, stratumCol: String, budget: Long): DataFrame =
-    temperatureMixWeights(df, stratumCol)
-      .select(col("stratum"), col("n"), col("weight_micro"),
-        round(col("weight_micro").cast("double") * budget / col("n")).cast("long")
-          .as("epochs_micro"),
-        round(col("weight_micro").cast("double") * budget / 1e6).cast("long")
-          .as("target_docs"))
+    allocFrom(temperatureMixWeights(df, stratumCol), lit(budget))
+
+  /** [[epochAllocation]] with budget = the corpus's OWN row count ("one
+    * epoch of data"), read from the strata aggregate instead of a driver
+    * `count()` — zero extra jobs. Bit-identical to
+    * `epochAllocation(df, c, df.count())`: the budget enters the identical
+    * double arithmetic, as a column instead of a folded literal. */
+  def epochAllocationSelf(df: DataFrame, stratumCol: String): DataFrame =
+    allocFrom(weightsWithCorpusN(df, stratumCol)
+      .withColumnRenamed("corpus_n", "__budget"), col("__budget"))
+      .drop("__budget")
+
+  private def allocFrom(weights: DataFrame, budget: Column): DataFrame =
+    weights
+      .withColumn("epochs_micro",
+        round(col("weight_micro").cast("double") * budget / col("n")).cast("long"))
+      .withColumn("target_docs",
+        round(col("weight_micro").cast("double") * budget / 1e6).cast("long"))
 
   /** MATERIALIZED training mix — the composition the allocation table only
     * describes: temperature weights → epoch allocation → the actual sampled
@@ -177,9 +200,23 @@ object Sampling {
     * expected-size form is the right default for training mixes, where the
     * budget is itself a soft target. */
   def materializeMix(df: DataFrame, stratumCol: String, budget: Long,
-                     idCol: String = "doc_id", carry: Seq[String] = Nil): DataFrame = {
-    val alloc = epochAllocation(df, stratumCol, budget)
-      .select(col("stratum"), col("epochs_micro"))
+                     idCol: String = "doc_id", carry: Seq[String] = Nil): DataFrame =
+    mixFromAlloc(df, stratumCol, epochAllocation(df, stratumCol, budget),
+      idCol, carry)
+
+  /** [[materializeMix]] with budget = the corpus's own row count, via
+    * [[epochAllocationSelf]] — the "replay the corpus once, temperature-
+    * rebalanced" mix with no driver `count()` action. */
+  def materializeMixSelf(df: DataFrame, stratumCol: String,
+                         idCol: String = "doc_id",
+                         carry: Seq[String] = Nil): DataFrame =
+    mixFromAlloc(df, stratumCol, epochAllocationSelf(df, stratumCol),
+      idCol, carry)
+
+  private def mixFromAlloc(df: DataFrame, stratumCol: String,
+                           allocFull: DataFrame, idCol: String,
+                           carry: Seq[String]): DataFrame = {
+    val alloc = allocFull.select(col("stratum"), col("epochs_micro"))
     // `carry` rides payload columns (e.g. text) through the explode, so a
     // downstream consumer of the mix needs NO corpus self-join to recover
     // them — the mix stays one narrow pass whatever it feeds.

@@ -426,7 +426,19 @@ object TextAnalysis {
     * probe), aggregates per doc with map-side combine, and left-joins back
     * so clean docs still get a verdict row. At 100 TB: one narrow token
     * pass, broadcast probe, doc-keyed combine — no corpus-sized wide rows
-    * on the wire. */
+    * on the wire.
+    *
+    * `docs` is referenced twice, deliberately: the tokenize pass lives only
+    * on the singly-referenced hits branch (it runs ONCE), and the join-back
+    * branch prunes to the id column — a second columnar scan of one
+    * column, far cheaper than pinning (id, text) with localCheckpoint.
+    * Contract: `docs` must be deterministic (a table/file scan, not e.g. a
+    * sample or shuffle-order-dependent frame); otherwise the two branches
+    * can see different row sets — callers with non-deterministic frames
+    * pin upstream. (Keeping hits-only aggregation also matters at scale:
+    * folding the verdict into one pass via explode_outer would drag the
+    * ENTIRE token stream through the count_distinct expand instead of just
+    * the rare blocklist hits.) */
   def blocklistGate(docs: DataFrame, blocklist: DataFrame, minDistinct: Int = 3,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val hits = docs

@@ -27,7 +27,8 @@ object UrlOps {
   /** Canonical form of an absolute `scheme://host[:port]/path[?q][#f]` URL:
     *
     *   1. scheme and host lowercased (path/query case is significant);
-    *   2. leading `www.` and default ports `:80`/`:443` stripped;
+    *   2. leading `www.` stripped; the scheme's OWN default port stripped
+    *      (`:80` for http, `:443` for https — never cross-scheme);
     *   3. fragment dropped entirely;
     *   4. tracking query params ([[trackingParamRegex]]) removed, the
     *      survivors kept in their original order (sorting would conflate
@@ -42,7 +43,13 @@ object UrlOps {
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    val host = regexp_replace(regexp_replace(hostport, ":(443|80)$", ""), "^www\\.", "")
+    // A port is "default" only for ITS scheme: http://h:443 and https://h:80
+    // are real non-default ports and must survive, or urlDedup conflates
+    // distinct origins and drops non-duplicate documents (r10 ADVICE).
+    val noDefaultPort = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val host = regexp_replace(noDefaultPort, "^www\\.", "")
     // path+query with the fragment dropped ([^#]*), then split at '?'
     val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
     val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
@@ -56,16 +63,24 @@ object UrlOps {
 
   /** Canonical-URL dedup: per input row, its canonical URL, the group's
     * keeper (min id — the earliest crawl wins), whether THIS row is the
-    * keeper, and the group size. One hash exchange on the canonical string;
-    * map-side partial `min`/`count` means the wire carries one row per
-    * (partition, canonical), not per URL occurrence. */
+    * keeper, and the group size.
+    *
+    * Group stats come from window aggregates over `canonical_url`, not a
+    * groupBy + join-back: the canon frame is referenced ONCE (no recompute
+    * of the regex chain, no divergence risk on non-deterministic inputs —
+    * the r9 multi-referenced-stage lesson, flagged again by r10 ADVICE),
+    * and the plan is one hash exchange + sort instead of the self-join's
+    * two exchanges. Canonical URLs are near-unique keys (dup groups are
+    * small), so the window partitions are tiny — no skew concern. */
   def urlDedup(df: DataFrame, urlCol: String = "url",
                idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val canon = df.select(col(idCol).as("doc_id"),
       canonicalizeUrl(col(urlCol)).as("canonical_url"))
-    val groups = canon.groupBy("canonical_url")
-      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
-    canon.join(groups, "canonical_url")
+    val w = Window.partitionBy("canonical_url")
+    canon
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
       .select(col("doc_id"), col("canonical_url"), col("keeper_id"),
         (col("doc_id") === col("keeper_id")).as("is_keeper"), col("n_copies"))
   }

@@ -25,15 +25,21 @@ object Versioning {
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val o = oldDocs.select(col(idCol).as("doc_id"),
-      sha2(col(textCol), 256).as("old_hash"))
+      sha2(col(textCol), 256).as("old_hash"), lit(true).as("old_present"))
     val n = newDocs.select(col(idCol).as("doc_id"),
-      sha2(col(textCol), 256).as("new_hash"))
+      sha2(col(textCol), 256).as("new_hash"), lit(true).as("new_present"))
+    // Presence comes from the JOIN (side markers), never from hash
+    // nullability: sha2 of a null text is null, so a doc present in both
+    // snapshots with null text would otherwise read as 'added' and
+    // null==null could never yield 'unchanged' (r10 ADVICE). Hash equality
+    // is null-safe (<=>) for the same reason.
     o.join(n, Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("old_hash").isNull, lit("added"))
-          .when(col("new_hash").isNull, lit("removed"))
-          .when(col("old_hash") === col("new_hash"), lit("unchanged"))
+        when(col("old_present").isNull, lit("added"))
+          .when(col("new_present").isNull, lit("removed"))
+          .when(col("old_hash") <=> col("new_hash"), lit("unchanged"))
           .otherwise(lit("changed")))
+      .drop("old_present", "new_present")
   }
 
   /** Release-note rollup of [[corpusDiff]]: one row per status with doc

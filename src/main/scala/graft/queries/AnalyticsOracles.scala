@@ -2538,12 +2538,14 @@ object AnalyticsOracles {
         |nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 != 9),
         |j AS (
         |  SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id,
-        |    sha256(old.text) AS old_hash, sha256(nw.text) AS new_hash
+        |    sha256(old.text) AS old_hash, sha256(nw.text) AS new_hash,
+        |    old.doc_id IS NOT NULL AS old_present,
+        |    nw.doc_id IS NOT NULL AS new_present
         |  FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id)
         |SELECT doc_id, old_hash, new_hash,
-        |  CASE WHEN old_hash IS NULL THEN 'added'
-        |       WHEN new_hash IS NULL THEN 'removed'
-        |       WHEN old_hash = new_hash THEN 'unchanged'
+        |  CASE WHEN NOT old_present THEN 'added'
+        |       WHEN NOT new_present THEN 'removed'
+        |       WHEN old_hash IS NOT DISTINCT FROM new_hash THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM j ORDER BY doc_id""".stripMargin,
     // reliability bins over the SAME per-logit counts as clf_auc; min-max
@@ -2615,7 +2617,11 @@ object AnalyticsOracles {
         |    sum(rc)::BIGINT AS ref_grams,
         |    sum(least(cc, rc))::BIGINT AS overlap
         |  FROM fj
-        |  WHERE pair_id >= 0 AND pair_id < (SELECT max(doc_id) FROM documents)
+        |  -- mirror the Spark side's INNER JOIN on existing (doc, doc+1)
+        |  -- pairs, not a 0-based-contiguous-id range assumption (r10
+        |  -- ADVICE): a pair is valid iff BOTH members exist
+        |  WHERE pair_id IN (SELECT doc_id FROM documents)
+        |    AND pair_id + 1 IN (SELECT doc_id FROM documents)
         |  GROUP BY pair_id)
         |SELECT pair_id, cand_grams, ref_grams, overlap,
         |  (1000 * overlap) // cand_grams AS p_permille,

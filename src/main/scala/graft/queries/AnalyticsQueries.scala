@@ -831,7 +831,7 @@ object AnalyticsQueries {
     * docs + repeat (epoch) factors, budget = rebalance the corpus size. */
   def sampleEpochs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    Sampling.epochAllocation(docs, "lang", budget = docs.count())
+    Sampling.epochAllocationSelf(docs, "lang")
       .orderBy(col("stratum"))
   }
 
@@ -840,7 +840,7 @@ object AnalyticsQueries {
     * per-stratum report. */
   def sampleMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    Sampling.materializeMix(docs, "lang", budget = docs.count())
+    Sampling.materializeMixSelf(docs, "lang")
       .orderBy(col("doc_id"), col("epoch"))
   }
 
@@ -909,8 +909,8 @@ object AnalyticsQueries {
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val kept = scored.join(keepers, Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mixed = Sampling.materializeMix(kept, "lang_pred",
-      budget = kept.count(), carry = Seq("text"))
+    val mixed = Sampling.materializeMixSelf(kept, "lang_pred",
+      carry = Seq("text"))
     val stream = mixed.select(
       (col("doc_id") * 1000 + col("epoch")).as("mix_id"), col("text"))
     val out = Sampling.packSequences(stream, windowTokens = 1024, nShards = 8,
@@ -956,8 +956,11 @@ object AnalyticsQueries {
         GraftFunctions.qualityFast(col("text")))
       .select(col("doc_id"), col("text"), col("lang"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mixed = Sampling.materializeMix(kept, "lang",
-      budget = kept.count(), carry = Seq("text"))
+    // budget = |kept| derived INSIDE the strata aggregate (one fewer
+    // driver count() job over the persisted frame — VERDICT r10 #7); the
+    // remaining spanned.count() above doubles as cache materialization +
+    // df-cap read, one combined action.
+    val mixed = Sampling.materializeMixSelf(kept, "lang", carry = Seq("text"))
     val stream = mixed.select(
       (col("doc_id") * 1000 + col("epoch")).as("mix_id"), col("text"))
     val out = Sampling.packSequences(stream, windowTokens = 1024, nShards = 8,
@@ -1269,6 +1272,62 @@ object AnalyticsQueries {
       .screenDelta(spark, idx, docs.filter(col("doc_id") > mid))
       .orderBy(col("doc_id"))
   }
+
+  /** Build/serve split of the four index-lifecycle benchmarks (VERDICT r10
+    * #6): the oracled `queries` entries above time a FULL lifecycle
+    * (param derivation + build + partitioned write + probe) as one number,
+    * which makes them dominate the suite and hides WHERE a regression
+    * lives. Each entry returns (build, serve) thunks over a fresh scratch
+    * dir: `build` runs everything up to and including the index write;
+    * `serve` returns the probe frame (the caller materializes it). Bench
+    * times both and emits `index_split` alongside the lifecycle metric —
+    * the lifecycle rows stay the regression-gated truth; the split
+    * localizes build vs serve. Serving cost is what repeats in production
+    * (the build amortizes over queries). */
+  def indexLifecycles: Map[String, (SparkSession, String) => (() => Unit, () => DataFrame)] = Map(
+    "sim_pqindex_topk" -> ((spark: SparkSession, dir: String) => {
+      val emb = Tables(spark, dir).embeddings
+      val idx = scratchIndexDir("pqindex-split")
+      var nprobe = 0
+      (() => {
+        nprobe = graft.analytics.ProductQuantization.scaledNprobe(emb.count())
+        PqIndex.build(emb, idx)
+      },
+       () => PqIndex.query(spark, idx, emb.filter(col("vec_id") < 5), k = 5,
+         nprobe = nprobe).orderBy(col("query_id"), col("rank")))
+    }),
+    "sim_pqindex_rescored" -> ((spark: SparkSession, dir: String) => {
+      val emb = Tables(spark, dir).embeddings
+      val idx = scratchIndexDir("pqindex-rs-split")
+      var nprobe = 0
+      var depth = 0
+      (() => {
+        val n = emb.count()
+        nprobe = graft.analytics.ProductQuantization.scaledNprobe(n)
+        depth = graft.analytics.ProductQuantization.scaledDepth(n)
+        PqIndex.build(emb, idx)
+      },
+       () => PqIndex.queryRescored(spark, idx, emb.filter(col("vec_id") < 5), emb,
+         k = 5, depth = depth, nprobe = nprobe).orderBy(col("query_id"), col("rank")))
+    }),
+    "bm25_index_search" -> ((spark: SparkSession, dir: String) => {
+      val idx = scratchIndexDir("searchindex-split")
+      (() => graft.analytics.SearchIndex.build(Tables(spark, dir).documents, idx),
+       () => graft.analytics.SearchIndex.query(spark, idx,
+         queryTerms = Seq("data", "fast", "query"), k = 20))
+    }),
+    "dedup_cdc_admit" -> ((spark: SparkSession, dir: String) => {
+      val docs = Tables(spark, dir).documents
+      val idx = scratchIndexDir("cdcindex-split")
+      var mid = 0L
+      (() => {
+        mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        graft.analytics.CdcIndex.build(docs.filter(col("doc_id") <= mid), idx)
+      },
+       () => graft.analytics.CdcIndex
+         .screenDelta(spark, idx, docs.filter(col("doc_id") > mid))
+         .orderBy(col("doc_id")))
+    }))
 
   /** Fill-in-the-middle packing transform (50% rate, sha-derived cuts) —
     * see [[Sampling.fimTransform]]. */

@@ -38,6 +38,22 @@ class Round10CurationSpec extends SparkSpec {
     assert(urls(5) != urls(6))
   }
 
+  test("canonicalizeUrl: default-port strip is scheme-matched (r10 ADVICE)") {
+    val urls = Seq(
+      "http://example.com:443/x",   // 443 is NOT default for http
+      "https://example.com:80/x",   // 80 is NOT default for https
+      "ftp://example.com:80/x",     // unknown scheme: never strip
+      "http://example.com:80/x",    // genuine defaults still strip
+      "https://example.com:443/x")
+      .toDF("url").select(UrlOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(urls(0) == "http://example.com:443/x")
+    assert(urls(1) == "https://example.com:80/x")
+    assert(urls(2) == "ftp://example.com:80/x")
+    assert(urls(3) == "http://example.com/x")
+    assert(urls(4) == "https://example.com/x")
+  }
+
   test("canonicalizeUrl: all-tracking query drops the '?' entirely") {
     val c = Seq("https://example.com/x?utm_source=a&gclid=b")
       .toDF("url").select(UrlOps.canonicalizeUrl(col("url"))).head().getString(0)
@@ -68,6 +84,18 @@ class Round10CurationSpec extends SparkSpec {
     val s = Versioning.diffSummary(Versioning.corpusDiff(old, nw)).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(s == Map("unchanged" -> 1L, "changed" -> 1L, "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("corpusDiff: null text classifies by row presence, not hash nullability (r10 ADVICE)") {
+    val old = Seq((1L, null: String), (2L, null: String), (3L, "c"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, null: String), (2L, "b2"), (4L, null: String))
+      .toDF("doc_id", "text")
+    val m = Versioning.corpusDiff(old, nw).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    // null text on both sides = unchanged (null <=> null); null -> text =
+    // changed; a doc only in `new` is added even with null text
+    assert(m == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
   // ---- Privacy ----------------------------------------------------------

@@ -145,6 +145,39 @@ class SkewSpec extends SparkSpec {
       rows(vanillaScd2(skewed)))
   }
 
+  test("Salting.adaptiveJoin probes the key distribution and both branches trigger (r10 #8)") {
+    val natural = graft.Tables(spark, sf("sf0.01")).events
+    // a per-user dim table: the classic broadcast-sized enrich side
+    val dim = natural.select(col("user_id").as("uid")).distinct()
+      .withColumn("segment", pmod(col("uid"), lit(7L)))
+    // engagement bars derived from the measured hot ratio, as in the
+    // AdaptiveWindows test above (no assumption about scheduler width)
+    val par = spark.sparkContext.defaultParallelism.toDouble
+    val (hotS, totalS) = AdaptiveWindows.hotKeyStats(skewed)
+    val hotRatio = hotS / (totalS / par)
+    val engages = hotRatio * 0.5
+    val staysVanilla = hotRatio * 2.0
+    assert(Salting.wouldSalt(skewed, "user_id", factor = engages))
+    assert(!Salting.wouldSalt(skewed, "user_id", factor = staysVanilla))
+    assert(!Salting.wouldSalt(natural, "user_id", factor = staysVanilla))
+    // parity: both branches emit identical rows on the SKEWED corpus
+    def sorted(df: DataFrame): Seq[Seq[Any]] =
+      rows(df.orderBy(df.columns.map(col): _*))
+    val ref = sorted(skewed.join(dim, skewed("user_id") === dim("uid")))
+    val saltedOut = Salting.adaptiveJoin(skewed, dim, "user_id", "uid", factor = engages)
+    val vanillaOut = Salting.adaptiveJoin(skewed, dim, "user_id", "uid", factor = staysVanilla)
+    assert(sorted(saltedOut) == ref)
+    assert(sorted(vanillaOut) == ref)
+    // and the dispatch really switches plans: the salted branch replicates
+    // the small side via explode (a Generate node); vanilla has none
+    def generates(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.size
+    assert(generates(saltedOut) >= 1)
+    assert(generates(vanillaOut) == 0)
+  }
+
   test("event-sized windows in the chunked plan partition by (user_id, chunk)") {
     val plan = ChunkedWindows.sessionize(skewed).queryExecution.optimizedPlan
     val windows = plan.collect {
