@@ -217,15 +217,23 @@ object Bench {
     // DELIBERATE trade shipped this round, say so in the artifact instead
     // of leaving an untriaged flag (the round-5/6 process bug). Unknown
     // flags stay unannotated — that absence IS the page.
+    val pqTrade = "deliberate r11 trade: PQ geometry moved 8x8 -> 32x2 " +
+      "subspaces after the measured recall curve (tools.RecallCurve, " +
+      "SCALING.md r11) showed raw ADC recall@5 is quantization-limited at " +
+      "8x8 (~0.20, flat in nprobe) and crosses the 0.5 bar only at 32x2 " +
+      "(0.58-0.68 at sf0.1); the ADC join/pivot now carries 4x the code " +
+      "rows per candidate"
     val knownTrades = Map(
+      "embed_pq" -> pqTrade,
+      "sim_pq_adc" -> pqTrade,
+      "sim_pqindex_rescored" -> pqTrade,
       "sim_ivf_topk" -> ("coarse quantizer is now TRAINED (3-round spherical Lloyd) " +
         "instead of an every-Nth pick: +2 corpus passes at index build for recall@10 " +
         "0.658 vs 0.544 at identical candidate cost (IvfRecallSpec/SCALING.md)"),
-      "sim_ivfpq_topk" -> ("same trained coarse quantizer as sim_ivf_topk; " +
-        "see IvfRecallSpec/SCALING.md"),
+      "sim_ivfpq_topk" -> ("trained coarse quantizer (see sim_ivf_topk) AND " + pqTrade),
       "sim_pqindex_topk" -> ("times a FULL index lifecycle per run (train + " +
         "partitioned-parquet write + pruned probe) — serving cost is the probe " +
-        "alone; the build amortizes over queries (PqIndexSpec/SCALING.md)"),
+        "alone; the build amortizes over queries (PqIndexSpec/SCALING.md); ALSO " + pqTrade),
       "bm25_index_search" -> ("times a FULL index lifecycle per run (postings " +
         "build + 64-bucket write + pruned probe) — serving cost is the probe " +
         "alone; the build amortizes over queries (SearchIndexSpec/SCALING.md)"),

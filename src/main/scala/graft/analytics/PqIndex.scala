@@ -65,7 +65,7 @@ object PqIndex {
     * `trainOn` trains the quantizer on a subset while encoding all of
     * `emb` — the reference shape for [[append]]'s parity contract. */
   def build(emb: DataFrame, dir: String,
-            coarseStep: Int = 25, m: Int = 8, subDim: Int = 8, centroidStep: Int = 40,
+            coarseStep: Int = 25, m: Int = 32, subDim: Int = 2, centroidStep: Int = 40,
             idCol: String = "vec_id", vecCol: String = "embedding",
             trainOn: Option[DataFrame] = None): Unit =
     IndexLock.withLock(emb.sparkSession, dir) {
@@ -102,7 +102,7 @@ object PqIndex {
     * index equals a one-shot [[build]] of the union trained on the
     * original corpus (`trainOn` parity, proven in PqIndexSpec). */
   def append(delta: DataFrame, dir: String,
-             m: Int = 8, subDim: Int = 8,
+             m: Int = 32, subDim: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = delta.sparkSession
     IndexLock.withLock(spark, dir) {
@@ -127,7 +127,7 @@ object PqIndex {
     * directories. Output schema and values match
     * [[ProductQuantization.ivfPqTopK]] exactly. */
   def query(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
-            nprobe: Int = 6, m: Int = 8, subDim: Int = 8,
+            nprobe: Int = 6, m: Int = 32, subDim: Int = 2,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ProductQuantization.adcRank(
       adcJoined(spark, dir, queries, nprobe, m, subDim, idCol, vecCol), m, k)
@@ -147,7 +147,7 @@ object PqIndex {
     * (query_id, rank, vec_id, cos) — same shape as the exact operators. */
   def queryRescored(spark: SparkSession, dir: String, queries: DataFrame,
                     corpus: DataFrame, k: Int, depth: Int = 20,
-                    nprobe: Int = 6, m: Int = 8, subDim: Int = 8,
+                    nprobe: Int = 6, m: Int = 32, subDim: Int = 2,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cand = ProductQuantization.adcRank(
         adcJoined(spark, dir, queries, nprobe, m, subDim, idCol, vecCol), m, depth)

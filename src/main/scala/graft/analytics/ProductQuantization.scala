@@ -13,13 +13,23 @@ import graft.functions.GraftFunctions
   * computation: the query stays exact, only the corpus is quantized).
   *
   * Why this wins at 100 TB: a 64-dim float vector is 256 bytes; its PQ code
-  * is `m` small ints (8 here) — a 32× scan-size reduction, and scoring a
+  * is `m` small ints — a large scan-size reduction, and scoring a
   * candidate is `m` table lookups + a fixed-length add chain instead of a
   * d-term dot product. The codebooks (m × k centroids) and the per-query
   * distance tables (|queries| × m × k) are broadcast; the corpus-sized
   * stages are one narrow codes scan and a map-side-combined per-(query,vec)
   * aggregation. Typically composed with IVF ([[Similarity.ivfTopK]]) as
   * IVF-PQ: coarse lists prune, PQ scores the survivors.
+  *
+  * Default geometry m=32 × subDim=2 (round 11): the measured recall curve
+  * (tools.RecallCurve, SCALING.md r11) showed the old 8×8 split's raw ADC
+  * recall@5 plateaus ~0.20 regardless of nprobe or codebook size — the
+  * quantization error of 8-dim cells exceeds neighbor gaps on this
+  * corpus — while 16×4 reaches ~0.37–0.45 and 32×2 crosses the 0.5 bar
+  * (0.58–0.68 at sf0.1). The cost is 4× code rows per candidate through
+  * the ADC join/pivot (code storage is still ≤ vector storage / 2); the
+  * oracle generates its pivot/`+`-chain from the same two constants
+  * (AnalyticsOracles.PqM/PqSubDim) so the engines cannot drift.
   *
   * Cross-engine determinism (same contract as [[Clustering]]): vectors are
   * quantized to integer micro-units up front; subspace Lloyd uses exact
@@ -39,7 +49,7 @@ object ProductQuantization {
   /** Per-(vector, subspace) codebook assignment after a 2-round subspace
     * Lloyd. Returns (vec_id, sub, cid, dist): the chosen centroid and the
     * squared distance to it (micro-unit scale). */
-  def pqAssign(emb: DataFrame, m: Int = 8, subDim: Int = 8,
+  def pqAssign(emb: DataFrame, m: Int = 32, subDim: Int = 2,
                centroidStep: Int = 40,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (subs, cents1, codes) = trainAndCodes(emb, m, subDim, centroidStep, idCol, vecCol)
@@ -120,7 +130,7 @@ object ProductQuantization {
     * the cached result instead of re-running the whole subspace Lloyd
     * with its caches gone (same lifetime contract as [[pqAssign]]). */
   def adcTopK(emb: DataFrame, queries: DataFrame, k: Int,
-              m: Int = 8, subDim: Int = 8, centroidStep: Int = 40,
+              m: Int = 32, subDim: Int = 2, centroidStep: Int = 40,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (subs, cents1, codes) = trainAndCodes(emb, m, subDim, centroidStep, idCol, vecCol)
     val joined = codes.join(broadcast(distanceTables(subs, cents1, queries, idCol)),
@@ -200,7 +210,7 @@ object ProductQuantization {
     * for precision) move independently. */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
                 coarseStep: Int = 25, nprobe: Int = 6,
-                m: Int = 8, subDim: Int = 8, centroidStep: Int = 40,
+                m: Int = 32, subDim: Int = 2, centroidStep: Int = 40,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     // Quantize the corpus ONCE: coarse training, list assignment, and the
@@ -253,7 +263,7 @@ object ProductQuantization {
     * whole micro²-unit integer (~1e10 ≪ 2^53 — exact in both engines;
     * decimal-rounding a double at that magnitude is NOT cross-engine
     * stable, see [[adcTopK]]). */
-  def pqCodes(emb: DataFrame, m: Int = 8, subDim: Int = 8,
+  def pqCodes(emb: DataFrame, m: Int = 32, subDim: Int = 2,
               centroidStep: Int = 40,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     pqAssign(emb, m, subDim, centroidStep, idCol, vecCol)

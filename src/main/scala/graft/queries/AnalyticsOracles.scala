@@ -86,17 +86,29 @@ object AnalyticsOracles {
       |  WHERE rn = 1)
       |""".stripMargin
 
-  /** Shared PQ pipeline: 8 subspaces × 8 dims, integer micro-unit
-    * quantization, 2-round per-subspace Lloyd seeded by vec_id % 40 == 0 —
-    * the DuckDB re-implementation of analytics.ProductQuantization (same
-    * CTE skeleton as embed_kmeans, partitioned by subspace). */
+  /** PQ code geometry mirrored from analytics.ProductQuantization's
+    * defaults: round 11 moved 8×8 → 32×2 after the measured recall curve
+    * (tools.RecallCurve, SCALING.md r11) showed raw ADC recall@5 is
+    * quantization-limited at 8×8 (~0.20, flat in nprobe/codebook size)
+    * and crosses the 0.5 bar only with finer subspaces (32×2: 0.58–0.68
+    * at sf0.1). Everything downstream (slices, pivot width, + chain) is
+    * generated from these two numbers so Spark and oracle can never
+    * drift. */
+  private val PqM = 32
+  private val PqSubDim = 2
+
+  /** Shared PQ pipeline: [[PqM]] subspaces × [[PqSubDim]] dims, integer
+    * micro-unit quantization, 2-round per-subspace Lloyd seeded by
+    * vec_id % 40 == 0 — the DuckDB re-implementation of
+    * analytics.ProductQuantization (same CTE skeleton as embed_kmeans,
+    * partitioned by subspace). */
   private val pqCte =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT vec_id, [round(x*1000000)::BIGINT for x in embedding::DOUBLE[]] AS qi
       |  FROM embeddings),
       |sub0 AS (
-      |  SELECT vec_id, s.sub, qi[s.sub*8+1 : s.sub*8+8] AS sqi
-      |  FROM q CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s),
+      |  SELECT vec_id, s.sub, qi[s.sub*$PqSubDim+1 : s.sub*$PqSubDim+$PqSubDim] AS sqi
+      |  FROM q CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub) s),
       |sd AS (
       |  SELECT vec_id, sub, sqi, [x::DOUBLE for x in sqi] AS sqd,
       |    list_reduce(list_prepend(0.0, [x::DOUBLE * x::DOUBLE for x in sqi]),
@@ -135,6 +147,26 @@ object AnalyticsOracles {
       |      FROM sd JOIN c1 USING (sub)))
       |  WHERE rn = 1)
       |""".stripMargin
+
+  /** ADC pivot + fixed `+` chain over [[PqM]] subspace terms, generated so
+    * the chain's association order is EXACTLY Spark's
+    * `(1 until m).foldLeft(d0)(_ + _)` (double addition is not
+    * associative; an unordered SUM would drift). `src` is the
+    * (query_id, vec_id, sub, d2) CTE to pivot; emits CTEs `pv` and `tt`
+    * (tt: query_id, vec_id, adc). Column alias `dd<i>` avoids the d2
+    * name collision the old hand-written m=8 pivot dodged with `d2c`. */
+  private def adcPivotCtes(src: String): String = {
+    val cols = (0 until PqM)
+      .map(s => s"    max(CASE WHEN sub = $s THEN d2 END) AS dd$s")
+      .mkString(",\n")
+    val chain = (1 until PqM).foldLeft("dd0")((acc, s) => s"($acc+dd$s)")
+    s"""pv AS (
+       |  SELECT query_id, vec_id,
+       |$cols
+       |  FROM $src GROUP BY query_id, vec_id),
+       |tt AS (
+       |  SELECT query_id, vec_id, $chain AS adc FROM pv)""".stripMargin
+  }
 
   /** Quantized-int base table shared by the coarse-quantizer CTEs (identical
     * to the `q` head of [[kmeansCte]]/[[pqCte]]). */
@@ -1022,24 +1054,11 @@ object AnalyticsOracles {
         |j AS (
         |  SELECT dt.query_id, a2.vec_id, a2.sub, dt.d2
         |  FROM a2 JOIN dt ON a2.sub = dt.sub AND a2.cid = dt.cid),
-        |p AS (
-        |  SELECT query_id, vec_id,
-        |    max(CASE WHEN sub = 0 THEN d2 END) AS d0,
-        |    max(CASE WHEN sub = 1 THEN d2 END) AS d1,
-        |    max(CASE WHEN sub = 2 THEN d2 END) AS d2c,
-        |    max(CASE WHEN sub = 3 THEN d2 END) AS d3,
-        |    max(CASE WHEN sub = 4 THEN d2 END) AS d4,
-        |    max(CASE WHEN sub = 5 THEN d2 END) AS d5,
-        |    max(CASE WHEN sub = 6 THEN d2 END) AS d6,
-        |    max(CASE WHEN sub = 7 THEN d2 END) AS d7
-        |  FROM j GROUP BY query_id, vec_id),
-        |t AS (
-        |  SELECT query_id, vec_id,
-        |    ((((((d0+d1)+d2c)+d3)+d4)+d5)+d6)+d7 AS adc FROM p)
+        |""".stripMargin + adcPivotCtes("j") + """
         |SELECT query_id, rank, vec_id, round(adc)::BIGINT AS adc FROM (
         |  SELECT query_id, vec_id, adc,
         |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
-        |  FROM t)
+        |  FROM tt)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "sim_ivfpq_topk" -> (pqCte + coarseTrainCtes(25) +
       s""", cent AS (SELECT cid AS centroid_id, m, nm FROM kc2),
@@ -1069,20 +1088,7 @@ object AnalyticsOracles {
          |  SELECT c.query_id, c.vec_id, a2.sub, dt.d2
          |  FROM cand c JOIN a2 USING (vec_id)
          |  JOIN dt ON dt.query_id = c.query_id AND dt.sub = a2.sub AND dt.cid = a2.cid),
-         |pp AS (
-         |  SELECT query_id, vec_id,
-         |    max(CASE WHEN sub = 0 THEN d2 END) AS d0,
-         |    max(CASE WHEN sub = 1 THEN d2 END) AS d1,
-         |    max(CASE WHEN sub = 2 THEN d2 END) AS d2c,
-         |    max(CASE WHEN sub = 3 THEN d2 END) AS d3,
-         |    max(CASE WHEN sub = 4 THEN d2 END) AS d4,
-         |    max(CASE WHEN sub = 5 THEN d2 END) AS d5,
-         |    max(CASE WHEN sub = 6 THEN d2 END) AS d6,
-         |    max(CASE WHEN sub = 7 THEN d2 END) AS d7
-         |  FROM jj GROUP BY query_id, vec_id),
-         |tt AS (
-         |  SELECT query_id, vec_id,
-         |    ((((((d0+d1)+d2c)+d3)+d4)+d5)+d6)+d7 AS adc FROM pp)
+         |""".stripMargin + adcPivotCtes("jj") + s"""
          |SELECT query_id, rank, vec_id, round(adc)::BIGINT AS adc FROM (
          |  SELECT query_id, vec_id, adc,
          |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank

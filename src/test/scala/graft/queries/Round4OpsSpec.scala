@@ -204,7 +204,7 @@ class Round4OpsSpec extends SparkSpec {
     val emb = graft.Tables(spark, d).embeddings
     val n = emb.count()
     val codes = ProductQuantization.pqCodes(emb).collect()
-    assert(codes.length == n * 8)                      // m rows per vector
+    assert(codes.length == n * 32)                     // m rows per vector
     assert(codes.forall(_.getAs[Long]("err2") >= 0L))
     // asymmetric distance: a query that IS in the corpus must rank itself
     // first — its ADC distance is just its own reconstruction error, far

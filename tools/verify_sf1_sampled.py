@@ -326,6 +326,84 @@ if want("sim_pqindex_topk"):
     check("sim_pqindex_topk", diff == 0,
           f"persisted-index twin row-identical to one-shot ivfpq: {diff} diffs")
 
+# ------------------------------------------------------------ embed_prototypes
+def prototypes_check():
+    """FULL chunked recompute (round 11): the one-shot DuckDB oracle OOMs at
+    sf1 because the k-means unroll materializes |vecs| x |centroids| rows
+    each carrying two 64-double lists. But each assignment round is a
+    per-vector argmin — chunking the vector side bounds memory at
+    chunk x |centroids| list rows while leaving every fold order, tie-break,
+    and rounding IDENTICAL to the sf0.01 oracle. This is not a sampled
+    check: the entire sf1 output is recomputed and compared row-for-row."""
+    DIST = ("nq + nm - 2.0 * list_reduce(list_prepend(0.0, "
+            "[qdv[i] * m[i] for i in generate_series(1, len(qdv))]), (a,b) -> a+b)")
+    c1.sql("""CREATE TEMP TABLE pq_qd AS
+      SELECT vec_id, qi, [x::DOUBLE for x in qi] AS qdv,
+        list_reduce(list_prepend(0.0, [x::DOUBLE * x::DOUBLE for x in qi]),
+          (a,b) -> a+b) AS nq
+      FROM (SELECT vec_id, [round(x*1000000)::BIGINT for x in embedding::DOUBLE[]] AS qi
+            FROM embeddings)""")
+    n_vec = one(c1, "SELECT count(*) FROM pq_qd")
+    # chunk by id MODULUS, not ranges: ScaleUp replica ids are strided far
+    # apart, so contiguous ranges would silently skip vectors; a modulus
+    # partition is exhaustive for any id layout and stays balanced
+    n_chunks = max(1, n_vec // 2000)
+
+    def assign_round(cent_table, out_table):
+        c1.sql(f"CREATE TEMP TABLE {out_table} (vec_id BIGINT, cid BIGINT)")
+        for part in range(n_chunks):
+            c1.sql(f"""INSERT INTO {out_table}
+              SELECT vec_id, cid FROM (
+                SELECT qd.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY qd.vec_id ORDER BY {DIST}, cid) AS rn
+                FROM (SELECT * FROM pq_qd WHERE vec_id % {n_chunks} = {part}) qd,
+                     {cent_table} c)
+              WHERE rn = 1""")
+
+    def means(assign_table, out_table):
+        c1.sql(f"""CREATE TEMP TABLE {out_table} AS
+          WITH x AS (
+            SELECT cid, unnest(generate_series(1, len(qi))) AS i, qi
+            FROM {assign_table} JOIN pq_qd USING (vec_id)),
+          s AS (SELECT cid, i, sum(qi[i]) AS s FROM x GROUP BY cid, i),
+          n AS (SELECT cid, count(*) AS n FROM {assign_table} GROUP BY cid)
+          SELECT cid, m,
+            list_reduce(list_prepend(0.0, [x*x for x in m]), (a,b) -> a+b) AS nm
+          FROM (SELECT cid, list(s::DOUBLE / n ORDER BY i) AS m
+                FROM s JOIN n USING (cid) GROUP BY cid, n)""")
+
+    c1.sql("""CREATE TEMP TABLE pq_c0 AS
+      SELECT vec_id AS cid, qdv AS m, nq AS nm FROM pq_qd WHERE vec_id % 40 = 0""")
+    assign_round("pq_c0", "pq_a1")
+    means("pq_a1", "pq_c1")
+    assign_round("pq_c1", "pq_a2")
+    means("pq_a2", "pq_c2")
+    # d2 of every vec against its OWN final centroid (linear), then ranks
+    c1.sql(f"""CREATE TEMP TABLE pq_out AS
+      WITH d AS (
+        SELECT qd.vec_id, a.cid, round({DIST})::BIGINT AS d2
+        FROM pq_a2 a JOIN pq_qd qd USING (vec_id)
+        JOIN (SELECT cid, m, nm FROM pq_c2) c USING (cid)),
+      rk AS (
+        SELECT vec_id, cid, d2,
+          row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS proto_rank,
+          count(*) OVER (PARTITION BY cid) AS n
+        FROM d)
+      SELECT vec_id, cid, d2, proto_rank::BIGINT AS proto_rank,
+        proto_rank > (n * 1) // 5 AS keep
+      FROM rk""")
+    diff = one(c1, f"""
+      SELECT (SELECT count(*) FROM (SELECT * FROM pq_out EXCEPT
+               SELECT * FROM {outp('embed_prototypes')}))
+           + (SELECT count(*) FROM (SELECT * FROM {outp('embed_prototypes')} EXCEPT
+               SELECT * FROM pq_out))""")
+    n_out = one(c1, f"SELECT count(*) FROM {outp('embed_prototypes')}")
+    check("embed_prototypes", diff == 0 and n_out == n_vec,
+          f"FULL chunked recompute: {n_out} rows vs {n_vec} vecs, {diff} row diffs")
+
+if want("embed_prototypes"):
+    prototypes_check()
+
 # -------------------------------------------------------------- pipeline_curate
 def curate_checks():
     name, o = "pipeline_curate", outp("pipeline_curate")
