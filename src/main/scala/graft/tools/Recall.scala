@@ -63,7 +63,7 @@ object Recall {
     // the PRECISION knob: at fixed probe fraction, finer subspace codebooks
     // (more, narrower subspaces) should lift the ADC plateau — measured
     // against the same ground truth
-    println(f"${"nprobe"}%-8s${"m=8,sub=8"}%-12s${"m=16,sub=4"}%-12s")
+    println(f"${"nprobe"}%-8s${"m=8,sub=8"}%-12s${"m=16,sub=4"}%-12s")  // historical geometries; defaults are 32x2 since r11
     for (np <- Seq(8, 16)) {
       def recall(s: Set[(Long, Long)]): Double = (s & truth).size.toDouble / truth.size
       val r8 = recall(pairs(ProductQuantization.ivfPqTopK(emb, queries, k, nprobe = np)))

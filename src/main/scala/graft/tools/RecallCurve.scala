@@ -10,7 +10,8 @@ import graft.analytics.{PqIndex, ProductQuantization, Similarity}
   * ≥0.5 raw-ADC recall at sf1 (the r10 sampled floor sat at 0.24 with a
   * 0.2 floor — one bad tie from red).
   *
-  * Knobs swept (m=8 × subDim=8 fixed — the oracle-mirrored code shape):
+  * Knobs swept (the first table uses the library-default geometry —
+  * m=32 × subDim=2 since round 11; the m-sweep leg below varies it):
   *   - shareMille: probed fraction of the coarse lists (nprobe =
   *     share × nlist) — the CANDIDATE-coverage knob;
   *   - centroidStep: codebook size per subspace = n/centroidStep — the
@@ -67,7 +68,7 @@ object RecallCurve {
 
     val np0 = ProductQuantization.scaledNprobe(n)
     // codebook-BITS leg: same total code budget spent as more, narrower
-    // subspaces (m=16 × 4 dims vs m=8 × 8) — the finer product grid is
+    // subspaces (16×4 and 32×2 vs the historical 8×8) — the finer grid is
     // the orthodox answer when ADC ordering, not candidate coverage, is
     // the recall limiter
     println(f"${"m x subDim"}%-14s${"centroidStep"}%-14s${"raw@" + k}%-10s  (share=0.30)")

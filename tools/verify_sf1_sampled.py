@@ -309,14 +309,21 @@ def topk_checks(name, exact_scores, floor, k=5):
           f"recall@{k} vs exact brute force = {recall:.3f} ({hit}/{total}), floor {floor}")
     return recall
 
+# Floors raised in round 11 with the PQ 32x2 geometry (VERDICT r10 #4):
+# tools.RecallCurve measured raw ADC recall@5 = 0.62 (sf1) / 0.58-0.62
+# (sf0.1) at default share, and rescored = 0.88 at every depth (coverage-
+# bound once ADC ranks well). The old floors (0.2 raw / 0.5 rescored)
+# dated from the 8x8 geometry whose raw margin was one bad tie from red.
+# Floors sit ~0.2 under the 50-query measurements because these checks
+# run on 5 queries (25 truth pairs) - small-sample recall swings +/-0.1.
 if want("sim_ivf_topk"):
     topk_checks("sim_ivf_topk", exact_scores=True, floor=0.3)
 if want("sim_pqindex_rescored"):
-    topk_checks("sim_pqindex_rescored", exact_scores=True, floor=0.5)
+    topk_checks("sim_pqindex_rescored", exact_scores=True, floor=0.7)
 if want("sim_ivfpq_topk"):
-    topk_checks("sim_ivfpq_topk", exact_scores=False, floor=0.2)
+    topk_checks("sim_ivfpq_topk", exact_scores=False, floor=0.4)
 if want("sim_pqindex_topk"):
-    topk_checks("sim_pqindex_topk", exact_scores=False, floor=0.2)
+    topk_checks("sim_pqindex_topk", exact_scores=False, floor=0.4)
     # persisted index twin must be row-identical to the one-shot operator
     diff = one(c1, f"""
       SELECT (SELECT count(*) FROM (SELECT * FROM {outp('sim_pqindex_topk')} EXCEPT
