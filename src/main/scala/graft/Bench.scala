@@ -223,6 +223,14 @@ object Bench {
       "8x8 (~0.20, flat in nprobe) and crosses the 0.5 bar only at 32x2 " +
       "(0.58-0.68 at sf0.1); the ADC join/pivot now carries 4x the code " +
       "rows per candidate"
+    // r11 triage of the r10 closing-bench flags on these three: HOST, not
+    // plan — the driver's closing run and the committed quiet medians ran
+    // the SAME commit (identical binary), and the matched cold-subset A/B
+    // (r10 snapshot vs r11 HEAD, 3 fresh JVMs each) measured <5% deltas
+    // with the dedup_exact control at the committed floor. SCALING.md r11.
+    val r10TrioTriage = "r10 closing flag triaged as HOST drift (SCALING.md " +
+      "r11 trio triage): closing run and committed quiet medians ran the " +
+      "same commit; matched cold-subset A/B r10-vs-r11 deltas <5%"
     val knownTrades = Map(
       "embed_pq" -> pqTrade,
       "sim_pq_adc" -> pqTrade,
@@ -240,7 +248,10 @@ object Bench {
       "dedup_minhash" -> ("host drift, not a plan change: git-stash A/B mid-r10 " +
         "measured 1.39 s on the SAME committed code that recorded the 1.02 s " +
         "baseline median (dedup_exact drifted 2.0x alongside on both sides of " +
-        "the stash); SCALING.md r10 drift note"))
+        "the stash); SCALING.md r10 drift note"),
+      "pipeline_full" -> r10TrioTriage,
+      "clf_train" -> r10TrioTriage,
+      "text_lm_score" -> r10TrioTriage)
     val notes = results.collect {
       case (k, v) if regressed(k, v) && knownTrades.contains(k) =>
         "\"" + k + "\":\"" + knownTrades(k) + "\""

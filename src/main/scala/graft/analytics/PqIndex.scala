@@ -55,8 +55,11 @@ object PqIndex {
     // (tasks × lists small files); with it each list is one file, written
     // once and read in one footer open per probe. At real scale cap file
     // size with spark.sql.files.maxRecordsPerFile instead of one-per-list.
-    codes.join(assigned, "vec_id")
-      .select(col("vec_id"), col("sub"), col("cid"), col("centroid_id"))
+    // Stored layout is PACKED (round 11): one (vec_id, pcodes) row per
+    // vector instead of m code rows — the codes scan, the probe join, and
+    // the list files all shrink m-fold (32× at the default geometry).
+    ProductQuantization.packCodes(codes).join(assigned, "vec_id")
+      .select(col("vec_id"), col("pcodes"), col("centroid_id"))
       .repartition(col("centroid_id"))
       .write.mode(mode).partitionBy("centroid_id").parquet(s"$dir/codes")
 
@@ -129,7 +132,7 @@ object PqIndex {
   def query(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
             nprobe: Int = 6, m: Int = 32, subDim: Int = 2,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    ProductQuantization.adcRank(
+    ProductQuantization.rankPacked(
       adcJoined(spark, dir, queries, nprobe, m, subDim, idCol, vecCol), m, k)
 
   /** Two-stage serving: ADC ranks the probed lists, the top `depth`
@@ -149,7 +152,7 @@ object PqIndex {
                     corpus: DataFrame, k: Int, depth: Int = 20,
                     nprobe: Int = 6, m: Int = 32, subDim: Int = 2,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cand = ProductQuantization.adcRank(
+    val cand = ProductQuantization.rankPacked(
         adcJoined(spark, dir, queries, nprobe, m, subDim, idCol, vecCol), m, depth)
       .select(col("query_id"), col("vec_id"))
     val c = Similarity.withNorm(corpus, idCol, vecCol, "vec_id", "v", "nv")
@@ -201,8 +204,11 @@ object PqIndex {
     val dt = qsubs.join(books, "sub")
       .select(col("query_id"), col("sub"), col("cid"),
         (col("nq") + col("nm") - lit(2.0) * GraftFunctions.arrayDot(col("sqd"), col("m"))).as("d2"))
+    // stored codes are packed (one pcodes row per vector); the per-query
+    // tables broadcast packed too, so the scored stream is one row per
+    // (query, candidate) — see [[ProductQuantization.rankPacked]]
     probes.join(codes, "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
-      .join(broadcast(dt), Seq("query_id", "sub", "cid"))
+      .join(broadcast(ProductQuantization.packDt(dt, m)), "query_id")
   }
 }

@@ -121,9 +121,12 @@ object ProductQuantization {
 
   /** ADC top-k: exact queries against the PQ-coded corpus. Distance tables
     * (query × sub × cid) come from one broadcast-sized join; the corpus
-    * contributes its codes only. The per-pair total adds the m subspace
-    * terms in explicit subspace order via an m-way conditional-aggregate
-    * pivot + fixed `+` chain.
+    * contributes its codes only — packed to ONE row per vector
+    * ([[packCodes]]), so the scored stream is |vecs| × |queries| rows,
+    * not |vecs| × m × |queries| (round 11: the 32×2 geometry made the
+    * row-per-subspace shape carry 32 rows per candidate through the old
+    * conditional-aggregate pivot; packing removes the pivot exchange and
+    * the m-fold row blowup while producing bit-identical sums).
     *
     * Returns a PERSISTED frame (tiny: ≤ |queries|×k rows), materialized
     * before the training caches are released — the caller's action reads
@@ -133,13 +136,39 @@ object ProductQuantization {
               m: Int = 32, subDim: Int = 2, centroidStep: Int = 40,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (subs, cents1, codes) = trainAndCodes(emb, m, subDim, centroidStep, idCol, vecCol)
-    val joined = codes.join(broadcast(distanceTables(subs, cents1, queries, idCol)),
-      Seq("sub", "cid"))
-    val out = adcRank(joined, m, k)
+    val pairs = packCodes(codes)
+      .crossJoin(broadcast(packDt(distanceTables(subs, cents1, queries, idCol), m)))
+    val out = rankPacked(pairs, m, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count(): Unit
     subs.unpersist(); cents1.unpersist(); codes.unpersist()
     out
+  }
+
+  /** Pack per-(vec, subspace) code rows to one row per vector:
+    * (vec_id, pcodes) with `pcodes[s]` = the subspace-s codeword. The
+    * serve-side currency of every ADC path: candidate joins, shuffles,
+    * and the stored-index scan carry the m codes as one compact array
+    * row instead of m rows, shrinking each m-fold. */
+  private[analytics] def packCodes(codes: DataFrame): DataFrame =
+    codes.groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
+        _.getField("cid")).as("pcodes"))
+
+  /** Pack a (query_id, sub, cid, d2) distance-table stream to one row per
+    * query: (query_id, dts) where `dts[s]` is the subspace-s lookup map
+    * cid → d2. Broadcast-sized — the same payload the unpacked broadcast
+    * carried, reshaped for O(1) per-candidate lookup. (Built as m
+    * conditional map aggregates: structs containing maps are not
+    * orderable in Spark, so a sort-then-project pivot is unavailable.) */
+  private[analytics] def packDt(dt: DataFrame, m: Int): DataFrame = {
+    val subMaps = (0 until m).map(s =>
+      map_from_entries(collect_list(when(col("sub") === s,
+        struct(col("cid"), col("d2"))))).as(s"dm$s"))
+    dt.groupBy("query_id")
+      .agg(subMaps.head, subMaps.tail: _*)
+      .select(col("query_id"),
+        array((0 until m).map(s => col(s"dm$s")): _*).as("dts"))
   }
 
   /** Per-query subspace distance tables (query_id, sub, cid, d2): the
@@ -152,22 +181,21 @@ object ProductQuantization {
       .select(col("query_id"), col("sub"), col("cid"),
         (col("nq") + col("nm") - lit(2.0) * dot(col("sqd"), col("m"))).as("d2"))
 
-  /** Pivot the (query_id, vec_id, sub, d2) stream to one row per pair,
-    * total the m terms in EXPLICIT subspace order (a fixed `+` chain —
-    * unordered double aggregation is not cross-engine stable), rank per
-    * query. Totals are ~1e12 (micro² scale): decimal-rounding a double
-    * there sits at the edge of the 15-16 significant digits a double
-    * carries, where engines' round() implementations legitimately
-    * disagree — emit the WHOLE-unit integer instead (exact below 2^53). */
-  private[analytics] def adcRank(joined: DataFrame, m: Int, k: Int): DataFrame = {
-    val dCols = (0 until m).map(s =>
-      max(when(col("sub") === s, col("d2"))).as(s"d$s"))
-    val pivoted = joined.groupBy(col("query_id"), col("vec_id"))
-      .agg(dCols.head, dCols.tail: _*)
-    val adc = (1 until m).foldLeft(col("d0")) { (acc, s) => acc + col(s"d$s") }
+  /** Score and rank a packed (query_id, vec_id, pcodes, dts) candidate
+    * stream: adc_raw totals the m per-subspace lookups in EXPLICIT
+    * ascending-subspace order (a fixed `+` chain — double addition is not
+    * associative, and the DuckDB oracle's generated chain adds in the
+    * same order, so the sums are bit-identical to the old pivot path).
+    * Totals are ~1e12 (micro² scale): decimal-rounding a double there
+    * sits at the edge of the 15-16 significant digits a double carries,
+    * where engines' round() implementations legitimately disagree — emit
+    * the WHOLE-unit integer instead (exact below 2^53). */
+  private[analytics] def rankPacked(pairs: DataFrame, m: Int, k: Int): DataFrame = {
+    def term(s: Int) = element_at(col("dts")(s), col("pcodes")(s))
+    val adc = (1 until m).foldLeft(term(0)) { (acc, s) => acc + term(s) }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("adc_raw").asc, col("vec_id").asc)
-    pivoted.withColumn("adc_raw", adc)
+    pairs.withColumn("adc_raw", adc)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -247,12 +275,12 @@ object ProductQuantization {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
     val (subs, cents1, codes) = trainAndCodesQ(quantized, m, subDim, centroidStep)
-    val joined = cand.join(codes, "vec_id")
-      .join(broadcast(distanceTables(subs, cents1, queries, idCol)),
-        Seq("query_id", "sub", "cid"))
+    val pairs = cand.join(packCodes(codes), "vec_id")
+      .join(broadcast(packDt(distanceTables(subs, cents1, queries, idCol), m)),
+        "query_id")
     // persist-then-materialize before releasing training caches — see
     // [[adcTopK]]; the returned frame is ≤ |queries|×k rows
-    val out = adcRank(joined, m, k)
+    val out = rankPacked(pairs, m, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count(): Unit
     subs.unpersist(); cents1.unpersist(); codes.unpersist(); quantized.unpersist()
