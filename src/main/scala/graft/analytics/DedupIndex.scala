@@ -132,6 +132,48 @@ object DedupIndex {
       admitted
     }
 
+  /** Delete history docs from the index without rewriting it: their ids
+    * join a TOMBSTONE set that [[dedupDelta]] anti-joins out of the stored
+    * bands before probing — a forgotten doc can never match an arriving
+    * shard, exactly as if it had never been indexed (the
+    * right-to-be-forgotten shape: O(|ids|) delete, space reclaimed lazily
+    * by [[compact]]). [[admitDelta]]/[[ingest]] inherit the exclusion
+    * through [[dedupDelta]]. Re-appending a forgotten id requires
+    * [[compact]] first (same contract as [[PqIndex.forget]]). */
+  def forget(spark: SparkSession, dir: String, ids: DataFrame,
+             idCol: String = "doc_id"): Unit =
+    IndexLock.withLock(spark, dir) {
+      ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+        .write.mode("append").parquet(s"$dir/tombstones")
+    }
+
+  /** Rewrite bands + shingles minus the tombstoned docs and clear the
+    * tombstone set. Probes before and after compaction return identical
+    * pairs (CompactionSpec). */
+  def compact(spark: SparkSession, dir: String): Unit =
+    IndexLock.withLock(spark, dir) {
+      tombstones(spark, dir).foreach { tomb =>
+        val t = broadcast(tomb)
+        val bands = spark.read.parquet(s"$dir/bands")
+          .join(t, Seq("doc_id"), "left_anti").localCheckpoint(true)
+        val shingles = spark.read.parquet(s"$dir/shingles")
+          .join(t, Seq("doc_id"), "left_anti").localCheckpoint(true)
+        bands.repartition(col("band"))
+          .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+        shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+        val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+    }
+
+  /** The tombstone id set, if any forgets happened since the last
+    * [[compact]] — None on the common path (no footer read). */
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Some(spark.read.parquet(p.toString)) else None
+  }
+
   /** Near-dup pairs TOUCHING the delta: delta-vs-history (via the stored
     * band index) plus delta-internal, both exact-Jaccard verified. History
     * is never rescanned — its bands are probed by join and its shingle
@@ -144,8 +186,11 @@ object DedupIndex {
     val dSh = Dedup.shingleFrame(delta, n, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dBand = Dedup.minhashBanded(dSh, bands, rowsPerBand)
-    val iBand = spark.read.parquet(s"$dir/bands")
+    val iBand0 = spark.read.parquet(s"$dir/bands")
       .select(col("doc_id"), col("band"), col("bucket"))
+    // tombstoned history docs ([[forget]]) never reach the probe join
+    val iBand = tombstones(spark, dir)
+      .fold(iBand0)(t => iBand0.join(broadcast(t), Seq("doc_id"), "left_anti"))
     val cross = iBand.as("x").join(dBand.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") =!= col("y.doc_id"))

@@ -123,6 +123,51 @@ object PqIndex {
     }
   }
 
+  /** Delete vectors from the index without rewriting it: append their ids
+    * to a TOMBSTONE set that every query anti-joins (broadcast — the
+    * tombstone set is ids only) BEFORE ranking, so a forgotten vector can
+    * never appear in any top-k and its slot is filled by the next-best
+    * survivor, exactly as if it had never been indexed. This is the
+    * right-to-be-forgotten shape at 100 TB: the delete is O(|ids|) — no
+    * touch of the inverted lists — and the space is reclaimed lazily by
+    * [[compact]] (delete-fast / compact-later, the standard LSM posture).
+    *
+    * Forgotten ids stay excluded until [[compact]]; re-adding a forgotten
+    * id via [[append]] requires compacting first (documented contract —
+    * the tombstone would otherwise keep suppressing it). */
+  def forget(spark: SparkSession, dir: String, ids: DataFrame,
+             idCol: String = "vec_id"): Unit =
+    IndexLock.withLock(spark, dir) {
+      ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+        .write.mode("append").parquet(s"$dir/tombstones")
+    }
+
+  /** Rewrite the inverted lists minus the tombstoned vectors and clear the
+    * tombstone set. Queries before and after compaction return identical
+    * rows (CompactionSpec); compaction only reclaims space and restores
+    * [[append]]-ability for forgotten ids. */
+  def compact(spark: SparkSession, dir: String): Unit =
+    IndexLock.withLock(spark, dir) {
+      tombstones(spark, dir).foreach { tomb =>
+        val survivors = spark.read.parquet(s"$dir/codes")
+          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+          .localCheckpoint(true) // fully materialize before overwriting the source dir
+        survivors.repartition(col("centroid_id"))
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/codes")
+        val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+    }
+
+  /** The tombstone id set, if any forgets happened since the last
+    * [[compact]] — None on the common path, so untombstoned indexes pay
+    * nothing (not even a parquet footer read). */
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Some(spark.read.parquet(p.toString)) else None
+  }
+
   /** Query the stored index: probe `nprobe` lists per query, ADC-score the
     * survivors from the stored codes, rank top-k. The probed list ids are
     * collected (≤ |queries|·nprobe longs) and pushed as a LITERAL partition
@@ -206,9 +251,13 @@ object PqIndex {
         (col("nq") + col("nm") - lit(2.0) * GraftFunctions.arrayDot(col("sqd"), col("m"))).as("d2"))
     // stored codes are packed (one pcodes row per vector); the per-query
     // tables broadcast packed too, so the scored stream is one row per
-    // (query, candidate) — see [[ProductQuantization.rankPacked]]
-    probes.join(codes, "centroid_id")
+    // (query, candidate) — see [[ProductQuantization.rankPacked]].
+    // Tombstoned vectors ([[forget]]) are anti-joined out of the candidate
+    // stream BEFORE ranking, so ranks fill with survivors.
+    val cand0 = probes.join(codes, "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
-      .join(broadcast(ProductQuantization.packDt(dt, m)), "query_id")
+    val cand = tombstones(spark, dir)
+      .fold(cand0)(t => cand0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    cand.join(broadcast(ProductQuantization.packDt(dt, m)), "query_id")
   }
 }

@@ -110,6 +110,25 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Right-to-be-forgotten over the persisted dedup index: same
+    * history/delta split as [[dedupDelta]], but history docs with
+    * doc_id % 5 == 0 are [[graft.analytics.DedupIndex.forget]]-ed before
+    * the shard arrives — pairs touching a forgotten history doc vanish
+    * (the shard doc is no longer blocked by it), delta-internal pairs are
+    * untouched. The oracle is the delta SQL minus pairs whose history
+    * side is forgotten. */
+  def dedupIndexForget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val idx = scratchIndexDir("dedupforget")
+    graft.analytics.DedupIndex.build(docs.filter(col("doc_id") <= mid), idx)
+    graft.analytics.DedupIndex.forget(spark, idx,
+      docs.filter(col("doc_id") <= mid && col("doc_id") % 5 === 0).select("doc_id"))
+    graft.analytics.DedupIndex
+      .dedupDelta(spark, idx, docs.filter(col("doc_id") > mid), minJaccard = 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables(spark, dir).documents
@@ -791,6 +810,22 @@ object AnalyticsQueries {
     PqIndex.build(emb, idx)
     PqIndex.queryRescored(spark, idx, emb.filter(col("vec_id") < 5), emb,
         k = 5, depth = depth, nprobe = nprobe)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Right-to-be-forgotten over the persisted ANN index: build on the full
+    * corpus, [[graft.analytics.PqIndex.forget]] every vec with
+    * vec_id % 7 == 3, then query — forgotten vectors are anti-joined out
+    * of the candidate stream BEFORE ranking, so they can never appear in
+    * any top-k and their slots fill with the next-best survivors. The
+    * oracle is the ivfpq SQL with the same candidate exclusion. */
+  def simPqIndexForget(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val nprobe = graft.analytics.ProductQuantization.scaledNprobe(emb.count())
+    val idx = scratchIndexDir("pqindex-forget")
+    PqIndex.build(emb, idx)
+    PqIndex.forget(spark, idx, emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
+    PqIndex.query(spark, idx, emb.filter(col("vec_id") < 5), k = 5, nprobe = nprobe)
       .orderBy(col("query_id"), col("rank"))
   }
 
