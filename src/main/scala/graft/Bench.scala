@@ -296,14 +296,28 @@ object Bench {
     // (after spark.stop(), so no shutdown chatter can follow it on stdout;
     // build.sbt sets `run / outputStrategy := StdoutOutput` so sbt does not
     // prepend "[info] ", and suppresses the trailing "[success] Total time"
-    // line). The compact summary carries total, counts, the 15 slowest
-    // queries at ms precision, and a pointer to the full map on disk.
-    val top = results.sortBy(-_._2).take(15)
+    // line). The harness keeps only the LAST 2000 chars of stdout and
+    // json-parses what it finds there, so the compact line must FIT that
+    // window (VERDICT r11 #3 — the r11 line embedded ~420-char note BODIES
+    // and overflowed it). Budget: note KEYS only (bodies live in the full
+    // map), 10 slowest, and a hard <1500-char guard that degrades to a
+    // minimal line rather than ever overflowing.
+    val noteKeys = results.collect {
+      case (k, v) if regressed(k, v) && knownTrades.contains(k) => k
+    }.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val top = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+    val compactFull = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"n_failed":${failed.size},""" +
-      s""""regressions_vs_prev":$regressions,"regression_notes":$notes,""" +
+      s""""regressions_vs_prev":$regressions,"regression_note_keys":$noteKeys,""" +
       s""""index_split":$splitJson,"slowest":$top,"full_map":"$fullPath","sf":"$sfDir"}"""
+    val nRegressed = results.count { case (k, v) => regressed(k, v) }
+    val compactMin = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_failed":${failed.size},""" +
+      s""""n_regressions":$nRegressed,"full_map":"$fullPath","sf":"$sfDir"}"""
+    val compact = if (compactFull.length < 1500) compactFull else compactMin
+    require(compact.length < 1500,
+      s"bench compact line ${compact.length} chars — would overflow the 2000-char tail")
     spark.stop()
     println(compact)
     System.out.flush()

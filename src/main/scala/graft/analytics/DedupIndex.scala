@@ -35,6 +35,39 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Marker left by an all-tombstoned [[compact]]: overwriting bands
+    * (partitioned) and shingles with ZERO rows writes no part files, so
+    * later reads would fail schema inference — the empty state is recorded
+    * explicitly and [[readBands]]/[[readShingles]] reconstruct the empty
+    * frames from the literal schemas. The next append clears it. */
+  private def emptyMarker(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_empty")
+
+  private def emptyFrame(spark: SparkSession,
+                         schema: org.apache.spark.sql.types.StructType): DataFrame =
+    // plain attributes from an explicit schema, not foldable literals (a
+    // constant-foldable column would evaluate at planning time — see
+    // PqIndex.readCodes)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def readBands(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    if (fs(spark, emptyMarker(dir)).exists(emptyMarker(dir)))
+      emptyFrame(spark, StructType(Seq(StructField("doc_id", LongType),
+        StructField("band", IntegerType), StructField("bucket", StringType))))
+    else spark.read.parquet(s"$dir/bands")
+  }
+
+  private def readShingles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    if (fs(spark, emptyMarker(dir)).exists(emptyMarker(dir)))
+      emptyFrame(spark, StructType(Seq(StructField("doc_id", LongType),
+        StructField("sh", ArrayType(StringType)))))
+    else spark.read.parquet(s"$dir/shingles")
+  }
+
   /** Build and write the index from corpus history. */
   def build(docs: DataFrame, dir: String,
             bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
@@ -64,6 +97,9 @@ object DedupIndex {
   private def appendUnlocked(delta: DataFrame, dir: String,
                              bands: Int, rowsPerBand: Int, n: Int,
                              idCol: String, textCol: String): Unit = {
+    val mp = emptyMarker(dir)
+    val mf = fs(delta.sparkSession, mp)
+    if (mf.exists(mp)) mf.delete(mp, false): Unit // real files return
     val withSh = Dedup.shingleFrame(delta, n, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.minhashBanded(withSh, bands, rowsPerBand)
@@ -154,20 +190,35 @@ object DedupIndex {
     IndexLock.withLock(spark, dir) {
       tombstones(spark, dir).foreach { tomb =>
         val t = broadcast(tomb)
-        val bands = spark.read.parquet(s"$dir/bands")
+        val bands = readBands(spark, dir)
           .join(t, Seq("doc_id"), "left_anti").localCheckpoint(true)
-        val shingles = spark.read.parquet(s"$dir/shingles")
+        val shingles = readShingles(spark, dir)
           .join(t, Seq("doc_id"), "left_anti").localCheckpoint(true)
-        bands.repartition(col("band"))
-          .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
-        shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+        if (bands.isEmpty) {
+          // all-tombstoned (bands and shingles share the doc set by
+          // construction): record the empty state as a marker — zero-row
+          // overwrites write no schema-bearing files (see [[emptyMarker]])
+          val bp = new org.apache.hadoop.fs.Path(s"$dir/bands")
+          val sp = new org.apache.hadoop.fs.Path(s"$dir/shingles")
+          fs(spark, bp).delete(bp, true)
+          fs(spark, sp).delete(sp, true)
+          fs(spark, emptyMarker(dir)).create(emptyMarker(dir), true).close()
+        } else {
+          bands.repartition(col("band"))
+            .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+          shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+        }
         val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+        fs(spark, p).delete(p, true): Unit
       }
     }
 
   /** The tombstone id set, if any forgets happened since the last
-    * [[compact]] — None on the common path (no footer read). */
+    * [[compact]] — None on the common path (no footer read). Read
+    * LOCK-FREE by [[dedupDelta]] deliberately (probes must not block on
+    * writers); the race exposure is monotone — a concurrent [[forget]] can
+    * surface a prefix of the new tombstones, never resurrect a forgotten
+    * doc (same argument as [[PqIndex.tombstones]]). */
   private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
@@ -186,7 +237,7 @@ object DedupIndex {
     val dSh = Dedup.shingleFrame(delta, n, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dBand = Dedup.minhashBanded(dSh, bands, rowsPerBand)
-    val iBand0 = spark.read.parquet(s"$dir/bands")
+    val iBand0 = readBands(spark, dir)
       .select(col("doc_id"), col("band"), col("bucket"))
     // tombstoned history docs ([[forget]]) never reach the probe join
     val iBand = tombstones(spark, dir)
@@ -201,7 +252,7 @@ object DedupIndex {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
     val cand = cross.union(internal).distinct()
-    val shin = spark.read.parquet(s"$dir/shingles").union(dSh)
+    val shin = readShingles(spark, dir).union(dSh)
     val out = Dedup.jaccardVerify(cand, shin, minJaccard)
       .localCheckpoint(true)
     dSh.unpersist()

@@ -32,6 +32,69 @@ import graft.functions.GraftFunctions
   * `sim_ivfpq_topk`'s SQL). */
 object PqIndex {
 
+  /** Stored-layout version: 2 = packed pcodes (one row per vector, round
+    * 11). The layout and the PQ geometry (m, subDim) are properties of the
+    * BUILD — querying or appending a packed index with a different
+    * geometry would silently read wrong array slots (or throw under ANSI
+    * array indexing), so [[build]] records them in `_graft_meta.json` and
+    * [[query]]/[[append]] validate before touching the codes. */
+  private val LayoutVersion = 2
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def metaPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_meta.json")
+
+  private def writeMeta(spark: SparkSession, dir: String, m: Int, subDim: Int): Unit = {
+    val p = metaPath(dir)
+    val out = fs(spark, p).create(p, true)
+    try out.write(s"""{"layout":$LayoutVersion,"m":$m,"subDim":$subDim}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Fail-fast geometry check (see [[LayoutVersion]]): a missing meta file
+    * means the index predates layout metadata — rebuild; a mismatch means
+    * the caller's (m, subDim) is not what the codes were packed under. */
+  private def checkMeta(spark: SparkSession, dir: String, m: Int, subDim: Int): Unit = {
+    val p = metaPath(dir)
+    val f = fs(spark, p)
+    if (!f.exists(p))
+      throw new IllegalStateException(s"PQ index at $dir has no _graft_meta.json " +
+        "(built before the packed-codes layout); rebuild it with PqIndex.build")
+    val txt = {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    def field(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(
+          s"PQ index meta at $dir is unreadable: $txt"))
+    if (field("layout") != LayoutVersion || field("m") != m || field("subDim") != subDim)
+      throw new IllegalStateException(
+        s"PQ index at $dir was built as layout=${field("layout")} m=${field("m")} " +
+          s"subDim=${field("subDim")}; caller asked for layout=$LayoutVersion m=$m " +
+          s"subDim=$subDim - rebuild the index or pass its build geometry")
+  }
+
+  /** Marker left by an all-tombstoned [[compact]]: a partitioned overwrite
+    * of ZERO rows writes no part files (nothing to infer a schema from), so
+    * the empty state is recorded explicitly and [[readCodes]] reconstructs
+    * the empty frame from the literal schema. The next [[writeCodes]]
+    * (append or rebuild) clears it. */
+  private def emptyMarker(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_empty")
+
+  private def readCodes(spark: SparkSession, dir: String): DataFrame =
+    if (fs(spark, emptyMarker(dir)).exists(emptyMarker(dir))) {
+      // plain attributes from an explicit schema, NOT literal expressions:
+      // a foldable empty pcodes literal would constant-fold pcodes(0) at
+      // planning time and throw under ANSI array indexing
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("pcodes", ArrayType(LongType)),
+          StructField("centroid_id", LongType))))
+    } else spark.read.parquet(s"$dir/codes")
+
   /** Coarse-list assignment of a quantized frame under a (cid, m, nm)
     * centroid table — the same rule at build time and when the centroids
     * are read back from the stored index (append path). */
@@ -49,7 +112,7 @@ object PqIndex {
   }
 
   private def writeCodes(codes: DataFrame, assigned: DataFrame, dir: String,
-                         mode: String): Unit =
+                         mode: String): Unit = {
     // cluster by list before the partitioned write: without this every
     // shuffle partition appends its own file to every list directory
     // (tasks × lists small files); with it each list is one file, written
@@ -58,10 +121,14 @@ object PqIndex {
     // Stored layout is PACKED (round 11): one (vec_id, pcodes) row per
     // vector instead of m code rows — the codes scan, the probe join, and
     // the list files all shrink m-fold (32× at the default geometry).
+    val mp = emptyMarker(dir)
+    val mf = fs(codes.sparkSession, mp)
+    if (mf.exists(mp)) mf.delete(mp, false): Unit // partitioned layout returns
     ProductQuantization.packCodes(codes).join(assigned, "vec_id")
       .select(col("vec_id"), col("pcodes"), col("centroid_id"))
       .repartition(col("centroid_id"))
       .write.mode(mode).partitionBy("centroid_id").parquet(s"$dir/codes")
+  }
 
   /** Build and write the index. One source scan: the quantized frame is
     * shared by coarse training, list assignment, and PQ training.
@@ -93,6 +160,7 @@ object PqIndex {
       else ProductQuantization.assignToBooks(
         ProductQuantization.subSlices(quantized, m, subDim), cents1)
     writeCodes(codes, assigned, dir, "overwrite")
+    writeMeta(emb.sparkSession, dir, m, subDim)
     subs.unpersist(); cents1.unpersist(); codesTrain.unpersist()
     if (trainOn.nonEmpty) quantizedTrain.unpersist()
     quantized.unpersist(): Unit
@@ -109,6 +177,7 @@ object PqIndex {
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = delta.sparkSession
     IndexLock.withLock(spark, dir) {
+    checkMeta(spark, dir, m, subDim)
     GraftFunctions.register(spark)
     val quantized = delta
       .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
@@ -149,19 +218,39 @@ object PqIndex {
   def compact(spark: SparkSession, dir: String): Unit =
     IndexLock.withLock(spark, dir) {
       tombstones(spark, dir).foreach { tomb =>
-        val survivors = spark.read.parquet(s"$dir/codes")
+        val survivors = readCodes(spark, dir)
           .join(broadcast(tomb), Seq("vec_id"), "left_anti")
           .localCheckpoint(true) // fully materialize before overwriting the source dir
-        survivors.repartition(col("centroid_id"))
-          .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/codes")
+        val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
+        if (survivors.isEmpty) {
+          // all-tombstoned: a partitioned overwrite of zero rows writes NO
+          // part files (later reads would fail schema inference) — record
+          // the empty state as an explicit marker instead; [[readCodes]]
+          // serves the empty frame and the next append clears the marker
+          fs(spark, codesPath).delete(codesPath, true)
+          fs(spark, emptyMarker(dir)).create(emptyMarker(dir), true).close()
+        } else {
+          survivors.repartition(col("centroid_id"))
+            .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/codes")
+        }
         val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+        fs(spark, p).delete(p, true): Unit
       }
     }
 
   /** The tombstone id set, if any forgets happened since the last
     * [[compact]] — None on the common path, so untombstoned indexes pay
-    * nothing (not even a parquet footer read). */
+    * nothing (not even a parquet footer read).
+    *
+    * Read LOCK-FREE by the query paths, deliberately: queries must not
+    * block on writers. The exposure is bounded and MONOTONE — a read
+    * concurrent with an in-flight [[forget]] can observe a prefix of the
+    * new tombstones (some ids already excluded, the rest excluded on the
+    * next read), never a resurrection; [[compact]] mutates codes only
+    * under the lock and only after full materialization, and clears
+    * tombstones last, so a lock-free reader racing a compact sees either
+    * (old codes + tombstones) or (new codes + tombstones) or (new codes,
+    * none) — all three return the same survivor rows. */
   private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
@@ -218,6 +307,7 @@ object PqIndex {
   private def adcJoined(spark: SparkSession, dir: String, queries: DataFrame,
                         nprobe: Int, m: Int, subDim: Int,
                         idCol: String, vecCol: String): DataFrame = {
+    checkMeta(spark, dir, m, subDim)
     GraftFunctions.register(spark)
     val cent = broadcast(spark.read.parquet(s"$dir/coarse")
       .select(col("cid").as("centroid_id"), col("m").as("cm"), col("nm").as("cnm")))
@@ -235,7 +325,7 @@ object PqIndex {
       .select(col("query_id"), col("centroid_id"))
     val probedLists = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).sorted
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes = readCodes(spark, dir)
       .filter(col("centroid_id").isin(probedLists: _*))
     // query-side subspace distance tables vs the stored codebooks — the
     // query stays exact (asymmetric), same construction as the one-shot op

@@ -1651,6 +1651,15 @@ object AnalyticsOracles {
          |  SELECT id_a, id_b, $jaccardSql AS jaccard
          |  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
          |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin),
+    "skew_join_agg" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN event_id % 10 = 0 THEN 7 ELSE user_id END AS user_id, value
+        |  FROM events),
+        |dim AS (SELECT DISTINCT user_id AS uid, user_id % 7 AS segment FROM ev)
+        |SELECT segment, count(*)::BIGINT AS n,
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+        |FROM ev JOIN dim ON ev.user_id = dim.uid
+        |GROUP BY segment ORDER BY segment""".stripMargin,
     "dedup_simhash" -> (tokCte +
       """, td AS (SELECT doc_id, unnest(toks) AS t FROM tok),
         |hv AS (SELECT doc_id, ('0x'||substr(sha256(t),1,15))::BIGINT AS h FROM td),
@@ -2754,6 +2763,22 @@ object AnalyticsOracles {
     ("dedup_delta" -> base("dedup_minhash").replace(
       "WHERE jaccard >= 0.6",
       "WHERE jaccard >= 0.6 AND id_b > (SELECT max(doc_id) // 2 FROM documents)")) +
+    // right-to-be-forgotten over the persisted dedup index: the delta
+    // pairs (above) MINUS any pair whose history side (id_a <= split —
+    // id_a < id_b and id_b > split force the history side, if any, to be
+    // id_a) was tombstoned (doc_id % 5 == 0); delta-internal pairs are
+    // untouched — derived from the batch oracle by construction
+    ("dedup_index_forget" -> base("dedup_minhash").replace(
+      "WHERE jaccard >= 0.6",
+      "WHERE jaccard >= 0.6 AND id_b > (SELECT max(doc_id) // 2 FROM documents)" +
+        " AND NOT (id_a <= (SELECT max(doc_id) // 2 FROM documents) AND id_a % 5 = 0)")) +
+    // right-to-be-forgotten over the persisted ANN index: the ivfpq oracle
+    // with tombstoned vectors (vec_id % 7 == 3) excluded from the candidate
+    // set BEFORE ranking — ranks backfill with survivors exactly as the
+    // anti-join does
+    ("sim_pqindex_forget" -> base("sim_ivfpq_topk").replace(
+      "WHERE a.vec_id <> p.query_id),",
+      "WHERE a.vec_id <> p.query_id AND a.vec_id % 7 <> 3),")) +
     // admission over the persisted index: derived from the batch MinHash
     // pairs by the drop rule — a delta doc (id > split) is dropped if it
     // pairs with history (either side of a mixed pair) or is the higher id

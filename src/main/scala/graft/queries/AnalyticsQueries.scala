@@ -129,6 +129,28 @@ object AnalyticsQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Skewed equi-join through the auto-engaged salted dispatch
+    * ([[graft.operators.Salting.adaptiveJoin]], VERDICT r11 #6): events
+    * with ~10% of rows re-keyed to one hot user (the SkewSpec corpus
+    * shape — the key that pins a reducer at scale) enriched against a
+    * per-user dim table, then aggregated per segment. `factor = 2.0`
+    * engages the salted branch whenever the hot key exceeds 2× a core's
+    * even share — at the driver's 32-way parallelism the 10% hot key is
+    * 3.2 shares, so the salted plan is what CORRECTNESS exercises; both
+    * branches emit identical rows (SkewSpec plan-shape + parity). */
+  def skewJoinAgg(spark: SparkSession, dir: String, factor: Double = 2.0): DataFrame = {
+    val skewed = Tables(spark, dir).events
+      .withColumn("user_id",
+        when(col("event_id") % 10 === 0, lit(7L)).otherwise(col("user_id")))
+    val dim = skewed.select(col("user_id").as("uid")).distinct()
+      .withColumn("segment", pmod(col("uid"), lit(7L)))
+    graft.operators.Salting.adaptiveJoin(skewed, dim, "user_id", "uid", factor = factor)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("segment"))
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables(spark, dir).documents
@@ -1351,6 +1373,13 @@ object AnalyticsQueries {
        () => graft.analytics.SearchIndex.query(spark, idx,
          queryTerms = Seq("data", "fast", "query"), k = 20))
     }),
+    "sim_pq_adc" -> ((spark: SparkSession, dir: String) => {
+      val emb = Tables(spark, dir).embeddings
+      val idx = scratchIndexDir("adc-split")
+      (() => ProductQuantization.adcBuild(emb, idx),
+       () => ProductQuantization.adcServe(spark, idx, emb.filter(col("vec_id") < 5), k = 5)
+         .orderBy(col("query_id"), col("rank")))
+    }),
     "dedup_cdc_admit" -> ((spark: SparkSession, dir: String) => {
       val docs = Tables(spark, dir).documents
       val idx = scratchIndexDir("cdcindex-split")
@@ -1626,6 +1655,9 @@ object AnalyticsQueries {
     "dedup_minhash"    -> (dedupMinhash(_, _)),
     "dedup_delta"      -> (dedupDelta(_, _)),
     "dedup_admit"      -> (dedupAdmit(_, _)),
+    "dedup_index_forget" -> (dedupIndexForget(_, _)),
+    "sim_pqindex_forget" -> (simPqIndexForget(_, _)),
+    "skew_join_agg"    -> ((s: SparkSession, d: String) => skewJoinAgg(s, d)),
     "dedup_simhash"    -> (dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),
     "dedup_fuzzy_verify" -> (dedupFuzzyVerify(_, _)),

@@ -63,10 +63,13 @@ object Recall {
     // the PRECISION knob: at fixed probe fraction, finer subspace codebooks
     // (more, narrower subspaces) should lift the ADC plateau — measured
     // against the same ground truth
-    println(f"${"nprobe"}%-8s${"m=8,sub=8"}%-12s${"m=16,sub=4"}%-12s")  // historical geometries; defaults are 32x2 since r11
+    // historical geometries, passed EXPLICITLY (library defaults are 32x2
+    // since r11 — an implicit-default call would mislabel what it measures)
+    println(f"${"nprobe"}%-8s${"m=8,sub=8"}%-12s${"m=16,sub=4"}%-12s")
     for (np <- Seq(8, 16)) {
       def recall(s: Set[(Long, Long)]): Double = (s & truth).size.toDouble / truth.size
-      val r8 = recall(pairs(ProductQuantization.ivfPqTopK(emb, queries, k, nprobe = np)))
+      val r8 = recall(pairs(ProductQuantization.ivfPqTopK(emb, queries, k, nprobe = np,
+        m = 8, subDim = 8)))
       val r16 = recall(pairs(ProductQuantization.ivfPqTopK(emb, queries, k, nprobe = np,
         m = 16, subDim = 4)))
       println(f"$np%-8d$r8%-12.3f$r16%-12.3f")

@@ -109,4 +109,57 @@ class DedupIndexIngestSpec extends SparkSpec {
 
     assert(ids(spark.read.parquet(outDir)) == want)
   }
+
+  test("streaming ingest -> forget -> ingest matches the batch interleave (tombstone twin)") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val (t1, t2) = splits(docs)
+    val history = docs.filter(col("doc_id") <= t1)
+    val b1 = docs.filter(col("doc_id") > t1 && col("doc_id") <= t2)
+    val b2 = docs.filter(col("doc_id") > t2)
+    // forget a deterministic slice of history BETWEEN the two shards: docs
+    // it was blocking may now be admitted by the second shard
+    val forgetIds = history.filter(col("doc_id") % 5 === 0).select("doc_id")
+
+    // sequential batch reference: ingest b1, forget, ingest b2
+    val idxSeq = Files.createTempDirectory("tombseq").toString
+    DedupIndex.build(history, idxSeq)
+    val a1 = ids(DedupIndex.ingest(spark, idxSeq, b1, minJaccard = 0.5))
+    DedupIndex.forget(spark, idxSeq, forgetIds)
+    val a2 = ids(DedupIndex.ingest(spark, idxSeq, b2, minJaccard = 0.5))
+
+    // streamed run: the forget fires inside the foreachBatch loop, between
+    // micro-batch 0 (= b1) and micro-batch 1 (= b2)
+    val (srcDir, ckpt, outDir) = (Files.createTempDirectory("tombsrc").toString,
+      Files.createTempDirectory("tombckpt").toString,
+      Files.createTempDirectory("tombout").toString)
+    b1.repartition(1).write.parquet(s"$srcDir/d0")
+    Thread.sleep(1500) // distinct mod times => deterministic batch order
+    b2.repartition(1).write.parquet(s"$srcDir/d1")
+    val idxStream = Files.createTempDirectory("tombstream").toString
+    DedupIndex.build(history, idxStream)
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/d*")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == 1L) DedupIndex.forget(b.sparkSession, idxStream, forgetIds)
+        DedupIndex.ingest(b.sparkSession, idxStream, b, minJaccard = 0.5)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination(180000)
+
+    assert(ids(spark.read.parquet(outDir)) == (a1 ++ a2))
+    // the twins also agree on post-run probe state: a fresh shard sees the
+    // same pairs against either index (forgotten docs excluded from both)
+    def probe(idx: String): Set[(Long, Long)] =
+      DedupIndex.dedupDelta(spark, idx,
+          b2.withColumn("doc_id", col("doc_id") + 1000000L), minJaccard = 0.5)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe(idxStream) == probe(idxSeq))
+    // forgotten docs are excluded from the probe on both sides
+    val fIds = forgetIds.collect().map(_.getLong(0)).toSet
+    assert(probe(idxSeq).forall(p => !fIds(p._1) && !fIds(p._2)))
+  }
 }

@@ -178,6 +178,33 @@ class SkewSpec extends SparkSpec {
     assert(generates(vanillaOut) == 0)
   }
 
+  test("skew_join_agg (the oracled adaptiveJoin query) dispatches salted vs vanilla and both agree") {
+    // the query synthesizes the same 10%-hot corpus as `skewed` above and
+    // routes its join through Salting.adaptiveJoin (VERDICT r11 #6); derive
+    // engagement bars from the measured ratio so the test holds at any
+    // scheduler width (the query's default factor=2.0 engages at the
+    // driver's 32-way parallelism: 10% of rows = 3.2 core shares > 2)
+    val par = spark.sparkContext.defaultParallelism.toDouble
+    val (hotS, totalS) = AdaptiveWindows.hotKeyStats(skewed)
+    val hotRatio = hotS / (totalS / par)
+    val engages = hotRatio * 0.5
+    val staysVanilla = hotRatio * 2.0
+    def generates(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.size
+    val salted = graft.queries.AnalyticsQueries.skewJoinAgg(spark, sf("sf0.01"), factor = engages)
+    val vanilla = graft.queries.AnalyticsQueries.skewJoinAgg(spark, sf("sf0.01"), factor = staysVanilla)
+    // the dispatch really switches plans: salted replicates the dim side
+    // via explode (a Generate node); vanilla has none
+    assert(generates(salted) >= 1)
+    assert(generates(vanilla) == 0)
+    // and both branches produce the identical oracled answer
+    val got = rows(salted)
+    assert(got == rows(vanilla))
+    assert(got.nonEmpty)
+  }
+
   test("event-sized windows in the chunked plan partition by (user_id, chunk)") {
     val plan = ChunkedWindows.sessionize(skewed).queryExecution.optimizedPlan
     val windows = plan.collect {
