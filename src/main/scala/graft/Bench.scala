@@ -4,114 +4,113 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
-  /** Round-10 regression baseline: per-query MEDIAN of the three closing
-    * quiet recordings (sf0.1, local[8], 160 queries each, 0 failures,
-    * 0 regressions) — ALL THREE committed as BENCH_LOCAL_r10_run{1,2,3}
-    * .json, so the baseline is reproducible from history (the r9 ADVICE:
-    * a min over uncommitted runs was untraceable; the median resists the
-    * host's documented ~±3% drift without baking in a lucky floor).
-    * Median totals: 190.0 / 201.2 / 195.2 s -> 193.4 s. Flagged
+  /** Round-12 regression baseline: per-query MEDIAN of the three closing
+    * quiet recordings (sf0.1, local[8], 184 queries each, 0 failures) —
+    * ALL THREE committed as BENCH_LOCAL_r12_run{1,2,3}.json, so the
+    * baseline is reproducible from history. Median totals: 235.8 / 245.9 /
+    * 266.1 s -> per-query-median sum 248.5 s (BENCH_LOCAL_r12.json). This
+    * replaces the r10 160-query baseline (VERDICT r11 #5: the 21 queries
+    * that joined in r10 were graded against a single drifted run; every
+    * query now has a 3-run median, including the 3 that joined in r12:
+    * dedup_index_forget / sim_pqindex_forget / skew_join_agg). Flagged
     * slowdowns are re-measured TWICE before being reported (below).
-    * text_fix_encoding / text_html_extract / text_entropy / dedup_cdc /
-    * dedup_cdc_rewrite / pipeline_web_ingest / pack_fim /
-    * curate_threshold_sweep / dedup_cdc_admit / text_boilerplate_lines /
-    * clf_auc / clf_pr_curve / embed_prototypes joined mid-round-10: their
-    * entries are that session's first sf0.1 recording, refreshed at the
-    * closing quiet re-record. dedup_cdc_admit times a FULL index
-    * lifecycle (build + partitioned write + screen), like the
-    * sim_pqindex/bm25_index rows. */
+    * sim_pqindex_* / bm25_index_search / dedup_cdc_admit / sim_pq_adc /
+    * sim_pqindex_forget time a FULL index lifecycle per run (train/build +
+    * partitioned write + probe) — the build/serve split is emitted
+    * separately as `index_split`. */
   val baselinePrev: Map[String, Double] = Map(
-    "agg_approx" -> 2.293, "agg_approx_pct" -> 1.800,
-    "agg_hll_cube" -> 0.732, "agg_quantile_cube" -> 0.648,
-    "agg_stats" -> 1.524, "asof_native" -> 0.819,
-    "asof_signup" -> 1.346, "bm25_index_search" -> 6.498,
-    "bm25_search" -> 0.969, "bpe_encode" -> 3.525,
-    "bpe_merges" -> 0.857, "clf_train" -> 1.690,
-    "clf_auc" -> 2.152, "clf_pr_curve" -> 1.503,
-    "text_boilerplate_lines" -> 3.277, "embed_prototypes" -> 3.759,
-    "cluster_topics" -> 3.441, "contamination_report" -> 0.858,
-    "corpus_datasheet" -> 1.238, "corpus_report" -> 0.545,
-    "curate_domain_cap" -> 0.522, "decontaminate" -> 0.737,
-    "decontaminate_bloom" -> 0.816, "decontaminate_index" -> 1.057,
-    "dedup_admit" -> 2.598, "dedup_cc_keepers" -> 3.370,
-    "dedup_cc_star" -> 4.101, "dedup_closure" -> 4.029,
-    "dedup_cdc" -> 1.743, "dedup_cdc_rewrite" -> 3.560, "dedup_cdc_admit" -> 5.613,
-    "dedup_containment" -> 3.132, "dedup_delta" -> 1.708,
-    "dedup_exact" -> 0.363, "text_entropy" -> 1.765,
-    "text_fix_encoding" -> 1.112, "text_html_extract" -> 1.686, "dedup_fuzzy_verify" -> 1.166,
-    "dedup_intradoc" -> 0.648, "dedup_minhash" -> 1.021,
-    "dedup_ngram" -> 3.803, "dedup_ngram_keepers" -> 2.749,
-    "dedup_prefix" -> 0.576, "dedup_quality_keepers" -> 4.678,
-    "dedup_simhash" -> 0.270, "dedup_simhash_pairs" -> 0.920,
-    "dedup_spans" -> 0.787, "dedup_spans_keepers" -> 0.846,
-    "dedup_winnow_pairs" -> 1.527, "doc_chunks" -> 0.334,
-    "doc_len_histogram" -> 0.352, "dsir_weights" -> 2.210,
-    "embed_kmeans" -> 1.497, "embed_mmr" -> 1.570,
-    "embed_neardup" -> 2.740, "embed_outliers" -> 2.473,
-    "embed_pq" -> 2.065, "embed_project" -> 0.659,
-    "embed_quantize" -> 0.408, "mm_decode" -> 0.385,
-    "mm_decode_image" -> 0.242, "mm_decode_wav" -> 0.217,
-    "mm_frames" -> 0.265, "mm_resize" -> 0.227,
-    "mm_resize_image" -> 0.182, "o10_escape" -> 1.278,
-    "o11_o13_route" -> 1.967, "o12_optout_dim" -> 0.642,
-    "o14_format_values" -> 1.959, "o3_count_range" -> 0.152,
-    "o4_o5_extract" -> 1.431, "o6_o7_anonymize" -> 0.949,
-    "o8_o9_statement_json" -> 1.652, "o8_withfield" -> 1.528,
-    "pack_curriculum" -> 0.519, "pack_fim" -> 1.584,
-    "curate_threshold_sweep" -> 2.457, "pack_shards" -> 0.391,
-    "pack_shuffled" -> 0.358, "pack_window_map" -> 0.365,
-    "pack_windows" -> 0.297, "pipeline_admit" -> 1.127, "pipeline_web_ingest" -> 4.356,
-    // joined mid-round-10 (second batch): first sf0.1 recording, to be
-    // refreshed at the closing quiet re-record
-    "curate_url_dedup" -> 1.957, "corpus_diff" -> 0.454,
-    "clf_calibration" -> 1.559, "eval_rouge2" -> 2.385,
-    "pack_length_buckets" -> 0.521, "privacy_k_anon" -> 0.371,
-    "curate_blocklist" -> 0.690, "pack_chat_template" -> 1.253,
-    "pipeline_curate" -> 4.321, "pipeline_full" -> 9.359,
-    "pipeline_pack" -> 1.494, "q10_cube" -> 0.506,
-    "q11_full_outer" -> 0.346, "q12_corr_subquery" -> 0.748,
-    "q13_grouping_sets" -> 0.316, "q14_range_frame" -> 0.720,
-    "q15_explode" -> 0.307, "q16_anti" -> 0.475,
-    "q17_window_nav" -> 0.555, "q18_month_series" -> 0.480,
-    "q19_sorted_collect" -> 0.302, "q1_agg" -> 0.588,
-    "q20_cond_agg" -> 0.305, "q21_range_join" -> 0.561,
-    "q22_map_agg" -> 0.489, "q23_corr" -> 0.335,
-    "q24_null_safe" -> 0.418, "q25_array_ops" -> 0.530,
-    "q26_rank_dist" -> 1.078, "q27_datetime" -> 0.410,
-    "q28_regr" -> 0.428, "q29_mode" -> 0.364,
-    "q30_cum_distinct" -> 0.677, "q31_variant" -> 0.697,
-    "q32_lateral" -> 0.971, "q33_gapfill" -> 0.397,
-    "q34_interval_merge" -> 0.770, "q35_unpivot" -> 0.380,
-    "q36_try" -> 1.565, "q37_scd2" -> 0.715,
-    "q38_retention" -> 0.600, "q39_funnel" -> 0.868,
-    "q3_topk" -> 0.866, "q40_transitions" -> 0.747,
-    "q41_twa" -> 0.737, "q42_dau" -> 0.662,
-    "q5_multijoin" -> 1.016, "q6_rollup" -> 0.465,
-    "q7_percentile" -> 1.943, "q8_pivot" -> 0.484,
-    "q9_exists" -> 0.522, "sample_epochs" -> 0.376,
-    "sample_mix" -> 0.571, "sample_per_group" -> 0.263,
-    "sample_stratified" -> 0.161, "sample_temperature" -> 0.254,
-    "sample_weighted" -> 0.310, "search_rrf" -> 1.077,
-    "semdedup_keepers" -> 1.949, "set_except" -> 0.447,
-    "set_intersect" -> 0.349, "shard_stats" -> 0.334,
-    "sim_ivf_topk" -> 2.710, "sim_ivfpq_topk" -> 4.261,
-    "sim_lsh_banded" -> 1.540, "sim_lsh_bucket" -> 0.653,
-    "sim_pq_adc" -> 2.657, "sim_pqindex_rescored" -> 6.805,
-    "sim_pqindex_topk" -> 6.417, "sim_topk" -> 0.344,
-    "split_assign" -> 0.284, "split_leakage" -> 2.080,
-    "text_card_redact" -> 0.339, "text_clf_score" -> 0.943,
-    "text_cms_topk" -> 0.629, "text_collocations" -> 0.954,
-    "text_fingerprint" -> 0.181, "text_gopher_gates" -> 0.627,
-    "text_hash_vec" -> 0.645, "text_kn_heldout" -> 1.574,
-    "text_kn_score" -> 1.659, "text_langid" -> 0.215,
-    "text_lm_score" -> 1.378, "text_novelty" -> 0.950,
-    "text_pii_redact" -> 0.290, "text_quality" -> 0.402,
-    "text_quality_calibrated" -> 0.755, "text_repetition" -> 1.049,
-    "text_tok_freq" -> 0.543, "text_tokens" -> 0.334,
-    "text_tokens_re" -> 0.692, "text_top_tokens" -> 0.172,
-    "text_winnow" -> 0.393, "tfidf_top_terms" -> 1.023,
-    "w1_topn_per_group" -> 0.604, "w2_running_sum" -> 0.511,
-    "w3_sessionize" -> 0.722, "w4_ntile" -> 0.795)
+    "agg_approx" -> 2.673, "agg_approx_pct" -> 1.767,
+    "agg_hll_cube" -> 0.718, "agg_quantile_cube" -> 0.752,
+    "agg_stats" -> 1.678, "asof_native" -> 0.936,
+    "asof_signup" -> 1.489, "bm25_index_search" -> 6.987,
+    "bm25_search" -> 1.000, "bpe_encode" -> 4.313,
+    "bpe_merges" -> 0.892, "clf_auc" -> 1.519,
+    "clf_calibration" -> 1.313, "clf_pr_curve" -> 1.214,
+    "clf_train" -> 2.059, "cluster_topics" -> 3.460,
+    "contamination_report" -> 0.945, "corpus_datasheet" -> 1.155,
+    "corpus_diff" -> 0.401, "corpus_report" -> 0.515,
+    "curate_blocklist" -> 0.647, "curate_domain_cap" -> 0.518,
+    "curate_threshold_sweep" -> 0.859, "curate_url_dedup" -> 1.495,
+    "decontaminate" -> 0.770, "decontaminate_bloom" -> 0.769,
+    "decontaminate_index" -> 1.136, "dedup_admit" -> 2.775,
+    "dedup_cc_keepers" -> 3.755, "dedup_cc_star" -> 4.339,
+    "dedup_cdc" -> 1.528, "dedup_cdc_admit" -> 3.192,
+    "dedup_cdc_rewrite" -> 1.777, "dedup_closure" -> 3.915,
+    "dedup_containment" -> 3.289, "dedup_delta" -> 1.862,
+    "dedup_exact" -> 0.313, "dedup_fuzzy_verify" -> 1.174,
+    "dedup_index_forget" -> 2.017, "dedup_intradoc" -> 0.677,
+    "dedup_minhash" -> 1.295, "dedup_ngram" -> 3.583,
+    "dedup_ngram_keepers" -> 2.703, "dedup_prefix" -> 0.608,
+    "dedup_quality_keepers" -> 4.829, "dedup_simhash" -> 0.303,
+    "dedup_simhash_pairs" -> 0.983, "dedup_spans" -> 0.857,
+    "dedup_spans_keepers" -> 0.998, "dedup_winnow_pairs" -> 1.697,
+    "doc_chunks" -> 0.384, "doc_len_histogram" -> 0.301,
+    "dsir_weights" -> 2.197, "embed_kmeans" -> 1.586,
+    "embed_mmr" -> 1.689, "embed_neardup" -> 3.026,
+    "embed_outliers" -> 2.296, "embed_pq" -> 0.422,
+    "embed_project" -> 0.912, "embed_prototypes" -> 2.263,
+    "embed_quantize" -> 0.515, "eval_rouge2" -> 2.295,
+    "mm_decode" -> 0.421, "mm_decode_image" -> 0.244,
+    "mm_decode_wav" -> 0.244, "mm_frames" -> 0.298,
+    "mm_resize" -> 0.265, "mm_resize_image" -> 0.223,
+    "o10_escape" -> 1.585, "o11_o13_route" -> 2.254,
+    "o12_optout_dim" -> 0.689, "o14_format_values" -> 2.441,
+    "o3_count_range" -> 0.168, "o4_o5_extract" -> 1.426,
+    "o6_o7_anonymize" -> 1.284, "o8_o9_statement_json" -> 1.674,
+    "o8_withfield" -> 1.798, "pack_chat_template" -> 1.108,
+    "pack_curriculum" -> 0.548, "pack_fim" -> 0.449,
+    "pack_length_buckets" -> 0.462, "pack_shards" -> 0.398,
+    "pack_shuffled" -> 0.406, "pack_window_map" -> 0.354,
+    "pack_windows" -> 0.356, "pipeline_admit" -> 1.223,
+    "pipeline_curate" -> 4.682, "pipeline_full" -> 8.589,
+    "pipeline_pack" -> 1.162, "pipeline_web_ingest" -> 2.556,
+    "privacy_k_anon" -> 0.409, "q10_cube" -> 0.613,
+    "q11_full_outer" -> 0.356, "q12_corr_subquery" -> 0.938,
+    "q13_grouping_sets" -> 0.359, "q14_range_frame" -> 0.794,
+    "q15_explode" -> 0.314, "q16_anti" -> 0.555,
+    "q17_window_nav" -> 0.578, "q18_month_series" -> 0.457,
+    "q19_sorted_collect" -> 0.295, "q1_agg" -> 0.562,
+    "q20_cond_agg" -> 0.295, "q21_range_join" -> 0.609,
+    "q22_map_agg" -> 0.404, "q23_corr" -> 0.365,
+    "q24_null_safe" -> 0.364, "q25_array_ops" -> 0.586,
+    "q26_rank_dist" -> 1.128, "q27_datetime" -> 0.363,
+    "q28_regr" -> 0.427, "q29_mode" -> 0.341,
+    "q30_cum_distinct" -> 0.602, "q31_variant" -> 0.646,
+    "q32_lateral" -> 0.980, "q33_gapfill" -> 0.436,
+    "q34_interval_merge" -> 0.897, "q35_unpivot" -> 0.353,
+    "q36_try" -> 1.929, "q37_scd2" -> 0.806,
+    "q38_retention" -> 0.616, "q39_funnel" -> 0.913,
+    "q3_topk" -> 0.814, "q40_transitions" -> 0.627,
+    "q41_twa" -> 0.645, "q42_dau" -> 0.829,
+    "q5_multijoin" -> 1.231, "q6_rollup" -> 0.455,
+    "q7_percentile" -> 2.025, "q8_pivot" -> 0.448,
+    "q9_exists" -> 0.531, "sample_epochs" -> 0.394,
+    "sample_mix" -> 0.522, "sample_per_group" -> 0.286,
+    "sample_stratified" -> 0.206, "sample_temperature" -> 0.276,
+    "sample_weighted" -> 0.369, "search_rrf" -> 1.134,
+    "semdedup_keepers" -> 1.890, "set_except" -> 0.436,
+    "set_intersect" -> 0.336, "shard_stats" -> 0.363,
+    "sim_ivf_topk" -> 3.107, "sim_ivfpq_topk" -> 5.712,
+    "sim_lsh_banded" -> 1.844, "sim_lsh_bucket" -> 0.754,
+    "sim_pq_adc" -> 4.240, "sim_pqindex_forget" -> 9.229,
+    "sim_pqindex_rescored" -> 8.834, "sim_pqindex_topk" -> 8.284,
+    "sim_topk" -> 0.392, "skew_join_agg" -> 0.619,
+    "split_assign" -> 0.270, "split_leakage" -> 2.416,
+    "text_boilerplate_lines" -> 0.712, "text_card_redact" -> 0.311,
+    "text_clf_score" -> 0.966, "text_cms_topk" -> 0.759,
+    "text_collocations" -> 0.945, "text_entropy" -> 1.214,
+    "text_fingerprint" -> 0.184, "text_fix_encoding" -> 0.506,
+    "text_gopher_gates" -> 0.651, "text_hash_vec" -> 0.732,
+    "text_html_extract" -> 0.919, "text_kn_heldout" -> 1.566,
+    "text_kn_score" -> 1.781, "text_langid" -> 0.272,
+    "text_lm_score" -> 1.491, "text_novelty" -> 1.094,
+    "text_pii_redact" -> 0.362, "text_quality" -> 0.551,
+    "text_quality_calibrated" -> 0.873, "text_repetition" -> 1.395,
+    "text_tok_freq" -> 0.682, "text_tokens" -> 0.446,
+    "text_tokens_re" -> 0.772, "text_top_tokens" -> 0.191,
+    "text_winnow" -> 0.456, "tfidf_top_terms" -> 1.266,
+    "w1_topn_per_group" -> 0.728, "w2_running_sum" -> 0.594,
+    "w3_sessionize" -> 0.827, "w4_ntile" -> 0.844)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
