@@ -133,7 +133,14 @@ object PqIndex {
   /** Build and write the index. One source scan: the quantized frame is
     * shared by coarse training, list assignment, and PQ training.
     * `trainOn` trains the quantizer on a subset while encoding all of
-    * `emb` — the reference shape for [[append]]'s parity contract. */
+    * `emb` — the reference shape for [[append]]'s parity contract, AND
+    * the scale knob: full-corpus training grows nlist (n/coarseStep) and
+    * the codebooks (n/centroidStep) with n, making the assignment joins
+    * O(n²) — the r12 3-point probe measured build exponent 2.25 at
+    * sf1→sf3 full-train vs 0.79 with a bounded 5k `trainOn` sample, 11×
+    * faster at sf3 with recall above the floors (SCALING.md r12,
+    * tools.SampledTrainProbe). At 100 TB: train on a bounded sample,
+    * rebuild on drift, [[append]] between rebuilds. */
   def build(emb: DataFrame, dir: String,
             coarseStep: Int = 25, m: Int = 32, subDim: Int = 2, centroidStep: Int = 40,
             idCol: String = "vec_id", vecCol: String = "embedding",

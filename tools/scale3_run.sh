@@ -5,6 +5,12 @@
 # (10x / 30x replicas of the driver's sf0.1 corpus, see ScaleUp scaladoc).
 set -euo pipefail
 cd /root/repo
+# local-cluster workers launch executor JVMs via the Spark launcher's
+# command builder: it needs SPARK_HOME, and SPARK_SCALA_VERSION short-
+# circuits its scala-dir probe (which otherwise dies with "Cannot find
+# any build directories" under an sbt-launched driver)
+export SPARK_HOME=/opt/spark
+export SPARK_SCALA_VERSION=2.13
 OUT=${1:-/tmp/scale_r12}
 mkdir -p "$OUT"
 JAR=$(ls target/scala-2.13/*.jar | head -1)
