@@ -45,22 +45,36 @@ object PqIndex {
 
   private def metaPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_meta.json")
 
-  private def writeMeta(spark: SparkSession, dir: String, m: Int, subDim: Int): Unit = {
+  private def writeMeta(spark: SparkSession, dir: String, m: Int, subDim: Int,
+                        trained: String = "full"): Unit = {
     val p = metaPath(dir)
     val out = fs(spark, p).create(p, true)
-    try out.write(s"""{"layout":$LayoutVersion,"m":$m,"subDim":$subDim}""".getBytes("UTF-8"))
+    try out.write((s"""{"layout":$LayoutVersion,"m":$m,"subDim":$subDim,""" +
+      s""""trained":"$trained"}""").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** The recorded training mode ("full" / "sampled" / "explicit") of a
+    * stored index — observability for the default-policy branch (PqIndexSpec
+    * asserts the engaged branch per corpus size). Indexes written before
+    * r13 carry no field → "full" (the only mode that existed). */
+  def trainedMode(spark: SparkSession, dir: String): String = {
+    val p = metaPath(dir)
+    val in = fs(spark, p).open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    """"trained":"(\w+)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("full")
   }
 
   /** Fail-fast geometry check (see [[LayoutVersion]]): a missing meta file
     * means the index predates layout metadata — rebuild; a mismatch means
     * the caller's (m, subDim) is not what the codes were packed under. */
-  private def checkMeta(spark: SparkSession, dir: String, m: Int, subDim: Int): Unit = {
+  private def checkMeta(spark: SparkSession, dir: String, m: Int, subDim: Int,
+                        builder: String = "PqIndex.build"): Unit = {
     val p = metaPath(dir)
     val f = fs(spark, p)
     if (!f.exists(p))
       throw new IllegalStateException(s"PQ index at $dir has no _graft_meta.json " +
-        "(built before the packed-codes layout); rebuild it with PqIndex.build")
+        s"(built before the packed-codes layout); rebuild it with $builder")
     val txt = {
       val in = f.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -75,6 +89,17 @@ object PqIndex {
           s"subDim=${field("subDim")}; caller asked for layout=$LayoutVersion m=$m " +
           s"subDim=$subDim - rebuild the index or pass its build geometry")
   }
+
+  /** Geometry metadata for [[ProductQuantization.adcBuild]] dirs — the same
+    * record/validate pair the partitioned index uses (a mismatched (m,
+    * subDim) against packed pcodes silently reads wrong slots; ADVICE r12). */
+  private[analytics] def writeAdcMeta(spark: SparkSession, dir: String,
+                                      m: Int, subDim: Int, trained: String): Unit =
+    writeMeta(spark, dir, m, subDim, trained)
+
+  private[analytics] def checkAdcMeta(spark: SparkSession, dir: String,
+                                      m: Int, subDim: Int): Unit =
+    checkMeta(spark, dir, m, subDim, builder = "ProductQuantization.adcBuild")
 
   /** Marker left by an all-tombstoned [[compact]]: a partitioned overwrite
     * of ZERO rows writes no part files (nothing to infer a schema from), so
@@ -121,39 +146,57 @@ object PqIndex {
     // Stored layout is PACKED (round 11): one (vec_id, pcodes) row per
     // vector instead of m code rows — the codes scan, the probe join, and
     // the list files all shrink m-fold (32× at the default geometry).
-    val mp = emptyMarker(dir)
-    val mf = fs(codes.sparkSession, mp)
-    if (mf.exists(mp)) mf.delete(mp, false): Unit // partitioned layout returns
     ProductQuantization.packCodes(codes).join(assigned, "vec_id")
       .select(col("vec_id"), col("pcodes"), col("centroid_id"))
       .repartition(col("centroid_id"))
       .write.mode(mode).partitionBy("centroid_id").parquet(s"$dir/codes")
+    // clear the empty marker only AFTER the replacement data is readable:
+    // readCodes gives the marker precedence, so a lock-free reader racing
+    // this write degrades to a safe stale-empty view instead of hitting a
+    // window with neither marker nor parquet (ADVICE r12 ordering fix)
+    val mp = emptyMarker(dir)
+    val mf = fs(codes.sparkSession, mp)
+    if (mf.exists(mp)) mf.delete(mp, false): Unit
   }
 
   /** Build and write the index. One source scan: the quantized frame is
     * shared by coarse training, list assignment, and PQ training.
-    * `trainOn` trains the quantizer on a subset while encoding all of
-    * `emb` — the reference shape for [[append]]'s parity contract, AND
-    * the scale knob: full-corpus training grows nlist (n/coarseStep) and
-    * the codebooks (n/centroidStep) with n, making the assignment joins
-    * O(n²) — the r12 3-point probe measured build exponent 2.25 at
-    * sf1→sf3 full-train vs 0.79 with a bounded 5k `trainOn` sample, 11×
-    * faster at sf3 with recall above the floors (SCALING.md r12,
-    * tools.SampledTrainProbe). At 100 TB: train on a bounded sample,
-    * rebuild on drift, [[append]] between rebuilds. */
+    *
+    * Training is BOUNDED by default (r13, the measured r12 remedy made
+    * default — [[ProductQuantization.TrainSampleTarget]]): above the
+    * target the quantizer trains on a deterministic hash-ordered sample
+    * while the FULL corpus is assigned and encoded under it, so nlist and
+    * the codebooks are constants and the build is linear in n (measured
+    * exponent 0.79 vs 2.25 full-train, 11× at sf3, recall above the
+    * floors — SCALING.md r12). At or below the target nothing changes:
+    * oracle corpora full-train bit-identically. `trainOn` pins an explicit
+    * training frame (the [[append]]-parity reference shape and the
+    * pre-sampled path for extreme partition counts); `fullTrain = true`
+    * opts back into corpus-sized training regardless of size. At 100 TB:
+    * raise `trainSampleTarget` to 10⁵–10⁶, rebuild on drift, [[append]]
+    * between rebuilds. Probe widths derive from the trained size:
+    * `scaledNprobe(autoTrainN(n))`. */
   def build(emb: DataFrame, dir: String,
             coarseStep: Int = 25, m: Int = 32, subDim: Int = 2, centroidStep: Int = 40,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            trainOn: Option[DataFrame] = None): Unit =
+            trainOn: Option[DataFrame] = None, fullTrain: Boolean = false,
+            trainSampleTarget: Long = ProductQuantization.TrainSampleTarget): Unit =
     IndexLock.withLock(emb.sparkSession, dir) {
     GraftFunctions.register(emb.sparkSession)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val quantized = emb
       .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
       .persist(lvl)
-    val quantizedTrain = trainOn.fold(quantized)(t => t
-      .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
-      .persist(lvl))
+    val quantizedTrain: DataFrame = trainOn match {
+      case Some(t) => t
+        .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
+        .persist(lvl)
+      case None if fullTrain => quantized
+      case None => ProductQuantization
+        .autoTrainSample(quantized, quantized.count(), trainSampleTarget)
+        .map(_.persist(lvl)).getOrElse(quantized)
+    }
+    val subsetTrain = !(quantizedTrain eq quantized)
     val cent = Clustering.trainedCentroidsFromQuantized(quantizedTrain, coarseStep)
     cent.write.mode("overwrite").parquet(s"$dir/coarse")
     val assigned = assignCoarse(quantized, cent)
@@ -161,15 +204,17 @@ object PqIndex {
       ProductQuantization.trainAndCodesQ(quantizedTrain, m, subDim, centroidStep)
     cents1.write.mode("overwrite").parquet(s"$dir/codebooks")
     // encode the FULL corpus under the trained codebooks (identical to the
-    // training codes when trainOn is empty — same slices, same assign rule)
+    // training codes when training was full — same slices, same assign rule)
     val codes =
-      if (trainOn.isEmpty) codesTrain
+      if (!subsetTrain) codesTrain
       else ProductQuantization.assignToBooks(
         ProductQuantization.subSlices(quantized, m, subDim), cents1)
     writeCodes(codes, assigned, dir, "overwrite")
-    writeMeta(emb.sparkSession, dir, m, subDim)
+    writeMeta(emb.sparkSession, dir, m, subDim,
+      trained = if (trainOn.nonEmpty) "explicit"
+                else if (subsetTrain) "sampled" else "full")
     subs.unpersist(); cents1.unpersist(); codesTrain.unpersist()
-    if (trainOn.nonEmpty) quantizedTrain.unpersist()
+    if (subsetTrain) quantizedTrain.unpersist()
     quantized.unpersist(): Unit
     }
 
@@ -218,27 +263,65 @@ object PqIndex {
         .write.mode("append").parquet(s"$dir/tombstones")
     }
 
-  /** Rewrite the inverted lists minus the tombstoned vectors and clear the
-    * tombstone set. Queries before and after compaction return identical
-    * rows (CompactionSpec); compaction only reclaims space and restores
-    * [[append]]-ability for forgotten ids. */
+  /** Rewrite ONLY the inverted lists that contain tombstoned vectors and
+    * clear the tombstone set. Queries before and after compaction return
+    * identical rows (CompactionSpec); compaction only reclaims space and
+    * restores [[append]]-ability for forgotten ids.
+    *
+    * Partition-scoped (r13, VERDICT r12 #2): the affected lists come from
+    * a column-pruned semi-join of the tombstone ids against the codes
+    * (vec_id + the partition column — no pcodes bytes read); only those
+    * lists' survivors are materialized (a bounded `localCheckpoint`, not
+    * the whole index) and dynamically overwritten in place; lists whose
+    * every vector was forgotten have their directories deleted. At 100 TB
+    * one forgotten vector rewrites ONE list, not the index — compact cost
+    * is proportional to the tombstoned-list share (measured at sf1 in
+    * SCALING.md r13). Untouched list files stay byte-identical
+    * (CompactionSpec asserts it).
+    *
+    * All-tombstoned edge: the empty marker is created BEFORE the data
+    * directories are removed (readers give the marker precedence, so the
+    * worst race exposure is a safe stale-empty view — never a window with
+    * neither marker nor readable parquet; ADVICE r12 ordering fix). */
   def compact(spark: SparkSession, dir: String): Unit =
     IndexLock.withLock(spark, dir) {
       tombstones(spark, dir).foreach { tomb =>
-        val survivors = readCodes(spark, dir)
-          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-          .localCheckpoint(true) // fully materialize before overwriting the source dir
+        val t = broadcast(tomb)
         val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
-        if (survivors.isEmpty) {
-          // all-tombstoned: a partitioned overwrite of zero rows writes NO
-          // part files (later reads would fail schema inference) — record
-          // the empty state as an explicit marker instead; [[readCodes]]
-          // serves the empty frame and the next append clears the marker
-          fs(spark, codesPath).delete(codesPath, true)
-          fs(spark, emptyMarker(dir)).create(emptyMarker(dir), true).close()
-        } else {
-          survivors.repartition(col("centroid_id"))
-            .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/codes")
+        val f = fs(spark, codesPath)
+        val affected: Array[Long] =
+          if (!f.exists(codesPath)) Array.empty
+          else readCodes(spark, dir)
+            .join(t, Seq("vec_id"), "left_semi")
+            .select(col("centroid_id").cast("long")).distinct()
+            .collect().map(_.getLong(0))
+        if (affected.nonEmpty) {
+          val survivors = readCodes(spark, dir)
+            .filter(col("centroid_id").isin(affected.toSeq: _*))
+            .join(t, Seq("vec_id"), "left_anti")
+            .localCheckpoint(true) // affected lists only — bounded by the tombstoned share
+          val surviving = survivors.select(col("centroid_id").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          val emptied = affected.filterNot(surviving)
+          val allLists = f.listStatus(codesPath).map(_.getPath.getName)
+            .filter(_.startsWith("centroid_id=")).toSet
+          if (surviving.nonEmpty) {
+            // dynamic partition overwrite: replaces exactly the partitions
+            // present in the written data, leaves every other list file
+            // untouched (byte-identical)
+            survivors.repartition(col("centroid_id"))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("centroid_id").parquet(s"$dir/codes")
+          }
+          val emptiedNames = emptied.map(cid => s"centroid_id=$cid").toSet
+          val becomesEmpty = surviving.isEmpty && allLists.subsetOf(emptiedNames)
+          if (becomesEmpty)
+            fs(spark, emptyMarker(dir)).create(emptyMarker(dir), true).close()
+          emptiedNames.foreach { name =>
+            f.delete(new org.apache.hadoop.fs.Path(s"$dir/codes/$name"), true): Unit
+          }
+          if (becomesEmpty) f.delete(codesPath, true): Unit
         }
         val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
         fs(spark, p).delete(p, true): Unit
@@ -254,7 +337,7 @@ object PqIndex {
     * concurrent with an in-flight [[forget]] can observe a prefix of the
     * new tombstones (some ids already excluded, the rest excluded on the
     * next read), never a resurrection; [[compact]] mutates codes only
-    * under the lock and only after full materialization, and clears
+    * under the lock and only after materializing the affected lists' survivors, and clears
     * tombstones last, so a lock-free reader racing a compact sees either
     * (old codes + tombstones) or (new codes + tombstones) or (new codes,
     * none) — all three return the same survivor rows. */

@@ -46,6 +46,43 @@ object ProductQuantization {
 
   private def dot(a: Column, b: Column): Column = GraftFunctions.arrayDot(a, b)
 
+  /** Default bound on the quantizer TRAINING set (r13, the measured r12
+    * remedy made default): with full-corpus training both quantizer
+    * capacities grow with n (nlist = n/coarseStep, codebooks =
+    * n/centroidStep), so the assignment crossJoins are n × (n/const) —
+    * O(n²), measured exponent 2.25 sf1→sf3 (SCALING.md r12). Training on a
+    * bounded sample and encoding the full corpus under it makes the
+    * capacities constants and the encode joins linear — measured exponent
+    * 0.79, 11× faster at sf3, recall 0.63 raw / 0.84 rescored@5, above the
+    * 0.4/0.7 floors (tools.SampledTrainProbe). 5000 keeps every oracle and
+    * bench corpus (≤2000 vectors) on the bit-identical full-train path;
+    * at real scale raise it per corpus (10⁵–10⁶ is the production range —
+    * train cost is O(target²) FIXED, encode and serve stay linear). */
+  val TrainSampleTarget = 5000L
+
+  /** The training-set size the default build policy uses for an n-vector
+    * corpus: min(n, target). Probe widths derive from THIS, not from n
+    * ([[scaledNprobe]] of autoTrainN keeps the probed share at 30% of the
+    * trained list count whether or not sampling engaged — identical to
+    * scaledNprobe(n) at or below the target, a constant above it). */
+  def autoTrainN(n: Long, target: Long = TrainSampleTarget): Long = math.min(n, target)
+
+  /** Deterministic bounded training sample: the lowest `target` vectors by
+    * (xxhash64(vec_id), vec_id) — a fixed pseudo-random subset, independent
+    * of input order and partitioning, so rebuilds train identically. None
+    * when the corpus is at or below the target: those builds keep the
+    * full-train path byte-for-byte (the sf0.01 oracle corpus is 500
+    * vectors). The top-k pull is `target` rows per partition merged on the
+    * driver — at extreme partition counts pass an explicit pre-sampled
+    * `trainOn` instead (the API the probe tooling uses). */
+  private[analytics] def autoTrainSample(quantized: DataFrame, n: Long,
+                                         target: Long = TrainSampleTarget): Option[DataFrame] =
+    if (n <= target) None
+    else Some(quantized
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(target.toInt)
+      .select("vec_id", "qi"))
+
   /** Per-(vector, subspace) codebook assignment after a 2-round subspace
     * Lloyd. Returns (vec_id, sub, cid, dist): the chosen centroid and the
     * squared distance to it (micro-unit scale). */
@@ -134,15 +171,64 @@ object ProductQuantization {
     * with its caches gone (same lifetime contract as [[pqAssign]]). */
   def adcTopK(emb: DataFrame, queries: DataFrame, k: Int,
               m: Int = 32, subDim: Int = 2, centroidStep: Int = 40,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (subs, cents1, codes) = trainAndCodes(emb, m, subDim, centroidStep, idCol, vecCol)
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              trainOn: Option[DataFrame] = None, fullTrain: Boolean = false,
+              trainSampleTarget: Long = TrainSampleTarget): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val quantized = emb
+      .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
+      .persist(lvl)
+    val quantizedTrain = resolveTrain(quantized, trainOn, fullTrain, trainSampleTarget,
+      idCol, vecCol)
+    val subsetTrain = !(quantizedTrain eq quantized)
+    val (subs, cents1, codesTrain) = trainAndCodesQ(quantizedTrain, m, subDim, centroidStep)
+    val codes =
+      if (!subsetTrain) codesTrain
+      else assignToBooks(subSlices(quantized, m, subDim), cents1)
     val pairs = packCodes(codes)
-      .crossJoin(broadcast(packDt(distanceTables(subs, cents1, queries, idCol), m)))
-    val out = rankPacked(pairs, m, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .crossJoin(broadcast(packDt(
+        dtForQueries(quantized, queries, cents1, m, subDim, idCol), m)))
+    val out = rankPacked(pairs, m, k).persist(lvl)
     out.count(): Unit
-    subs.unpersist(); cents1.unpersist(); codes.unpersist()
+    subs.unpersist(); cents1.unpersist(); codesTrain.unpersist()
+    if (subsetTrain) quantizedTrain.unpersist()
+    quantized.unpersist()
     out
+  }
+
+  /** The policy-selected training frame over an already-quantized corpus:
+    * an explicit `trainOn` (quantized and persisted), the corpus itself
+    * when `fullTrain` or at/below the sample target, else the
+    * deterministic bounded sample ([[autoTrainSample]]), persisted. The
+    * caller unpersists the result iff it is not reference-equal to
+    * `quantized`. */
+  private def resolveTrain(quantized: DataFrame, trainOn: Option[DataFrame],
+                           fullTrain: Boolean, target: Long,
+                           idCol: String, vecCol: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    trainOn match {
+      case Some(t) => t
+        .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
+        .persist(lvl)
+      case None if fullTrain => quantized
+      case None => autoTrainSample(quantized, quantized.count(), target)
+        .map(_.persist(lvl)).getOrElse(quantized)
+    }
+  }
+
+  /** Query-side subspace distance tables from a query-restricted slice of
+    * the FULL quantized corpus (the training subs may not contain the
+    * query ids under sampled training). Same slicing and distance
+    * arithmetic as the training assignment, so full-train values are
+    * bit-identical to the historical subs-derived tables. */
+  private def dtForQueries(quantized: DataFrame, queries: DataFrame,
+                           cents1: DataFrame, m: Int, subDim: Int,
+                           idCol: String): DataFrame = {
+    val qIds = queries.select(col(idCol).as("vec_id")).distinct()
+    subSlices(quantized.join(broadcast(qIds), "vec_id"), m, subDim)
+      .join(broadcast(cents1), "sub")
+      .select(col("vec_id").as("query_id"), col("sub"), col("cid"),
+        (col("nq") + col("nm") - lit(2.0) * dot(col("sqd"), col("m"))).as("d2"))
   }
 
   /** Persist the flat-ADC serving state: trained subspace codebooks plus
@@ -156,11 +242,31 @@ object ProductQuantization {
     * fixed `+` chain. */
   def adcBuild(emb: DataFrame, dir: String,
                m: Int = 32, subDim: Int = 2, centroidStep: Int = 40,
-               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val (subs, cents1, codes) = trainAndCodes(emb, m, subDim, centroidStep, idCol, vecCol)
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               trainOn: Option[DataFrame] = None, fullTrain: Boolean = false,
+               trainSampleTarget: Long = TrainSampleTarget): Unit = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val quantized = emb
+      .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
+      .persist(lvl)
+    val quantizedTrain = resolveTrain(quantized, trainOn, fullTrain, trainSampleTarget,
+      idCol, vecCol)
+    val subsetTrain = !(quantizedTrain eq quantized)
+    val (subs, cents1, codesTrain) = trainAndCodesQ(quantizedTrain, m, subDim, centroidStep)
     cents1.write.mode("overwrite").parquet(s"$dir/codebooks")
+    val codes =
+      if (!subsetTrain) codesTrain
+      else assignToBooks(subSlices(quantized, m, subDim), cents1)
     packCodes(codes).write.mode("overwrite").parquet(s"$dir/codes")
-    subs.unpersist(); cents1.unpersist(); codes.unpersist(): Unit
+    // the (m, subDim) geometry is a property of the packed codes — record
+    // it so adcServe fails fast on a mismatch instead of silently reading
+    // wrong pcodes slots (same hazard _graft_meta.json closes for PqIndex)
+    PqIndex.writeAdcMeta(emb.sparkSession, dir, m, subDim,
+      trained = if (trainOn.nonEmpty) "explicit"
+                else if (subsetTrain) "sampled" else "full")
+    subs.unpersist(); cents1.unpersist(); codesTrain.unpersist()
+    if (subsetTrain) quantizedTrain.unpersist()
+    quantized.unpersist(): Unit
   }
 
   /** Serve flat-ADC top-k from [[adcBuild]] state: the query-side distance
@@ -171,10 +277,11 @@ object ProductQuantization {
                m: Int = 32, subDim: Int = 2,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(spark)
+    PqIndex.checkAdcMeta(spark, dir, m, subDim)
     val books = broadcast(spark.read.parquet(s"$dir/codebooks"))
     val qsubs = subSlices(queries.select(col(idCol).as("vec_id"),
       Clustering.quantize(col(vecCol)).as("qi")), m, subDim)
-    // same arithmetic and evaluation order as [[distanceTables]]
+    // same arithmetic and evaluation order as [[dtForQueries]]
     val dt = qsubs.join(books, "sub")
       .select(col("vec_id").as("query_id"), col("sub"), col("cid"),
         (col("nq") + col("nm") - lit(2.0) * dot(col("sqd"), col("m"))).as("d2"))
@@ -207,16 +314,6 @@ object ProductQuantization {
       .select(col("query_id"),
         array((0 until m).map(s => col(s"dm$s")): _*).as("dts"))
   }
-
-  /** Per-query subspace distance tables (query_id, sub, cid, d2): the
-    * query stays EXACT (asymmetric) — broadcast-sized, |queries| × m × k. */
-  private def distanceTables(subs: DataFrame, cents1: DataFrame,
-                             queries: DataFrame, idCol: String): DataFrame =
-    subs.join(queries.select(col(idCol).as("vec_id")), "vec_id")
-      .select(col("vec_id").as("query_id"), col("sub"), col("sqd"), col("nq"))
-      .join(cents1, "sub")
-      .select(col("query_id"), col("sub"), col("cid"),
-        (col("nq") + col("nm") - lit(2.0) * dot(col("sqd"), col("m"))).as("d2"))
 
   /** Score and rank a packed (query_id, vec_id, pcodes, dts) candidate
     * stream: adc_raw totals the m per-subspace lookups in EXPLICIT
@@ -272,20 +369,33 @@ object ProductQuantization {
     * assignment, `nprobe` probe lists), PQ ADC scores only the survivors.
     * At 100 TB the scan touches codes for ~nprobe/|lists| of the corpus
     * instead of every raw vector — the two knobs (nprobe for recall, m×k
-    * for precision) move independently. */
+    * for precision) move independently.
+    *
+    * Training defaults to a BOUNDED sample above [[TrainSampleTarget]]
+    * vectors (see there: the measured O(n²)→linear fix); the full corpus is
+    * always encoded and assigned under the trained quantizer. `trainOn`
+    * pins an explicit training frame; `fullTrain = true` opts back into
+    * corpus-sized training. Probe widths should derive from the TRAINED
+    * size: `scaledNprobe(autoTrainN(n))`. */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
                 coarseStep: Int = 25, nprobe: Int = 6,
                 m: Int = 32, subDim: Int = 2, centroidStep: Int = 40,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                trainOn: Option[DataFrame] = None, fullTrain: Boolean = false,
+                trainSampleTarget: Long = TrainSampleTarget): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Quantize the corpus ONCE: coarse training, list assignment, and the
     // subspace-PQ training all read this cached frame — at 100 TB the
     // composed index build is one source scan plus cache passes, not three
     // independent scans of the raw vectors.
     val quantized = emb
       .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cent = Clustering.trainedCentroidsFromQuantized(quantized, coarseStep)
+      .persist(lvl)
+    val quantizedTrain =
+      resolveTrain(quantized, trainOn, fullTrain, trainSampleTarget, idCol, vecCol)
+    val sampledTrain = !(quantizedTrain eq quantized)
+    val cent = Clustering.trainedCentroidsFromQuantized(quantizedTrain, coarseStep)
       .select(col("cid").as("centroid_id"), col("m").as("cm"), col("nm").as("cnm"))
     def quantSide(df: DataFrame, idAs: String): DataFrame =
       df.select(col(idAs), transform(col("qi"), _.cast("double")).as("qd"))
@@ -311,16 +421,23 @@ object ProductQuantization {
     val cand = probes.join(assigned, "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
-    val (subs, cents1, codes) = trainAndCodesQ(quantized, m, subDim, centroidStep)
+    val (subs, cents1, codesTrain) = trainAndCodesQ(quantizedTrain, m, subDim, centroidStep)
+    // encode the FULL corpus under the trained codebooks (identical to the
+    // training codes when training was full — same slices, same rule)
+    val codes =
+      if (!sampledTrain) codesTrain
+      else assignToBooks(subSlices(quantized, m, subDim), cents1)
     val pairs = cand.join(packCodes(codes), "vec_id")
-      .join(broadcast(packDt(distanceTables(subs, cents1, queries, idCol), m)),
-        "query_id")
+      .join(broadcast(packDt(
+        dtForQueries(quantized, queries, cents1, m, subDim, idCol), m)), "query_id")
     // persist-then-materialize before releasing training caches — see
     // [[adcTopK]]; the returned frame is ≤ |queries|×k rows
     val out = rankPacked(pairs, m, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count(): Unit
-    subs.unpersist(); cents1.unpersist(); codes.unpersist(); quantized.unpersist()
+    subs.unpersist(); cents1.unpersist(); codesTrain.unpersist()
+    if (sampledTrain || trainOn.nonEmpty) quantizedTrain.unpersist()
+    quantized.unpersist()
     out
   }
 

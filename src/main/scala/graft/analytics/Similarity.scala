@@ -173,9 +173,26 @@ object Similarity {
     * every-Nth pick (measured at sf0.01: see SCALING.md). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidStep: Int, nprobe: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              trainOn: Option[DataFrame] = None, fullTrain: Boolean = false,
+              trainSampleTarget: Long = ProductQuantization.TrainSampleTarget): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val cent = Clustering.trainedCentroids(corpus, centroidStep, idCol = idCol, vecCol = vecCol)
+    // Coarse training is BOUNDED by default above TrainSampleTarget (see
+    // ProductQuantization.TrainSampleTarget — the same n × (n/centroidStep)
+    // assignment quadratic as the PQ family, same measured fix): train the
+    // centroids on a deterministic hash-ordered sample, assign the FULL
+    // corpus under them. At or below the target (every oracle/bench
+    // corpus) the path is byte-identical full training.
+    val trainSrc = trainOn.getOrElse {
+      if (fullTrain) corpus
+      else {
+        val n = corpus.count()
+        if (n <= trainSampleTarget) corpus
+        else corpus.orderBy(xxhash64(col(idCol)), col(idCol))
+          .limit(trainSampleTarget.toInt)
+      }
+    }
+    val cent = Clustering.trainedCentroids(trainSrc, centroidStep, idCol = idCol, vecCol = vecCol)
       .select(col("cid").as("centroid_id"), col("m"), col("nm"))
 
     // inverted lists: every vector → its highest-coarse-cosine centroid,

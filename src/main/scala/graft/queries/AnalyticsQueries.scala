@@ -245,7 +245,8 @@ object AnalyticsQueries {
     * byte-unchanged; see ProductQuantization.scaledNprobe). */
   def simIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val nprobe = graft.analytics.ProductQuantization.scaledNprobe(emb.count())
+    val nprobe = graft.analytics.ProductQuantization.scaledNprobe(
+      graft.analytics.ProductQuantization.autoTrainN(emb.count()))
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5, centroidStep = 25, nprobe = nprobe)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -813,7 +814,8 @@ object AnalyticsQueries {
     * that oracle SQL. */
   def simPqIndexTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val nprobe = graft.analytics.ProductQuantization.scaledNprobe(emb.count())
+    val nprobe = graft.analytics.ProductQuantization.scaledNprobe(
+      graft.analytics.ProductQuantization.autoTrainN(emb.count()))
     val idx = scratchIndexDir("pqindex")
     PqIndex.build(emb, idx)
     PqIndex.query(spark, idx, emb.filter(col("vec_id") < 5), k = 5, nprobe = nprobe)
@@ -826,7 +828,8 @@ object AnalyticsQueries {
   def simPqIndexRescored(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val n = emb.count()
-    val nprobe = graft.analytics.ProductQuantization.scaledNprobe(n)
+    val nprobe = graft.analytics.ProductQuantization.scaledNprobe(
+      graft.analytics.ProductQuantization.autoTrainN(n))
     val depth = graft.analytics.ProductQuantization.scaledDepth(n)
     val idx = scratchIndexDir("pqindex-rs")
     PqIndex.build(emb, idx)
@@ -843,7 +846,8 @@ object AnalyticsQueries {
     * oracle is the ivfpq SQL with the same candidate exclusion. */
   def simPqIndexForget(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val nprobe = graft.analytics.ProductQuantization.scaledNprobe(emb.count())
+    val nprobe = graft.analytics.ProductQuantization.scaledNprobe(
+      graft.analytics.ProductQuantization.autoTrainN(emb.count()))
     val idx = scratchIndexDir("pqindex-forget")
     PqIndex.build(emb, idx)
     PqIndex.forget(spark, idx, emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
@@ -853,7 +857,8 @@ object AnalyticsQueries {
 
   def simIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val nprobe = graft.analytics.ProductQuantization.scaledNprobe(emb.count())
+    val nprobe = graft.analytics.ProductQuantization.scaledNprobe(
+      graft.analytics.ProductQuantization.autoTrainN(emb.count()))
     val res = ProductQuantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
       nprobe = nprobe)
     // caller-must-unpersist contract (see semdedupKeepers)
@@ -1347,7 +1352,8 @@ object AnalyticsQueries {
       val idx = scratchIndexDir("pqindex-split")
       var nprobe = 0
       (() => {
-        nprobe = graft.analytics.ProductQuantization.scaledNprobe(emb.count())
+        nprobe = graft.analytics.ProductQuantization.scaledNprobe(
+          graft.analytics.ProductQuantization.autoTrainN(emb.count()))
         PqIndex.build(emb, idx)
       },
        () => PqIndex.query(spark, idx, emb.filter(col("vec_id") < 5), k = 5,
@@ -1360,7 +1366,8 @@ object AnalyticsQueries {
       var depth = 0
       (() => {
         val n = emb.count()
-        nprobe = graft.analytics.ProductQuantization.scaledNprobe(n)
+        nprobe = graft.analytics.ProductQuantization.scaledNprobe(
+          graft.analytics.ProductQuantization.autoTrainN(n))
         depth = graft.analytics.ProductQuantization.scaledDepth(n)
         PqIndex.build(emb, idx)
       },

@@ -89,4 +89,68 @@ class PqIndexSpec extends SparkSpec {
     assert(partitionsRead.exists(n => n > 0 && n <= 6),
       s"one query with nprobe=6 must read <=6 of $totalLists lists, read $partitionsRead")
   }
+
+  // ------------------------- bounded-sample training default (r13) -------
+
+  test("default build at or below the sample target full-trains bit-identically") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables(spark, sf("sf0.01")).embeddings // 500 vecs < target
+    val defDir = Files.createTempDirectory("pq-deftrain").toString
+    val fullDir = Files.createTempDirectory("pq-fulltrain").toString
+    PqIndex.build(emb, defDir)
+    PqIndex.build(emb, fullDir, fullTrain = true)
+    assert(PqIndex.trainedMode(spark, defDir) == "full",
+      "below the target the default policy must engage the full-train branch")
+    assert(PqIndex.trainedMode(spark, fullDir) == "full")
+    val queries = emb.filter(col("vec_id") < 3)
+    val d = rows(PqIndex.query(spark, defDir, queries, k = 5))
+    val f = rows(PqIndex.query(spark, fullDir, queries, k = 5))
+    assert(d.nonEmpty && d == f)
+  }
+
+  test("default build above the sample target engages bounded training with constant capacities") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables(spark, sf("sf0.01")).embeddings // 500 vecs
+    val target = 100L
+    val dir = Files.createTempDirectory("pq-sampled").toString
+    PqIndex.build(emb, dir, trainSampleTarget = target)
+    assert(PqIndex.trainedMode(spark, dir) == "sampled",
+      "above the target the default policy must engage the sampled branch")
+    // capacities derive from the SAMPLE, not the corpus: nlist is bounded
+    // by target/coarseStep (+1 for seed survival slack), far below the
+    // full-train 500/25 = 20
+    val nlist = spark.read.parquet(s"$dir/coarse").count()
+    assert(nlist <= target / 25 + 1 && nlist < 20,
+      s"sampled nlist must be ~target/coarseStep, got $nlist")
+    // the FULL corpus is encoded under the sampled quantizer
+    val nCodes = spark.read.parquet(s"$dir/codes").count()
+    assert(nCodes == emb.count(), s"all vectors must be encoded, got $nCodes")
+    // deterministic: the sampled build equals an explicit trainOn build of
+    // the same hash-ordered sample (the policy is just that sample)
+    val sample = emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(target.toInt)
+    val refDir = Files.createTempDirectory("pq-sampled-ref").toString
+    PqIndex.build(emb, refDir, trainOn = Some(sample))
+    assert(PqIndex.trainedMode(spark, refDir) == "explicit")
+    val queries = emb.filter(col("vec_id") < 3)
+    val nprobe = ProductQuantization.scaledNprobe(ProductQuantization.autoTrainN(500, target))
+    val got = rows(PqIndex.query(spark, dir, queries, k = 5, nprobe = nprobe))
+    val want = rows(PqIndex.query(spark, refDir, queries, k = 5, nprobe = nprobe))
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("one-shot ivfPqTopK follows the same training policy as the stored index") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables(spark, sf("sf0.01")).embeddings
+    val queries = emb.filter(col("vec_id") < 3)
+    val target = 100L
+    val nprobe = ProductQuantization.scaledNprobe(ProductQuantization.autoTrainN(500, target))
+    val dir = Files.createTempDirectory("pq-oneshot-pol").toString
+    PqIndex.build(emb, dir, trainSampleTarget = target)
+    val fromIndex = rows(PqIndex.query(spark, dir, queries, k = 5, nprobe = nprobe))
+    val oneShot = ProductQuantization.ivfPqTopK(emb, queries, k = 5,
+      nprobe = nprobe, trainSampleTarget = target)
+    val want = rows(oneShot)
+    oneShot.unpersist(): Unit
+    assert(fromIndex.nonEmpty && fromIndex == want)
+  }
 }
