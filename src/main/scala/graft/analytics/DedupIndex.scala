@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * [[PqIndex]]).
   *
   * On-disk layout under `dir`:
-  *   - `bands/`    (doc_id, band, bucket) PARTITIONED BY band — the LSH
-  *     probe structure; a few fixed-width rows per doc.
-  *   - `shingles/` (doc_id, sh) — the shingle sets the verify stage
-  *     intersects. This is the corpus-sized half; production systems either
-  *     store it (as here) or re-read source text at verify time. Only
-  *     verified CANDIDATES ever load it — the probe never scans it.
+  *   - `bands/`    (doc_id, band, bucket) PARTITIONED BY (band, dbucket) —
+  *     the LSH probe structure; a few fixed-width rows per doc. The
+  *     doc-hash second level exists for partition-scoped compaction
+  *     (see [[DocBuckets]]).
+  *   - `shingles/` (doc_id, sh) PARTITIONED BY dbucket — the shingle sets
+  *     the verify stage intersects. This is the corpus-sized half;
+  *     production systems either store it (as here) or re-read source text
+  *     at verify time. Only verified CANDIDATES ever load it — the probe
+  *     never scans it.
   *
   * At 100 TB: a delta shard joins the stored bands on (band, bucket) —
   * sub-quadratic by the same banding argument as the one-shot operator —
@@ -38,6 +41,31 @@ object DedupIndex {
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Doc-hash sub-partitioning of the stored layout (r13, VERDICT r12 #2):
+    * `bands/` is partitioned by (band, dbucket) and `shingles/` by dbucket,
+    * where dbucket = pmod(xxhash64(doc_id), DocBuckets) — a pure function
+    * of the id, so incremental appends land in the same directories and
+    * compose. Probes are unchanged (they read whole bands; dbucket is a
+    * second-level directory). What the extra level buys is PARTITION-SCOPED
+    * COMPACTION: a doc appears in every band, so band-only partitioning
+    * would force a full rewrite for ANY tombstone — with the doc-hash
+    * level, [[compact]] rewrites only the (band, dbucket) / (dbucket)
+    * partitions whose bucket contains a tombstoned doc: cost ∝ the
+    * tombstoned-bucket share of the index (measured at sf1, SCALING.md
+    * r13), and untouched partition files stay byte-identical
+    * (CompactionSpec asserts it). At 100 TB raise DocBuckets with corpus
+    * size (it bounds compact granularity, not correctness). */
+  private[analytics] val DocBuckets = 16
+
+  private def withDbucket(df: DataFrame): DataFrame =
+    df.withColumn("dbucket", pmod(xxhash64(col("doc_id")), lit(DocBuckets)).cast("int"))
+
+  /** Driver-side twin of [[withDbucket]]'s bucket rule for a tombstone id
+    * set: the affected buckets are a pure function of the ids. */
+  private def bucketsOf(tomb: DataFrame): Array[Int] =
+    tomb.select(pmod(xxhash64(col("doc_id")), lit(DocBuckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0))
+
   /** Marker left by an all-tombstoned [[compact]]: overwriting bands
     * (partitioned) and shingles with ZERO rows writes no part files, so
     * later reads would fail schema inference — the empty state is recorded
@@ -56,7 +84,8 @@ object DedupIndex {
     import org.apache.spark.sql.types._
     if (fs(spark, emptyMarker(dir)).exists(emptyMarker(dir)))
       emptyFrame(spark, StructType(Seq(StructField("doc_id", LongType),
-        StructField("band", IntegerType), StructField("bucket", StringType))))
+        StructField("band", IntegerType), StructField("bucket", StringType),
+        StructField("dbucket", IntegerType))))
     else spark.read.parquet(s"$dir/bands")
   }
 
@@ -64,7 +93,8 @@ object DedupIndex {
     import org.apache.spark.sql.types._
     if (fs(spark, emptyMarker(dir)).exists(emptyMarker(dir)))
       emptyFrame(spark, StructType(Seq(StructField("doc_id", LongType),
-        StructField("sh", ArrayType(StringType)))))
+        StructField("sh", ArrayType(StringType)),
+        StructField("dbucket", IntegerType))))
     else spark.read.parquet(s"$dir/shingles")
   }
 
@@ -73,13 +103,7 @@ object DedupIndex {
             bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
             idCol: String = "doc_id", textCol: String = "text"): Unit =
     IndexLock.withLock(docs.sparkSession, dir) {
-      val withSh = Dedup.shingleFrame(docs, n, idCol, textCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Dedup.minhashBanded(withSh, bands, rowsPerBand)
-        .repartition(col("band"))
-        .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
-      withSh.write.mode("overwrite").parquet(s"$dir/shingles")
-      withSh.unpersist(): Unit
+      writeIndex(docs, dir, bands, rowsPerBand, n, idCol, textCol, "overwrite")
     }
 
   /** Append a shard to the index (no dedup — compose with [[dedupDelta]]
@@ -96,17 +120,33 @@ object DedupIndex {
     * critical section (the lock is non-reentrant). */
   private def appendUnlocked(delta: DataFrame, dir: String,
                              bands: Int, rowsPerBand: Int, n: Int,
-                             idCol: String, textCol: String): Unit = {
-    val mp = emptyMarker(dir)
-    val mf = fs(delta.sparkSession, mp)
-    if (mf.exists(mp)) mf.delete(mp, false): Unit // real files return
-    val withSh = Dedup.shingleFrame(delta, n, idCol, textCol)
+                             idCol: String, textCol: String): Unit =
+    writeIndex(delta, dir, bands, rowsPerBand, n, idCol, textCol, "append")
+
+  /** Shared write body of [[build]]/[[appendUnlocked]]: shingle once, write
+    * bands partitioned by (band, dbucket) and shingles by dbucket (see
+    * [[DocBuckets]]). The empty marker is cleared only AFTER the data is
+    * readable: readers give the marker precedence, so a lock-free reader
+    * racing this write degrades to a safe stale-empty view instead of
+    * hitting a window with neither marker nor parquet (ADVICE r12). */
+  private def writeIndex(docs: DataFrame, dir: String,
+                         bands: Int, rowsPerBand: Int, n: Int,
+                         idCol: String, textCol: String, mode: String): Unit = {
+    val withSh = Dedup.shingleFrame(docs, n, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.minhashBanded(withSh, bands, rowsPerBand)
-      .repartition(col("band"))
-      .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
-    withSh.write.mode("append").parquet(s"$dir/shingles")
-    withSh.unpersist(): Unit
+    withDbucket(Dedup.minhashBanded(withSh, bands, rowsPerBand))
+      .repartition(col("band"), col("dbucket"))
+      .write.mode(mode).partitionBy("band", "dbucket").parquet(s"$dir/bands")
+    withDbucket(withSh)
+      .repartition(col("dbucket"))
+      .write.mode(mode).partitionBy("dbucket").parquet(s"$dir/shingles")
+    // an all-blank frame writes no partition files — keep the marker then
+    // (clearing it over a still-empty store would break later reads)
+    val wroteRows = !withSh.isEmpty
+    withSh.unpersist()
+    val mp = emptyMarker(dir)
+    val mf = fs(docs.sparkSession, mp)
+    if (wroteRows && mf.exists(mp)) mf.delete(mp, false): Unit // real files return
   }
 
   /** Admission pass for an arriving shard — the decision layer over
@@ -183,30 +223,82 @@ object DedupIndex {
         .write.mode("append").parquet(s"$dir/tombstones")
     }
 
-  /** Rewrite bands + shingles minus the tombstoned docs and clear the
-    * tombstone set. Probes before and after compaction return identical
-    * pairs (CompactionSpec). */
+  /** Rewrite ONLY the doc-hash partitions that contain tombstoned docs and
+    * clear the tombstone set. Probes before and after compaction return
+    * identical pairs (CompactionSpec).
+    *
+    * Partition-scoped (r13, VERDICT r12 #2): the affected dbuckets are a
+    * PURE FUNCTION of the tombstone ids (no index scan at all — cheaper
+    * than [[PqIndex.compact]]'s semi-join, which must map ids to lists);
+    * only those buckets' survivors are materialized (bounded
+    * `localCheckpoint`s) and dynamically overwritten; buckets whose every
+    * doc was forgotten have their directories deleted. Untouched partition
+    * files stay byte-identical. All-tombstoned edge: the empty marker is
+    * created BEFORE the data directories are removed (readers give the
+    * marker precedence — the worst race exposure is a safe stale-empty
+    * view; ADVICE r12 ordering fix). */
   def compact(spark: SparkSession, dir: String): Unit =
     IndexLock.withLock(spark, dir) {
       tombstones(spark, dir).foreach { tomb =>
         val t = broadcast(tomb)
-        val bands = readBands(spark, dir)
-          .join(t, Seq("doc_id"), "left_anti").localCheckpoint(true)
-        val shingles = readShingles(spark, dir)
-          .join(t, Seq("doc_id"), "left_anti").localCheckpoint(true)
-        if (bands.isEmpty) {
-          // all-tombstoned (bands and shingles share the doc set by
-          // construction): record the empty state as a marker — zero-row
-          // overwrites write no schema-bearing files (see [[emptyMarker]])
-          val bp = new org.apache.hadoop.fs.Path(s"$dir/bands")
-          val sp = new org.apache.hadoop.fs.Path(s"$dir/shingles")
-          fs(spark, bp).delete(bp, true)
-          fs(spark, sp).delete(sp, true)
-          fs(spark, emptyMarker(dir)).create(emptyMarker(dir), true).close()
-        } else {
-          bands.repartition(col("band"))
-            .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
-          shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+        val tb = bucketsOf(tomb)
+        val bandsPath = new org.apache.hadoop.fs.Path(s"$dir/bands")
+        val shinPath = new org.apache.hadoop.fs.Path(s"$dir/shingles")
+        val f = fs(spark, bandsPath)
+        if (tb.nonEmpty && f.exists(bandsPath)) {
+          val bandsSurv = readBands(spark, dir)
+            .filter(col("dbucket").isin(tb.toSeq: _*))
+            .join(t, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true) // affected buckets only
+          val shinSurv = readShingles(spark, dir)
+            .filter(col("dbucket").isin(tb.toSeq: _*))
+            .join(t, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          // partitions that keep rows are dynamically overwritten; the rest
+          // of the affected set is deleted outright
+          val survBandParts = bandsSurv.select("band", "dbucket").distinct()
+            .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+          val survShinParts = shinSurv.select("dbucket").distinct()
+            .collect().map(_.getInt(0)).toSet
+          if (survBandParts.nonEmpty)
+            bandsSurv.repartition(col("band"), col("dbucket"))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("band", "dbucket").parquet(s"$dir/bands")
+          if (survShinParts.nonEmpty)
+            shinSurv.repartition(col("dbucket"))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("dbucket").parquet(s"$dir/shingles")
+          // existing affected dirs with no surviving rows
+          def subdirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+            if (f.exists(p)) f.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
+            else Seq.empty
+          val emptiedBands = for {
+            bandDir <- subdirs(bandsPath) if bandDir.getName.startsWith("band=")
+            dbDir <- subdirs(bandDir) if dbDir.getName.startsWith("dbucket=")
+            band = bandDir.getName.stripPrefix("band=").toInt
+            db = dbDir.getName.stripPrefix("dbucket=").toInt
+            if tb.contains(db) && !survBandParts((band, db))
+          } yield dbDir
+          val emptiedShin = for {
+            dbDir <- subdirs(shinPath) if dbDir.getName.startsWith("dbucket=")
+            db = dbDir.getName.stripPrefix("dbucket=").toInt
+            if tb.contains(db) && !survShinParts(db)
+          } yield dbDir
+          val untouchedRemain = subdirs(bandsPath)
+            .filter(_.getName.startsWith("band="))
+            .flatMap(subdirs)
+            .exists(d => d.getName.startsWith("dbucket=") &&
+              !tb.contains(d.getName.stripPrefix("dbucket=").toInt))
+          val becomesEmpty = survBandParts.isEmpty && !untouchedRemain
+          if (becomesEmpty)
+            fs(spark, emptyMarker(dir)).create(emptyMarker(dir), true).close()
+          (emptiedBands ++ emptiedShin).foreach(p => f.delete(p, true): Unit)
+          if (becomesEmpty) {
+            f.delete(bandsPath, true)
+            fs(spark, shinPath).delete(shinPath, true): Unit
+          }
         }
         val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
         fs(spark, p).delete(p, true): Unit
@@ -252,7 +344,7 @@ object DedupIndex {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
     val cand = cross.union(internal).distinct()
-    val shin = readShingles(spark, dir).union(dSh)
+    val shin = readShingles(spark, dir).select("doc_id", "sh").union(dSh.select("doc_id", "sh"))
     val out = Dedup.jaccardVerify(cand, shin, minJaccard)
       .localCheckpoint(true)
     dSh.unpersist()

@@ -217,6 +217,103 @@ class CompactionSpec extends SparkSpec {
     assert(got.count() > 0L)
   }
 
+  // -------------------- partition-scoped compaction (r13, VERDICT r12 #2)
+
+  /** Per-file (path, size) fingerprint of a subtree. */
+  private def files(dir: String): Set[(String, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(walk)
+    }
+    walk(new java.io.File(dir)).map(f => (f.getPath, f.length())).toSet
+  }
+
+  test("PqIndex: compact rewrites only the lists containing tombstoned ids") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val idx = Files.createTempDirectory("compact-pq-scoped").toString
+    PqIndex.build(emb, idx)
+    // pick one list with >= 2 members; forget ONE of its vectors
+    val byList = spark.read.parquet(s"$idx/codes")
+      .select(col("vec_id"), col("centroid_id").cast("long").as("cid"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val (targetList, members) = byList.find(_._2.size >= 2).get
+    val victim = members.head
+    val nprobe = ProductQuantization.scaledNprobe(emb.count())
+    val queries = emb.filter(col("vec_id") < 3)
+    import spark.implicits._
+    PqIndex.forget(spark, idx, Seq(victim).toDF("vec_id"))
+    val afterForget = rows(PqIndex.query(spark, idx, queries, k = 5, nprobe = nprobe))
+
+    val untouchedBefore = byList.keySet.filterNot(_ == targetList)
+      .map(cid => files(s"$idx/codes/centroid_id=$cid"))
+    val touchedBefore = files(s"$idx/codes/centroid_id=$targetList")
+    PqIndex.compact(spark, idx)
+    // untouched list files byte-identical (same paths, same sizes); the
+    // tombstoned list was rewritten (new part file names)
+    val untouchedAfter = byList.keySet.filterNot(_ == targetList)
+      .map(cid => files(s"$idx/codes/centroid_id=$cid"))
+    assert(untouchedAfter == untouchedBefore,
+      "compact must not touch lists without tombstoned ids")
+    assert(files(s"$idx/codes/centroid_id=$targetList") != touchedBefore,
+      "the list containing the tombstoned id must be rewritten")
+    // the survivor set is intact and the answers unchanged
+    assert(rows(PqIndex.query(spark, idx, queries, k = 5, nprobe = nprobe)) == afterForget)
+    val left = spark.read.parquet(s"$idx/codes").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!left.contains(victim) && left.size == byList.values.map(_.size).sum - 1)
+  }
+
+  test("PqIndex: compact deletes a fully-tombstoned list directory, leaves the rest") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val idx = Files.createTempDirectory("compact-pq-dellist").toString
+    PqIndex.build(emb, idx)
+    val byList = spark.read.parquet(s"$idx/codes")
+      .select(col("vec_id"), col("centroid_id").cast("long").as("cid"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val (targetList, members) = byList.head
+    import spark.implicits._
+    PqIndex.forget(spark, idx, members.toSeq.toDF("vec_id"))
+    PqIndex.compact(spark, idx)
+    assert(!new java.io.File(s"$idx/codes/centroid_id=$targetList").exists(),
+      "a list whose every vector was forgotten must be deleted")
+    val leftLists = spark.read.parquet(s"$idx/codes")
+      .select(col("centroid_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(leftLists == byList.keySet - targetList)
+  }
+
+  test("DedupIndex: compact rewrites only the doc-hash buckets containing tombstoned docs") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val idx = Files.createTempDirectory("compact-dedup-scoped").toString
+    DedupIndex.build(docs, idx)
+    // forget one doc; its bucket is a pure function of the id
+    val victim = docs.agg(min("doc_id")).head().getLong(0)
+    val tb = spark.range(1).select(
+      pmod(xxhash64(lit(victim)), lit(16)).cast("int")).head().getInt(0)
+    import spark.implicits._
+    DedupIndex.forget(spark, idx, Seq(victim).toDF("doc_id"))
+    val delta = docs.filter(col("doc_id") =!= victim)
+      .limit(20).select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val beforePairs = pairSet(DedupIndex.dedupDelta(spark, idx, delta, minJaccard = 0.5))
+
+    def untouched(): Set[(String, Long)] =
+      (0 until 16).filterNot(_ == tb).flatMap { b =>
+        (0 until 4).flatMap(band => files(s"$idx/bands/band=$band/dbucket=$b")) ++
+          files(s"$idx/shingles/dbucket=$b")
+      }.toSet
+    val before = untouched()
+    val touchedShinBefore = files(s"$idx/shingles/dbucket=$tb")
+    assert(touchedShinBefore.nonEmpty, "fixture: victim bucket must exist")
+    DedupIndex.compact(spark, idx)
+    assert(untouched() == before,
+      "compact must not touch buckets without tombstoned docs")
+    assert(files(s"$idx/shingles/dbucket=$tb") != touchedShinBefore,
+      "the tombstoned doc's bucket must be rewritten")
+    assert(pairSet(DedupIndex.dedupDelta(spark, idx, delta, minJaccard = 0.5)) == beforePairs)
+  }
+
   test("PqIndex: geometry meta rejects mismatched or missing metadata with a rebuild message") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
       .filter(col("vec_id") < 80)
