@@ -38,7 +38,15 @@ object SearchIndex {
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", Dedup.hash60(col("token")) % buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sort postings by token INSIDE each bucket (r13, VERDICT r12 #4): the
+    // probe prunes to |terms| bucket directories, but inside a bucket it
+    // still row-filters `token IN (...)` — with token-sorted files the
+    // parquet row-group/page min-max stats prune WITHIN the bucket too
+    // (SearchIndexSpec measures rows read, sorted vs unsorted). The leading
+    // `bucket` key keeps the write's required partition ordering satisfied,
+    // so no second (order-destroying) sort is inserted before the writer.
     postings.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("token"), col("doc_id"))
       .write.mode(mode).partitionBy("bucket").parquet(s"$dir/postings")
     postings.groupBy("token").agg(count(lit(1)).as("df"))
       .write.mode(mode).parquet(s"$dir/df")

@@ -56,6 +56,63 @@ class SearchIndexSpec extends SparkSpec {
     assert(fromIndex == want)
   }
 
+  test("token-sorted postings prune INSIDE buckets: fewer rows read than an unsorted twin") {
+    // small parquet pages so min-max (column-index) pruning is observable
+    // at spec scale (production files carry many pages/row groups per
+    // bucket naturally)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    val oldLimit = hc.get("parquet.page.row.count.limit")
+    hc.setInt("parquet.block.size", 16 * 1024)
+    hc.setInt("parquet.page.size", 1024)
+    hc.setInt("parquet.page.row.count.limit", 50)
+    try {
+      val docs = graft.Tables(spark, sf("sf0.01")).documents
+      val sorted = Files.createTempDirectory("searchidx-sorted").toString
+      // few buckets -> enough postings per bucket for multiple row groups
+      SearchIndex.build(docs, sorted, buckets = 4)
+      // unsorted twin: same postings, same bucketing, row order scrambled
+      // by a hash sort (a bare repartition would inherit the sorted source
+      // order through the shuffle and prune just as well)
+      val unsorted = Files.createTempDirectory("searchidx-unsorted").toString
+      spark.read.parquet(s"$sorted/postings")
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), xxhash64(col("token"), col("doc_id")))
+        .write.partitionBy("bucket").parquet(s"$unsorted/postings")
+      spark.read.parquet(s"$sorted/df").write.parquet(s"$unsorted/df")
+      spark.read.parquet(s"$sorted/stats").write.parquet(s"$unsorted/stats")
+
+      val terms = Seq("data", "fast", "query")
+      def rowsRead(dir: String): (Set[Seq[Any]], Long) = {
+        val q = SearchIndex.query(spark, dir, terms, k = 20, buckets = 4)
+        val res = rows(q)
+        val scan = allNodes(q.queryExecution.executedPlan match {
+            case a: AdaptiveSparkPlanExec => a.executedPlan
+            case p => p
+          })
+          .collect { case s: FileSourceScanExec => s }
+          .find(_.relation.location.rootPaths.exists(_.toString.contains("/postings")))
+          .get
+        (res, scan.metrics("numOutputRows").value)
+      }
+      val (sRes, sRows) = rowsRead(sorted)
+      val (uRes, uRows) = rowsRead(unsorted)
+      assert(sRes == uRes, "layout must not change answers")
+      assert(sRes.nonEmpty)
+      // the pushed token filter prunes row groups only when tokens are
+      // clustered: the sorted layout must read strictly less
+      assert(sRows < uRows,
+        s"sorted postings should prune inside buckets: read $sRows vs unsorted $uRows")
+    } finally {
+      def restore(k: String, v: String): Unit =
+        if (v == null) hc.unset(k) else hc.set(k, v)
+      restore("parquet.block.size", oldBlock)
+      restore("parquet.page.size", oldPage)
+      restore("parquet.page.row.count.limit", oldLimit)
+    }
+  }
+
   test("term probe is partition pruning: a query reads only its terms' buckets") {
     val docs = graft.Tables(spark, sf("sf0.01")).documents
     val dir = Files.createTempDirectory("searchidx2").toString
