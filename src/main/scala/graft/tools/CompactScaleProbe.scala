@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analytics.{DedupIndex, PqIndex}
+
+/** Measures the r13 partition-scoped compaction claim (VERDICT r12 #2):
+  * compact time must be proportional to the TOMBSTONED-PARTITION share,
+  * not the index size. For each share level the probe rebuilds a fresh
+  * index, tombstones ids chosen to touch exactly that share of the
+  * partitions (inverted lists for [[PqIndex]], doc-hash buckets for
+  * [[DedupIndex]]), and times [[PqIndex.compact]]/[[DedupIndex.compact]].
+  * A flat-ish curve would mean the rewrite is still index-sized (the r12
+  * defect); a rising curve through the origin is the fix working.
+  *
+  * Usage: CompactScaleProbe [sfDir] — env contract as graft.Bench. */
+object CompactScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/repo/data/sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b0 = SparkSession.builder().master(master)
+      .config("spark.sql.shuffle.partitions", cpus)
+    val b1 = sys.env.get("SPARK_GRAFT_JARS").fold(b0)(j => b0.config("spark.jars", j))
+    val spark = sys.env.get("SPARK_GRAFT_EXEC_MEM")
+      .fold(b1)(m => b1.config("spark.executor.memory", m))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    // ---- PqIndex: tombstone whole lists at increasing share ------------
+    val emb = graft.Tables(spark, dir).embeddings
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    emb.count(): Unit
+    for (shpct <- Seq(1, 10, 50)) {
+      val idx = java.nio.file.Files.createTempDirectory(s"cmp-pq-$shpct").toString
+      PqIndex.build(emb, idx)
+      val lists = spark.read.parquet(s"$idx/codes")
+        .select(col("vec_id"), col("centroid_id").cast("long").as("cid"))
+      val allLists = lists.select("cid").distinct().orderBy("cid")
+        .collect().map(_.getLong(0))
+      val nAff = math.max(1, allLists.length * shpct / 100)
+      val target = allLists.take(nAff).toSet
+      val victims = lists.filter(col("cid").isin(target.toSeq: _*)).select("vec_id")
+      PqIndex.forget(spark, idx, victims)
+      val (_, tC) = timed(PqIndex.compact(spark, idx))
+      lines += s"""{"index":"pq","sf":"$dir","lists_affected":$nAff,""" +
+        s""""lists_total":${allLists.length},"compact_s":${f3(tC)}}"""
+      println(lines.last)
+    }
+    emb.unpersist(): Unit
+
+    // ---- DedupIndex: tombstone whole doc-hash buckets ------------------
+    val docs = graft.Tables(spark, dir).documents
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count(): Unit
+    for (nb <- Seq(1, 4, 16)) {
+      val idx = java.nio.file.Files.createTempDirectory(s"cmp-dd-$nb").toString
+      DedupIndex.build(docs, idx)
+      val victims = docs
+        .filter(pmod(xxhash64(col("doc_id")), lit(16)) < nb)
+        .select("doc_id")
+      DedupIndex.forget(spark, idx, victims)
+      val (_, tC) = timed(DedupIndex.compact(spark, idx))
+      lines += s"""{"index":"dedup","sf":"$dir","buckets_affected":$nb,""" +
+        s""""buckets_total":16,"compact_s":${f3(tC)}}"""
+      println(lines.last)
+    }
+    docs.unpersist(): Unit
+
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        lines.mkString("", "\n", "\n")): Unit)
+    spark.stop()
+  }
+}

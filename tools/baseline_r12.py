@@ -8,7 +8,13 @@ Usage: baseline_r12.py run1.json run2.json run3.json > BENCH_LOCAL_r12.json
 import sys, json, statistics
 
 runs = [json.load(open(p))["queries"] for p in sys.argv[1:4]]
-keys = sorted(set(runs[0]) & set(runs[1]) & set(runs[2]))
+# a query missing from any run must not silently fall out of the
+# regression baseline (ADVICE r12): fail loudly instead
+union = set(runs[0]) | set(runs[1]) | set(runs[2])
+inter = set(runs[0]) & set(runs[1]) & set(runs[2])
+if union != inter:
+    sys.exit(f"key sets differ across runs; missing somewhere: {sorted(union - inter)}")
+keys = sorted(inter)
 med = {k: statistics.median([r[k] for r in runs]) for k in keys}
 out = {
     "metric": "total",
