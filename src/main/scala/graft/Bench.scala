@@ -230,6 +230,12 @@ object Bench {
     val r10TrioTriage = "r10 closing flag triaged as HOST drift (SCALING.md " +
       "r11 trio triage): closing run and committed quiet medians ran the " +
       "same commit; matched cold-subset A/B r10-vs-r11 deltas <5%"
+    val dedupLayoutTrade = "r13 layout trade: DedupIndex gained a 16-way " +
+      "doc-hash partition level (bands 4->64 dirs, shingles 1->16) so " +
+      "compaction is partition-scoped instead of a full index rewrite " +
+      "(CompactionSpec/SCALING.md r13); at sf0.1 the extra small files add " +
+      "~0.5 s per lifecycle query - at scale the dir count is noise and " +
+      "compact cost drops from O(index) to O(tombstoned share)"
     val knownTrades = Map(
       "embed_pq" -> pqTrade,
       "sim_pq_adc" -> pqTrade,
@@ -250,7 +256,10 @@ object Bench {
         "the stash); SCALING.md r10 drift note"),
       "pipeline_full" -> r10TrioTriage,
       "clf_train" -> r10TrioTriage,
-      "text_lm_score" -> r10TrioTriage)
+      "text_lm_score" -> r10TrioTriage,
+      "dedup_delta" -> dedupLayoutTrade,
+      "dedup_admit" -> dedupLayoutTrade,
+      "dedup_index_forget" -> dedupLayoutTrade)
     val notes = results.collect {
       case (k, v) if regressed(k, v) && knownTrades.contains(k) =>
         "\"" + k + "\":\"" + knownTrades(k) + "\""

@@ -187,15 +187,8 @@ object PqIndex {
     val quantized = emb
       .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
       .persist(lvl)
-    val quantizedTrain: DataFrame = trainOn match {
-      case Some(t) => t
-        .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
-        .persist(lvl)
-      case None if fullTrain => quantized
-      case None => ProductQuantization
-        .autoTrainSample(quantized, quantized.count(), trainSampleTarget)
-        .map(_.persist(lvl)).getOrElse(quantized)
-    }
+    val quantizedTrain = ProductQuantization.resolveTrain(
+      quantized, trainOn, fullTrain, trainSampleTarget, idCol, vecCol)
     val subsetTrain = !(quantizedTrain eq quantized)
     val cent = Clustering.trainedCentroidsFromQuantized(quantizedTrain, coarseStep)
     cent.write.mode("overwrite").parquet(s"$dir/coarse")

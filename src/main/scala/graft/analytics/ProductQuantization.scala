@@ -69,19 +69,18 @@ object ProductQuantization {
 
   /** Deterministic bounded training sample: the lowest `target` vectors by
     * (xxhash64(vec_id), vec_id) — a fixed pseudo-random subset, independent
-    * of input order and partitioning, so rebuilds train identically. None
-    * when the corpus is at or below the target: those builds keep the
-    * full-train path byte-for-byte (the sf0.01 oracle corpus is 500
-    * vectors). The top-k pull is `target` rows per partition merged on the
-    * driver — at extreme partition counts pass an explicit pre-sampled
-    * `trainOn` instead (the API the probe tooling uses). */
-  private[analytics] def autoTrainSample(quantized: DataFrame, n: Long,
-                                         target: Long = TrainSampleTarget): Option[DataFrame] =
-    if (n <= target) None
-    else Some(quantized
+    * of input order and partitioning, so rebuilds train identically.
+    * Callers engage it only above the target ([[overTarget]]); at or below
+    * it builds keep the full-train path byte-for-byte (the sf0.01 oracle
+    * corpus is 500 vectors). The top-k pull is `target` rows per partition
+    * merged on the driver — at extreme partition counts pass an explicit
+    * pre-sampled `trainOn` instead (the API the probe tooling uses). */
+  private[analytics] def autoTrainSample(quantized: DataFrame,
+                                         target: Long = TrainSampleTarget): DataFrame =
+    quantized
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(target.toInt)
-      .select("vec_id", "qi"))
+      .select("vec_id", "qi")
 
   /** Per-(vector, subspace) codebook assignment after a 2-round subspace
     * Lloyd. Returns (vec_id, sub, cid, dist): the chosen centroid and the
@@ -200,9 +199,12 @@ object ProductQuantization {
     * an explicit `trainOn` (quantized and persisted), the corpus itself
     * when `fullTrain` or at/below the sample target, else the
     * deterministic bounded sample ([[autoTrainSample]]), persisted. The
-    * caller unpersists the result iff it is not reference-equal to
-    * `quantized`. */
-  private def resolveTrain(quantized: DataFrame, trainOn: Option[DataFrame],
+    * over-target decision is a BOUNDED `limit(target+1).count()` probe,
+    * not a full corpus count — it stops as soon as target+1 rows exist,
+    * so small corpora pay one short job and 100 TB corpora never pay a
+    * counting pass. The caller unpersists the result iff it is not
+    * reference-equal to `quantized`. */
+  private[analytics] def resolveTrain(quantized: DataFrame, trainOn: Option[DataFrame],
                            fullTrain: Boolean, target: Long,
                            idCol: String, vecCol: String): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -211,9 +213,16 @@ object ProductQuantization {
         .select(col(idCol).as("vec_id"), Clustering.quantize(col(vecCol)).as("qi"))
         .persist(lvl)
       case None if fullTrain => quantized
-      case None => autoTrainSample(quantized, quantized.count(), target)
-        .map(_.persist(lvl)).getOrElse(quantized)
+      case None if !overTarget(quantized, target) => quantized
+      case None => autoTrainSample(quantized, target).persist(lvl)
     }
+  }
+
+  /** True iff `df` has more than `target` rows — evaluated with a bounded
+    * limit, never a full count. */
+  private[analytics] def overTarget(df: DataFrame, target: Long): Boolean = {
+    val probe = math.min(target + 1, Int.MaxValue.toLong - 1).toInt
+    df.limit(probe).count() > target
   }
 
   /** Query-side subspace distance tables from a query-restricted slice of

@@ -184,13 +184,9 @@ object Similarity {
     // corpus under them. At or below the target (every oracle/bench
     // corpus) the path is byte-identical full training.
     val trainSrc = trainOn.getOrElse {
-      if (fullTrain) corpus
-      else {
-        val n = corpus.count()
-        if (n <= trainSampleTarget) corpus
-        else corpus.orderBy(xxhash64(col(idCol)), col(idCol))
-          .limit(trainSampleTarget.toInt)
-      }
+      if (fullTrain || !ProductQuantization.overTarget(corpus, trainSampleTarget)) corpus
+      else corpus.orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(trainSampleTarget.toInt)
     }
     val cent = Clustering.trainedCentroids(trainSrc, centroidStep, idCol = idCol, vecCol = vecCol)
       .select(col("cid").as("centroid_id"), col("m"), col("nm"))
