@@ -39,6 +39,24 @@ object CompactScaleProbe {
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
 
+    /** (path -> size) map of every data file under `root` — mtime-free so
+      * two snapshots diff purely on rewrite. */
+    def snapshot(root: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(root)).map(f => f.getPath -> f.length()).toMap
+    }
+    /** Bytes in files present after but not before (rewritten/new), and
+      * total data bytes after — the construction-level proportionality
+      * quantity (compact TIME at small SF is dominated by the fixed
+      * affected-partition discovery scan + job overhead). */
+    def rewriteShare(before: Map[String, Long], after: Map[String, Long]): (Long, Long) = {
+      val rewritten = after.collect { case (p, sz) if !before.contains(p) => sz }.sum
+      (rewritten, after.values.sum)
+    }
+
     // ---- PqIndex: tombstone whole lists at increasing share ------------
     val emb = graft.Tables(spark, dir).embeddings
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -52,11 +70,18 @@ object CompactScaleProbe {
         .collect().map(_.getLong(0))
       val nAff = math.max(1, allLists.length * shpct / 100)
       val target = allLists.take(nAff).toSet
-      val victims = lists.filter(col("cid").isin(target.toSeq: _*)).select("vec_id")
+      // forget HALF of each affected list: the partitions must be
+      // REWRITTEN (survivors remain), not just deleted — the rewrite is
+      // the cost being measured
+      val victims = lists.filter(col("cid").isin(target.toSeq: _*) &&
+        col("vec_id") % 2 === 0).select("vec_id")
       PqIndex.forget(spark, idx, victims)
+      val before = snapshot(s"$idx/codes")
       val (_, tC) = timed(PqIndex.compact(spark, idx))
+      val (rw, tot) = rewriteShare(before, snapshot(s"$idx/codes"))
       lines += s"""{"index":"pq","sf":"$dir","lists_affected":$nAff,""" +
-        s""""lists_total":${allLists.length},"compact_s":${f3(tC)}}"""
+        s""""lists_total":${allLists.length},"compact_s":${f3(tC)},""" +
+        s""""bytes_rewritten":$rw,"bytes_total":$tot}"""
       println(lines.last)
     }
     emb.unpersist(): Unit
@@ -69,12 +94,17 @@ object CompactScaleProbe {
       val idx = java.nio.file.Files.createTempDirectory(s"cmp-dd-$nb").toString
       DedupIndex.build(docs, idx)
       val victims = docs
-        .filter(pmod(xxhash64(col("doc_id")), lit(16)) < nb)
+        .filter(pmod(xxhash64(col("doc_id")), lit(16)) < nb &&
+          col("doc_id") % 2 === 0) // half of each bucket -> real rewrites
         .select("doc_id")
       DedupIndex.forget(spark, idx, victims)
+      val before = snapshot(s"$idx/bands") ++ snapshot(s"$idx/shingles")
       val (_, tC) = timed(DedupIndex.compact(spark, idx))
+      val (rw, tot) = rewriteShare(before,
+        snapshot(s"$idx/bands") ++ snapshot(s"$idx/shingles"))
       lines += s"""{"index":"dedup","sf":"$dir","buckets_affected":$nb,""" +
-        s""""buckets_total":16,"compact_s":${f3(tC)}}"""
+        s""""buckets_total":16,"compact_s":${f3(tC)},""" +
+        s""""bytes_rewritten":$rw,"bytes_total":$tot}"""
       println(lines.last)
     }
     docs.unpersist(): Unit

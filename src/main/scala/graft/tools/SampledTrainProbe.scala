@@ -23,14 +23,24 @@ import graft.analytics.{PqIndex, ProductQuantization, Similarity}
   * brute-force ground truth — so the linearity claim AND the recall cost
   * are numbers, not arguments.
   *
-  * Usage: SampledTrainProbe [sfDir] [sampleTarget=50000] [nQueries=20]
+  * r13: pass `default` as sampleTarget to exercise the DEFAULT build
+  * policy (`PqIndex.build` with nothing passed — auto-engages the
+  * hash-ordered bounded sample above `TrainSampleTarget`, full-train
+  * below) with the default-derived `scaledNprobe(autoTrainN(n))` probe
+  * width, so the recall numbers describe exactly what a caller of the
+  * default API gets.
+  *
+  * Usage: SampledTrainProbe [sfDir] [sampleTarget=50000|default] [nQueries=20]
   * Env: SPARK_GRAFT_MASTER / SPARK_GRAFT_JARS / SPARK_GRAFT_EXEC_MEM /
   * SPARK_GRAFT_CPUS — same contract as graft.Bench (local-cluster runs).
   */
 object SampledTrainProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val target = if (args.length > 1) args(1).toLong else 50000L
+    val defaultMode = args.length > 1 && args(1) == "default"
+    val target =
+      if (defaultMode) ProductQuantization.TrainSampleTarget
+      else if (args.length > 1) args(1).toLong else 50000L
     val nQ = if (args.length > 2) args(2).toInt else 20
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
@@ -50,19 +60,30 @@ object SampledTrainProbe {
     val emb = graft.Tables(spark, dir).embeddings
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = emb.count()
-    val step = math.max(1L, n / target)
-    val sample = emb.filter(col("vec_id") % step === 0)
-    val sampleN = sample.count()
-    // bounded-sample capacities: constants once the sample size is fixed
-    val nlist = math.max(1L, sampleN / 25L)
-    val nprobe = math.max(1L, (nlist * 300L + 999L) / 1000L).toInt // share=0.3
+    val (sampleN, nprobe) =
+      if (defaultMode) {
+        val trainN = ProductQuantization.autoTrainN(n)
+        (trainN, ProductQuantization.scaledNprobe(trainN))
+      } else {
+        val step = math.max(1L, n / target)
+        val sN = emb.filter(col("vec_id") % step === 0).count()
+        // bounded-sample capacities: constants once the sample size is fixed
+        val nlist = math.max(1L, sN / 25L)
+        (sN, math.max(1L, (nlist * 300L + 999L) / 1000L).toInt) // share=0.3
+      }
     val depth = ProductQuantization.scaledDepth(n) // rescore width ∝ probed candidates
 
     val idx = java.nio.file.Files.createTempDirectory("sampled-train").toString
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
-    val (_, tBuild) = timed(PqIndex.build(emb, idx, trainOn = Some(sample)))
+    val (_, tBuild) = timed {
+      if (defaultMode) PqIndex.build(emb, idx) // the DEFAULT policy, verbatim
+      else {
+        val step = math.max(1L, n / target)
+        PqIndex.build(emb, idx, trainOn = Some(emb.filter(col("vec_id") % step === 0)))
+      }
+    }
 
     val queries = emb.filter(col("vec_id") < nQ)
     def pairs(df: DataFrame): Set[(Long, Long)] =
@@ -76,7 +97,9 @@ object SampledTrainProbe {
     def recall(s: Set[(Long, Long)]): Double = (s & truth).size.toDouble / truth.size
 
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val line = s"""{"sf":"$dir","n":$n,"sample":$sampleN,"nlist":$nlist,""" +
+    val nlist = math.max(1L, sampleN / 25L)
+    val mode = if (defaultMode) "default" else "trainOn"
+    val line = s"""{"sf":"$dir","mode":"$mode","n":$n,"sample":$sampleN,"nlist":$nlist,""" +
       s""""nprobe":$nprobe,"depth":$depth,"build_s":${f3(tBuild)},""" +
       s""""serve_raw_s":${f3(tRaw)},"serve_rescored_s":${f3(tResc)},""" +
       s""""recall_raw":${f3(recall(raw))},"recall_rescored":${f3(recall(resc))}}"""
