@@ -11,22 +11,72 @@ import org.apache.spark.sql.functions._
   *
   * On-disk layout under `dir`:
   *   - `postings/` (token, doc_id, tf, dl) PARTITIONED BY token hash
-  *     bucket — the inverted index, denormalized with the doc length so
-  *     scoring needs NO doc-table join.
+  *     bucket, token-SORTED within each bucket — the inverted index,
+  *     denormalized with the doc length so scoring needs NO doc-table
+  *     join.
   *   - `df/`    (token, df) — vocabulary-sized document frequencies.
-  *   - `stats/` one row (n, dl_sum) — corpus size and token mass.
+  *     Merge-on-read (sum over parts per token): appends add parts, and
+  *     [[forget]] appends NEGATIVE parts, so no mutation ever rewrites it.
+  *   - `stats/` (n, dl_sum) rows — corpus size and token mass, summed on
+  *     read under the same contract.
+  *   - `census/` (doc_id, dl) PARTITIONED BY doc-hash bucket — one tiny
+  *     row per doc INCLUDING token-less docs (they count toward n). Powers
+  *     exact [[forget]] stat adjustment and partition-scoped [[compact]].
   *
   * A query probes only its terms' buckets: the term list is hashed
   * DRIVER-side ([[Dedup.hash60Local]], bit-identical to the stored
   * bucketing) into a LITERAL partition filter, so the postings scan
   * statically prunes to |terms| of `buckets` directories — at 100 TB a
-  * query reads ~terms/buckets of the index and never the corpus.
+  * query reads ~terms/buckets of the index and never the corpus. Inside a
+  * bucket the token sort lets parquet page/row-group min-max stats prune
+  * further (measured in SearchIndexSpec).
+  *
+  * Right-to-be-forgotten (r13, completing the family contract): [[forget]]
+  * appends the doc ids to a tombstone set that [[query]] anti-joins out of
+  * the postings stream, and appends the exact NEGATIVE df/stats
+  * contributions of the forgotten docs — the merge-on-read sums then
+  * describe the corpus-minus-forgotten exactly, so a query after forget is
+  * bit-identical to a one-shot [[Search.bm25TopDocs]] over the filtered
+  * corpus (the `bm25_index_forget` oracle row IS `bm25_search`'s SQL with
+  * the same exclusion). [[compact]] reclaims space partition-scoped: only
+  * postings buckets / census doc-buckets containing tombstoned rows are
+  * rewritten. Re-appending a forgotten doc requires [[compact]] first
+  * (same contract as the twins).
   *
   * Determinism: tf/dl/df/idf and the fixed-order BM25 sum are the exact
   * expressions of [[Search.bm25TopDocs]], so querying a freshly built
   * index returns bit-identical rows (the `bm25_index_search` oracle row
   * IS `bm25_search`'s SQL). */
 object SearchIndex {
+
+  /** Census doc-hash partitioning width — bounds [[compact]] granularity
+    * (same role as [[DedupIndex.DocBuckets]]). */
+  private[analytics] val DocBuckets = 16
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def path(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** Marker left when [[compact]] empties every postings bucket while docs
+    * (blank ones) remain: a dir with zero partitions fails schema
+    * inference, so the empty state is explicit (same pattern as the
+    * twins). Underscore-prefixed → invisible to parquet file listing. */
+  private def emptyMarker(dir: String) = path(s"$dir/postings/_graft_empty")
+
+  private def readPostings(spark: SparkSession, dir: String): DataFrame =
+    if (fs(spark, emptyMarker(dir)).exists(emptyMarker(dir))) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType), StructField("dl", LongType),
+          StructField("token", StringType), StructField("tf", LongType),
+          StructField("bucket", IntegerType))))
+    } else spark.read.parquet(s"$dir/postings")
+
+  private def tombstoneIds(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = path(s"$dir/tombstones")
+    if (fs(spark, p).exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
 
   private def writeIndex(docs: DataFrame, dir: String, buckets: Int,
                          mode: String, idCol: String, textCol: String): Unit = {
@@ -50,52 +100,184 @@ object SearchIndex {
       .write.mode(mode).partitionBy("bucket").parquet(s"$dir/postings")
     postings.groupBy("token").agg(count(lit(1)).as("df"))
       .write.mode(mode).parquet(s"$dir/df")
-    // stats cover ALL docs (a blank doc has no postings but still counts
-    // toward n and dl_sum — same census bm25TopDocs takes)
-    docs.select(size(toks).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("dl_sum"))
+    // census covers ALL docs (a blank doc has no postings but still counts
+    // toward n and dl_sum); stats derive from it — same census
+    // bm25TopDocs takes
+    val census = docs
+      .select(col(idCol).cast("long").as("doc_id"), size(toks).cast("long").as("dl"))
+      .withColumn("dbucket", pmod(xxhash64(col("doc_id")), lit(DocBuckets)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    census.repartition(col("dbucket"))
+      .write.mode(mode).partitionBy("dbucket").parquet(s"$dir/census")
+    census.agg(count(lit(1)).as("n"), sum(col("dl")).as("dl_sum"))
       .write.mode(mode).parquet(s"$dir/stats")
-    postings.unpersist(): Unit
+    // clear the all-buckets-emptied marker only AFTER real postings exist
+    // (reader-safe ordering, same as the twins)
+    val wrotePostings = !postings.isEmpty
+    census.unpersist(); postings.unpersist()
+    val mp = emptyMarker(dir)
+    val mf = fs(docs.sparkSession, mp)
+    if (wrotePostings && mf.exists(mp)) mf.delete(mp, false): Unit
   }
 
-  /** Tokenize once; write postings, document frequencies, corpus stats. */
+  /** Tokenize once; write postings, document frequencies, census, stats. */
   def build(docs: DataFrame, dir: String, buckets: Int = 64,
             idCol: String = "doc_id", textCol: String = "text"): Unit =
     IndexLock.withLock(docs.sparkSession, dir) {
       writeIndex(docs, dir, buckets, "overwrite", idCol, textCol)
     }
 
-  /** Append a shard: its postings, df increments, and stats increment are
-    * written as new parts, and [[query]] MERGES them on read (sum over df
-    * parts per token, sum over stats parts). BM25 has no trained state —
-    * unlike [[PqIndex.append]] there is nothing to go stale, so after any
-    * append sequence a query is EXACTLY a one-shot build of the union
-    * (SearchIndexSpec proves it against [[Search.bm25TopDocs]]). */
+  /** Append a shard: its postings, df increments, census rows, and stats
+    * increment are written as new parts, and [[query]] MERGES them on read
+    * (sum over df parts per token, sum over stats parts). BM25 has no
+    * trained state — unlike [[PqIndex.append]] there is nothing to go
+    * stale, so after any append sequence a query is EXACTLY a one-shot
+    * build of the union (SearchIndexSpec proves it against
+    * [[Search.bm25TopDocs]]). */
   def append(delta: DataFrame, dir: String, buckets: Int = 64,
              idCol: String = "doc_id", textCol: String = "text"): Unit =
     IndexLock.withLock(delta.sparkSession, dir) {
       writeIndex(delta, dir, buckets, "append", idCol, textCol)
     }
 
+  /** Delete docs from the index without rewriting it. Appends (a) the ids
+    * to the tombstone set [[query]] anti-joins out of the postings stream,
+    * and (b) the docs' EXACT negative df / n / dl_sum contributions as
+    * ordinary merge-on-read parts — so every statistic a later query reads
+    * equals a fresh build of corpus-minus-forgotten, and the ranking is
+    * bit-identical to [[Search.bm25TopDocs]] over the filtered corpus
+    * (`bm25_index_forget` oracle). Delete cost: one census semi-join (the
+    * forgotten rows) plus one column-pruned postings pass for their df
+    * contributions — no rewrite; space is reclaimed lazily by [[compact]].
+    * Ids already tombstoned or absent from the index are ignored (no
+    * double-subtraction). Re-appending a forgotten id requires [[compact]]
+    * first (the tombstone would keep suppressing its postings). */
+  def forget(spark: SparkSession, dir: String, ids: DataFrame,
+             idCol: String = "doc_id"): Unit =
+    IndexLock.withLock(spark, dir) {
+      val censusPath = path(s"$dir/census")
+      if (!fs(spark, censusPath).exists(censusPath))
+        throw new IllegalStateException(s"BM25 index at $dir has no census/ " +
+          "(built before right-to-be-forgotten support); rebuild it with SearchIndex.build")
+      val cand0 = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      val cand = tombstoneIds(spark, dir)
+        .fold(cand0)(t => cand0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      val present = spark.read.parquet(s"$dir/census")
+        .join(broadcast(cand), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("dl"))
+        .localCheckpoint(true) // |ids|-bounded
+      if (!present.isEmpty) {
+        // ids FIRST: a lock-free reader between these appends sees the
+        // docs already excluded with momentarily stale-high df — monotone
+        // (a forgotten doc never reappears); the reverse order could rank
+        // a forgotten doc under already-lowered stats
+        present.select("doc_id").write.mode("append").parquet(s"$dir/tombstones")
+        readPostings(spark, dir)
+          .join(broadcast(present.select("doc_id")), Seq("doc_id"), "left_semi")
+          .groupBy("token").agg((count(lit(1)) * -1L).as("df"))
+          .write.mode("append").parquet(s"$dir/df")
+        present.agg((count(lit(1)) * -1L).as("n"), (sum(col("dl")) * -1L).as("dl_sum"))
+          .write.mode("append").parquet(s"$dir/stats")
+      }
+    }
+
+  /** Rewrite ONLY the postings buckets / census doc-buckets containing
+    * tombstoned rows and clear the tombstone set (partition-scoped, the
+    * family contract — see [[PqIndex.compact]]). The df/stats negative
+    * parts written by [[forget]] are already permanent merge-on-read
+    * state, so compaction folds nothing: queries before and after return
+    * identical rows (SearchIndexSpec). */
+  def compact(spark: SparkSession, dir: String): Unit =
+    IndexLock.withLock(spark, dir) {
+      tombstoneIds(spark, dir).foreach { tomb =>
+        val t = broadcast(tomb)
+        val postRoot = path(s"$dir/postings")
+        val f = fs(spark, postRoot)
+        // affected postings buckets: column-pruned semi-join (bucket +
+        // doc_id only)
+        val affected = readPostings(spark, dir)
+          .join(t, Seq("doc_id"), "left_semi")
+          .select(col("bucket").cast("long")).distinct()
+          .collect().map(_.getLong(0))
+        if (affected.nonEmpty) {
+          val surv = readPostings(spark, dir)
+            .filter(col("bucket").isin(affected.toSeq: _*))
+            .join(t, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true) // affected buckets only
+          val survB = surv.select(col("bucket").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          if (survB.nonEmpty)
+            surv.repartition(col("bucket"))
+              .sortWithinPartitions(col("bucket"), col("token"), col("doc_id"))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("bucket").parquet(s"$dir/postings")
+          val emptied = affected.filterNot(survB).map(b => s"bucket=$b").toSet
+          val allBuckets = f.listStatus(postRoot).map(_.getPath.getName)
+            .filter(_.startsWith("bucket=")).toSet
+          val becomesEmpty = survB.isEmpty && allBuckets.subsetOf(emptied)
+          if (becomesEmpty) // marker BEFORE data removal (reader-safe)
+            fs(spark, emptyMarker(dir)).create(emptyMarker(dir), true).close()
+          emptied.foreach(name => f.delete(path(s"$dir/postings/$name"), true): Unit)
+        }
+        // census: affected doc-buckets are a pure function of the ids
+        val cb = tomb.select(
+            pmod(xxhash64(col("doc_id")), lit(DocBuckets)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0))
+        val censusRoot = path(s"$dir/census")
+        if (cb.nonEmpty && fs(spark, censusRoot).exists(censusRoot)) {
+          val cSurv = spark.read.parquet(s"$dir/census")
+            .filter(col("dbucket").isin(cb.toSeq: _*))
+            .join(t, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          val survCb = cSurv.select(col("dbucket").cast("int")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          if (survCb.nonEmpty)
+            cSurv.repartition(col("dbucket"))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("dbucket").parquet(s"$dir/census")
+          val cf = fs(spark, censusRoot)
+          cb.filterNot(survCb).foreach(b =>
+            cf.delete(path(s"$dir/census/dbucket=$b"), true): Unit)
+        }
+        val p = path(s"$dir/tombstones")
+        fs(spark, p).delete(p, true): Unit
+      }
+    }
+
   /** BM25 top-k from the stored index — output schema and values match
-    * [[Search.bm25TopDocs]] exactly for the same terms and k. */
+    * [[Search.bm25TopDocs]] exactly for the same terms and k (over the
+    * corpus minus any [[forget]]-tombstoned docs). */
   def query(spark: SparkSession, dir: String, queryTerms: Seq[String], k: Int,
             buckets: Int = 64, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms == queryTerms.sorted,
       "queryTerms must be non-empty and sorted (fixed summation order is the determinism contract)")
     // merge-on-read across appended parts: one stats row / df row per
-    // build-or-append, summed here (tiny: parts × |terms| rows)
+    // build-or-append (negative ones per forget), summed here
     val st = spark.read.parquet(s"$dir/stats")
       .agg(sum(col("n")).as("n"), sum(col("dl_sum")).as("dl_sum")).head()
     val n = st.getAs[Long]("n")
+    if (n <= 0L) {
+      // every doc forgotten: nothing can rank (avgdl is undefined)
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType), StructField("dl", LongType)) ++
+          queryTerms.map(t => StructField(s"tf_$t", LongType)) :+
+          StructField("score", DoubleType)))
+    }
     val avgdl = st.getAs[Long]("dl_sum").toDouble / n
     val dfMap = spark.read.parquet(s"$dir/df")
       .filter(col("token").isin(queryTerms: _*))
       .groupBy("token").agg(sum(col("df")).as("df"))
       .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
     val probed = queryTerms.map(t => Dedup.hash60Local(t) % buckets).distinct
-    val post = spark.read.parquet(s"$dir/postings")
+    val post0 = readPostings(spark, dir)
       .filter(col("bucket").isin(probed: _*) && col("token").isin(queryTerms: _*))
+    // forgotten docs' rows never reach the pivot (their df/n/dl_sum
+    // contributions are already subtracted by the negative parts)
+    val post = tombstoneIds(spark, dir)
+      .fold(post0)(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
     val tfCols = queryTerms.map(t =>
       coalesce(max(when(col("token") === t, col("tf"))), lit(0L)).as(s"tf_$t"))
     val pivoted = post.groupBy("doc_id", "dl").agg(tfCols.head, tfCols.tail: _*)

@@ -2757,6 +2757,14 @@ object AnalyticsOracles {
     // the persisted BM25 index reproduces the one-shot ranking exactly for
     // the same terms and k, so it shares that oracle verbatim
     ("bm25_index_search" -> base("bm25_search")) +
+    // right-to-be-forgotten over the persisted BM25 index: forgotten docs
+    // (doc_id % 5 == 2) are anti-joined out of the postings and their
+    // exact df/n/dl_sum contributions subtracted via negative parts, so
+    // the ranking IS the one-shot BM25 over the filtered corpus — derived
+    // from the batch oracle by construction
+    ("bm25_index_forget" -> base("bm25_search").replace(
+      "FROM documents))",
+      "FROM documents WHERE doc_id % 5 <> 2))")) +
     // incremental dedup against the persisted index = the batch MinHash
     // pairs restricted to those touching the delta (higher id past the
     // history/delta split) — derived from the batch oracle by construction

@@ -553,6 +553,23 @@ object AnalyticsQueries {
       queryTerms = Seq("data", "fast", "query"), k = 20)
   }
 
+  /** Right-to-be-forgotten over the persisted BM25 index: build on the
+    * full corpus, [[graft.analytics.SearchIndex.forget]] every doc with
+    * doc_id % 5 == 2, then query — the tombstoned docs' postings are
+    * anti-joined out and their exact negative df/n/dl_sum contributions are
+    * merge-on-read parts, so the ranking is bit-identical to a one-shot
+    * BM25 over the filtered corpus (the oracle is `bm25_search`'s SQL with
+    * the same exclusion). */
+  def bm25IndexForget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val idx = scratchIndexDir("searchindex-forget")
+    graft.analytics.SearchIndex.build(docs, idx)
+    graft.analytics.SearchIndex.forget(spark, idx,
+      docs.filter(col("doc_id") % 5 === 2).select("doc_id"))
+    graft.analytics.SearchIndex.query(spark, idx,
+      queryTerms = Seq("data", "fast", "query"), k = 20)
+  }
+
   /** Hybrid retrieval: RRF-fuse the dense cosine top-50 for query vector 0
     * with the BM25 top-50 for the standard query terms. Both legs are
     * k-sized before fusion; the no-partition rank window runs over a ≤50-row
@@ -1610,6 +1627,7 @@ object AnalyticsQueries {
     "tfidf_top_terms"  -> (tfidfTopTerms(_, _)),
     "bm25_search"      -> (bm25Search(_, _)),
     "bm25_index_search" -> (bm25IndexSearch(_, _)),
+    "bm25_index_forget" -> (bm25IndexForget(_, _)),
     "search_rrf"       -> (searchRrf(_, _)),
     "dsir_weights"     -> (dsirWeights(_, _)),
     "text_collocations" -> (textCollocations(_, _)),

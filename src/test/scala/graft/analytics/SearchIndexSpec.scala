@@ -56,6 +56,92 @@ class SearchIndexSpec extends SparkSpec {
     assert(fromIndex == want)
   }
 
+  // ---------------- right-to-be-forgotten lifecycle (r13) ----------------
+
+  private def files(dir: String): Set[(String, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(walk)
+    }
+    walk(new java.io.File(dir)).map(f => (f.getPath, f.length())).toSet
+  }
+
+  test("forget equals a one-shot scorer over the filtered corpus, exactly") {
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+    val dir = Files.createTempDirectory("searchidx-forget").toString
+    SearchIndex.build(docs, dir)
+    val victims = docs.filter(col("doc_id") % 5 === 2).select("doc_id")
+    SearchIndex.forget(spark, dir, victims)
+    val terms = Seq("data", "fast", "query")
+    val got = rows(SearchIndex.query(spark, dir, terms, k = 20))
+    val oneShot = Search.bm25TopDocs(docs.filter(col("doc_id") % 5 =!= 2), terms, k = 20)
+    val want = rows(oneShot)
+    oneShot.unpersist(): Unit
+    assert(got.nonEmpty && got == want,
+      "forget must adjust df/n/dl_sum exactly, not just hide postings")
+    // idempotence: re-forgetting the same ids (plus unknown ids) must not
+    // double-subtract the statistics
+    import spark.implicits._
+    SearchIndex.forget(spark, dir, victims.union(Seq(999999999L).toDF("doc_id")))
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)) == want)
+  }
+
+  test("compact is partition-scoped and preserves answers; no-op compact touches nothing") {
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+    val dir = Files.createTempDirectory("searchidx-compact").toString
+    SearchIndex.build(docs, dir)
+    val terms = Seq("data", "fast", "query")
+    // forget a couple of docs that DO carry postings for the query terms
+    val hit = SearchIndex.query(spark, dir, terms, k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).take(2)
+    import spark.implicits._
+    SearchIndex.forget(spark, dir, hit.toSeq.toDF("doc_id"))
+    val afterForget = rows(SearchIndex.query(spark, dir, terms, k = 20))
+    // buckets the tombstoned docs touch (from their postings rows)
+    val tombBuckets = spark.read.parquet(s"$dir/postings")
+      .filter(col("doc_id").isin(hit.map(Long.box).toSeq: _*))
+      .select(col("bucket").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    val allBuckets = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName.stripPrefix("bucket=").toLong).toSet
+    assert(tombBuckets.nonEmpty && (allBuckets -- tombBuckets).nonEmpty,
+      "fixture needs touched and untouched buckets")
+    val untouchedBefore = (allBuckets -- tombBuckets).map(b => files(s"$dir/postings/bucket=$b"))
+    SearchIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val untouchedAfter = (allBuckets -- tombBuckets).map(b => files(s"$dir/postings/bucket=$b"))
+    assert(untouchedAfter == untouchedBefore,
+      "compact must not touch buckets without tombstoned postings")
+    // rewritten buckets no longer contain the forgotten docs
+    val left = spark.read.parquet(s"$dir/postings").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(hit.forall(!left.contains(_)))
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)) == afterForget)
+    // tombstone-free compact is a byte-level no-op (lock diagnostics aside)
+    val snap = files(dir).filterNot(f => f._1.contains("_lock"))
+    SearchIndex.compact(spark, dir)
+    assert(files(dir).filterNot(f => f._1.contains("_lock")) == snap)
+  }
+
+  test("all-forgotten index queries empty and revives on append after compact") {
+    val docs = graft.Tables(spark, sf("sf0.01")).documents.limit(50)
+      .localCheckpoint(true)
+    val dir = Files.createTempDirectory("searchidx-empty").toString
+    SearchIndex.build(docs, dir)
+    val terms = Seq("data", "fast", "query")
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)).nonEmpty)
+    SearchIndex.forget(spark, dir, docs.select("doc_id"))
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)).isEmpty)
+    SearchIndex.compact(spark, dir)
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)).isEmpty)
+    // re-appending after compact: the index equals a fresh build
+    SearchIndex.append(docs, dir)
+    val got = rows(SearchIndex.query(spark, dir, terms, k = 20))
+    val oneShot = Search.bm25TopDocs(docs, terms, k = 20)
+    val want = rows(oneShot)
+    oneShot.unpersist(): Unit
+    assert(got == want)
+  }
+
   test("token-sorted postings prune INSIDE buckets: fewer rows read than an unsorted twin") {
     // small parquet pages so min-max (column-index) pruning is observable
     // at spec scale (production files carry many pages/row groups per
