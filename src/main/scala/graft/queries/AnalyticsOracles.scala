@@ -2765,6 +2765,13 @@ object AnalyticsOracles {
     ("bm25_index_forget" -> base("bm25_search").replace(
       "FROM documents))",
       "FROM documents WHERE doc_id % 5 <> 2))")) +
+    // right-to-be-forgotten over the persisted CDC index: the reachable
+    // hash set is history minus the forgotten docs' attribution rows, so
+    // the oracle is the admit SQL with the same exclusion inside hh —
+    // derived by construction
+    ("cdc_index_forget" -> base("dedup_cdc_admit").replace(
+      "hh AS (SELECT DISTINCT h FROM occ CROSS JOIN spl WHERE doc_id <= s)",
+      "hh AS (SELECT DISTINCT h FROM occ CROSS JOIN spl WHERE doc_id <= s AND doc_id % 5 <> 0)")) +
     // incremental dedup against the persisted index = the batch MinHash
     // pairs restricted to those touching the delta (higher id past the
     // history/delta split) — derived from the batch oracle by construction

@@ -1352,6 +1352,25 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Right-to-be-forgotten over the persisted CDC chunk index: build on
+    * history, [[graft.analytics.CdcIndex.forget]] every history doc with
+    * doc_id % 5 == 0, then screen the delta — the forgotten docs' chunk
+    * rows leave the reachable hash set (attribution-exact: a chunk also
+    * carried by a surviving history doc keeps matching), so the verdicts
+    * equal screening against history-minus-forgotten. Oracle = the
+    * `dedup_cdc_admit` SQL with the same history exclusion. */
+  def cdcIndexForget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val idx = scratchIndexDir("cdcindex-forget")
+    graft.analytics.CdcIndex.build(docs.filter(col("doc_id") <= mid), idx)
+    graft.analytics.CdcIndex.forget(spark, idx,
+      docs.filter(col("doc_id") <= mid && col("doc_id") % 5 === 0).select("doc_id"))
+    graft.analytics.CdcIndex
+      .screenDelta(spark, idx, docs.filter(col("doc_id") > mid))
+      .orderBy(col("doc_id"))
+  }
+
   /** Build/serve split of the four index-lifecycle benchmarks (VERDICT r10
     * #6): the oracled `queries` entries above time a FULL lifecycle
     * (param derivation + build + partitioned write + probe) as one number,
@@ -1593,6 +1612,7 @@ object AnalyticsQueries {
     "dedup_cdc_rewrite" -> (dedupCdcRewrite(_, _)),
     "pack_fim"         -> (packFim(_, _)),
     "dedup_cdc_admit"  -> (dedupCdcAdmit(_, _)),
+    "cdc_index_forget" -> (cdcIndexForget(_, _)),
     "curate_threshold_sweep" -> (curateThresholdSweep(_, _)),
     "text_gopher_gates" -> (textGopherGates(_, _)),
     "text_winnow"      -> (textWinnow(_, _)),

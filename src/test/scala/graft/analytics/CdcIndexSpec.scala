@@ -71,6 +71,72 @@ class CdcIndexSpec extends SparkSpec {
     assert(v2(21L)._1 && v2(21L)._2 == 0L)
   }
 
+  test("forget is attribution-exact: only content carried solely by forgotten docs stops matching") {
+    val onlyA = (0 until 80).map(i => s"a$i").mkString(" ")
+    val shared = (0 until 80).map(i => s"s$i").mkString(" ")
+    val idx = tmp("cdcidx-forget")
+    // docs 1 (onlyA) and 2,3 (both carry shared content)
+    CdcIndex.build(Seq((1L, onlyA), (2L, shared), (3L, shared)).toDF("doc_id", "text"), idx)
+    def screen(): Map[Long, Long] =
+      CdcIndex.screenDelta(spark, idx, Seq((10L, onlyA), (11L, shared)).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("dup_permille")).toMap
+    val before = screen()
+    assert(before(10L) == 1000L && before(11L) == 1000L)
+    // forget doc 1: onlyA content becomes novel again
+    CdcIndex.forget(spark, idx, Seq(1L).toDF("doc_id"))
+    val afterA = screen()
+    assert(afterA(10L) == 0L, "content carried only by the forgotten doc must stop matching")
+    assert(afterA(11L) == 1000L, "content also carried by surviving docs must keep matching")
+    // forget doc 2: doc 3 still carries the shared content
+    CdcIndex.forget(spark, idx, Seq(2L).toDF("doc_id"))
+    assert(screen()(11L) == 1000L)
+    // forget doc 3 too: now nothing carries it
+    CdcIndex.forget(spark, idx, Seq(3L).toDF("doc_id"))
+    assert(screen()(11L) == 0L)
+  }
+
+  test("compact is partition-scoped, preserves screens, clears tombstones; all-forgotten empties the store") {
+    val mk = (pfx: String) => (0 until 200).map(i => s"$pfx$i").mkString(" ")
+    val idx = tmp("cdcidx-compact")
+    CdcIndex.build(Seq((1L, mk("a")), (2L, mk("b")), (3L, mk("c"))).toDF("doc_id", "text"), idx)
+    CdcIndex.forget(spark, idx, Seq(1L).toDF("doc_id"))
+    def screen(): Map[Long, Long] =
+      CdcIndex.screenDelta(spark, idx,
+          Seq((10L, mk("a")), (11L, mk("b"))).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("dup_permille")).toMap
+    val afterForget = screen()
+    assert(afterForget(10L) == 0L && afterForget(11L) == 1000L)
+    // untouched buckets (no doc-1 rows) must stay byte-identical
+    val tombBuckets = spark.read.parquet(s"$idx/chunks")
+      .filter(col("doc_id") === 1L)
+      .select(col("bucket").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    def files(dir: String): Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(dir)).map(f => (f.getPath, f.length())).toSet
+    }
+    val allBuckets = new java.io.File(s"$idx/chunks").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName.stripPrefix("bucket=").toLong).toSet
+    val untouched = allBuckets -- tombBuckets
+    assert(untouched.nonEmpty, "fixture needs untouched buckets")
+    val before = untouched.map(b => files(s"$idx/chunks/bucket=$b"))
+    CdcIndex.compact(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones").exists())
+    assert(untouched.map(b => files(s"$idx/chunks/bucket=$b")) == before)
+    assert(spark.read.parquet(s"$idx/chunks").filter(col("doc_id") === 1L).count() == 0L)
+    assert(screen() == afterForget, "compact must not change screening verdicts")
+    // all-forgotten: the store empties and screens still run (all novel)
+    CdcIndex.forget(spark, idx, Seq(2L, 3L).toDF("doc_id"))
+    CdcIndex.compact(spark, idx)
+    val cleared = screen()
+    assert(cleared(10L) == 0L && cleared(11L) == 0L)
+    // and the index accepts new content afterwards
+    CdcIndex.append(Seq((4L, mk("b"))).toDF("doc_id", "text"), idx)
+    assert(screen()(11L) == 1000L)
+  }
+
   test("streaming foreachBatch ingest admits exactly what sequential ingest admits") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.streaming.Trigger
