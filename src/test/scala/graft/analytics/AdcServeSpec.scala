@@ -43,4 +43,23 @@ class AdcServeSpec extends SparkSpec {
     assert(locs.exists(_.contains("/codebooks")))
     assert(locs.count(_.contains("embeddings")) <= 1)
   }
+
+  test("the split survives the sampled-training default: build/serve equals sampled one-shot") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val target = 100L // force the bounded-sample branch on the 500-vec corpus
+    val oneShot = ProductQuantization.adcTopK(emb, queries, k = 5,
+      trainSampleTarget = target)
+    val want = rows(oneShot)
+    oneShot.unpersist()
+    val dir = Files.createTempDirectory("adc-split-sampled").toString
+    ProductQuantization.adcBuild(emb, dir, trainSampleTarget = target)
+    assert(PqIndex.trainedMode(spark, dir) == "sampled",
+      "above the target the default policy must engage the sampled branch")
+    val got = rows(ProductQuantization.adcServe(spark, dir, queries, k = 5))
+    assert(got.nonEmpty && got == want)
+    // the stored codes still cover the FULL corpus (encoded under the
+    // sampled quantizer), not just the training sample
+    assert(spark.read.parquet(s"$dir/codes").count() == emb.count())
+  }
 }
