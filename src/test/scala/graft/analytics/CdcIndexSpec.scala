@@ -137,6 +137,54 @@ class CdcIndexSpec extends SparkSpec {
     assert(screen()(11L) == 1000L)
   }
 
+  test("streaming ingest→forget→ingest admits exactly what the batch interleave admits") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val mk = (pfx: String) => (0 until 150).map(i => s"$pfx$i").mkString(" ")
+    val history = Seq((1L, mk("a")), (2L, mk("b"))).toDF("doc_id", "text")
+    val s1 = Seq((10L, mk("c"))).toDF("doc_id", "text")
+    val s2 = Seq((20L, mk("a")), (21L, mk("b"))).toDF("doc_id", "text")
+    def admitted(df: DataFrame): Set[Long] =
+      df.filter(col("admit")).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // sequential twin: ingest s1, forget doc 1, ingest s2 — the copy of the
+    // FORGOTTEN content (20) is admitted, the copy of surviving content
+    // (21) is rejected
+    val idxSeq = tmp("cdcseq-f")
+    CdcIndex.build(history, idxSeq)
+    val want = admitted(CdcIndex.ingest(spark, idxSeq, s1)) ++ {
+      CdcIndex.forget(spark, idxSeq, Seq(1L).toDF("doc_id"))
+      admitted(CdcIndex.ingest(spark, idxSeq, s2))
+    }
+    assert(want == Set(10L, 20L), s"fixture: forget must flip doc 20's verdict, got $want")
+
+    // streaming twin: same shards as file drops, the forget fired between
+    // the micro-batches (keyed on batchId — AvailableNow + 1 file/trigger
+    // + distinct mtimes make the order deterministic)
+    val (srcDir, ckpt, outDir) = (tmp("cdcsrc-f"), tmp("cdcckpt-f"), tmp("cdcout-f"))
+    s1.repartition(1).write.parquet(s"$srcDir/d0")
+    Thread.sleep(1500)
+    s2.repartition(1).write.parquet(s"$srcDir/d1")
+    val idxStream = tmp("cdcstream-f")
+    CdcIndex.build(history, idxStream)
+    val q = spark.readStream.schema(s1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/d*")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        if (batchId == 1L) {
+          import b.sparkSession.implicits._
+          CdcIndex.forget(b.sparkSession, idxStream, Seq(1L).toDF("doc_id"))
+        }
+        CdcIndex.ingest(b.sparkSession, idxStream, b)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination(180000)
+    assert(admitted(spark.read.parquet(outDir)) == want)
+  }
+
   test("streaming foreachBatch ingest admits exactly what sequential ingest admits") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.streaming.Trigger
