@@ -321,7 +321,14 @@ object DedupIndex {
     * band index) plus delta-internal, both exact-Jaccard verified. History
     * is never rescanned — its bands are probed by join and its shingle
     * sets are loaded for verified candidates only. Assumes delta ids are
-    * new (disjoint from the index). */
+    * new (disjoint from the index).
+    *
+    * The verify stage's shingle read is deliberately NOT dbucket-pruned:
+    * with [[DocBuckets]] = 16 buckets any realistic candidate set touches
+    * most of them (the expected distinct-bucket count saturates after a
+    * few dozen candidates), so the pruning filter would buy nothing while
+    * costing an extra candidate materialization pass. The partition level
+    * exists for [[compact]] scoping, not probe pruning. */
   def dedupDelta(spark: SparkSession, dir: String, delta: DataFrame,
                  minJaccard: Double,
                  bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,

@@ -1,0 +1,34 @@
+#!/usr/bin/env python3
+"""Assemble a BENCH_LOCAL_r{N}.json regression baseline (per-query MEDIAN
+of quiet closing runs) from full-map bench artifacts — the generalized
+successor of baseline_r12.py (which this supersedes for r14+).
+
+Usage: baseline_median.py "<method note>" run1.json run2.json [run3.json ...]
+       > BENCH_LOCAL_rN.json
+
+Fails loudly when the runs' query key sets differ (a query missing from any
+run must not silently fall out of the regression baseline — ADVICE r12).
+Pair with tools/baseline_swap.py to regenerate the Bench.baselinePrev map.
+"""
+import sys, json, statistics
+
+if len(sys.argv) < 4:
+    sys.exit(__doc__)
+method = sys.argv[1]
+runs = [json.load(open(p))["queries"] for p in sys.argv[2:]]
+union = set().union(*runs)
+inter = set(runs[0])
+for r in runs[1:]:
+    inter &= set(r)
+if union != inter:
+    sys.exit(f"key sets differ across runs; missing somewhere: {sorted(union - inter)}")
+med = {k: statistics.median([r[k] for r in runs]) for k in sorted(inter)}
+out = {
+    "metric": "total",
+    "value": sum(med.values()),
+    "unit": "sec",
+    "queries": med,
+    "method": method,
+    "sf": "/root/testdata/sf0.1",
+}
+print(json.dumps(out, indent=1))
