@@ -76,6 +76,10 @@ object CdcIndex {
       hashes(docs, w, modulus, idCol, textCol)
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/chunks")
+      // a REBUILD resets the index completely: stale tombstones from a
+      // pre-rebuild [[forget]] must not keep suppressing the fresh corpus
+      val tp = path(s"$dir/tombstones")
+      fs(docs.sparkSession, tp).delete(tp, true): Unit
     }
 
   private def appendUnlocked(delta: DataFrame, dir: String, w: Int, modulus: Int,

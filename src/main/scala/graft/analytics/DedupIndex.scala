@@ -104,6 +104,10 @@ object DedupIndex {
             idCol: String = "doc_id", textCol: String = "text"): Unit =
     IndexLock.withLock(docs.sparkSession, dir) {
       writeIndex(docs, dir, bands, rowsPerBand, n, idCol, textCol, "overwrite")
+      // a REBUILD resets the index completely: stale tombstones from a
+      // pre-rebuild [[forget]] must not keep suppressing the fresh corpus
+      val tp = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      fs(docs.sparkSession, tp).delete(tp, true): Unit
     }
 
   /** Append a shard to the index (no dedup — compose with [[dedupDelta]]

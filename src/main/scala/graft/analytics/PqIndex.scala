@@ -206,6 +206,9 @@ object PqIndex {
     writeMeta(emb.sparkSession, dir, m, subDim,
       trained = if (trainOn.nonEmpty) "explicit"
                 else if (subsetTrain) "sampled" else "full")
+    // a REBUILD resets the index completely: stale tombstones from a
+    // pre-rebuild [[forget]] must not keep suppressing the fresh corpus
+    clearTombstones(emb.sparkSession, dir)
     subs.unpersist(); cents1.unpersist(); codesTrain.unpersist()
     if (subsetTrain) quantizedTrain.unpersist()
     quantized.unpersist(): Unit
@@ -320,6 +323,11 @@ object PqIndex {
         fs(spark, p).delete(p, true): Unit
       }
     }
+
+  private def clearTombstones(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    fs(spark, p).delete(p, true): Unit
+  }
 
   /** The tombstone id set, if any forgets happened since the last
     * [[compact]] — None on the common path, so untombstoned indexes pay

@@ -125,6 +125,11 @@ object SearchIndex {
             idCol: String = "doc_id", textCol: String = "text"): Unit =
     IndexLock.withLock(docs.sparkSession, dir) {
       writeIndex(docs, dir, buckets, "overwrite", idCol, textCol)
+      // a REBUILD resets the index completely (the overwrite already
+      // replaced df/stats wholesale, negative parts included): stale
+      // tombstones must not keep suppressing the fresh corpus
+      val tp = path(s"$dir/tombstones")
+      fs(docs.sparkSession, tp).delete(tp, true): Unit
     }
 
   /** Append a shard: its postings, df increments, census rows, and stats
@@ -133,11 +138,22 @@ object SearchIndex {
     * trained state — unlike [[PqIndex.append]] there is nothing to go
     * stale, so after any append sequence a query is EXACTLY a one-shot
     * build of the union (SearchIndexSpec proves it against
-    * [[Search.bm25TopDocs]]). */
+    * [[Search.bm25TopDocs]]). Tombstoned ids in the delta are DROPPED
+    * (not suppressed-but-counted — see the body comment); compact first to
+    * re-admit a forgotten id. */
   def append(delta: DataFrame, dir: String, buckets: Int = 64,
              idCol: String = "doc_id", textCol: String = "text"): Unit =
     IndexLock.withLock(delta.sparkSession, dir) {
-      writeIndex(delta, dir, buckets, "append", idCol, textCol)
+      // a TOMBSTONED id in the delta is dropped, not written: unlike the
+      // twins (where suppressed rows are harmless), its postings would be
+      // anti-joined away while its df/n/dl_sum additions skewed every
+      // other doc's score — the only stats-exact append semantics is to
+      // ignore it until [[compact]] (the documented re-admission contract)
+      val spark = delta.sparkSession
+      val cleaned = tombstoneIds(spark, dir).fold(delta)(t =>
+        delta.join(broadcast(t.withColumnRenamed("doc_id", "__tomb_id")),
+          delta(idCol).cast("long") === col("__tomb_id"), "left_anti"))
+      writeIndex(cleaned, dir, buckets, "append", idCol, textCol)
     }
 
   /** Delete docs from the index without rewriting it. Appends (a) the ids

@@ -314,6 +314,91 @@ class CompactionSpec extends SparkSpec {
     assert(pairSet(DedupIndex.dedupDelta(spark, idx, delta, minJaccard = 0.5)) == beforePairs)
   }
 
+  test("a REBUILD clears stale tombstones in every persisted index") {
+    import spark.implicits._
+    // PqIndex: forget, rebuild, the forgotten vector ranks again
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val pqDir = Files.createTempDirectory("rebuild-pq").toString
+    PqIndex.build(emb, pqDir)
+    val queries = emb.filter(col("vec_id") < 3)
+    val ids = PqIndex.query(spark, pqDir, queries, k = 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val victim = ids.head
+    PqIndex.forget(spark, pqDir, Seq(victim).toDF("vec_id"))
+    PqIndex.build(emb, pqDir) // rebuild over the forgotten index
+    assert(PqIndex.query(spark, pqDir, queries, k = 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet.contains(victim),
+      "a rebuild must reset tombstones - the fresh corpus is all live")
+
+    // DedupIndex: forget, rebuild, the forgotten doc matches again
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val h = docs.agg(min("doc_id")).head().getLong(0)
+    val ddDir = Files.createTempDirectory("rebuild-dd").toString
+    DedupIndex.build(docs.filter(col("doc_id") < 50), ddDir)
+    val probe = docs.filter(col("doc_id") === h)
+      .select(lit(999999L).as("doc_id"), col("text"))
+    DedupIndex.forget(spark, ddDir, Seq(h).toDF("doc_id"))
+    DedupIndex.build(docs.filter(col("doc_id") < 50), ddDir)
+    assert(pairSet(DedupIndex.dedupDelta(spark, ddDir, probe, minJaccard = 0.9))
+      .contains((h, 999999L)))
+
+    // SearchIndex: forget, rebuild, ranking equals the unfiltered one-shot
+    val terms = Seq("data", "fast", "query")
+    val siDir = Files.createTempDirectory("rebuild-si").toString
+    SearchIndex.build(docs, siDir)
+    SearchIndex.forget(spark, siDir, docs.filter(col("doc_id") % 3 === 0).select("doc_id"))
+    SearchIndex.build(docs, siDir)
+    val oneShot = Search.bm25TopDocs(docs, terms, k = 20)
+    val want = oneShot.orderBy(oneShot.columns.map(col): _*).collect().toSeq.map(_.toSeq)
+    oneShot.unpersist(): Unit
+    val si = SearchIndex.query(spark, siDir, terms, k = 20)
+    assert(si.orderBy(si.columns.map(col): _*).collect().toSeq.map(_.toSeq) == want)
+
+    // CdcIndex: forget, rebuild, the forgotten content screens dup again
+    val cdcDir = Files.createTempDirectory("rebuild-cdc").toString
+    val content = (0 until 120).map(i => s"x$i").mkString(" ")
+    val cdcDocs = Seq((1L, content)).toDF("doc_id", "text")
+    CdcIndex.build(cdcDocs, cdcDir)
+    CdcIndex.forget(spark, cdcDir, Seq(1L).toDF("doc_id"))
+    CdcIndex.build(cdcDocs, cdcDir)
+    val v = CdcIndex.screenDelta(spark, cdcDir, Seq((9L, content)).toDF("doc_id", "text"))
+      .head()
+    assert(v.getAs[Long]("dup_permille") == 1000L)
+  }
+
+  test("SearchIndex: appending a tombstoned doc is dropped (stats stay exact) until compact") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val terms = Seq("data", "fast", "query")
+    val dir = Files.createTempDirectory("append-tomb-si").toString
+    val victim = docs.agg(min("doc_id")).head().getLong(0)
+    SearchIndex.build(docs, dir)
+    SearchIndex.forget(spark, dir, Seq(victim).toDF("doc_id"))
+    val filtered = docs.filter(col("doc_id") =!= victim)
+    def want(): Seq[Seq[Any]] = {
+      val o = Search.bm25TopDocs(filtered, terms, k = 20)
+      val w = o.orderBy(o.columns.map(col): _*).collect().toSeq.map(_.toSeq)
+      o.unpersist(); w
+    }
+    def got(): Seq[Seq[Any]] = {
+      val q = SearchIndex.query(spark, dir, terms, k = 20)
+      q.orderBy(q.columns.map(col): _*).collect().toSeq.map(_.toSeq)
+    }
+    assert(got() == want())
+    // append the tombstoned doc: it must be DROPPED, not counted-but-hidden
+    // (a counted-but-hidden append would skew df/n and shift every score)
+    SearchIndex.append(docs.filter(col("doc_id") === victim), dir)
+    assert(got() == want(),
+      "append of a tombstoned doc must not perturb the filtered-corpus ranking")
+    // after compact the tombstone is gone and the same append is admitted
+    SearchIndex.compact(spark, dir)
+    SearchIndex.append(docs.filter(col("doc_id") === victim), dir)
+    val o2 = Search.bm25TopDocs(docs, terms, k = 20)
+    val full = o2.orderBy(o2.columns.map(col): _*).collect().toSeq.map(_.toSeq)
+    o2.unpersist(): Unit
+    assert(got() == full)
+  }
+
   test("PqIndex: geometry meta rejects mismatched or missing metadata with a rebuild message") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
       .filter(col("vec_id") < 80)
