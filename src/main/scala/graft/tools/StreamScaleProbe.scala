@@ -82,6 +82,8 @@ object StreamScaleProbe {
     }
 
     val ev = t.events.select(col("user_id"), col("ts"))
+    val evT = t.events.select(col("user_id"), col("event_id"), col("ts"),
+      col("event_type"))
     val docs = t.documents.select(col("source"), col("doc_id"), col("text"))
     val nDocs = docs.count()
     val lines = Seq(
@@ -91,7 +93,11 @@ object StreamScaleProbe {
         df => graft.streaming.EventTimeOps.streamingDau(df)),
       drive("streamingAdmit", docs,
         df => graft.streaming.EventTimeOps.streamingAdmit(df, cap = nDocs / 4,
-          threshold = 5000.0)))
+          threshold = 5000.0)),
+      // the one twin whose exactness needs the FULL ordered history per
+      // user (adjacency splicing) - the family's worst-case state bound
+      drive("streamingTransitions", evT,
+        df => graft.streaming.EventTimeOps.streamingTransitions(df).toDF()))
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         lines.mkString("", "\n", "\n")): Unit)
