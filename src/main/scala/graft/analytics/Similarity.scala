@@ -185,8 +185,7 @@ object Similarity {
     // corpus) the path is byte-identical full training.
     val trainSrc = trainOn.getOrElse {
       if (fullTrain || !ProductQuantization.overTarget(corpus, trainSampleTarget)) corpus
-      else corpus.orderBy(xxhash64(col(idCol)), col(idCol))
-        .limit(trainSampleTarget.toInt)
+      else ProductQuantization.hashHeadSample(corpus, idCol, trainSampleTarget)
     }
     val cent = Clustering.trainedCentroids(trainSrc, centroidStep, idCol = idCol, vecCol = vecCol)
       .select(col("cid").as("centroid_id"), col("m"), col("nm"))

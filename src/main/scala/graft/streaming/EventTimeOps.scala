@@ -433,6 +433,14 @@ object EventTimeOps {
   final case class TransDelta(user_id: Long, from_type: String,
                               to_type: String, delta: Long)
 
+  /** Default per-user event-buffer bound of [[streamingTransitions]]:
+    * generous for real user histories (10k events ≈ ~1 MB of state for the
+    * busiest key) while keeping worst-case state ∝ users, not events —
+    * the measured r13 footgun (STREAMSCALE: ~94 B/event with no bound
+    * engaged). Exact-unbounded is an explicit opt-in (`unbounded = true`),
+    * the same default-flip shape that closed the PQ train quadratic. */
+  val DefaultTransitionsMaxBuffer = 10000
+
   /** Streaming event-transition matrix — the stateful twin of
     * `q40_transitions`, and the operator where out-of-order arrival forces
     * true RETRACTIONS: adjacency is defined on each user's time-sorted
@@ -448,16 +456,25 @@ object EventTimeOps {
     *
     * State is the user's (us, event_id, type) sequence — the one operator
     * in this family whose exactness genuinely needs the full ordered
-    * history (any dropped event corrupts adjacency around it), so
-    * `maxBuffer` is an explicit exactness-vs-memory valve for hostile keys
-    * (keeps the EARLIEST events; beyond it, late splices past the horizon
-    * are lost) and the TTL contract is the usual one: leave None for
-    * bounded replays, set it for continuous streams where a user's history
-    * naturally closes. */
+    * history (any dropped event corrupts adjacency around it). The history
+    * is therefore BOUNDED BY DEFAULT (r14, VERDICT r13 #2): per user,
+    * only the EARLIEST [[DefaultTransitionsMaxBuffer]] events are kept
+    * (beyond the bound, late splices past the horizon are lost), and every
+    * dropped event increments an observable truncation counter — a named
+    * accumulator (`graft.transitions.truncated`, visible in the Spark UI)
+    * or the caller's own via `truncations`, so a deployment SEES exactness
+    * degrade instead of memory grow. `unbounded = true` opts into the
+    * exact full-history mode for bounded replays/backfills where the
+    * linear state is worth it. TTL contract as [[streamingSimhashPairs]]:
+    * leave None for bounded replays, set it on continuous streams. */
   def streamingTransitions(events: DataFrame, ttlMs: Option[Long] = None,
-                           maxBuffer: Int = 100000)
+                           maxBuffer: Int = DefaultTransitionsMaxBuffer,
+                           unbounded: Boolean = false,
+                           truncations: Option[org.apache.spark.util.LongAccumulator] = None)
                           (implicit spark: SparkSession): Dataset[TransDelta] = {
     import spark.implicits._
+    val trunc = truncations.getOrElse(
+      spark.sparkContext.longAccumulator("graft.transitions.truncated"))
     val ev = events
       .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"),
         col("event_type"))
@@ -475,7 +492,14 @@ object EventTimeOps {
           } else {
             val old = state.getOption.map(_.events).getOrElse(Nil)
             val add = rows.map(r => (r.us, r.event_id, r.event_type)).toList
-            val merged = (old ++ add).sortBy(t => (t._1, t._2)).take(maxBuffer)
+            val sorted = (old ++ add).sortBy(t => (t._1, t._2))
+            val merged =
+              if (unbounded) sorted
+              else {
+                val over = sorted.length - maxBuffer
+                if (over > 0) trunc.add(over.toLong)
+                sorted.take(maxBuffer)
+              }
             def pairs(l: List[(Long, Long, String)]) =
               l.lazyZip(l.drop(1)).map((a, b) => (a._3, b._3))
             val deltas = scala.collection.mutable.Map.empty[(String, String), Long]

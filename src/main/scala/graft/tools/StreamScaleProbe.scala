@@ -95,9 +95,28 @@ object StreamScaleProbe {
         df => graft.streaming.EventTimeOps.streamingAdmit(df, cap = nDocs / 4,
           threshold = 5000.0)),
       // the one twin whose exactness needs the FULL ordered history per
-      // user (adjacency splicing) - the family's worst-case state bound
+      // user (adjacency splicing) - the family's worst-case state bound;
+      // r14 made the per-user buffer BOUNDED by default (10k events), so
+      // this leg now measures the bounded default
       drive("streamingTransitions", evT,
-        df => graft.streaming.EventTimeOps.streamingTransitions(df).toDF()))
+        df => graft.streaming.EventTimeOps.streamingTransitions(df).toDF())) ++ {
+      // hostile-key leg (r14, VERDICT r13 #2): ONE user, 120k events -
+      // organic corpora never push a single user past the default bound,
+      // so the default-vs-unbounded state contract is measured on the
+      // adversarial shape it exists for. Expected: default state bytes
+      // PLATEAU near maxBuffer x ~94 B while the explicit unbounded
+      // opt-in grows with every event ingested.
+      val hostile = spark.range(120000).select(
+        lit(1L).as("user_id"), col("id").as("event_id"),
+        expr("timestamp_micros(id * 1000000)").as("ts"),
+        concat(lit("e"), pmod(col("id"), lit(5))).as("event_type"))
+      Seq(
+        drive("streamingTransitionsHostileBounded", hostile,
+          df => graft.streaming.EventTimeOps.streamingTransitions(df).toDF()),
+        drive("streamingTransitionsHostileUnbounded", hostile,
+          df => graft.streaming.EventTimeOps.streamingTransitions(df,
+            unbounded = true).toDF()))
+    }
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         lines.mkString("", "\n", "\n")): Unit)

@@ -138,6 +138,108 @@ class PqIndexSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("hashHeadSample equals the global orderBy+limit head exactly (r14 scale-safe sample)") {
+    val emb = graft.Tables(spark, sf("sf0.01")).embeddings
+      .repartition(7) // odd partitioning: the head must not depend on it
+    for (target <- Seq(1L, 37L, 100L, 499L)) {
+      val got = ProductQuantization.hashHeadSample(emb, "vec_id", target)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val want = emb.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(target.toInt).select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got == want, s"target=$target: hash-threshold head must be the exact head")
+    }
+    // over-corpus target degrades to the whole frame
+    assert(ProductQuantization.hashHeadSample(emb, "vec_id", 10000L).count() == emb.count())
+  }
+
+  test("trainedMode on an index without meta returns 'full' instead of throwing (ADVICE r13)") {
+    val dir = Files.createTempDirectory("pq-nometa").toString
+    assert(PqIndex.trainedMode(spark, dir) == "full")
+  }
+
+  // ------------------------- drift signal (r14, VERDICT r13 #8) ----------
+
+  test("append updates the drift signal: same-distribution appends stay low, shifted ones spike") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables(spark, sf("sf0.01")).embeddings
+    val mid = emb.agg(max("vec_id")).head().getLong(0) / 2
+    val h1 = emb.filter(col("vec_id") <= mid)
+    val h2 = emb.filter(col("vec_id") > mid)
+
+    val dir = Files.createTempDirectory("pq-drift").toString
+    PqIndex.build(h1, dir)
+    val base = PqIndex.driftStats(spark, dir)
+    assert(base.trainCcosP5Micro.nonEmpty, "build must record the train-time ccos p5")
+    assert(base.appended == 0L && base.outliers == 0L)
+
+    // same distribution: the other half of the same corpus
+    PqIndex.append(h2, dir)
+    val near = PqIndex.driftStats(spark, dir)
+    assert(near.appended == h2.count(), "appended count must accumulate")
+
+    // drifted: deterministic junk vectors, uncorrelated with the corpus —
+    // near-zero cosine to every trained centroid
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val far = h2.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), " +
+        "i -> CAST(pmod(vec_id * 31 + i, 7) - 3 AS FLOAT))").as("embedding"))
+    PqIndex.append(far, dir)
+    val drifted = PqIndex.driftStats(spark, dir)
+    assert(drifted.appended == near.appended + far.count())
+    assert(drifted.outliers > near.outliers,
+      s"negated vectors must register as outliers: ${drifted.outliers} vs ${near.outliers}")
+    val nearFrac = near.fraction.get
+    val farOnlyFrac = (drifted.outliers - near.outliers).toDouble / far.count()
+    assert(farOnlyFrac > nearFrac + 0.2,
+      f"drifted append must spike the outlier fraction: far=$farOnlyFrac%.3f near=$nearFrac%.3f")
+    // observability only: a rebuild resets the signal
+    PqIndex.build(emb, dir)
+    val reset = PqIndex.driftStats(spark, dir)
+    assert(reset.appended == 0L && reset.outliers == 0L)
+  }
+
+  // ------------------------- id→list sidecar (r14, VERDICT r13 #3) -------
+
+  test("vlists sidecar exists, tracks appends, and compact keeps it in sync partition-scoped") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables(spark, sf("sf0.01")).embeddings
+    val dir = Files.createTempDirectory("pq-vlists").toString
+    PqIndex.build(emb, dir)
+    val vl = spark.read.parquet(s"$dir/vlists")
+    assert(vl.count() == emb.count(), "one sidecar row per vector")
+    // sidecar agrees with the codes layout exactly
+    val fromCodes = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("centroid_id").cast("long").as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromVl = vl.select(col("vec_id"), col("centroid_id").cast("long").as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromVl == fromCodes)
+
+    // forget one id; only ITS vbucket is rewritten by compact
+    val victim = emb.agg(min("vec_id")).head().getLong(0)
+    val vb = spark.range(1)
+      .select(pmod(xxhash64(lit(victim)), lit(16)).cast("int")).head().getInt(0)
+    import spark.implicits._
+    PqIndex.forget(spark, dir, Seq(victim).toDF("vec_id"))
+    def files(p: String): Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(p)).map(f => (f.getPath, f.length())).toSet
+    }
+    val untouchedBefore = (0 until 16).filterNot(_ == vb)
+      .map(b => files(s"$dir/vlists/vbucket=$b"))
+    PqIndex.compact(spark, dir)
+    val untouchedAfter = (0 until 16).filterNot(_ == vb)
+      .map(b => files(s"$dir/vlists/vbucket=$b"))
+    assert(untouchedAfter == untouchedBefore,
+      "compact must rewrite only the tombstoned ids' vbuckets")
+    val left = spark.read.parquet(s"$dir/vlists").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!left.contains(victim) && left.size == emb.count() - 1)
+  }
+
   test("one-shot ivfPqTopK follows the same training policy as the stored index") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.Tables(spark, sf("sf0.01")).embeddings

@@ -133,6 +133,11 @@ class SearchIndexSpec extends SparkSpec {
     assert(rows(SearchIndex.query(spark, dir, terms, k = 20)).isEmpty)
     SearchIndex.compact(spark, dir)
     assert(rows(SearchIndex.query(spark, dir, terms, k = 20)).isEmpty)
+    // ADVICE r13: a forget AFTER the all-forgotten compact must be a clean
+    // no-op (census/ may legitimately hold zero dbucket partitions here),
+    // not a schema-inference failure
+    SearchIndex.forget(spark, dir, docs.select("doc_id"))
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)).isEmpty)
     // re-appending after compact: the index equals a fresh build
     SearchIndex.append(docs, dir)
     val got = rows(SearchIndex.query(spark, dir, terms, k = 20))
@@ -140,6 +145,62 @@ class SearchIndexSpec extends SparkSpec {
     val want = rows(oneShot)
     oneShot.unpersist(): Unit
     assert(got == want)
+  }
+
+  test("forget never touches the postings store (forward index carries the df deltas)") {
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+    val dir = Files.createTempDirectory("searchidx-fwd").toString
+    SearchIndex.build(docs, dir)
+    // the r14 forward store exists, doc-hash partitioned
+    val fwdBuckets = new java.io.File(s"$dir/forward").listFiles()
+      .count(_.getName.startsWith("dbucket="))
+    assert(fwdBuckets == 16, s"forward store should carry 16 dbuckets, got $fwdBuckets")
+    // HIDE the postings dir: an O(|ids|) forget must not even list it
+    val post = java.nio.file.Paths.get(s"$dir/postings")
+    val hidden = java.nio.file.Paths.get(s"$dir/postings_hidden")
+    java.nio.file.Files.move(post, hidden)
+    val victims = docs.filter(col("doc_id") % 5 === 2).select("doc_id")
+    try SearchIndex.forget(spark, dir, victims)
+    finally java.nio.file.Files.move(hidden, post)
+    val terms = Seq("data", "fast", "query")
+    val got = rows(SearchIndex.query(spark, dir, terms, k = 20))
+    val oneShot = Search.bm25TopDocs(docs.filter(col("doc_id") % 5 =!= 2), terms, k = 20)
+    val want = rows(oneShot)
+    oneShot.unpersist(): Unit
+    assert(got.nonEmpty && got == want,
+      "a postings-blind forget must still produce exact df/n/dl_sum deltas")
+  }
+
+  test("forget reads only the ids' doc-buckets: bytes read scale with |ids|, not index size") {
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+    val dir = Files.createTempDirectory("searchidx-fscale").toString
+    SearchIndex.build(docs, dir)
+    def dirBytes(p: String): Long =
+      files(p).iterator.map(_._2).sum
+    val storeBytes = dirBytes(s"$dir/forward") + dirBytes(s"$dir/census") +
+      dirBytes(s"$dir/postings")
+    // one forgotten id → ONE candidate dbucket of 16 in census and forward,
+    // zero postings bytes; allow generous slack for parquet footers and the
+    // tiny tombstone/id frames
+    val victim = docs.agg(min("doc_id")).head().getLong(0)
+    var read = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read += t.taskMetrics.inputMetrics.bytesRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      import spark.implicits._
+      SearchIndex.forget(spark, dir, Seq(victim).toDF("doc_id"))
+      // listener events are async: wait until the byte count stabilizes
+      var last = -1L
+      var spins = 0
+      while (read != last && spins < 50) { last = read; Thread.sleep(100); spins += 1 }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(read > 0, "listener should observe the forget's reads")
+    assert(read < storeBytes / 3,
+      s"a 1-id forget should read ~1/16 of census+forward and no postings: " +
+        s"read $read of $storeBytes index bytes")
   }
 
   test("token-sorted postings prune INSIDE buckets: fewer rows read than an unsorted twin") {

@@ -644,8 +644,10 @@ class EventTimeSpec extends SparkSpec {
     ev.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/d1")
     val schema = spark.read.parquet(s"$srcDir/d0").schema
 
+    // exact full-history parity needs the explicit unbounded opt-in (r14:
+    // the DEFAULT is the bounded mode with a truncation counter)
     val q = EventTimeOps.streamingTransitions(
-        Sources.fileStream(spark, s"$srcDir/d*", schema))
+        Sources.fileStream(spark, s"$srcDir/d*", schema), unbounded = true)
       .writeStream.option("checkpointLocation", ckpt)
       .outputMode("append").trigger(Trigger.AvailableNow())
       .format("parquet").option("path", outDir).start()
@@ -662,6 +664,48 @@ class EventTimeSpec extends SparkSpec {
     val want = graft.queries.Relational.transitionCounts(ev).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
     assert(want.nonEmpty && got == want)
+    ev.unpersist(): Unit
+  }
+
+  test("streaming transitions default mode bounds state: truncations counted, kept prefix exact") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
+    val ev = graft.Tables(spark, sf("sf0.01")).events.persist()
+    // two drops so the bound engages ACROSS micro-batches too
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/d0")
+    ev.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/d1")
+    val schema = spark.read.parquet(s"$srcDir/d0").schema
+
+    val cap = 5
+    val trunc = spark.sparkContext.longAccumulator("test-transitions-truncated")
+    val q = EventTimeOps.streamingTransitions(
+        Sources.fileStream(spark, s"$srcDir/d*", schema),
+        maxBuffer = cap, truncations = Some(trunc))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir).start()
+    assert(q.awaitTermination(180000), "bounded streaming transitions did not finish in time")
+
+    // the kept history per user is its EARLIEST `cap` events by
+    // (us, event_id) — sequential truncation composes to the global prefix
+    // (dropping only ever removes the latest), so the summed deltas equal
+    // the batch matrix over exactly that prefix
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(expr("unix_micros(ts)"), col("event_id"))
+    val keptPrefix = ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+    val got = spark.read.parquet(outDir).groupBy("from_type", "to_type")
+      .agg(sum(col("delta")).as("n")).filter(col("n") =!= 0).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    val want = graft.queries.Relational.transitionCounts(keptPrefix).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(want.nonEmpty && got == want,
+      "bounded mode must equal the batch matrix over each user's earliest-cap prefix")
+    // every dropped event was counted — and the fixture genuinely overflowed
+    val expectedDrops = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .agg(sum(greatest(col("n") - cap, lit(0L)))).head().getLong(0)
+    assert(expectedDrops > 0, "fixture must overflow the bound")
+    assert(trunc.value == expectedDrops,
+      s"truncation counter must see every drop: ${trunc.value} vs $expectedDrops")
     ev.unpersist(): Unit
   }
 
