@@ -57,6 +57,26 @@ object CompactScaleProbe {
       (rewritten, after.values.sum)
     }
 
+    /** Listener-observed file input bytes during `f` (the discovery-leg
+      * byte cost — what the r14 sidecar replaces: a two-column scan of the
+      * WHOLE codes store per compact). */
+    def bytesRead[T](f: => T): (T, Long) = {
+      var read = 0L
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          read += t.taskMetrics.inputMetrics.bytesRead
+      }
+      spark.sparkContext.addSparkListener(l)
+      val r =
+        try f
+        finally {
+          var last = -1L; var spins = 0
+          while (read != last && spins < 50) { last = read; Thread.sleep(100); spins += 1 }
+          spark.sparkContext.removeSparkListener(l)
+        }
+      (r, read)
+    }
+
     // ---- PqIndex: tombstone whole lists at increasing share ------------
     val emb = graft.Tables(spark, dir).embeddings
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -76,11 +96,31 @@ object CompactScaleProbe {
       val victims = lists.filter(col("cid").isin(target.toSeq: _*) &&
         col("vec_id") % 2 === 0).select("vec_id")
       PqIndex.forget(spark, idx, victims)
+      // discovery-leg A/B (r14, VERDICT r13 #3): the affected-list set via
+      // the vlists sidecar (tombstone-bucket-pruned) vs the legacy
+      // two-column codes scan — time and bytes, measured on the SAME index
+      val tomb = broadcast(spark.read.parquet(s"$idx/tombstones"))
+      val vbs = spark.read.parquet(s"$idx/tombstones")
+        .select(pmod(xxhash64(col("vec_id")), lit(16)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val ((_, tDs), bDs) = bytesRead(timed {
+        spark.read.parquet(s"$idx/vlists")
+          .filter(col("vbucket").isin(vbs: _*))
+          .join(tomb, Seq("vec_id"), "left_semi")
+          .select(col("centroid_id").cast("long")).distinct().collect().length
+      })
+      val ((_, tDc), bDc) = bytesRead(timed {
+        spark.read.parquet(s"$idx/codes")
+          .join(tomb, Seq("vec_id"), "left_semi")
+          .select(col("centroid_id").cast("long")).distinct().collect().length
+      })
       val before = snapshot(s"$idx/codes")
       val (_, tC) = timed(PqIndex.compact(spark, idx))
       val (rw, tot) = rewriteShare(before, snapshot(s"$idx/codes"))
       lines += s"""{"index":"pq","sf":"$dir","lists_affected":$nAff,""" +
         s""""lists_total":${allLists.length},"compact_s":${f3(tC)},""" +
+        s""""discover_sidecar_s":${f3(tDs)},"discover_sidecar_bytes":$bDs,""" +
+        s""""discover_codescan_s":${f3(tDc)},"discover_codescan_bytes":$bDc,""" +
         s""""bytes_rewritten":$rw,"bytes_total":$tot}"""
       println(lines.last)
     }
