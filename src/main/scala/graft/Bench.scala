@@ -4,114 +4,114 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
-  /** Round-13 regression baseline: per-query MEDIAN of the three closing
-    * quiet recordings (sf0.1, local[8], 186 queries each, 0 failures) —
-    * ALL THREE committed as BENCH_LOCAL_r13_run{1,2,3}.json, so the
-    * baseline is reproducible from history. Median totals: 242.3 / 256.5 /
-    * 291.9 s -> per-query-median sum 260.5 s (BENCH_LOCAL_r13.json). This
-    * replaces the r12 184-query baseline: the two queries that joined in
-    * r13 (bm25_index_forget / cdc_index_forget) get 3-run medians from
-    * birth, and the r13 dedup-index layout trade (see knownTrades) is
-    * baked into its family's rows instead of flagging forever. Flagged
-    * slowdowns are re-measured TWICE before being reported (below).
+  /** Round-14 regression baseline: per-query MEDIAN of the three closing
+    * quiet recordings (sf0.1, local[8], 186 queries each, 0 failures, 0
+    * regression flags vs the r13 baseline in each run) — ALL THREE
+    * committed as BENCH_LOCAL_r14_run{1,2,3}.json, so the baseline is
+    * reproducible from history. Run totals: 252.4 / 250.1 / 255.7 s ->
+    * per-query-median sum 248.4 s (BENCH_LOCAL_r14.json; r13 was 260.5).
+    * The r14 storage additions (SearchIndex forward/ store, PqIndex
+    * vlists/ sidecar — the O(|ids|) RTBF legs) are baked into the
+    * index-lifecycle rows. Flagged slowdowns are re-measured TWICE before
+    * being reported (below).
     * sim_pqindex_* / bm25_index_* / dedup_cdc_admit / cdc_index_forget /
     * sim_pq_adc time a FULL index lifecycle per run (train/build +
     * partitioned write + probe) — the build/serve split is emitted
     * separately as `index_split`. */
   val baselinePrev: Map[String, Double] = Map(
-    "agg_approx" -> 2.693, "agg_approx_pct" -> 2.247,
-    "agg_hll_cube" -> 0.724, "agg_quantile_cube" -> 0.809,
-    "agg_stats" -> 1.566, "asof_native" -> 1.065,
-    "asof_signup" -> 1.182, "bm25_index_forget" -> 9.027,
-    "bm25_index_search" -> 5.845, "bm25_search" -> 0.922,
-    "bpe_encode" -> 4.730, "bpe_merges" -> 0.905,
-    "cdc_index_forget" -> 4.879, "clf_auc" -> 1.409,
-    "clf_calibration" -> 1.206, "clf_pr_curve" -> 1.129,
-    "clf_train" -> 2.249, "cluster_topics" -> 3.613,
-    "contamination_report" -> 1.100, "corpus_datasheet" -> 1.333,
-    "corpus_diff" -> 0.480, "corpus_report" -> 0.608,
-    "curate_blocklist" -> 0.760, "curate_domain_cap" -> 0.551,
-    "curate_threshold_sweep" -> 0.930, "curate_url_dedup" -> 1.541,
-    "decontaminate" -> 0.768, "decontaminate_bloom" -> 0.858,
-    "decontaminate_index" -> 1.079, "dedup_admit" -> 3.431,
-    "dedup_cc_keepers" -> 4.196, "dedup_cc_star" -> 4.468,
-    "dedup_cdc" -> 1.420, "dedup_cdc_admit" -> 2.829,
-    "dedup_cdc_rewrite" -> 1.761, "dedup_closure" -> 4.166,
-    "dedup_containment" -> 2.861, "dedup_delta" -> 2.497,
-    "dedup_exact" -> 0.351, "dedup_fuzzy_verify" -> 1.201,
-    "dedup_index_forget" -> 2.772, "dedup_intradoc" -> 0.705,
-    "dedup_minhash" -> 1.104, "dedup_ngram" -> 3.190,
-    "dedup_ngram_keepers" -> 2.801, "dedup_prefix" -> 0.602,
-    "dedup_quality_keepers" -> 4.565, "dedup_simhash" -> 0.375,
-    "dedup_simhash_pairs" -> 1.057, "dedup_spans" -> 0.868,
-    "dedup_spans_keepers" -> 1.008, "dedup_winnow_pairs" -> 1.787,
-    "doc_chunks" -> 0.395, "doc_len_histogram" -> 0.317,
-    "dsir_weights" -> 2.182, "embed_kmeans" -> 1.565,
-    "embed_mmr" -> 1.693, "embed_neardup" -> 3.076,
-    "embed_outliers" -> 2.416, "embed_pq" -> 0.481,
-    "embed_project" -> 0.802, "embed_prototypes" -> 1.879,
-    "embed_quantize" -> 0.424, "eval_rouge2" -> 2.138,
-    "mm_decode" -> 0.425, "mm_decode_image" -> 0.243,
-    "mm_decode_wav" -> 0.223, "mm_frames" -> 0.279,
-    "mm_resize" -> 0.231, "mm_resize_image" -> 0.193,
-    "o10_escape" -> 1.335, "o11_o13_route" -> 2.043,
-    "o12_optout_dim" -> 0.659, "o14_format_values" -> 2.072,
-    "o3_count_range" -> 0.166, "o4_o5_extract" -> 1.280,
-    "o6_o7_anonymize" -> 0.945, "o8_o9_statement_json" -> 1.586,
-    "o8_withfield" -> 1.715, "pack_chat_template" -> 0.961,
-    "pack_curriculum" -> 0.489, "pack_fim" -> 0.419,
-    "pack_length_buckets" -> 0.453, "pack_shards" -> 0.451,
-    "pack_shuffled" -> 0.386, "pack_window_map" -> 0.402,
-    "pack_windows" -> 0.294, "pipeline_admit" -> 1.183,
-    "pipeline_curate" -> 4.171, "pipeline_full" -> 7.891,
-    "pipeline_pack" -> 0.994, "pipeline_web_ingest" -> 2.019,
-    "privacy_k_anon" -> 0.313, "q10_cube" -> 0.535,
-    "q11_full_outer" -> 0.314, "q12_corr_subquery" -> 0.801,
-    "q13_grouping_sets" -> 0.379, "q14_range_frame" -> 0.674,
-    "q15_explode" -> 0.289, "q16_anti" -> 0.563,
-    "q17_window_nav" -> 0.638, "q18_month_series" -> 0.399,
-    "q19_sorted_collect" -> 0.323, "q1_agg" -> 0.674,
-    "q20_cond_agg" -> 0.295, "q21_range_join" -> 0.586,
-    "q22_map_agg" -> 0.415, "q23_corr" -> 0.425,
-    "q24_null_safe" -> 0.364, "q25_array_ops" -> 0.630,
-    "q26_rank_dist" -> 0.989, "q27_datetime" -> 0.401,
-    "q28_regr" -> 0.418, "q29_mode" -> 0.350,
-    "q30_cum_distinct" -> 0.627, "q31_variant" -> 0.547,
-    "q32_lateral" -> 0.833, "q33_gapfill" -> 0.407,
-    "q34_interval_merge" -> 0.834, "q35_unpivot" -> 0.330,
-    "q36_try" -> 2.051, "q37_scd2" -> 0.680,
-    "q38_retention" -> 0.501, "q39_funnel" -> 0.773,
-    "q3_topk" -> 0.779, "q40_transitions" -> 0.687,
-    "q41_twa" -> 0.697, "q42_dau" -> 0.696,
-    "q5_multijoin" -> 0.944, "q6_rollup" -> 0.483,
-    "q7_percentile" -> 1.846, "q8_pivot" -> 0.486,
-    "q9_exists" -> 0.479, "sample_epochs" -> 0.371,
-    "sample_mix" -> 0.524, "sample_per_group" -> 0.270,
-    "sample_stratified" -> 0.169, "sample_temperature" -> 0.254,
-    "sample_weighted" -> 0.328, "search_rrf" -> 1.051,
-    "semdedup_keepers" -> 1.972, "set_except" -> 0.424,
-    "set_intersect" -> 0.359, "shard_stats" -> 0.357,
-    "sim_ivf_topk" -> 2.885, "sim_ivfpq_topk" -> 5.673,
-    "sim_lsh_banded" -> 1.663, "sim_lsh_bucket" -> 0.683,
-    "sim_pq_adc" -> 4.617, "sim_pqindex_forget" -> 9.007,
-    "sim_pqindex_rescored" -> 9.111, "sim_pqindex_topk" -> 9.276,
-    "sim_topk" -> 0.464, "skew_join_agg" -> 0.759,
-    "split_assign" -> 0.270, "split_leakage" -> 2.387,
-    "text_boilerplate_lines" -> 0.832, "text_card_redact" -> 0.374,
-    "text_clf_score" -> 1.064, "text_cms_topk" -> 0.746,
-    "text_collocations" -> 1.088, "text_entropy" -> 1.155,
-    "text_fingerprint" -> 0.170, "text_fix_encoding" -> 0.587,
-    "text_gopher_gates" -> 0.678, "text_hash_vec" -> 0.709,
-    "text_html_extract" -> 1.020, "text_kn_heldout" -> 1.767,
-    "text_kn_score" -> 1.954, "text_langid" -> 0.259,
-    "text_lm_score" -> 1.459, "text_novelty" -> 1.083,
-    "text_pii_redact" -> 0.335, "text_quality" -> 0.498,
-    "text_quality_calibrated" -> 0.752, "text_repetition" -> 1.372,
-    "text_tok_freq" -> 0.691, "text_tokens" -> 0.423,
-    "text_tokens_re" -> 0.844, "text_top_tokens" -> 0.194,
-    "text_winnow" -> 0.472, "tfidf_top_terms" -> 1.347,
-    "w1_topn_per_group" -> 0.753, "w2_running_sum" -> 0.590,
-    "w3_sessionize" -> 0.942, "w4_ntile" -> 0.881)
+    "agg_approx" -> 2.215, "agg_approx_pct" -> 2.397,
+    "agg_hll_cube" -> 0.632, "agg_quantile_cube" -> 1.183,
+    "agg_stats" -> 1.467, "asof_native" -> 0.985,
+    "asof_signup" -> 1.188, "bm25_index_forget" -> 9.275,
+    "bm25_index_search" -> 6.099, "bm25_search" -> 0.724,
+    "bpe_encode" -> 4.218, "bpe_merges" -> 0.834,
+    "cdc_index_forget" -> 3.856, "clf_auc" -> 1.360,
+    "clf_calibration" -> 1.240, "clf_pr_curve" -> 0.946,
+    "clf_train" -> 2.056, "cluster_topics" -> 2.887,
+    "contamination_report" -> 0.852, "corpus_datasheet" -> 1.003,
+    "corpus_diff" -> 0.365, "corpus_report" -> 0.424,
+    "curate_blocklist" -> 0.567, "curate_domain_cap" -> 0.442,
+    "curate_threshold_sweep" -> 0.793, "curate_url_dedup" -> 1.340,
+    "decontaminate" -> 0.610, "decontaminate_bloom" -> 0.663,
+    "decontaminate_index" -> 0.887, "dedup_admit" -> 3.381,
+    "dedup_cc_keepers" -> 3.598, "dedup_cc_star" -> 3.685,
+    "dedup_cdc" -> 1.217, "dedup_cdc_admit" -> 2.749,
+    "dedup_cdc_rewrite" -> 1.519, "dedup_closure" -> 4.007,
+    "dedup_containment" -> 2.991, "dedup_delta" -> 2.676,
+    "dedup_exact" -> 0.296, "dedup_fuzzy_verify" -> 1.089,
+    "dedup_index_forget" -> 2.754, "dedup_intradoc" -> 0.615,
+    "dedup_minhash" -> 0.991, "dedup_ngram" -> 3.367,
+    "dedup_ngram_keepers" -> 2.879, "dedup_prefix" -> 0.566,
+    "dedup_quality_keepers" -> 4.463, "dedup_simhash" -> 0.261,
+    "dedup_simhash_pairs" -> 0.893, "dedup_spans" -> 0.816,
+    "dedup_spans_keepers" -> 0.814, "dedup_winnow_pairs" -> 1.588,
+    "doc_chunks" -> 0.366, "doc_len_histogram" -> 0.315,
+    "dsir_weights" -> 2.068, "embed_kmeans" -> 1.415,
+    "embed_mmr" -> 1.652, "embed_neardup" -> 2.763,
+    "embed_outliers" -> 2.293, "embed_pq" -> 0.471,
+    "embed_project" -> 0.697, "embed_prototypes" -> 1.849,
+    "embed_quantize" -> 0.379, "eval_rouge2" -> 1.939,
+    "mm_decode" -> 0.370, "mm_decode_image" -> 0.212,
+    "mm_decode_wav" -> 0.204, "mm_frames" -> 0.242,
+    "mm_resize" -> 0.203, "mm_resize_image" -> 0.169,
+    "o10_escape" -> 1.347, "o11_o13_route" -> 1.953,
+    "o12_optout_dim" -> 0.712, "o14_format_values" -> 2.067,
+    "o3_count_range" -> 0.174, "o4_o5_extract" -> 1.228,
+    "o6_o7_anonymize" -> 0.833, "o8_o9_statement_json" -> 1.572,
+    "o8_withfield" -> 1.810, "pack_chat_template" -> 0.929,
+    "pack_curriculum" -> 0.482, "pack_fim" -> 0.385,
+    "pack_length_buckets" -> 0.458, "pack_shards" -> 0.408,
+    "pack_shuffled" -> 0.406, "pack_window_map" -> 0.349,
+    "pack_windows" -> 0.314, "pipeline_admit" -> 1.098,
+    "pipeline_curate" -> 4.222, "pipeline_full" -> 7.503,
+    "pipeline_pack" -> 0.958, "pipeline_web_ingest" -> 1.836,
+    "privacy_k_anon" -> 0.330, "q10_cube" -> 0.484,
+    "q11_full_outer" -> 0.369, "q12_corr_subquery" -> 0.706,
+    "q13_grouping_sets" -> 0.290, "q14_range_frame" -> 0.663,
+    "q15_explode" -> 0.278, "q16_anti" -> 0.548,
+    "q17_window_nav" -> 0.566, "q18_month_series" -> 0.371,
+    "q19_sorted_collect" -> 0.315, "q1_agg" -> 0.681,
+    "q20_cond_agg" -> 0.340, "q21_range_join" -> 0.604,
+    "q22_map_agg" -> 0.503, "q23_corr" -> 0.343,
+    "q24_null_safe" -> 0.416, "q25_array_ops" -> 0.551,
+    "q26_rank_dist" -> 1.025, "q27_datetime" -> 0.351,
+    "q28_regr" -> 0.315, "q29_mode" -> 0.307,
+    "q30_cum_distinct" -> 0.584, "q31_variant" -> 0.545,
+    "q32_lateral" -> 0.851, "q33_gapfill" -> 0.379,
+    "q34_interval_merge" -> 0.746, "q35_unpivot" -> 0.429,
+    "q36_try" -> 1.733, "q37_scd2" -> 0.785,
+    "q38_retention" -> 0.616, "q39_funnel" -> 0.954,
+    "q3_topk" -> 0.763, "q40_transitions" -> 0.630,
+    "q41_twa" -> 0.588, "q42_dau" -> 0.703,
+    "q5_multijoin" -> 0.982, "q6_rollup" -> 0.476,
+    "q7_percentile" -> 1.840, "q8_pivot" -> 0.404,
+    "q9_exists" -> 0.484, "sample_epochs" -> 0.430,
+    "sample_mix" -> 0.466, "sample_per_group" -> 0.253,
+    "sample_stratified" -> 0.183, "sample_temperature" -> 0.341,
+    "sample_weighted" -> 0.374, "search_rrf" -> 1.235,
+    "semdedup_keepers" -> 1.999, "set_except" -> 0.379,
+    "set_intersect" -> 0.309, "shard_stats" -> 0.264,
+    "sim_ivf_topk" -> 2.522, "sim_ivfpq_topk" -> 5.835,
+    "sim_lsh_banded" -> 1.637, "sim_lsh_bucket" -> 0.792,
+    "sim_pq_adc" -> 5.220, "sim_pqindex_forget" -> 9.203,
+    "sim_pqindex_rescored" -> 9.732, "sim_pqindex_topk" -> 9.205,
+    "sim_topk" -> 0.412, "skew_join_agg" -> 0.665,
+    "split_assign" -> 0.286, "split_leakage" -> 2.197,
+    "text_boilerplate_lines" -> 0.754, "text_card_redact" -> 0.340,
+    "text_clf_score" -> 0.932, "text_cms_topk" -> 0.738,
+    "text_collocations" -> 0.932, "text_entropy" -> 1.094,
+    "text_fingerprint" -> 0.218, "text_fix_encoding" -> 0.574,
+    "text_gopher_gates" -> 0.714, "text_hash_vec" -> 0.761,
+    "text_html_extract" -> 0.932, "text_kn_heldout" -> 1.423,
+    "text_kn_score" -> 1.652, "text_langid" -> 0.220,
+    "text_lm_score" -> 1.325, "text_novelty" -> 0.938,
+    "text_pii_redact" -> 0.296, "text_quality" -> 0.442,
+    "text_quality_calibrated" -> 0.804, "text_repetition" -> 1.137,
+    "text_tok_freq" -> 0.519, "text_tokens" -> 0.332,
+    "text_tokens_re" -> 0.695, "text_top_tokens" -> 0.188,
+    "text_winnow" -> 0.378, "tfidf_top_terms" -> 1.081,
+    "w1_topn_per_group" -> 0.643, "w2_running_sum" -> 0.559,
+    "w3_sessionize" -> 0.776, "w4_ntile" -> 0.833)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -234,9 +234,10 @@ object Bench {
     val dedupLayoutTrade = "r13 layout trade: DedupIndex gained a 16-way " +
       "doc-hash partition level (bands 4->64 dirs, shingles 1->16) so " +
       "compaction is partition-scoped instead of a full index rewrite " +
-      "(CompactionSpec/SCALING.md r13); at sf0.1 the extra small files add " +
-      "~0.5 s per lifecycle query - at scale the dir count is noise and " +
-      "compact cost drops from O(index) to O(tombstoned share)"
+      "(CompactionSpec/SCALING.md r13); measured overhead shrinks with " +
+      "scale - +16-37% at sf0.1, 7-12% at sf1 (DEDUPAB_r14.jsonl A/B) - " +
+      "and DocBuckets is a by-corpus-size knob; compact cost drops from " +
+      "O(index) to O(tombstoned share)"
     val knownTrades = Map(
       "embed_pq" -> pqTrade,
       "sim_pq_adc" -> pqTrade,
