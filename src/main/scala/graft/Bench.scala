@@ -12,8 +12,11 @@ object Bench {
     * per-query-median sum 248.4 s (BENCH_LOCAL_r14.json; r13 was 260.5).
     * The r14 storage additions (SearchIndex forward/ store, PqIndex
     * vlists/ sidecar — the O(|ids|) RTBF legs) are baked into the
-    * index-lifecycle rows. Flagged slowdowns are re-measured TWICE before
-    * being reported (below).
+    * index-lifecycle rows. `bm25_mlt` joined after the full-suite
+    * recording: its median comes from three dedicated fresh-JVM subset
+    * runs at the same commit class (12.98/11.10/10.33 s — a full index
+    * lifecycle like its bm25_index_* siblings). Flagged slowdowns are
+    * re-measured TWICE before being reported (below).
     * sim_pqindex_* / bm25_index_* / dedup_cdc_admit / cdc_index_forget /
     * sim_pq_adc time a FULL index lifecycle per run (train/build +
     * partitioned write + probe) — the build/serve split is emitted
@@ -23,7 +26,8 @@ object Bench {
     "agg_hll_cube" -> 0.632, "agg_quantile_cube" -> 1.183,
     "agg_stats" -> 1.467, "asof_native" -> 0.985,
     "asof_signup" -> 1.188, "bm25_index_forget" -> 9.275,
-    "bm25_index_search" -> 6.099, "bm25_search" -> 0.724,
+    "bm25_index_search" -> 6.099, "bm25_mlt" -> 11.099,
+    "bm25_search" -> 0.724,
     "bpe_encode" -> 4.218, "bpe_merges" -> 0.834,
     "cdc_index_forget" -> 3.856, "clf_auc" -> 1.360,
     "clf_calibration" -> 1.240, "clf_pr_curve" -> 0.946,

@@ -254,10 +254,14 @@ object SearchIndex {
 
   /** Rewrite ONLY the postings buckets / census+forward doc-buckets containing
     * tombstoned rows and clear the tombstone set (partition-scoped, the
-    * family contract — see [[PqIndex.compact]]). The df/stats negative
-    * parts written by [[forget]] are already permanent merge-on-read
-    * state, so compaction folds nothing: queries before and after return
-    * identical rows (SearchIndexSpec). */
+    * family contract — see [[PqIndex.compact]]). The df/stats merge-on-read
+    * parts (one set per build/append, one NEGATIVE set per forget) are
+    * FOLDED to their sums while we're here (r14): the sums are exact
+    * integers, so queries before and after return identical rows
+    * (SearchIndexSpec), and a long append/forget history stops costing a
+    * part-file listing per query. Tokens whose folded df is 0 (every
+    * carrier forgotten) drop out entirely. A tombstone-free compact stays
+    * a byte-level no-op. */
   def compact(spark: SparkSession, dir: String): Unit =
     IndexLock.withLock(spark, dir) {
       tombstoneIds(spark, dir).foreach { tomb =>
@@ -315,6 +319,19 @@ object SearchIndex {
           }
         compactDocBucketed(s"$dir/census")
         compactDocBucketed(s"$dir/forward")
+        // fold the merge-on-read df/stats parts to their exact sums (the
+        // same sums every query computes on read — bit-identical results,
+        // one part instead of one per historical mutation). localCheckpoint
+        // pins the folded frames BEFORE the overwrite deletes their source.
+        val dfFolded = spark.read.parquet(s"$dir/df")
+          .groupBy("token").agg(sum(col("df")).as("df"))
+          .filter(col("df") =!= 0L)
+          .localCheckpoint(true)
+        dfFolded.write.mode("overwrite").parquet(s"$dir/df")
+        val stFolded = spark.read.parquet(s"$dir/stats")
+          .agg(sum(col("n")).as("n"), sum(col("dl_sum")).as("dl_sum"))
+          .localCheckpoint(true)
+        stFolded.write.mode("overwrite").parquet(s"$dir/stats")
         val p = path(s"$dir/tombstones")
         fs(spark, p).delete(p, true): Unit
       }
@@ -367,5 +384,81 @@ object SearchIndex {
       .limit(k)
       .select((Seq(col("doc_id"), col("dl")) ++
         queryTerms.map(t => col(s"tf_$t")) ++ Seq(col("score"))): _*)
+  }
+
+  /** More-like-this retrieval from the stored index (r14) — the serving
+    * use of the `forward/` store beyond RTBF: take a SEED document's top
+    * `topTerms` terms and rank the rest of the corpus by BM25 over them.
+    *
+    * Term selection is exact-integer: the seed's terms rank by
+    * tf × idf_micro (both BIGINTs — no float order ambiguity), tie-broken
+    * by token; reading them costs ONE forward doc-bucket (the seed's, a
+    * static partition filter) plus a seed-vocab-sized df probe. Scoring is
+    * the standard probe — |terms| postings buckets — but with the
+    * per-(doc, term) BM25 contribution rounded to MICRO-UNIT INTEGERS and
+    * integer-summed, because the term set is data-dependent (a dynamic
+    * pivot with [[query]]'s fixed float chain is unavailable) and integer
+    * addition is order-free — the same cross-engine-exactness trick as the
+    * ADC family; the `bm25_mlt` oracle row recomputes the whole thing in
+    * DuckDB. Output: (doc_id, dl, n_terms, score_micro), seed excluded,
+    * tombstoned docs excluded, ties broken by doc_id.
+    *
+    * At 100 TB: seed term extraction reads ~1/[[DocBuckets]] of forward
+    * (one bucket), the df probe is vocabulary-keyed, and the scoring scan
+    * statically prunes to |terms| of `buckets` postings directories — a
+    * MLT query costs a few directory reads, never a corpus pass. */
+  def moreLikeThis(spark: SparkSession, dir: String, docId: Long, k: Int,
+                   topTerms: Int = 10, buckets: Int = 64,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val st = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n")).as("n"), sum(col("dl_sum")).as("dl_sum")).head()
+    val n = st.getAs[Long]("n")
+    require(n > 0, s"BM25 index at $dir is empty")
+    val avgdl = st.getAs[Long]("dl_sum").toDouble / n
+    // the seed's dbucket is a pure function of its id — one tiny job
+    val db = spark.range(1)
+      .select(dbucketOf(lit(docId))).head().getInt(0)
+    val seed = spark.read.parquet(s"$dir/forward")
+      .filter(col("dbucket") === db && col("doc_id") === docId)
+      .select(col("token"), col("tf"))
+      .localCheckpoint(true) // seed-vocab-sized
+    val seedDf = spark.read.parquet(s"$dir/df")
+      .join(broadcast(seed.select("token")), Seq("token"), "left_semi")
+      .groupBy("token").agg(sum(col("df")).as("df"))
+    // exact-integer term ranking: weight = tf × idf_micro, both BIGINT
+    val terms = seed.join(seedDf, "token")
+      .withColumn("w", col("tf") * Search.idfMicro(col("df"), n))
+      .filter(col("w") > 0)
+      .orderBy(col("w").desc, col("token"))
+      .limit(topTerms)
+      .select("token").collect().map(_.getString(0)).sorted.toSeq
+    require(terms.nonEmpty, s"doc $docId has no indexed terms at $dir")
+    val dfMap = spark.read.parquet(s"$dir/df")
+      .filter(col("token").isin(terms: _*))
+      .groupBy("token").agg(sum(col("df")).as("df"))
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
+    val probed = terms.map(t => Dedup.hash60Local(t) % buckets).distinct
+    val post0 = readPostings(spark, dir)
+      .filter(col("bucket").isin(probed: _*) && col("token").isin(terms: _*))
+    val post = tombstoneIds(spark, dir)
+      .fold(post0)(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    // per-(doc, term) contribution in micro-units: BIGINT, so the per-doc
+    // sum is order-free and exact in both engines
+    val idfByTerm = typedLit(dfMap.map { case (t, df) =>
+      t -> math.round(math.log((n + 1).toDouble / (df + 1)) * 1e6)
+    })
+    val tf = col("tf").cast("double")
+    val sMicro = round(
+      (element_at(idfByTerm, col("token")).cast("double") / 1e6) *
+        (tf * (k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)) *
+        1e6).cast("long")
+    post.withColumn("s_micro", sMicro)
+      .filter(col("doc_id") =!= docId)
+      .groupBy("doc_id", "dl")
+      .agg(count(lit(1)).as("n_terms"), sum(col("s_micro")).as("score_micro"))
+      .filter(col("score_micro") > 0)
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("dl"), col("n_terms"), col("score_micro"))
   }
 }

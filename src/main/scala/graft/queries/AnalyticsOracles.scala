@@ -2813,5 +2813,43 @@ object AnalyticsOracles {
           |  WHERE id_a > s OR id_b > s)
           |SELECT doc_id, n_chars FROM documents CROSS JOIN spl
           |WHERE doc_id > s AND doc_id NOT IN (SELECT id FROM drops)
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin)) +
+    // more-like-this over the persisted BM25 index (r14): seed doc 1's top
+    // 10 terms by tf × idf_micro (exact BIGINT weights, token tie-break),
+    // then BM25 over those terms with each per-(doc, term) contribution
+    // rounded to micro-unit BIGINTs and integer-summed — order-free exact,
+    // the same cross-engine trick as the ADC family (the term set is
+    // data-dependent, so the fixed-order float chain of bm25_search's
+    // pivot is unavailable). Mirrors SearchIndex.moreLikeThis exactly.
+    ("bm25_mlt" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |d AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok)
+        |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS dl_sum FROM d),
+        |df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+        |terms AS (
+        |  SELECT t.tok
+        |  FROM tf t JOIN df USING (tok) CROSS JOIN s
+        |  WHERE t.doc_id = 1
+        |    AND t.tf * round(ln((s.n+1)::DOUBLE / (df.df+1)) * 1000000)::BIGINT > 0
+        |  ORDER BY t.tf * round(ln((s.n+1)::DOUBLE / (df.df+1)) * 1000000)::BIGINT DESC,
+        |    t.tok
+        |  LIMIT 10),
+        |sc AS (
+        |  SELECT t.doc_id, d.dl,
+        |    round(
+        |      (round(ln((s.n+1)::DOUBLE / (df.df+1)) * 1000000)::BIGINT::DOUBLE / 1000000.0)
+        |      * (t.tf::DOUBLE * (1.2 + 1)) / (t.tf::DOUBLE + 1.2 * (0.25 + 0.75 * d.dl / (s.dl_sum::DOUBLE / s.n)))
+        |      * 1000000)::BIGINT AS s_micro
+        |  FROM tf t JOIN terms USING (tok) JOIN df USING (tok) JOIN d USING (doc_id)
+        |    CROSS JOIN s
+        |  WHERE t.doc_id <> 1)
+        |SELECT doc_id, dl, count(*)::BIGINT AS n_terms, sum(s_micro)::BIGINT AS score_micro
+        |FROM sc GROUP BY doc_id, dl
+        |HAVING sum(s_micro) > 0
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin)
 }

@@ -570,6 +570,17 @@ object AnalyticsQueries {
       queryTerms = Seq("data", "fast", "query"), k = 20)
   }
 
+  /** More-like-this from the persisted index (r14): seed doc 1's top-10
+    * terms by exact-integer tf × idf_micro from the forward store, BM25
+    * over them with micro-rounded integer contributions — see
+    * [[graft.analytics.SearchIndex.moreLikeThis]]. */
+  def bm25Mlt(spark: SparkSession, dir: String): DataFrame = {
+    val idx = scratchIndexDir("searchindex-mlt")
+    graft.analytics.SearchIndex.build(Tables(spark, dir).documents, idx)
+    graft.analytics.SearchIndex.moreLikeThis(spark, idx, docId = 1L, k = 20,
+      topTerms = 10)
+  }
+
   /** Hybrid retrieval: RRF-fuse the dense cosine top-50 for query vector 0
     * with the BM25 top-50 for the standard query terms. Both legs are
     * k-sized before fusion; the no-partition rank window runs over a ≤50-row
@@ -1648,6 +1659,7 @@ object AnalyticsQueries {
     "bm25_search"      -> (bm25Search(_, _)),
     "bm25_index_search" -> (bm25IndexSearch(_, _)),
     "bm25_index_forget" -> (bm25IndexForget(_, _)),
+    "bm25_mlt"         -> (bm25Mlt(_, _)),
     "search_rrf"       -> (searchRrf(_, _)),
     "dsir_weights"     -> (dsirWeights(_, _)),
     "text_collocations" -> (textCollocations(_, _)),

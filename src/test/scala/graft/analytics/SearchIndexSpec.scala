@@ -203,6 +203,57 @@ class SearchIndexSpec extends SparkSpec {
         s"read $read of $storeBytes index bytes")
   }
 
+  test("moreLikeThis: seed excluded, terms from the seed's own vocabulary, forget-aware") {
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+    val dir = Files.createTempDirectory("searchidx-mlt").toString
+    SearchIndex.build(docs, dir)
+    val seedId = 1L
+    val res = SearchIndex.moreLikeThis(spark, dir, seedId, k = 20, topTerms = 10)
+      .collect()
+    assert(res.nonEmpty && res.length <= 20)
+    assert(!res.exists(_.getAs[Long]("doc_id") == seedId), "seed must be excluded")
+    // every matched-term count is bounded by the term budget
+    assert(res.forall(r => r.getAs[Long]("n_terms") >= 1 && r.getAs[Long]("n_terms") <= 10))
+    // integer micro scores, strictly ranked with the documented tie-break
+    val pairs = res.map(r => (r.getAs[Long]("score_micro"), r.getAs[Long]("doc_id")))
+    assert(pairs.sliding(2).forall { case Array((s1, d1), (s2, d2)) =>
+      s1 > s2 || (s1 == s2 && d1 < d2); case _ => true })
+    // deterministic: a second call returns identical rows
+    val again = SearchIndex.moreLikeThis(spark, dir, seedId, k = 20, topTerms = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(again == res.map(_.toSeq).toSeq)
+    // forget-aware: tombstoning the top hit removes it; survivors keep ranks
+    val topHit = res.head.getAs[Long]("doc_id")
+    import spark.implicits._
+    SearchIndex.forget(spark, dir, Seq(topHit).toDF("doc_id"))
+    val after = SearchIndex.moreLikeThis(spark, dir, seedId, k = 20, topTerms = 10)
+      .collect()
+    assert(!after.exists(_.getAs[Long]("doc_id") == topHit))
+  }
+
+  test("compact folds the df/stats merge-on-read parts without changing answers") {
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val dir = Files.createTempDirectory("searchidx-fold").toString
+    SearchIndex.build(docs.filter(col("doc_id") <= hi / 2), dir)
+    SearchIndex.append(docs.filter(col("doc_id") > hi / 2), dir)
+    SearchIndex.forget(spark, dir, docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+    def parts(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts("df") > 1 && parts("stats") > 1,
+      "fixture needs multiple merge-on-read parts before compacting")
+    val terms = Seq("data", "fast", "query")
+    val before = rows(SearchIndex.query(spark, dir, terms, k = 20))
+    SearchIndex.compact(spark, dir)
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)) == before,
+      "folding must preserve the exact integer sums")
+    // folded: one write's worth of parts, and the negative parts are gone
+    assert(spark.read.parquet(s"$dir/stats").count() == 1)
+    val dfs = spark.read.parquet(s"$dir/df")
+    assert(dfs.filter(col("df") <= 0).count() == 0,
+      "folded df must hold positive per-token sums only")
+  }
+
   test("token-sorted postings prune INSIDE buckets: fewer rows read than an unsorted twin") {
     // small parquet pages so min-max (column-index) pruning is observable
     // at spec scale (production files carry many pages/row groups per
