@@ -15,8 +15,9 @@ object Bench {
     * index-lifecycle rows. `bm25_mlt` joined after the full-suite
     * recording: its median comes from three dedicated fresh-JVM subset
     * runs at the same commit class (12.98/11.10/10.33 s — a full index
-    * lifecycle like its bm25_index_* siblings). Flagged slowdowns are
-    * re-measured TWICE before being reported (below).
+    * lifecycle like its bm25_index_* siblings); `bm25_mlt_batch` likewise
+    * (11.41/11.90/10.39 s). Flagged slowdowns are re-measured TWICE
+    * before being reported (below).
     * sim_pqindex_* / bm25_index_* / dedup_cdc_admit / cdc_index_forget /
     * sim_pq_adc time a FULL index lifecycle per run (train/build +
     * partitioned write + probe) — the build/serve split is emitted
@@ -27,6 +28,7 @@ object Bench {
     "agg_stats" -> 1.467, "asof_native" -> 0.985,
     "asof_signup" -> 1.188, "bm25_index_forget" -> 9.275,
     "bm25_index_search" -> 6.099, "bm25_mlt" -> 11.099,
+    "bm25_mlt_batch" -> 11.414,
     "bm25_search" -> 0.724,
     "bpe_encode" -> 4.218, "bpe_merges" -> 0.834,
     "cdc_index_forget" -> 3.856, "clf_auc" -> 1.360,

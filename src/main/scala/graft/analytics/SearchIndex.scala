@@ -461,4 +461,74 @@ object SearchIndex {
       .limit(k)
       .select(col("doc_id"), col("dl"), col("n_terms"), col("score_micro"))
   }
+
+  /** Batch more-like-this: top-k related docs for EVERY seed in one
+    * declarative plan — the related-items PRECOMPUTE shape. Where
+    * [[moreLikeThis]] is the serving form (driver-collected terms →
+    * statically pruned probe, a few directory reads per query), this form
+    * never touches the driver with data: seed vocabularies come from the
+    * seeds' forward doc-buckets (the bucket set is collected — it is ≤
+    * [[DocBuckets]] ints, a pure function of the ids), per-seed term
+    * selection is a (seed)-keyed window over exact-integer tf × idf_micro
+    * weights, and scoring is ONE token-keyed join of the terms frame
+    * against the postings — at 100 TB that join is the co-partitioned
+    * shuffle a corpus-wide precompute is supposed to be, not |seeds|
+    * pruned probes. Scoring arithmetic (micro-rounded integer
+    * contributions, order-free sums) is IDENTICAL to the single-seed
+    * form: `moreLikeThisBatch(seeds = {d})` returns exactly
+    * `moreLikeThis(d)` plus the seed_id column (SearchIndexSpec).
+    * Output: (seed_id, doc_id, dl, n_terms, score_micro), per-seed top-k
+    * by (score_micro desc, doc_id); seed and tombstoned docs excluded. */
+  def moreLikeThisBatch(spark: SparkSession, dir: String, seeds: DataFrame, k: Int,
+                        topTerms: Int = 10, seedCol: String = "doc_id",
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val st = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n")).as("n"), sum(col("dl_sum")).as("dl_sum")).head()
+    val n = st.getAs[Long]("n")
+    require(n > 0, s"BM25 index at $dir is empty")
+    val avgdl = st.getAs[Long]("dl_sum").toDouble / n
+    val seedIds = seeds.select(col(seedCol).cast("long").as("seed_id")).distinct()
+    // candidate forward buckets: a pure function of the seed ids, ≤
+    // DocBuckets ints — a corpus-wide seed set legitimately reads all 16
+    val cb = seedIds.select(dbucketOf(col("seed_id")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    require(cb.nonEmpty, "seed set is empty")
+    val seedTf = spark.read.parquet(s"$dir/forward")
+      .filter(col("dbucket").isin(cb: _*))
+      .join(broadcast(seedIds), col("doc_id") === col("seed_id"), "inner")
+      .select(col("seed_id"), col("token"), col("tf"))
+    val dfSums = spark.read.parquet(s"$dir/df")
+      .groupBy("token").agg(sum(col("df")).as("df"))
+    // per-seed exact-integer term ranking (w = tf × idf_micro, BIGINTs)
+    val wTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seed_id")).orderBy(col("w").desc, col("token"))
+    val terms = seedTf.join(dfSums, "token")
+      .withColumn("idf_micro", Search.idfMicro(col("df"), n))
+      .withColumn("w", col("tf") * col("idf_micro"))
+      .filter(col("w") > 0)
+      .withColumn("rn", row_number().over(wTerm))
+      .filter(col("rn") <= topTerms)
+      .select(col("seed_id"), col("token"), col("idf_micro"))
+    val post0 = readPostings(spark, dir)
+      .select(col("doc_id"), col("dl"), col("token"), col("tf"))
+    val post = tombstoneIds(spark, dir)
+      .fold(post0)(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val tf = col("tf").cast("double")
+    val sMicro = round(
+      (col("idf_micro").cast("double") / 1e6) *
+        (tf * (k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)) *
+        1e6).cast("long")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seed_id")).orderBy(col("score_micro").desc, col("doc_id"))
+    post.join(terms, "token")
+      .filter(col("doc_id") =!= col("seed_id"))
+      .withColumn("s_micro", sMicro)
+      .groupBy("seed_id", "doc_id", "dl")
+      .agg(count(lit(1)).as("n_terms"), sum(col("s_micro")).as("score_micro"))
+      .filter(col("score_micro") > 0)
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("seed_id"), col("doc_id"), col("dl"), col("n_terms"),
+        col("score_micro"))
+  }
 }

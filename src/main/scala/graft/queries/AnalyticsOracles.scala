@@ -2851,5 +2851,49 @@ object AnalyticsOracles {
         |SELECT doc_id, dl, count(*)::BIGINT AS n_terms, sum(s_micro)::BIGINT AS score_micro
         |FROM sc GROUP BY doc_id, dl
         |HAVING sum(s_micro) > 0
-        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin)
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin) +
+    // batch more-like-this (r14): per-seed top-20 for seeds {1,2,3} — the
+    // related-items precompute; same exact-integer term selection and
+    // micro-rounded integer scoring as bm25_mlt, ranked per seed
+    ("bm25_mlt_batch" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |d AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok)
+        |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS dl_sum FROM d),
+        |df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+        |tw AS (
+        |  SELECT t.doc_id AS seed_id, t.tok,
+        |    round(ln((s.n+1)::DOUBLE / (df.df+1)) * 1000000)::BIGINT AS idfm,
+        |    t.tf * round(ln((s.n+1)::DOUBLE / (df.df+1)) * 1000000)::BIGINT AS w
+        |  FROM tf t JOIN df USING (tok) CROSS JOIN s
+        |  WHERE t.doc_id IN (1, 2, 3)),
+        |terms AS (
+        |  SELECT seed_id, tok, idfm FROM (
+        |    SELECT seed_id, tok, idfm,
+        |      row_number() OVER (PARTITION BY seed_id ORDER BY w DESC, tok) AS rn
+        |    FROM tw WHERE w > 0)
+        |  WHERE rn <= 10),
+        |sc AS (
+        |  SELECT terms.seed_id, t.doc_id, d.dl,
+        |    round(
+        |      (terms.idfm::DOUBLE / 1000000.0)
+        |      * (t.tf::DOUBLE * (1.2 + 1)) / (t.tf::DOUBLE + 1.2 * (0.25 + 0.75 * d.dl / (s.dl_sum::DOUBLE / s.n)))
+        |      * 1000000)::BIGINT AS s_micro
+        |  FROM tf t JOIN terms USING (tok) JOIN d USING (doc_id) CROSS JOIN s
+        |  WHERE t.doc_id <> terms.seed_id),
+        |agg AS (
+        |  SELECT seed_id, doc_id, dl, count(*)::BIGINT AS n_terms,
+        |    sum(s_micro)::BIGINT AS score_micro
+        |  FROM sc GROUP BY seed_id, doc_id, dl
+        |  HAVING sum(s_micro) > 0)
+        |SELECT seed_id, doc_id, dl, n_terms, score_micro FROM (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY seed_id ORDER BY score_micro DESC, doc_id) AS rn
+        |  FROM agg)
+        |WHERE rn <= 20
+        |ORDER BY seed_id, score_micro DESC, doc_id""".stripMargin)
 }

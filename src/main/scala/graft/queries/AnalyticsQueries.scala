@@ -581,6 +581,17 @@ object AnalyticsQueries {
       topTerms = 10)
   }
 
+  /** Batch more-like-this (r14): per-seed top-20 related docs for seeds
+    * {1, 2, 3} in one declarative plan — the related-items precompute
+    * shape; see [[graft.analytics.SearchIndex.moreLikeThisBatch]]. */
+  def bm25MltBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = scratchIndexDir("searchindex-mltb")
+    graft.analytics.SearchIndex.build(Tables(spark, dir).documents, idx)
+    graft.analytics.SearchIndex.moreLikeThisBatch(spark, idx,
+      Seq(1L, 2L, 3L).toDF("doc_id"), k = 20, topTerms = 10)
+  }
+
   /** Hybrid retrieval: RRF-fuse the dense cosine top-50 for query vector 0
     * with the BM25 top-50 for the standard query terms. Both legs are
     * k-sized before fusion; the no-partition rank window runs over a ≤50-row
@@ -1660,6 +1671,7 @@ object AnalyticsQueries {
     "bm25_index_search" -> (bm25IndexSearch(_, _)),
     "bm25_index_forget" -> (bm25IndexForget(_, _)),
     "bm25_mlt"         -> (bm25Mlt(_, _)),
+    "bm25_mlt_batch"   -> (bm25MltBatch(_, _)),
     "search_rrf"       -> (searchRrf(_, _)),
     "dsir_weights"     -> (dsirWeights(_, _)),
     "text_collocations" -> (textCollocations(_, _)),

@@ -231,6 +231,30 @@ class SearchIndexSpec extends SparkSpec {
     assert(!after.exists(_.getAs[Long]("doc_id") == topHit))
   }
 
+  test("moreLikeThisBatch on one seed equals the single-seed serving form exactly") {
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+    val dir = Files.createTempDirectory("searchidx-mltb").toString
+    SearchIndex.build(docs, dir)
+    import spark.implicits._
+    val single = SearchIndex.moreLikeThis(spark, dir, 1L, k = 20, topTerms = 10)
+      .collect().map(_.toSeq).toSeq
+    val batch1 = SearchIndex.moreLikeThisBatch(spark, dir, Seq(1L).toDF("doc_id"),
+        k = 20, topTerms = 10)
+      .select("doc_id", "dl", "n_terms", "score_micro")
+      .collect().map(_.toSeq).toSeq
+    assert(single.nonEmpty && batch1.toSet == single.toSet)
+    // multi-seed: each seed's slice is that seed's single-seed answer
+    val b3 = SearchIndex.moreLikeThisBatch(spark, dir, Seq(1L, 2L, 3L).toDF("doc_id"),
+        k = 20, topTerms = 10).collect()
+    assert(b3.map(_.getAs[Long]("seed_id")).toSet == Set(1L, 2L, 3L))
+    val slice2 = b3.filter(_.getAs[Long]("seed_id") == 2L)
+      .map(r => Seq[Any](r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
+        r.getAs[Long]("n_terms"), r.getAs[Long]("score_micro"))).toSet
+    val single2 = SearchIndex.moreLikeThis(spark, dir, 2L, k = 20, topTerms = 10)
+      .collect().map(_.toSeq).toSet
+    assert(slice2 == single2)
+  }
+
   test("compact folds the df/stats merge-on-read parts without changing answers") {
     val docs = graft.Tables(spark, sf("sf0.01")).documents
     val hi = docs.agg(max("doc_id")).head().getLong(0)

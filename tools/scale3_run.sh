@@ -14,7 +14,7 @@ export SPARK_SCALA_VERSION=2.13
 OUT=${1:-/tmp/scale_r12}
 mkdir -p "$OUT"
 JAR=$(ls target/scala-2.13/*.jar | head -1)
-SUBSET="bm25_index_search bm25_index_forget cdc_index_forget \
+SUBSET="bm25_index_search bm25_index_forget bm25_mlt bm25_mlt_batch cdc_index_forget \
 dedup_cc_keepers dedup_cc_star dedup_closure \
 dedup_minhash dedup_ngram pipeline_full sim_ivf_topk sim_ivfpq_topk \
 sim_pq_adc sim_pqindex_rescored sim_pqindex_topk"
