@@ -335,6 +335,27 @@ class SearchIndexSpec extends SparkSpec {
     }
   }
 
+  test("moreLikeThis's scoring probe is partition pruning like query's") {
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+    val dir = Files.createTempDirectory("searchidx-mlt-prune").toString
+    SearchIndex.build(docs, dir)
+    val totalBuckets = new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("bucket="))
+    val res = SearchIndex.moreLikeThis(spark, dir, 1L, k = 20, topTerms = 10)
+    assert(res.collect().nonEmpty)
+    val postScan = allNodes(res.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      })
+      .collect { case s: FileSourceScanExec => s }
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("/postings")))
+      .get
+    assert(postScan.partitionFilters.nonEmpty, postScan.toString)
+    val partitionsRead = postScan.metrics.get("numPartitions").map(_.value)
+    assert(partitionsRead.exists(n => n > 0 && n <= 10 && n < totalBuckets),
+      s"10 terms must read <=10 of $totalBuckets buckets, read $partitionsRead")
+  }
+
   test("term probe is partition pruning: a query reads only its terms' buckets") {
     val docs = graft.Tables(spark, sf("sf0.01")).documents
     val dir = Files.createTempDirectory("searchidx2").toString
