@@ -153,6 +153,34 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // Per-query shuffle-write bytes (r15, VERDICT r14 #3): opt-in via
+    // SPARK_GRAFT_SHUFFLE=1 — the scale-variance protocol's decider
+    // (tools/dedup_scale5.sh). Bytes are a property of the PLAN: flat
+    // bytes across passes + spreading wall-time = host drift; growing
+    // bytes = the plan itself did more work (e.g. extra label-prop
+    // rounds). Off by default: the post-query listener quiesce wait would
+    // perturb the regression-gated timings.
+    val recordShuffle = sys.env.contains("SPARK_GRAFT_SHUFFLE")
+    val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
+    if (recordShuffle)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) shuffleAcc.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        }
+      })
+    /** Snapshot the shuffle counter after waiting for the async listener
+      * bus to quiesce (same spin pattern as the byte-accounting specs). */
+    def shuffleSnapshot(): Long = {
+      var last = -1L
+      var spins = 0
+      while (shuffleAcc.get() != last && spins < 30) {
+        last = shuffleAcc.get(); Thread.sleep(100); spins += 1
+      }
+      shuffleAcc.get()
+    }
+    val shuffleByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+
     // one untimed warmup: JVM/codegen/parquet-footer caches
     try run("o3_count_range") catch { case _: Throwable => () }
 
@@ -173,8 +201,10 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val firstPass = names.map { name =>
+      val before = if (recordShuffle) shuffleSnapshot() else 0L
       val (t, ok) = timeOnce(name)
       if (!ok) failed ::= name
+      if (recordShuffle) shuffleByQuery(name) = shuffleSnapshot() - before
       name -> t
     }
     // The baseline (and thus the rerun/regression protocol) is only
@@ -298,9 +328,13 @@ object Bench {
     val splitJson = indexSplit.map { case (k, (b, s)) =>
       "\"" + k + "\":{\"build\":" + f3(b) + ",\"serve\":" + f3(s) + "}"
     }.mkString("{", ",", "}")
+    val shuffleJson =
+      if (shuffleByQuery.isEmpty) ""
+      else shuffleByQuery.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","shuffle_write":{""", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failedJson,"reran":$reranJson,"regressions_vs_prev":$regressions,""" +
-      s""""regression_notes":$notes,"index_split":$splitJson,"sf":"$sfDir"}"""
+      s""""regression_notes":$notes,"index_split":$splitJson$shuffleJson,"sf":"$sfDir"}"""
     // The FULL per-query map (~4 KB for 180 queries) goes to a FILE, never
     // to stdout: the harness that records BENCH_r{N}.json keeps only the
     // LAST 2000 chars of stdout and json-parses what it finds there, so a

@@ -50,6 +50,31 @@ object CdcIndex {
 
   private val Buckets = 64
 
+  /** Layout/chunking record (r15, completing the family contract of
+    * VERDICT r14 #1): the CDC window `w` and rolling-hash `modulus` are
+    * properties of the BUILD — chunk boundaries are a pure function of
+    * (text, w, modulus), so an [[append]] or [[screenDelta]] under
+    * different values produces different chunk hashes and silently misses
+    * every duplicate. Recorded at build, validated on every later
+    * operation; meta-less pre-r15 indexes trust the caller (their
+    * historical contract). `buckets` is recorded for cross-version safety
+    * (the partition rule must match what is on disk). */
+  private def writeMeta(spark: SparkSession, dir: String, w: Int, modulus: Int): Unit =
+    IndexMeta.write(spark, dir,
+      s"""{"layout":1,"w":$w,"modulus":$modulus,"buckets":$Buckets}""")
+
+  private def checkGeometry(spark: SparkSession, dir: String, w: Int, modulus: Int): Unit =
+    IndexMeta.readText(spark, dir).foreach { txt =>
+      def field(k: String): Long = IndexMeta.long(txt, k).getOrElse(
+        throw new IllegalStateException(s"CDC index meta at $dir is unreadable: $txt"))
+      if (field("w") != w || field("modulus") != modulus || field("buckets") != Buckets)
+        throw new IllegalStateException(
+          s"CDC index at $dir was built with w=${field("w")} modulus=${field("modulus")} " +
+            s"buckets=${field("buckets")}; caller asked for w=$w modulus=$modulus " +
+            s"buckets=$Buckets - mismatched chunking cannot compose; pass the build " +
+            "parameters or rebuild the index")
+    }
+
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -82,6 +107,7 @@ object CdcIndex {
       hashes(docs, w, modulus, idCol, textCol)
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/chunks")
+      writeMeta(docs.sparkSession, dir, w, modulus)
       // a REBUILD resets the index completely: stale tombstones from a
       // pre-rebuild [[forget]] must not keep suppressing the fresh corpus
       val tp = path(s"$dir/tombstones")
@@ -89,10 +115,12 @@ object CdcIndex {
     }
 
   private def appendUnlocked(delta: DataFrame, dir: String, w: Int, modulus: Int,
-                             idCol: String, textCol: String): Unit =
+                             idCol: String, textCol: String): Unit = {
+    checkGeometry(delta.sparkSession, dir, w, modulus)
     hashes(delta, w, modulus, idCol, textCol)
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/chunks")
+  }
 
   /** Append a shard's chunk hashes (blind — screen first via
     * [[screenDelta]] when admission should gate the append, or use
@@ -193,6 +221,7 @@ object CdcIndex {
   def screenDelta(spark: SparkSession, dir: String, delta: DataFrame,
                   maxDupPerMille: Int = 500, w: Int = 4, modulus: Int = 16,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    checkGeometry(spark, dir, w, modulus)
     val hist0 = readChunks(spark, dir)
     // tombstoned docs' rows leave the reachable set ([[forget]]); lock-free
     // by the same monotone argument as the twins

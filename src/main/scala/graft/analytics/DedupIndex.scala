@@ -43,7 +43,7 @@ object DedupIndex {
 
   /** Doc-hash sub-partitioning of the stored layout (r13, VERDICT r12 #2):
     * `bands/` is partitioned by (band, dbucket) and `shingles/` by dbucket,
-    * where dbucket = pmod(xxhash64(doc_id), DocBuckets) — a pure function
+    * where dbucket = pmod(xxhash64(doc_id), docBuckets) — a pure function
     * of the id, so incremental appends land in the same directories and
     * compose. Probes are unchanged (they read whole bands; dbucket is a
     * second-level directory). What the extra level buys is PARTITION-SCOPED
@@ -53,22 +53,68 @@ object DedupIndex {
     * partitions whose bucket contains a tombstoned doc: cost ∝ the
     * tombstoned-bucket share of the index (measured at sf1, SCALING.md
     * r13), and untouched partition files stay byte-identical
-    * (CompactionSpec asserts it). At 100 TB raise DocBuckets with corpus
-    * size (it bounds compact granularity, not correctness). Tunable via
-    * `-Dgraft.dedupindex.docbuckets=N` for by-corpus-size policy and the
-    * layout A/B probe (r14) — the value must stay FIXED across one
-    * index's whole build/append/forget/compact lifecycle (the bucket rule
-    * is a pure function of the id only at constant N). */
-  private[analytics] def DocBuckets: Int =
+    * (CompactionSpec asserts it).
+    *
+    * The bucket rule is a pure function of the id only at CONSTANT width,
+    * so since r15 the width is a property of the BUILD, persisted in
+    * `_graft_meta.json` and read back by every later operation (VERDICT
+    * r14 #1 / ADVICE r14: the r14 sys-prop was process-global — a JVM
+    * started with a different `-Dgraft.dedupindex.docbuckets` silently
+    * mis-bucketed forget/compact scoping on an existing index). The
+    * sys-prop remains ONLY as the build-time default (the layout A/B
+    * knob); absent, the width follows [[IndexMeta.bucketPolicy]] over the
+    * corpus size. Pre-r15 meta-less indexes fall back to the sys-prop/16
+    * (their build-time behavior). */
+  private def buildDocBuckets(nDocs: Long): Int =
+    sys.props.get("graft.dedupindex.docbuckets").map(_.toInt)
+      .getOrElse(IndexMeta.bucketPolicy(nDocs))
+
+  private def legacyDocBuckets: Int =
     sys.props.get("graft.dedupindex.docbuckets").map(_.toInt).getOrElse(16)
 
-  private def withDbucket(df: DataFrame): DataFrame =
-    df.withColumn("dbucket", pmod(xxhash64(col("doc_id")), lit(DocBuckets)).cast("int"))
+  /** The stored banding/layout record: MinHash banding geometry (an append
+    * or probe under different bands/rowsPerBand/ngram would write or
+    * compare incompatible band buckets) plus the doc-hash width. */
+  private final case class Meta(docBuckets: Int, bands: Int, rowsPerBand: Int, ngram: Int)
+
+  private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit =
+    IndexMeta.write(spark, dir, s"""{"layout":1,"docBuckets":${m.docBuckets},""" +
+      s""""bands":${m.bands},"rowsPerBand":${m.rowsPerBand},"ngram":${m.ngram}}""")
+
+  private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
+    IndexMeta.readText(spark, dir).map { txt =>
+      def field(k: String): Int = IndexMeta.long(txt, k).getOrElse(
+        throw new IllegalStateException(s"dedup index meta at $dir is unreadable: $txt")).toInt
+      Meta(field("docBuckets"), field("bands"), field("rowsPerBand"), field("ngram"))
+    }
+
+  /** Fail-fast geometry check for every post-build operation: a mismatched
+    * banding geometry would compose incompatible minhash rows (appends) or
+    * probe with foreign buckets (dedupDelta) — silently missing pairs.
+    * Returns the stored doc-hash width. Meta-less pre-r15 indexes trust
+    * the caller (their historical contract). */
+  private def checkGeometry(spark: SparkSession, dir: String,
+                            bands: Int, rowsPerBand: Int, n: Int): Int =
+    readMeta(spark, dir) match {
+      case Some(m) =>
+        if (m.bands != bands || m.rowsPerBand != rowsPerBand || m.ngram != n)
+          throw new IllegalStateException(
+            s"dedup index at $dir was built with bands=${m.bands} rowsPerBand=" +
+              s"${m.rowsPerBand} ngram=${m.ngram}; caller asked for bands=$bands " +
+              s"rowsPerBand=$rowsPerBand ngram=$n - mismatched banding cannot compose; " +
+              "pass the build geometry or rebuild the index")
+        m.docBuckets
+      case None => legacyDocBuckets
+    }
+
+  private def withDbucket(df: DataFrame, docBuckets: Int): DataFrame =
+    df.withColumn("dbucket", pmod(xxhash64(col("doc_id")), lit(docBuckets)).cast("int"))
 
   /** Driver-side twin of [[withDbucket]]'s bucket rule for a tombstone id
-    * set: the affected buckets are a pure function of the ids. */
-  private def bucketsOf(tomb: DataFrame): Array[Int] =
-    tomb.select(pmod(xxhash64(col("doc_id")), lit(DocBuckets)).cast("int").as("b"))
+    * set: the affected buckets are a pure function of the ids (at the
+    * stored width). */
+  private def bucketsOf(tomb: DataFrame, docBuckets: Int): Array[Int] =
+    tomb.select(pmod(xxhash64(col("doc_id")), lit(docBuckets)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0))
 
   /** Marker left by an all-tombstoned [[compact]]: overwriting bands
@@ -103,12 +149,17 @@ object DedupIndex {
     else spark.read.parquet(s"$dir/shingles")
   }
 
-  /** Build and write the index from corpus history. */
+  /** Build and write the index from corpus history; the doc-hash width
+    * (sys-prop default, else [[IndexMeta.bucketPolicy]] over the corpus
+    * size) and the banding geometry are recorded in `_graft_meta.json` and
+    * validated by every later operation (r15). */
   def build(docs: DataFrame, dir: String,
             bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
             idCol: String = "doc_id", textCol: String = "text"): Unit =
     IndexLock.withLock(docs.sparkSession, dir) {
-      writeIndex(docs, dir, bands, rowsPerBand, n, idCol, textCol, "overwrite")
+      val db = writeIndex(docs, dir, bands, rowsPerBand, n, idCol, textCol,
+        "overwrite", docBuckets0 = 0)
+      writeMeta(docs.sparkSession, dir, Meta(db, bands, rowsPerBand, n))
       // a REBUILD resets the index completely: stale tombstones from a
       // pre-rebuild [[forget]] must not keep suppressing the fresh corpus
       val tp = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
@@ -116,7 +167,9 @@ object DedupIndex {
     }
 
   /** Append a shard to the index (no dedup — compose with [[dedupDelta]]
-    * first when the shard should be screened before admission). */
+    * first when the shard should be screened before admission). The stored
+    * geometry wins: a mismatching explicit (bands, rowsPerBand, n) throws
+    * (r15 — it would write incompatible minhash rows). */
   def append(delta: DataFrame, dir: String,
              bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
              idCol: String = "doc_id", textCol: String = "text"): Unit =
@@ -129,24 +182,37 @@ object DedupIndex {
     * critical section (the lock is non-reentrant). */
   private def appendUnlocked(delta: DataFrame, dir: String,
                              bands: Int, rowsPerBand: Int, n: Int,
-                             idCol: String, textCol: String): Unit =
-    writeIndex(delta, dir, bands, rowsPerBand, n, idCol, textCol, "append")
+                             idCol: String, textCol: String): Unit = {
+    val spark = delta.sparkSession
+    val hadMeta = readMeta(spark, dir).nonEmpty
+    val db = checkGeometry(spark, dir, bands, rowsPerBand, n)
+    writeIndex(delta, dir, bands, rowsPerBand, n, idCol, textCol, "append",
+      docBuckets0 = db): Unit
+    // first r15 touch of a legacy index: pin its (caller-trusted) layout so
+    // later operations stop depending on a process-global sys-prop
+    if (!hadMeta) writeMeta(spark, dir, Meta(db, bands, rowsPerBand, n))
+  }
 
   /** Shared write body of [[build]]/[[appendUnlocked]]: shingle once, write
-    * bands partitioned by (band, dbucket) and shingles by dbucket (see
-    * [[DocBuckets]]). The empty marker is cleared only AFTER the data is
-    * readable: readers give the marker precedence, so a lock-free reader
-    * racing this write degrades to a safe stale-empty view instead of
-    * hitting a window with neither marker nor parquet (ADVICE r12). */
+    * bands partitioned by (band, dbucket) and shingles by dbucket.
+    * `docBuckets0 > 0` pins the width (appends); `0` derives it from the
+    * corpus (build — see [[buildDocBuckets]]). Returns the width used. The
+    * empty marker is cleared only AFTER the data is readable: readers give
+    * the marker precedence, so a lock-free reader racing this write
+    * degrades to a safe stale-empty view instead of hitting a window with
+    * neither marker nor parquet (ADVICE r12). */
   private def writeIndex(docs: DataFrame, dir: String,
                          bands: Int, rowsPerBand: Int, n: Int,
-                         idCol: String, textCol: String, mode: String): Unit = {
+                         idCol: String, textCol: String, mode: String,
+                         docBuckets0: Int): Int = {
     val withSh = Dedup.shingleFrame(docs, n, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    withDbucket(Dedup.minhashBanded(withSh, bands, rowsPerBand))
+    val docBuckets =
+      if (docBuckets0 > 0) docBuckets0 else buildDocBuckets(withSh.count())
+    withDbucket(Dedup.minhashBanded(withSh, bands, rowsPerBand), docBuckets)
       .repartition(col("band"), col("dbucket"))
       .write.mode(mode).partitionBy("band", "dbucket").parquet(s"$dir/bands")
-    withDbucket(withSh)
+    withDbucket(withSh, docBuckets)
       .repartition(col("dbucket"))
       .write.mode(mode).partitionBy("dbucket").parquet(s"$dir/shingles")
     // an all-blank frame writes no partition files — keep the marker then
@@ -156,6 +222,7 @@ object DedupIndex {
     val mp = emptyMarker(dir)
     val mf = fs(docs.sparkSession, mp)
     if (wroteRows && mf.exists(mp)) mf.delete(mp, false): Unit // real files return
+    docBuckets
   }
 
   /** Admission pass for an arriving shard — the decision layer over
@@ -250,7 +317,10 @@ object DedupIndex {
     IndexLock.withLock(spark, dir) {
       tombstones(spark, dir).foreach { tomb =>
         val t = broadcast(tomb)
-        val tb = bucketsOf(tomb)
+        // the stored width (r15): a sys-prop changed since build must not
+        // mis-scope the rewrite
+        val db = readMeta(spark, dir).map(_.docBuckets).getOrElse(legacyDocBuckets)
+        val tb = bucketsOf(tomb, db)
         val bandsPath = new org.apache.hadoop.fs.Path(s"$dir/bands")
         val shinPath = new org.apache.hadoop.fs.Path(s"$dir/shingles")
         val f = fs(spark, bandsPath)
@@ -342,6 +412,9 @@ object DedupIndex {
                  minJaccard: Double,
                  bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // geometry must match the stored index: a delta banded differently
+    // would probe foreign buckets and silently miss every pair (r15)
+    checkGeometry(spark, dir, bands, rowsPerBand, n): Unit
     val dSh = Dedup.shingleFrame(delta, n, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dBand = Dedup.minhashBanded(dSh, bands, rowsPerBand)

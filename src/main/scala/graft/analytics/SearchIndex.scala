@@ -29,6 +29,22 @@ import org.apache.spark.sql.functions._
   *     read from the ids' own doc-buckets instead of a full postings pass
   *     (the one O(index) RTBF left in the family after r13 — VERDICT r13
   *     #1). Queries never read it.
+  *   - `_graft_meta.json` (r15, VERDICT r14 #1) — the LAYOUT RECORD:
+  *     `buckets` (token-hash width of postings/), `docBuckets` (doc-hash
+  *     width of census/ + forward/, chosen by [[IndexMeta.bucketPolicy]]
+  *     from corpus size at build — VERDICT r14 #4), and `forward` (true iff
+  *     the forward store covers the WHOLE index, not just post-r14
+  *     appends). Probes recompute the bucket rules driver-side, so these
+  *     constants are properties of the BUILD: a caller passing a different
+  *     `buckets` would statically prune to the wrong directories and
+  *     silently miss postings — every later operation therefore reads the
+  *     stored values and FAILS FAST on an explicit mismatch (the
+  *     [[PqIndex]] `checkMeta` pattern). Indexes written before r15 carry
+  *     no meta: the caller value (or the historical defaults 64/16) is
+  *     trusted once, and the forward store is treated as NOT known-complete
+  *     (ADVICE r14: an r14 append onto a pre-r14 index leaves forward/
+  *     holding only the appended docs — deriving df deltas from it would
+  *     silently leave df inflated forever).
   *
   * A query probes only its terms' buckets: the term list is hashed
   * DRIVER-side ([[Dedup.hash60Local]], bit-identical to the stored
@@ -45,10 +61,14 @@ import org.apache.spark.sql.functions._
   * describe the corpus-minus-forgotten exactly, so a query after forget is
   * bit-identical to a one-shot [[Search.bm25TopDocs]] over the filtered
   * corpus (the `bm25_index_forget` oracle row IS `bm25_search`'s SQL with
-  * the same exclusion). [[compact]] reclaims space partition-scoped: only
-  * postings buckets / census doc-buckets containing tombstoned rows are
-  * rewritten. Re-appending a forgotten doc requires [[compact]] first
-  * (same contract as the twins).
+  * the same exclusion). [[compact]] reclaims space partition-scoped AND
+  * share-scoped (r15, VERDICT r14 #2): a postings bucket is rewritten only
+  * when its tombstoned-row share crosses `minShare` — below it, serving
+  * stays exact through the tombstone anti-join and the bytes are reclaimed
+  * by a later compact once the share accrues, so bytes-rewritten tracks the
+  * tombstoned share instead of the index size. Re-appending a forgotten doc
+  * requires a FULL compact (`minShare = 0`) first (same contract as the
+  * twins).
   *
   * Determinism: tf/dl/df/idf and the fixed-order BM25 sum are the exact
   * expressions of [[Search.bm25TopDocs]], so querying a freshly built
@@ -56,14 +76,50 @@ import org.apache.spark.sql.functions._
   * IS `bm25_search`'s SQL). */
 object SearchIndex {
 
-  /** Census doc-hash partitioning width — bounds [[compact]] granularity
-    * (same role as [[DedupIndex.DocBuckets]]). */
-  private[analytics] val DocBuckets = 16
+  /** Historical token-hash width — the value used when neither the caller
+    * nor a stored meta supplies one (pre-r15 indexes). */
+  private[analytics] val DefaultBuckets = 64
+
+  /** Historical census/forward doc-hash width (pre-r15 indexes; r15 builds
+    * choose by corpus size — [[IndexMeta.bucketPolicy]]). */
+  private[analytics] val DefaultDocBuckets = 16
+
+  /** The recorded layout of a stored index — see the scaladoc above. */
+  private final case class Meta(buckets: Int, docBuckets: Int, forwardComplete: Boolean)
 
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def path(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit =
+    IndexMeta.write(spark, dir, s"""{"layout":1,"buckets":${m.buckets},""" +
+      s""""docBuckets":${m.docBuckets},"forward":${m.forwardComplete}}""")
+
+  private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
+    IndexMeta.readText(spark, dir).map { txt =>
+      def field(k: String): Int = IndexMeta.long(txt, k).getOrElse(
+        throw new IllegalStateException(s"BM25 index meta at $dir is unreadable: $txt")).toInt
+      Meta(field("buckets"), field("docBuckets"), IndexMeta.flag(txt, "forward"))
+    }
+
+  /** Fail-fast width resolution (r15, VERDICT r14 #1): the stored value
+    * wins; an EXPLICIT caller value that disagrees throws — it would prune
+    * the probe to the wrong partition directories and silently drop
+    * postings. `caller <= 0` means "use the stored width" (the new default
+    * on every read/mutate path). Meta-less pre-r15 indexes trust the
+    * caller, falling back to the historical default. */
+  private def resolveBuckets(meta: Option[Meta], caller: Int, dir: String): Int =
+    meta match {
+      case Some(m) =>
+        if (caller > 0 && caller != m.buckets)
+          throw new IllegalStateException(
+            s"BM25 index at $dir was built with buckets=${m.buckets}; caller asked for " +
+              s"buckets=$caller - a mismatched width prunes probes to the wrong partition " +
+              "directories. Pass the build value or omit the parameter.")
+        m.buckets
+      case None => if (caller > 0) caller else DefaultBuckets
+    }
 
   /** Marker left when [[compact]] empties every postings bucket while docs
     * (blank ones) remain: a dir with zero partitions fails schema
@@ -79,6 +135,20 @@ object SearchIndex {
           StructField("token", StringType), StructField("tf", LongType),
           StructField("bucket", IntegerType))))
     } else spark.read.parquet(s"$dir/postings")
+
+  /** The forward store as a frame, EMPTY-safe: an all-forgotten [[compact]]
+    * can remove every dbucket partition (blank docs keep census rows but
+    * have no forward rows), and a partition-less dir fails schema
+    * inference. */
+  private def readForward(spark: SparkSession, dir: String): DataFrame =
+    if (hasPartitions(spark, path(s"$dir/forward"), "dbucket="))
+      spark.read.parquet(s"$dir/forward")
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType), StructField("token", StringType),
+          StructField("tf", LongType), StructField("dbucket", IntegerType))))
+    }
 
   private def tombstoneIds(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = path(s"$dir/tombstones")
@@ -96,11 +166,68 @@ object SearchIndex {
     f.exists(root) && f.listStatus(root).exists(_.getPath.getName.startsWith(prefix))
   }
 
-  private def dbucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(xxhash64(c), lit(DocBuckets)).cast("int")
+  private def dbucketOf(c: org.apache.spark.sql.Column, docBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(c), lit(docBuckets)).cast("int")
 
-  private def writeIndex(docs: DataFrame, dir: String, buckets: Int,
-                         mode: String, idCol: String, textCol: String): Unit = {
+  // ---------------- df/stats merge-on-read stores ----------------
+
+  /** Read a merge-on-read sum store (`df/` or `stats/`). Prefers the live
+    * root; falls back to the fold-swap backup dir so a lock-free reader
+    * racing [[compact]]'s fold (or landing after a crash between the two
+    * renames) still sees a complete store — the in-place overwrite the r14
+    * fold used could expose a missing/partial dir (ADVICE r14). */
+  private def readSumStore(spark: SparkSession, dir: String, sub: String): DataFrame = {
+    val root = path(s"$dir/$sub")
+    if (fs(spark, root).exists(root)) spark.read.parquet(root.toString)
+    else spark.read.parquet(s"$dir/$sub.__fold_old")
+  }
+
+  /** Swap a folded replacement into place via two directory RENAMES
+    * (metadata ops) instead of a delete-then-rewrite job window: write the
+    * folded parts to `<sub>.__fold_tmp`, rename the live root aside to
+    * `<sub>.__fold_old`, rename tmp in, delete the backup. The exposed
+    * window is two renames wide, and [[readSumStore]] falls back to the
+    * backup when the root is momentarily (or after a crash, durably)
+    * absent — the statistics can no longer be destroyed mid-fold
+    * (ADVICE r14). */
+  private def foldSwap(spark: SparkSession, dir: String, sub: String,
+                       folded: DataFrame): Unit = {
+    val root = path(s"$dir/$sub")
+    val tmp = path(s"$dir/$sub.__fold_tmp")
+    val old = path(s"$dir/$sub.__fold_old")
+    val f = fs(spark, root)
+    f.delete(tmp, true); f.delete(old, true)
+    folded.write.parquet(tmp.toString)
+    if (!f.rename(root, old))
+      throw new IllegalStateException(s"fold swap: cannot move $root aside")
+    if (!f.rename(tmp, root))
+      throw new IllegalStateException(s"fold swap: cannot move $tmp into place")
+    f.delete(old, true): Unit
+  }
+
+  /** Crash repair for [[foldSwap]], run at the head of every locked
+    * mutator: a crash between the two renames leaves the live root missing
+    * and the backup holding the truth — restore it before any append lands
+    * in a fresh (history-less) root. A leftover backup beside a live root
+    * is stale and dropped. */
+  private def repairFoldSwap(spark: SparkSession, dir: String): Unit =
+    Seq("df", "stats").foreach { sub =>
+      val root = path(s"$dir/$sub")
+      val old = path(s"$dir/$sub.__fold_old")
+      val tmp = path(s"$dir/$sub.__fold_tmp")
+      val f = fs(spark, root)
+      if (!f.exists(root) && f.exists(old)) { f.rename(old, root): Unit }
+      else if (f.exists(old)) { f.delete(old, true): Unit }
+      f.delete(tmp, true): Unit
+    }
+
+  /** Write one index generation. `docBuckets > 0` pins the census/forward
+    * width (appends MUST reuse the stored width — the bucket rule is a pure
+    * function of the id only at constant width); `0` derives it from the
+    * corpus size ([[IndexMeta.bucketPolicy]], build path). Returns the
+    * width used. */
+  private def writeIndex(docs: DataFrame, dir: String, buckets: Int, docBuckets0: Int,
+                         mode: String, idCol: String, textCol: String): Int = {
     val toks = TextAnalysis.tokens(col(textCol))
     val postings = docs
       .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
@@ -121,40 +248,53 @@ object SearchIndex {
       .write.mode(mode).partitionBy("bucket").parquet(s"$dir/postings")
     postings.groupBy("token").agg(count(lit(1)).as("df"))
       .write.mode(mode).parquet(s"$dir/df")
+    // census covers ALL docs (a blank doc has no postings but still counts
+    // toward n and dl_sum); stats derive from it — same census
+    // bm25TopDocs takes. Persisted BEFORE the doc-bucketed writes so the
+    // build can size docBuckets from the actual corpus row count.
+    val census0 = docs
+      .select(col(idCol).cast("long").as("doc_id"), size(toks).cast("long").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docBuckets =
+      if (docBuckets0 > 0) docBuckets0 else IndexMeta.bucketPolicy(census0.count())
     // forward index (r14): the same (doc_id, token, tf) rows as postings,
     // laid out in DOC order — [[forget]]'s df deltas read only the
     // tombstoned ids' dbuckets from here, never the postings (which are
     // laid out in token order and would cost a full pass)
     postings
       .select(col("doc_id"), col("token"), col("tf"))
-      .withColumn("dbucket", dbucketOf(col("doc_id")))
+      .withColumn("dbucket", dbucketOf(col("doc_id"), docBuckets))
       .repartition(col("dbucket"))
       .write.mode(mode).partitionBy("dbucket").parquet(s"$dir/forward")
-    // census covers ALL docs (a blank doc has no postings but still counts
-    // toward n and dl_sum); stats derive from it — same census
-    // bm25TopDocs takes
-    val census = docs
-      .select(col(idCol).cast("long").as("doc_id"), size(toks).cast("long").as("dl"))
-      .withColumn("dbucket", dbucketOf(col("doc_id")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    census.repartition(col("dbucket"))
+    census0.withColumn("dbucket", dbucketOf(col("doc_id"), docBuckets))
+      .repartition(col("dbucket"))
       .write.mode(mode).partitionBy("dbucket").parquet(s"$dir/census")
-    census.agg(count(lit(1)).as("n"), sum(col("dl")).as("dl_sum"))
+    census0.agg(count(lit(1)).as("n"), sum(col("dl")).as("dl_sum"))
       .write.mode(mode).parquet(s"$dir/stats")
     // clear the all-buckets-emptied marker only AFTER real postings exist
     // (reader-safe ordering, same as the twins)
     val wrotePostings = !postings.isEmpty
-    census.unpersist(); postings.unpersist()
+    census0.unpersist(); postings.unpersist()
     val mp = emptyMarker(dir)
     val mf = fs(docs.sparkSession, mp)
     if (wrotePostings && mf.exists(mp)) mf.delete(mp, false): Unit
+    docBuckets
   }
 
-  /** Tokenize once; write postings, document frequencies, census, stats. */
-  def build(docs: DataFrame, dir: String, buckets: Int = 64,
-            idCol: String = "doc_id", textCol: String = "text"): Unit =
+  /** Tokenize once; write postings, document frequencies, census, stats,
+    * and the layout meta. `docBuckets = 0` (default) sizes the census/
+    * forward width from the corpus ([[IndexMeta.bucketPolicy]]); an
+    * explicit value pins it (the A/B-probe knob). */
+  def build(docs: DataFrame, dir: String, buckets: Int = DefaultBuckets,
+            idCol: String = "doc_id", textCol: String = "text",
+            docBuckets: Int = 0): Unit =
     IndexLock.withLock(docs.sparkSession, dir) {
-      writeIndex(docs, dir, buckets, "overwrite", idCol, textCol)
+      require(buckets > 0, s"buckets must be positive, got $buckets")
+      repairFoldSwap(docs.sparkSession, dir)
+      val db = writeIndex(docs, dir, buckets, docBuckets, "overwrite", idCol, textCol)
+      // meta AFTER the data (a crash mid-build leaves a meta-less partial
+      // index, handled by the conservative legacy path everywhere)
+      writeMeta(docs.sparkSession, dir, Meta(buckets, db, forwardComplete = true))
       // a REBUILD resets the index completely (the overwrite already
       // replaced df/stats wholesale, negative parts included): stale
       // tombstones must not keep suppressing the fresh corpus
@@ -168,22 +308,34 @@ object SearchIndex {
     * trained state — unlike [[PqIndex.append]] there is nothing to go
     * stale, so after any append sequence a query is EXACTLY a one-shot
     * build of the union (SearchIndexSpec proves it against
-    * [[Search.bm25TopDocs]]). Tombstoned ids in the delta are DROPPED
+    * [[Search.bm25TopDocs]]). The layout widths come from the stored meta
+    * (an explicit mismatching `buckets` throws — VERDICT r14 #1); appending
+    * to a pre-r15 meta-less index pins the caller/default widths in a new
+    * meta with `forward` marked NOT complete (the pre-append docs have no
+    * forward rows — ADVICE r14). Tombstoned ids in the delta are DROPPED
     * (not suppressed-but-counted — see the body comment); compact first to
     * re-admit a forgotten id. */
-  def append(delta: DataFrame, dir: String, buckets: Int = 64,
+  def append(delta: DataFrame, dir: String, buckets: Int = 0,
              idCol: String = "doc_id", textCol: String = "text"): Unit =
     IndexLock.withLock(delta.sparkSession, dir) {
+      val spark = delta.sparkSession
+      repairFoldSwap(spark, dir)
+      val meta = readMeta(spark, dir)
+      val b = resolveBuckets(meta, buckets, dir)
+      val db = meta.map(_.docBuckets).getOrElse(DefaultDocBuckets)
       // a TOMBSTONED id in the delta is dropped, not written: unlike the
       // twins (where suppressed rows are harmless), its postings would be
       // anti-joined away while its df/n/dl_sum additions skewed every
       // other doc's score — the only stats-exact append semantics is to
       // ignore it until [[compact]] (the documented re-admission contract)
-      val spark = delta.sparkSession
       val cleaned = tombstoneIds(spark, dir).fold(delta)(t =>
         delta.join(broadcast(t.withColumnRenamed("doc_id", "__tomb_id")),
           delta(idCol).cast("long") === col("__tomb_id"), "left_anti"))
-      writeIndex(cleaned, dir, buckets, "append", idCol, textCol)
+      writeIndex(cleaned, dir, b, db, "append", idCol, textCol): Unit
+      // first r15 touch of a legacy index: record the layout so later
+      // operations stop trusting caller parameters; forward/ now covers
+      // only this append's docs, so it is NOT complete
+      if (meta.isEmpty) writeMeta(spark, dir, Meta(b, db, forwardComplete = false))
     }
 
   /** Delete docs from the index without rewriting it. Appends (a) the ids
@@ -195,17 +347,23 @@ object SearchIndex {
     * (`bm25_index_forget` oracle). Delete cost is O(|ids|), independent of
     * index size (r14, VERDICT r13 #1): the ids' doc-buckets are a pure
     * function of the ids, so BOTH the presence probe (census) and the df
-    * deltas (forward) statically prune to |ids|-many of [[DocBuckets]]
-    * directories — the postings store is never touched (SearchIndexSpec
-    * proves a forget succeeds with postings/ physically absent). Indexes
-    * built before the forward store exist fall back to one column-pruned
-    * postings pass. Ids already tombstoned or absent from the index are
-    * ignored (no double-subtraction). Re-appending a forgotten id requires
+    * deltas (forward) statically prune to |ids|-many of the stored
+    * docBuckets directories — the postings store is never touched
+    * (SearchIndexSpec proves a forget succeeds with postings/ physically
+    * absent). The forward store is trusted only when the stored meta marks
+    * it COMPLETE (r15, ADVICE r14): a pre-r15 index — even one whose
+    * forward/ exists — falls back to one column-pruned postings pass, so a
+    * partial forward can never leave df silently inflated. Ids already
+    * tombstoned or absent from the index are ignored (no
+    * double-subtraction). Re-appending a forgotten id requires a full
     * [[compact]] first (the tombstone would keep suppressing its
     * postings). */
   def forget(spark: SparkSession, dir: String, ids: DataFrame,
              idCol: String = "doc_id"): Unit =
     IndexLock.withLock(spark, dir) {
+      repairFoldSwap(spark, dir)
+      val meta = readMeta(spark, dir)
+      val docBuckets = meta.map(_.docBuckets).getOrElse(DefaultDocBuckets)
       val censusRoot = path(s"$dir/census")
       if (!fs(spark, censusRoot).exists(censusRoot))
         throw new IllegalStateException(s"BM25 index at $dir has no census/ " +
@@ -221,7 +379,7 @@ object SearchIndex {
       // the candidate doc-buckets — a pure function of the REQUESTED ids
       // (a superset of the present ones), collected driver-side and pushed
       // as literal partition filters on census and forward
-      val cb = cand.select(dbucketOf(col("doc_id")).as("b"))
+      val cb = cand.select(dbucketOf(col("doc_id"), docBuckets).as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
       val present =
         if (cb.isEmpty) cand // empty frame with a doc_id column
@@ -237,10 +395,9 @@ object SearchIndex {
         // a forgotten doc under already-lowered stats
         present.select("doc_id").write.mode("append").parquet(s"$dir/tombstones")
         val contributions =
-          if (hasPartitions(spark, path(s"$dir/forward"), "dbucket="))
-            spark.read.parquet(s"$dir/forward")
-              .filter(col("dbucket").isin(cb: _*))
-          else // pre-r14 index without forward/: one column-pruned full pass
+          if (meta.exists(_.forwardComplete))
+            readForward(spark, dir).filter(col("dbucket").isin(cb: _*))
+          else // forward absent or not known-complete: one column-pruned pass
             readPostings(spark, dir)
         contributions
           .join(broadcast(present.select("doc_id")), Seq("doc_id"), "left_semi")
@@ -252,101 +409,190 @@ object SearchIndex {
       }
     }
 
-  /** Rewrite ONLY the postings buckets / census+forward doc-buckets containing
-    * tombstoned rows and clear the tombstone set (partition-scoped, the
-    * family contract — see [[PqIndex.compact]]). The df/stats merge-on-read
-    * parts (one set per build/append, one NEGATIVE set per forget) are
-    * FOLDED to their sums while we're here (r14): the sums are exact
-    * integers, so queries before and after return identical rows
-    * (SearchIndexSpec), and a long append/forget history stops costing a
-    * part-file listing per query. Tokens whose folded df is 0 (every
-    * carrier forgotten) drop out entirely. A tombstone-free compact stays
-    * a byte-level no-op. */
-  def compact(spark: SparkSession, dir: String): Unit =
+  /** Reclaim the space of tombstoned docs, SHARE-scoped (r15, VERDICT r14
+    * #2): a postings bucket is rewritten only when tombstoned rows are at
+    * least `minShare` of its rows — below that, the rewrite would move a
+    * whole bucket to drop a sliver, and serving is already exact through
+    * the tombstone anti-join. Because a document's tokens hash across most
+    * of the `buckets` token-hash directories, the r14 any-tombstone rule
+    * made even a small forget batch rewrite nearly the whole postings
+    * store; with the threshold, bytes-rewritten tracks the tombstoned
+    * share (tools.Bm25CompactScale measures it). `minShare = 0` forces the
+    * full rewrite — the RE-ADMISSION path: tombstones are cleared only
+    * when every tombstoned posting is physically gone, so when any bucket
+    * is skipped the WHOLE tombstone set is retained (monotone for lock-free
+    * readers; a retained id stays un-re-appendable, the documented LSM
+    * posture) and a later compact finishes the job once shares accrue.
+    *
+    * Docs whose every postings bucket WAS rewritten (plus blank docs) have
+    * their census/forward rows reclaimed immediately; retained docs keep
+    * theirs — a later compact's O(|ids|) discovery reads the affected
+    * buckets from the forward store ([[Meta.forwardComplete]] indexes; the
+    * pre-r15 fallback is one column-pruned postings pass).
+    *
+    * The df/stats merge-on-read parts (one set per build/append, one
+    * NEGATIVE set per forget) are FOLDED to their sums while we're here
+    * (r14): the sums are exact integers, so queries before and after return
+    * identical rows (SearchIndexSpec), and a long append/forget history
+    * stops costing a part-file listing per query. The fold lands via an
+    * atomic-rename swap with a reader fallback ([[foldSwap]]) — never an
+    * in-place overwrite window (ADVICE r14). Tokens whose folded df is 0
+    * (every carrier forgotten) drop out entirely. A tombstone-free compact
+    * stays a byte-level no-op. */
+  def compact(spark: SparkSession, dir: String, minShare: Double = 0.1): Unit =
     IndexLock.withLock(spark, dir) {
+      repairFoldSwap(spark, dir)
       tombstoneIds(spark, dir).foreach { tomb =>
+        val meta = readMeta(spark, dir)
+        val docBuckets = meta.map(_.docBuckets).getOrElse(DefaultDocBuckets)
         val t = broadcast(tomb)
         val postRoot = path(s"$dir/postings")
         val f = fs(spark, postRoot)
-        // affected postings buckets: column-pruned semi-join (bucket +
-        // doc_id only)
-        val affected = readPostings(spark, dir)
-          .join(t, Seq("doc_id"), "left_semi")
-          .select(col("bucket").cast("long")).distinct()
-          .collect().map(_.getLong(0))
-        if (affected.nonEmpty) {
-          val surv = readPostings(spark, dir)
-            .filter(col("bucket").isin(affected.toSeq: _*))
-            .join(t, Seq("doc_id"), "left_anti")
-            .localCheckpoint(true) // affected buckets only
-          val survB = surv.select(col("bucket").cast("long")).distinct()
-            .collect().map(_.getLong(0)).toSet
-          if (survB.nonEmpty)
-            surv.repartition(col("bucket"))
-              .sortWithinPartitions(col("bucket"), col("token"), col("doc_id"))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("bucket").parquet(s"$dir/postings")
-          val emptied = affected.filterNot(survB).map(b => s"bucket=$b").toSet
-          val allBuckets = f.listStatus(postRoot).map(_.getPath.getName)
-            .filter(_.startsWith("bucket=")).toSet
-          val becomesEmpty = survB.isEmpty && allBuckets.subsetOf(emptied)
-          if (becomesEmpty) // marker BEFORE data removal (reader-safe)
-            fs(spark, emptyMarker(dir)).create(emptyMarker(dir), true).close()
-          emptied.foreach(name => f.delete(path(s"$dir/postings/$name"), true): Unit)
-        }
-        // census + forward: affected doc-buckets are a pure function of
-        // the ids; both stores share the dbucket rule so one candidate set
-        // scopes both rewrites
-        val cb = tomb.select(dbucketOf(col("doc_id")).as("b"))
+        // (bucket, doc_id) of every tombstoned POSTINGS row. O(|ids|) when
+        // the forward store is known-complete: the ids' dbuckets are a pure
+        // function of the ids and the token-bucket rule is recomputed from
+        // the stored width; pre-r15 indexes pay one column-pruned postings
+        // pass (bucket + doc_id only).
+        val cb = tomb.select(dbucketOf(col("doc_id"), docBuckets).as("b"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        def compactDocBucketed(root: String): Unit =
-          if (cb.nonEmpty && hasPartitions(spark, path(root), "dbucket=")) {
-            val surv = spark.read.parquet(root)
-              .filter(col("dbucket").isin(cb: _*))
+        val tombRows: DataFrame = meta match {
+          case Some(m) if m.forwardComplete =>
+            val base =
+              if (cb.isEmpty) readForward(spark, dir).limit(0)
+              else readForward(spark, dir).filter(col("dbucket").isin(cb: _*))
+            base.join(t, Seq("doc_id"), "left_semi")
+              .select((Dedup.hash60(col("token")) % m.buckets).as("bucket"), col("doc_id"))
+          case _ =>
+            readPostings(spark, dir)
+              .join(t, Seq("doc_id"), "left_semi")
+              .select(col("bucket").cast("long").as("bucket"), col("doc_id"))
+        }
+        val perBucket = tombRows.groupBy("bucket")
+          .agg(count(lit(1)).as("tomb_rows"))
+          .localCheckpoint(true) // ≤ buckets rows
+        val affected = perBucket.select("bucket")
+          .collect().map(_.getLong(0)).toSet
+        var skipped = Set.empty[Long]
+        if (affected.nonEmpty) {
+          val rewrite: Set[Long] =
+            if (minShare <= 0d) affected
+            else {
+              // per-bucket totals: a partition-column-only aggregate — the
+              // scan reads no data columns, just footers and row counts
+              val totals = readPostings(spark, dir)
+                .groupBy(col("bucket").cast("long").as("bucket"))
+                .agg(count(lit(1)).as("all_rows"))
+              perBucket.join(totals, "bucket")
+                .filter(col("tomb_rows").cast("double") >= lit(minShare) * col("all_rows"))
+                .select("bucket").collect().map(_.getLong(0)).toSet
+            }
+          skipped = affected -- rewrite
+          if (rewrite.nonEmpty) {
+            val surv = readPostings(spark, dir)
+              .filter(col("bucket").isin(rewrite.toSeq: _*))
               .join(t, Seq("doc_id"), "left_anti")
-              .localCheckpoint(true)
-            val survCb = surv.select(col("dbucket").cast("int")).distinct()
-              .collect().map(_.getInt(0)).toSet
-            if (survCb.nonEmpty)
-              surv.repartition(col("dbucket"))
+              .localCheckpoint(true) // rewritten buckets only
+            val survB = surv.select(col("bucket").cast("long")).distinct()
+              .collect().map(_.getLong(0)).toSet
+            if (survB.nonEmpty)
+              surv.repartition(col("bucket"))
+                .sortWithinPartitions(col("bucket"), col("token"), col("doc_id"))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("dbucket").parquet(root)
-            val f = fs(spark, path(root))
-            cb.filterNot(survCb).foreach(b =>
-              f.delete(path(s"$root/dbucket=$b"), true): Unit)
+                .partitionBy("bucket").parquet(s"$dir/postings")
+            val emptied = rewrite.filterNot(survB).map(b => s"bucket=$b")
+            val allBuckets = f.listStatus(postRoot).map(_.getPath.getName)
+              .filter(_.startsWith("bucket=")).toSet
+            val becomesEmpty = survB.isEmpty && allBuckets.subsetOf(emptied)
+            if (becomesEmpty) // marker BEFORE data removal (reader-safe)
+              fs(spark, emptyMarker(dir)).create(emptyMarker(dir), true).close()
+            emptied.foreach(name => f.delete(path(s"$dir/postings/$name"), true): Unit)
           }
-        compactDocBucketed(s"$dir/census")
-        compactDocBucketed(s"$dir/forward")
+        }
+        // docs fully reclaimed from the postings (no row left in a skipped
+        // bucket) release their census/forward rows; retained docs keep
+        // them — the next compact's discovery depends on the forward rows
+        val retained: Option[DataFrame] =
+          if (skipped.isEmpty) None
+          else {
+            val r = tombRows.filter(col("bucket").isin(skipped.toSeq: _*))
+              .select("doc_id").distinct().localCheckpoint(true)
+            if (r.isEmpty) None else Some(r)
+          }
+        val cleared = retained
+          .fold(tomb)(r => tomb.join(broadcast(r), Seq("doc_id"), "left_anti"))
+          .localCheckpoint(true) // |ids|-bounded
+        if (!cleared.isEmpty) {
+          val cbCleared = cleared.select(dbucketOf(col("doc_id"), docBuckets).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          // census + forward share the dbucket rule, so one candidate set
+          // scopes both; buckets holding NO cleared rows (e.g. ids cleared
+          // by an earlier partial compact, still tombstoned) are left
+          // byte-identical instead of rewritten-in-place
+          def compactDocBucketed(root: String): Unit =
+            if (cbCleared.nonEmpty && hasPartitions(spark, path(root), "dbucket=")) {
+              val scoped = spark.read.parquet(root)
+                .filter(col("dbucket").isin(cbCleared: _*))
+              val hitCb = scoped
+                .join(broadcast(cleared), Seq("doc_id"), "left_semi")
+                .select(col("dbucket").cast("int")).distinct()
+                .collect().map(_.getInt(0)).toSeq
+              if (hitCb.nonEmpty) {
+                val surv = scoped.filter(col("dbucket").isin(hitCb: _*))
+                  .join(broadcast(cleared), Seq("doc_id"), "left_anti")
+                  .localCheckpoint(true)
+                val survCb = surv.select(col("dbucket").cast("int")).distinct()
+                  .collect().map(_.getInt(0)).toSet
+                if (survCb.nonEmpty)
+                  surv.repartition(col("dbucket"))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("dbucket").parquet(root)
+                val fr = fs(spark, path(root))
+                hitCb.filterNot(survCb).foreach(b =>
+                  fr.delete(path(s"$root/dbucket=$b"), true): Unit)
+              }
+            }
+          compactDocBucketed(s"$dir/census")
+          compactDocBucketed(s"$dir/forward")
+        }
         // fold the merge-on-read df/stats parts to their exact sums (the
         // same sums every query computes on read — bit-identical results,
         // one part instead of one per historical mutation). localCheckpoint
-        // pins the folded frames BEFORE the overwrite deletes their source.
-        val dfFolded = spark.read.parquet(s"$dir/df")
+        // pins the folded frames BEFORE the swap moves their source aside.
+        val dfFolded = readSumStore(spark, dir, "df")
           .groupBy("token").agg(sum(col("df")).as("df"))
           .filter(col("df") =!= 0L)
           .localCheckpoint(true)
-        dfFolded.write.mode("overwrite").parquet(s"$dir/df")
-        val stFolded = spark.read.parquet(s"$dir/stats")
+        foldSwap(spark, dir, "df", dfFolded)
+        val stFolded = readSumStore(spark, dir, "stats")
           .agg(sum(col("n")).as("n"), sum(col("dl_sum")).as("dl_sum"))
           .localCheckpoint(true)
-        stFolded.write.mode("overwrite").parquet(s"$dir/stats")
-        val p = path(s"$dir/tombstones")
-        fs(spark, p).delete(p, true): Unit
+        foldSwap(spark, dir, "stats", stFolded)
+        // tombstones are cleared only on a FULL reclaim: with any bucket
+        // skipped, suppressed postings remain on disk and the whole set is
+        // retained (never shrunk in place — a lock-free reader must never
+        // see a partial tombstone dir)
+        if (skipped.isEmpty) {
+          val p = path(s"$dir/tombstones")
+          fs(spark, p).delete(p, true): Unit
+        }
       }
     }
 
   /** BM25 top-k from the stored index — output schema and values match
     * [[Search.bm25TopDocs]] exactly for the same terms and k (over the
-    * corpus minus any [[forget]]-tombstoned docs). */
+    * corpus minus any [[forget]]-tombstoned docs). `buckets` defaults to
+    * the stored layout; an explicit mismatching value throws (r15, VERDICT
+    * r14 #1 — it would prune the probe to the wrong directories). */
   def query(spark: SparkSession, dir: String, queryTerms: Seq[String], k: Int,
-            buckets: Int = 64, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+            buckets: Int = 0, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms == queryTerms.sorted,
       "queryTerms must be non-empty and sorted (fixed summation order is the determinism contract)")
+    val bk = resolveBuckets(readMeta(spark, dir), buckets, dir)
     // merge-on-read across appended parts: one stats row / df row per
     // build-or-append (negative ones per forget), summed here
-    val st = spark.read.parquet(s"$dir/stats")
+    val st = readSumStore(spark, dir, "stats")
       .agg(sum(col("n")).as("n"), sum(col("dl_sum")).as("dl_sum")).head()
     val n = st.getAs[Long]("n")
     if (n <= 0L) {
@@ -358,11 +604,11 @@ object SearchIndex {
           StructField("score", DoubleType)))
     }
     val avgdl = st.getAs[Long]("dl_sum").toDouble / n
-    val dfMap = spark.read.parquet(s"$dir/df")
+    val dfMap = readSumStore(spark, dir, "df")
       .filter(col("token").isin(queryTerms: _*))
       .groupBy("token").agg(sum(col("df")).as("df"))
       .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
-    val probed = queryTerms.map(t => Dedup.hash60Local(t) % buckets).distinct
+    val probed = queryTerms.map(t => Dedup.hash60Local(t) % bk).distinct
     val post0 = readPostings(spark, dir)
       .filter(col("bucket").isin(probed: _*) && col("token").isin(queryTerms: _*))
     // forgotten docs' rows never reach the pivot (their df/n/dl_sum
@@ -386,6 +632,27 @@ object SearchIndex {
         queryTerms.map(t => col(s"tf_$t")) ++ Seq(col("score"))): _*)
   }
 
+  /** The layout widths a more-like-this call runs under: the stored meta
+    * (failing fast on an explicit `buckets` mismatch), requiring a
+    * known-complete forward store — seed vocabularies come from forward/,
+    * and a partial one would silently produce wrong recommendations. A
+    * pre-r15 meta-less index is trusted iff its forward store exists (an
+    * r14 build wrote it complete; an r15 append would have pinned a meta
+    * saying otherwise). */
+  private def mltMeta(spark: SparkSession, dir: String, buckets: Int): (Int, Int) =
+    readMeta(spark, dir) match {
+      case Some(m) =>
+        if (!m.forwardComplete)
+          throw new IllegalStateException(s"BM25 index at $dir has an incomplete forward " +
+            "store (appended onto a pre-r15 index); rebuild it before serving more-like-this")
+        (resolveBuckets(Some(m), buckets, dir), m.docBuckets)
+      case None =>
+        if (!hasPartitions(spark, path(s"$dir/forward"), "dbucket="))
+          throw new IllegalStateException(s"BM25 index at $dir has no forward store; " +
+            "rebuild it with SearchIndex.build before serving more-like-this")
+        (if (buckets > 0) buckets else DefaultBuckets, DefaultDocBuckets)
+    }
+
   /** More-like-this retrieval from the stored index (r14) — the serving
     * use of the `forward/` store beyond RTBF: take a SEED document's top
     * `topTerms` terms and rank the rest of the corpus by BM25 over them.
@@ -393,54 +660,73 @@ object SearchIndex {
     * Term selection is exact-integer: the seed's terms rank by
     * tf × idf_micro (both BIGINTs — no float order ambiguity), tie-broken
     * by token; reading them costs ONE forward doc-bucket (the seed's, a
-    * static partition filter) plus a seed-vocab-sized df probe. Scoring is
-    * the standard probe — |terms| postings buckets — but with the
-    * per-(doc, term) BM25 contribution rounded to MICRO-UNIT INTEGERS and
-    * integer-summed, because the term set is data-dependent (a dynamic
-    * pivot with [[query]]'s fixed float chain is unavailable) and integer
-    * addition is order-free — the same cross-engine-exactness trick as the
-    * ADC family; the `bm25_mlt` oracle row recomputes the whole thing in
-    * DuckDB. Output: (doc_id, dl, n_terms, score_micro), seed excluded,
-    * tombstoned docs excluded, ties broken by doc_id.
+    * static partition filter) plus a seed-vocab-sized df probe. Terms
+    * carried by more than `maxDfShare` of the corpus are EXCLUDED before
+    * ranking (r15, VERDICT r14 #5): a stopword-saturated seed could
+    * otherwise select a df≈n term whose postings bucket is corpus-sized —
+    * the guard keeps the probe bucket-bounded and such terms are
+    * idf-worthless anyway (idf → 0 as df → n). Scoring is the standard
+    * probe — |terms| postings buckets — but with the per-(doc, term) BM25
+    * contribution rounded to MICRO-UNIT INTEGERS and integer-summed,
+    * because the term set is data-dependent (a dynamic pivot with
+    * [[query]]'s fixed float chain is unavailable) and integer addition is
+    * order-free — the same cross-engine-exactness trick as the ADC family;
+    * the `bm25_mlt` oracle row recomputes the whole thing in DuckDB. A
+    * [[forget]]-tombstoned seed is REFUSED (r15, ADVICE r14):
+    * recommendations must not derive from forgotten content even before
+    * compact reclaims its forward rows. Output: (doc_id, dl, n_terms,
+    * score_micro), seed excluded, tombstoned docs excluded, ties broken by
+    * doc_id.
     *
-    * At 100 TB: seed term extraction reads ~1/[[DocBuckets]] of forward
-    * (one bucket), the df probe is vocabulary-keyed, and the scoring scan
+    * At 100 TB: seed term extraction reads ~1/docBuckets of forward (one
+    * bucket), the df probe is vocabulary-keyed, and the scoring scan
     * statically prunes to |terms| of `buckets` postings directories — a
     * MLT query costs a few directory reads, never a corpus pass. */
   def moreLikeThis(spark: SparkSession, dir: String, docId: Long, k: Int,
-                   topTerms: Int = 10, buckets: Int = 64,
-                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val st = spark.read.parquet(s"$dir/stats")
+                   topTerms: Int = 10, buckets: Int = 0,
+                   k1: Double = 1.2, b: Double = 0.75,
+                   maxDfShare: Double = 0.9): DataFrame = {
+    val (bk, docBuckets) = mltMeta(spark, dir, buckets)
+    val tombs = tombstoneIds(spark, dir)
+    tombs.foreach { t =>
+      if (!t.filter(col("doc_id") === docId).isEmpty)
+        throw new IllegalArgumentException(s"doc $docId at $dir is forgotten: " +
+          "more-like-this must not serve recommendations derived from forgotten content")
+    }
+    val st = readSumStore(spark, dir, "stats")
       .agg(sum(col("n")).as("n"), sum(col("dl_sum")).as("dl_sum")).head()
     val n = st.getAs[Long]("n")
     require(n > 0, s"BM25 index at $dir is empty")
     val avgdl = st.getAs[Long]("dl_sum").toDouble / n
+    val maxDf = math.floor(maxDfShare * n).toLong
     // the seed's dbucket is a pure function of its id — one tiny job
     val db = spark.range(1)
-      .select(dbucketOf(lit(docId))).head().getInt(0)
-    val seed = spark.read.parquet(s"$dir/forward")
+      .select(dbucketOf(lit(docId), docBuckets)).head().getInt(0)
+    val seed = readForward(spark, dir)
       .filter(col("dbucket") === db && col("doc_id") === docId)
       .select(col("token"), col("tf"))
       .localCheckpoint(true) // seed-vocab-sized
-    val seedDf = spark.read.parquet(s"$dir/df")
+    val seedDf = readSumStore(spark, dir, "df")
       .join(broadcast(seed.select("token")), Seq("token"), "left_semi")
       .groupBy("token").agg(sum(col("df")).as("df"))
-    // exact-integer term ranking: weight = tf × idf_micro, both BIGINT
+    // exact-integer term ranking: weight = tf × idf_micro, both BIGINT;
+    // hot terms (df > maxDfShare·n) never enter the ranking
     val terms = seed.join(seedDf, "token")
+      .filter(col("df") <= maxDf)
       .withColumn("w", col("tf") * Search.idfMicro(col("df"), n))
       .filter(col("w") > 0)
       .orderBy(col("w").desc, col("token"))
       .limit(topTerms)
       .select("token").collect().map(_.getString(0)).sorted.toSeq
     require(terms.nonEmpty, s"doc $docId has no indexed terms at $dir")
-    val dfMap = spark.read.parquet(s"$dir/df")
+    val dfMap = readSumStore(spark, dir, "df")
       .filter(col("token").isin(terms: _*))
       .groupBy("token").agg(sum(col("df")).as("df"))
       .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
-    val probed = terms.map(t => Dedup.hash60Local(t) % buckets).distinct
+    val probed = terms.map(t => Dedup.hash60Local(t) % bk).distinct
     val post0 = readPostings(spark, dir)
       .filter(col("bucket").isin(probed: _*) && col("token").isin(terms: _*))
-    val post = tombstoneIds(spark, dir)
+    val post = tombs
       .fold(post0)(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
     // per-(doc, term) contribution in micro-units: BIGINT, so the per-doc
     // sum is order-free and exact in both engines
@@ -468,41 +754,52 @@ object SearchIndex {
     * statically pruned probe, a few directory reads per query), this form
     * never touches the driver with data: seed vocabularies come from the
     * seeds' forward doc-buckets (the bucket set is collected — it is ≤
-    * [[DocBuckets]] ints, a pure function of the ids), per-seed term
-    * selection is a (seed)-keyed window over exact-integer tf × idf_micro
-    * weights, and scoring is ONE token-keyed join of the terms frame
-    * against the postings — at 100 TB that join is the co-partitioned
-    * shuffle a corpus-wide precompute is supposed to be, not |seeds|
-    * pruned probes. Scoring arithmetic (micro-rounded integer
-    * contributions, order-free sums) is IDENTICAL to the single-seed
-    * form: `moreLikeThisBatch(seeds = {d})` returns exactly
-    * `moreLikeThis(d)` plus the seed_id column (SearchIndexSpec).
+    * docBuckets ints, a pure function of the ids), per-seed term selection
+    * is a (seed)-keyed window over exact-integer tf × idf_micro weights
+    * (hot terms df > maxDfShare·n excluded, as in the single-seed form),
+    * and scoring is ONE token-keyed join of the terms frame against the
+    * postings — at 100 TB that join is the co-partitioned shuffle a
+    * corpus-wide precompute is supposed to be, not |seeds| pruned probes.
+    * Scoring arithmetic (micro-rounded integer contributions, order-free
+    * sums) is IDENTICAL to the single-seed form: `moreLikeThisBatch(seeds
+    * = {d})` returns exactly `moreLikeThis(d)` plus the seed_id column
+    * (SearchIndexSpec). Tombstoned seeds are EXCLUDED from the batch (the
+    * precompute analogue of the single-seed refusal — r15, ADVICE r14).
     * Output: (seed_id, doc_id, dl, n_terms, score_micro), per-seed top-k
     * by (score_micro desc, doc_id); seed and tombstoned docs excluded. */
   def moreLikeThisBatch(spark: SparkSession, dir: String, seeds: DataFrame, k: Int,
                         topTerms: Int = 10, seedCol: String = "doc_id",
-                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val st = spark.read.parquet(s"$dir/stats")
+                        k1: Double = 1.2, b: Double = 0.75,
+                        maxDfShare: Double = 0.9): DataFrame = {
+    val (_, docBuckets) = mltMeta(spark, dir, buckets = 0)
+    val st = readSumStore(spark, dir, "stats")
       .agg(sum(col("n")).as("n"), sum(col("dl_sum")).as("dl_sum")).head()
     val n = st.getAs[Long]("n")
     require(n > 0, s"BM25 index at $dir is empty")
     val avgdl = st.getAs[Long]("dl_sum").toDouble / n
-    val seedIds = seeds.select(col(seedCol).cast("long").as("seed_id")).distinct()
+    val maxDf = math.floor(maxDfShare * n).toLong
+    val tombs = tombstoneIds(spark, dir)
+    val seedIds0 = seeds.select(col(seedCol).cast("long").as("seed_id")).distinct()
+    // forgotten seeds drop out of the precompute entirely (their forward
+    // rows may still be on disk until compact — they must not seed)
+    val seedIds = tombs.fold(seedIds0)(t => seedIds0.join(broadcast(t),
+      col("seed_id") === col("doc_id"), "left_anti").select("seed_id"))
     // candidate forward buckets: a pure function of the seed ids, ≤
-    // DocBuckets ints — a corpus-wide seed set legitimately reads all 16
-    val cb = seedIds.select(dbucketOf(col("seed_id")).as("b"))
+    // docBuckets ints — a corpus-wide seed set legitimately reads them all
+    val cb = seedIds.select(dbucketOf(col("seed_id"), docBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    require(cb.nonEmpty, "seed set is empty")
-    val seedTf = spark.read.parquet(s"$dir/forward")
+    require(cb.nonEmpty, "seed set is empty (or every seed is forgotten)")
+    val seedTf = readForward(spark, dir)
       .filter(col("dbucket").isin(cb: _*))
       .join(broadcast(seedIds), col("doc_id") === col("seed_id"), "inner")
       .select(col("seed_id"), col("token"), col("tf"))
-    val dfSums = spark.read.parquet(s"$dir/df")
+    val dfSums = readSumStore(spark, dir, "df")
       .groupBy("token").agg(sum(col("df")).as("df"))
     // per-seed exact-integer term ranking (w = tf × idf_micro, BIGINTs)
     val wTerm = org.apache.spark.sql.expressions.Window
       .partitionBy(col("seed_id")).orderBy(col("w").desc, col("token"))
     val terms = seedTf.join(dfSums, "token")
+      .filter(col("df") <= maxDf)
       .withColumn("idf_micro", Search.idfMicro(col("df"), n))
       .withColumn("w", col("tf") * col("idf_micro"))
       .filter(col("w") > 0)
@@ -511,7 +808,7 @@ object SearchIndex {
       .select(col("seed_id"), col("token"), col("idf_micro"))
     val post0 = readPostings(spark, dir)
       .select(col("doc_id"), col("dl"), col("token"), col("tf"))
-    val post = tombstoneIds(spark, dir)
+    val post = tombs
       .fold(post0)(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
     val tf = col("tf").cast("double")
     val sMicro = round(

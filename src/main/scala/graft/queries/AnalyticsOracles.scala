@@ -2835,6 +2835,7 @@ object AnalyticsOracles {
         |  SELECT t.tok
         |  FROM tf t JOIN df USING (tok) CROSS JOIN s
         |  WHERE t.doc_id = 1
+        |    AND df.df <= floor(0.9 * s.n)::BIGINT
         |    AND t.tf * round(ln((s.n+1)::DOUBLE / (df.df+1)) * 1000000)::BIGINT > 0
         |  ORDER BY t.tf * round(ln((s.n+1)::DOUBLE / (df.df+1)) * 1000000)::BIGINT DESC,
         |    t.tok
@@ -2870,7 +2871,8 @@ object AnalyticsOracles {
         |    round(ln((s.n+1)::DOUBLE / (df.df+1)) * 1000000)::BIGINT AS idfm,
         |    t.tf * round(ln((s.n+1)::DOUBLE / (df.df+1)) * 1000000)::BIGINT AS w
         |  FROM tf t JOIN df USING (tok) CROSS JOIN s
-        |  WHERE t.doc_id IN (1, 2, 3)),
+        |  WHERE t.doc_id IN (1, 2, 3)
+        |    AND df.df <= floor(0.9 * s.n)::BIGINT),
         |terms AS (
         |  SELECT seed_id, tok, idfm FROM (
         |    SELECT seed_id, tok, idfm,

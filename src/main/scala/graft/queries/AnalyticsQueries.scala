@@ -1456,6 +1456,25 @@ object AnalyticsQueries {
        () => graft.analytics.CdcIndex
          .screenDelta(spark, idx, docs.filter(col("doc_id") > mid))
          .orderBy(col("doc_id")))
+    }),
+    // r15 (VERDICT r14 #7): the bm25_mlt/bm25_mlt_batch regression rows
+    // time a full lifecycle dominated by the in-query index build — the
+    // split makes a SERVE-leg regression visible instead of drowned in
+    // build noise
+    "bm25_mlt" -> ((spark: SparkSession, dir: String) => {
+      val idx = scratchIndexDir("searchindex-mlt-split")
+      (() => graft.analytics.SearchIndex.build(Tables(spark, dir).documents, idx),
+       () => graft.analytics.SearchIndex.moreLikeThis(spark, idx, docId = 1L,
+         k = 20, topTerms = 10))
+    }),
+    "bm25_mlt_batch" -> ((spark: SparkSession, dir: String) => {
+      val idx = scratchIndexDir("searchindex-mltb-split")
+      (() => graft.analytics.SearchIndex.build(Tables(spark, dir).documents, idx),
+       () => {
+         import spark.implicits._
+         graft.analytics.SearchIndex.moreLikeThisBatch(spark, idx,
+           Seq(1L, 2L, 3L).toDF("doc_id"), k = 20, topTerms = 10)
+       })
     }))
 
   /** Fill-in-the-middle packing transform (50% rate, sha-derived cuts) —

@@ -1,0 +1,130 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.analytics.SearchIndex
+
+/** Measurement for the r15 share-scoped BM25 compact (VERDICT r14 #2): at
+  * a given SF, build the index fresh per line, forget a chosen fraction of
+  * the corpus, compact, and record postings BYTES REWRITTEN next to the
+  * tombstoned share — the r14 any-tombstone rule rewrote nearly the whole
+  * postings store for even a 1-doc forget (a doc's tokens hash across most
+  * of the 64 buckets); with the threshold, bytes-rewritten must be ZERO
+  * below `minShare` and bucket-complete above it, i.e. track the share.
+  * One line runs the small fraction at `minShare = 0` — the r14 behavior —
+  * as the A/B control. Bytes read during the compact are recorded too:
+  * discovery now comes from the tombstoned ids' forward doc-buckets
+  * (O(|ids|)), not a postings pass.
+  *
+  * Usage: Bm25CompactScale [sfDir] — JSONL to SPARK_GRAFT_BENCH_OUT
+  * (default BM25COMPACT_r15.jsonl), env contract as graft.Bench. */
+object Bm25CompactScale {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BM25COMPACT_r15.jsonl")
+    val sink = new java.io.PrintWriter(new java.io.FileWriter(outPath, true))
+
+    val read = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) read.addAndGet(m.inputMetrics.bytesRead): Unit
+      }
+    })
+    def quiesce(): Long = {
+      var last = -1L; var spins = 0
+      while (read.get() != last && spins < 30) { last = read.get(); Thread.sleep(100); spins += 1 }
+      read.get()
+    }
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(walk)
+    }
+    def snapshot(p: String): Map[String, Long] =
+      walk(new java.io.File(p)).map(f => f.getPath -> f.length()).toMap
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.count()
+    val minId = docs.agg(min("doc_id")).head().getLong(0)
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
+
+    // (label, tombstone predicate, minShare)
+    val lines = Seq(
+      ("one_doc", col("doc_id") === minId, 0.1),
+      ("one_doc_full", col("doc_id") === minId, 0.0), // r14-behavior control
+      ("pct2", pmod(col("doc_id"), lit(50)) === 7, 0.1),
+      ("pct30", pmod(col("doc_id"), lit(10)) < 3, 0.1))
+    lines.foreach { case (label, pred, minShare) =>
+      val idx = java.nio.file.Files.createTempDirectory(s"bm25cs-$label").toString
+      SearchIndex.build(docs, idx)
+      val post0 = snapshot(s"$idx/postings")
+      val postingsBytes = post0.values.sum
+      val victims = docs.filter(pred).select("doc_id")
+      val nTomb = victims.count()
+      SearchIndex.forget(spark, idx, victims)
+      val r0 = quiesce()
+      val t0 = System.nanoTime()
+      SearchIndex.compact(spark, idx, minShare = minShare)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val bytesRead = quiesce() - r0
+      val post1 = snapshot(s"$idx/postings")
+      // rewritten = any file added or changed inside postings/
+      val rewrittenBytes = post1.collect {
+        case (p, len) if post0.get(p).forall(_ != len) => len
+      }.sum
+      val bucketOf = (p: String) => "bucket=\\d+".r.findFirstIn(p)
+      val changedBuckets = (post1.toSet -- post0.toSet).flatMap(kv => bucketOf(kv._1)) ++
+        (post0.keySet -- post1.keySet).flatMap(bucketOf(_))
+      val totalBuckets = Option(new java.io.File(s"$idx/postings").listFiles())
+        .map(_.count(_.getName.startsWith("bucket="))).getOrElse(0)
+      val retained = new java.io.File(s"$idx/tombstones").exists()
+      sink.println(
+        s"""{"probe":"bm25_compact_scale","sf":"$dir","label":"$label",""" +
+        s""""n_docs":$nDocs,"tomb_docs":$nTomb,"tomb_share":${f3(nTomb.toDouble / nDocs)},""" +
+        s""""min_share":$minShare,"postings_bytes":$postingsBytes,""" +
+        s""""bytes_rewritten":$rewrittenBytes,"buckets_rewritten":${changedBuckets.size},""" +
+        s""""buckets_total":$totalBuckets,"bytes_read":$bytesRead,""" +
+        s""""tombstones_retained":$retained,"wall_s":${f3(wall)}}""")
+      sink.flush()
+    }
+    // ---- docBuckets width A/B (VERDICT r14 #4) -----------------------
+    // RTBF pruning saturates at min(|ids|, docBuckets)/docBuckets of the
+    // doc-bucketed stores: a small forget batch against a 4x wider layout
+    // must read ~4x fewer census/forward bytes. The policy picks the width
+    // from corpus size at build; this A/B pins the mechanism at two widths
+    // on the same corpus with a 4-id batch.
+    import spark.implicits._
+    val fourIds = docs.select("doc_id").orderBy("doc_id").limit(4)
+      .as[Long].collect().toSeq.toDF("doc_id").localCheckpoint(true)
+    Seq(16, 64).foreach { db =>
+      val idx = java.nio.file.Files.createTempDirectory(s"bm25db-$db").toString
+      SearchIndex.build(docs, idx, docBuckets = db)
+      val storeBytes = snapshot(s"$idx/forward").values.sum +
+        snapshot(s"$idx/census").values.sum
+      val r0 = quiesce()
+      val t0 = System.nanoTime()
+      SearchIndex.forget(spark, idx, fourIds)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val bytesRead = quiesce() - r0
+      sink.println(
+        s"""{"probe":"bm25_docbuckets_ab","sf":"$dir","doc_buckets":$db,""" +
+        s""""n_docs":$nDocs,"ids":4,"forget_bytes_read":$bytesRead,""" +
+        s""""docstore_bytes":$storeBytes,"forget_s":${f3(wall)}}""")
+      sink.flush()
+    }
+    sink.close()
+    spark.stop()
+    println(s"wrote $outPath")
+  }
+}

@@ -6,11 +6,14 @@ import org.apache.spark.sql.SparkSession
   * sf0.1 regressions on `dedup_index_forget` / `dedup_delta` /
   * `dedup_admit` were attributed to small-files overhead from the 64×16
   * directory fan-out the doc-hash partition level added. This probe runs
-  * the three lifecycle queries at a larger SF under a chosen
-  * [[graft.analytics.DedupIndex.DocBuckets]] width (1 ≈ the old
-  * single-level file counts, 16 = the shipped layout), one width per JVM
-  * (the width must be constant over an index lifecycle), so two runs each
-  * decide whether the trade really vanishes at scale.
+  * the three lifecycle queries at a larger SF under a chosen doc-hash
+  * width (1 ≈ the old single-level file counts, 16 = the shipped layout),
+  * set via the `graft.dedupindex.docbuckets` sys-prop — since r15 a
+  * BUILD-time default only: the width is recorded in each index's
+  * `_graft_meta.json` and read back by every later operation, so the
+  * probe's per-JVM width applies to the indexes it builds, never to
+  * pre-existing ones. Two runs decide whether the trade vanishes at
+  * scale.
   *
   * Usage: DedupLayoutAb <docbuckets> [sfDir] — env contract as
   * graft.Bench. */

@@ -226,4 +226,26 @@ class CdcIndexSpec extends SparkSpec {
     // ... and the whole-shard verdict surface is total (one row per doc)
     assert(spark.read.parquet(outDir).count() == docs.filter(col("doc_id") > t1).count())
   }
+
+  test("chunking geometry is persisted and a mismatch fails fast (r15)") {
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+    val dir = tmp("cdc-geom")
+    CdcIndex.build(docs, dir) // w=4, modulus=16 recorded in meta
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_graft_meta.json")), "UTF-8")
+    assert(meta.contains("\"w\":4") && meta.contains("\"modulus\":16"), meta)
+    val delta = docs.limit(3).select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    // different chunking params would produce disjoint chunk hashes and
+    // silently miss every duplicate - both paths must throw instead
+    val e1 = intercept[IllegalStateException] {
+      CdcIndex.screenDelta(spark, dir, delta, w = 8, modulus = 32).collect()
+    }
+    assert(e1.getMessage.contains("w=4"))
+    val e2 = intercept[IllegalStateException] {
+      CdcIndex.append(delta, dir, w = 8)
+    }
+    assert(e2.getMessage.contains("modulus=16"))
+    // the matching explicit values still work
+    assert(CdcIndex.screenDelta(spark, dir, delta, w = 4, modulus = 16).count() == 3)
+  }
 }

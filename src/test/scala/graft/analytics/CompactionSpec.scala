@@ -314,6 +314,62 @@ class CompactionSpec extends SparkSpec {
     assert(pairSet(DedupIndex.dedupDelta(spark, idx, delta, minJaccard = 0.5)) == beforePairs)
   }
 
+  test("DedupIndex: the persisted layout survives a sys-prop change (r15, ADVICE r14)") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val idx = Files.createTempDirectory("dedup-meta-prop").toString
+    DedupIndex.build(docs, idx) // records docBuckets=16 + banding in meta
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$idx/_graft_meta.json")), "UTF-8")
+    assert(meta.contains("\"docBuckets\":16") && meta.contains("\"bands\":4"), meta)
+    val victim = docs.agg(min("doc_id")).head().getLong(0)
+    val delta = docs.filter(col("doc_id") =!= victim)
+      .limit(20).select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    import spark.implicits._
+    val prop = "graft.dedupindex.docbuckets"
+    val old = sys.props.get(prop)
+    try {
+      // a JVM restarted with a different width must NOT mis-scope the
+      // forget/compact partition pruning on the existing index
+      sys.props(prop) = "8"
+      DedupIndex.forget(spark, idx, Seq(victim).toDF("doc_id"))
+      DedupIndex.compact(spark, idx)
+      val left = spark.read.parquet(s"$idx/shingles").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(!left.contains(victim),
+        "compact under a changed sys-prop must still find the victim's true bucket")
+      // the probe still composes (appends under the stored width)
+      DedupIndex.append(delta, idx)
+      assert(pairSet(DedupIndex.dedupDelta(spark, idx,
+        docs.filter(col("doc_id") === victim)
+          .select(lit(5555555L).as("doc_id"), col("text")),
+        minJaccard = 0.9)).nonEmpty,
+        "appended twin content must still probe against the stored bands")
+      // the on-disk second level keeps the BUILD width, not the sys-prop
+      val widths = new java.io.File(s"$idx/shingles").listFiles()
+        .filter(_.getName.startsWith("dbucket="))
+        .map(_.getName.stripPrefix("dbucket=").toInt)
+      assert(widths.forall(_ < 16) && widths.length > 8,
+        s"appends must keep the stored 16-wide layout, saw ${widths.sorted.toSeq}")
+    } finally {
+      old match { case Some(v) => sys.props(prop) = v; case None => sys.props -= prop }
+    }
+  }
+
+  test("DedupIndex: a mismatched banding geometry fails fast instead of missing pairs") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val idx = Files.createTempDirectory("dedup-meta-geom").toString
+    DedupIndex.build(docs, idx) // bands=4, rowsPerBand=4, n=3
+    val delta = docs.limit(5).select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val e1 = intercept[IllegalStateException] {
+      DedupIndex.dedupDelta(spark, idx, delta, minJaccard = 0.6, bands = 8, rowsPerBand = 2)
+    }
+    assert(e1.getMessage.contains("bands=4"))
+    val e2 = intercept[IllegalStateException] {
+      DedupIndex.append(delta, idx, n = 5)
+    }
+    assert(e2.getMessage.contains("ngram=3"))
+  }
+
   test("a REBUILD clears stale tombstones in every persisted index") {
     import spark.implicits._
     // PqIndex: forget, rebuild, the forgotten vector ranks again
@@ -390,8 +446,9 @@ class CompactionSpec extends SparkSpec {
     SearchIndex.append(docs.filter(col("doc_id") === victim), dir)
     assert(got() == want(),
       "append of a tombstoned doc must not perturb the filtered-corpus ranking")
-    // after compact the tombstone is gone and the same append is admitted
-    SearchIndex.compact(spark, dir)
+    // after a FULL compact (minShare = 0, the re-admission path) the
+    // tombstone is gone and the same append is admitted
+    SearchIndex.compact(spark, dir, minShare = 0.0)
     SearchIndex.append(docs.filter(col("doc_id") === victim), dir)
     val o2 = Search.bm25TopDocs(docs, terms, k = 20)
     val full = o2.orderBy(o2.columns.map(col): _*).collect().toSeq.map(_.toSeq)

@@ -240,6 +240,81 @@ class PqIndexSpec extends SparkSpec {
     assert(!left.contains(victim) && left.size == emb.count() - 1)
   }
 
+  test("legacy partial sidecar is never trusted: compact falls back and RTBF holds (ADVICE r14)") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables(spark, sf("sf0.01")).embeddings
+    val mid = emb.agg(max("vec_id")).head().getLong(0) / 2
+    val dir = Files.createTempDirectory("pq-legacy-vl").toString
+    PqIndex.build(emb.filter(col("vec_id") <= mid), dir)
+    // simulate a pre-r14 index: no vlists/ dir, meta without the r15
+    // completeness fields (drift fields kept — they predate r15)
+    val metaFile = java.nio.file.Paths.get(s"$dir/_graft_meta.json")
+    val stripped = new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8")
+      .replaceAll(""","vbuckets":\d+""", "").replace(""","vlists":true""", "")
+    java.nio.file.Files.write(metaFile, stripped.getBytes("UTF-8"))
+    // the out-of-band edit invalidates the local FS's checksum sidecar
+    new java.io.File(s"$dir/._graft_meta.json.crc").delete()
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$dir/vlists"))
+    // forget a PRE-APPEND id, then append with current code: the append
+    // recreates a vlists/ that covers ONLY the delta
+    val victim = emb.agg(min("vec_id")).head().getLong(0)
+    import spark.implicits._
+    PqIndex.forget(spark, dir, Seq(victim).toDF("vec_id"))
+    PqIndex.append(emb.filter(col("vec_id") > mid), dir)
+    assert(new java.io.File(s"$dir/vlists").isDirectory, "append recreates a partial sidecar")
+    val meta = new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8")
+    assert(!meta.contains("\"vlists\":true"),
+      s"an append must not mark a partial sidecar complete: $meta")
+    // compact must DISCOVER the victim via the codes-scan fallback — a
+    // sidecar-trusting discovery would miss it, clear the tombstone, and
+    // resurrect the forgotten vector
+    PqIndex.compact(spark, dir)
+    val left = spark.read.parquet(s"$dir/codes").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!left.contains(victim),
+      "compact must physically remove a pre-append tombstoned id (RTBF)")
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val res = PqIndex.query(spark, dir, emb.filter(col("vec_id") === victim), k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(!res.contains(victim), "a forgotten vector must never reappear post-compact")
+  }
+
+  test("r15 meta records the sidecar layout; a fresh build's compact uses it") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables(spark, sf("sf0.01")).embeddings
+    val dir = Files.createTempDirectory("pq-meta-vl").toString
+    PqIndex.build(emb, dir)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_graft_meta.json")), "UTF-8")
+    assert(meta.contains("\"vbuckets\":16") && meta.contains("\"vlists\":true"), meta)
+    assert(meta.contains("\"drift_base_micro\":"), meta)
+  }
+
+  test("driftAdvisory: false on same-distribution appends, true after a shifted one") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables(spark, sf("sf0.01")).embeddings
+    val mid = emb.agg(max("vec_id")).head().getLong(0) / 2
+    val dir = Files.createTempDirectory("pq-advisory").toString
+    PqIndex.build(emb.filter(col("vec_id") <= mid), dir)
+    assert(PqIndex.driftStats(spark, dir).baselineMicro.nonEmpty,
+      "build must record the post-build baseline fraction")
+    assert(!PqIndex.driftAdvisory(spark, dir), "no appends yet: nothing to advise on")
+    PqIndex.append(emb.filter(col("vec_id") > mid), dir)
+    assert(!PqIndex.driftAdvisory(spark, dir),
+      s"same-distribution appends must not advise a rebuild: ${PqIndex.driftStats(spark, dir)}")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val far = emb.filter(col("vec_id") > mid)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), " +
+          "i -> CAST(pmod(vec_id * 31 + i, 7) - 3 AS FLOAT))").as("embedding"))
+    PqIndex.append(far, dir)
+    assert(PqIndex.driftAdvisory(spark, dir),
+      s"an uncorrelated append must advise a rebuild: ${PqIndex.driftStats(spark, dir)}")
+  }
+
   test("one-shot ivfPqTopK follows the same training policy as the stored index") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.Tables(spark, sf("sf0.01")).embeddings

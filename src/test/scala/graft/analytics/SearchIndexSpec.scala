@@ -106,7 +106,9 @@ class SearchIndexSpec extends SparkSpec {
     assert(tombBuckets.nonEmpty && (allBuckets -- tombBuckets).nonEmpty,
       "fixture needs touched and untouched buckets")
     val untouchedBefore = (allBuckets -- tombBuckets).map(b => files(s"$dir/postings/bucket=$b"))
-    SearchIndex.compact(spark, dir)
+    // minShare = 0: the FULL-rewrite path (2 docs of a corpus are below any
+    // realistic share threshold; the thresholded default has its own test)
+    SearchIndex.compact(spark, dir, minShare = 0.0)
     assert(!new java.io.File(s"$dir/tombstones").exists())
     val untouchedAfter = (allBuckets -- tombBuckets).map(b => files(s"$dir/postings/bucket=$b"))
     assert(untouchedAfter == untouchedBefore,
@@ -276,6 +278,205 @@ class SearchIndexSpec extends SparkSpec {
     val dfs = spark.read.parquet(s"$dir/df")
     assert(dfs.filter(col("df") <= 0).count() == 0,
       "folded df must hold positive per-token sums only")
+  }
+
+  test("layout meta fails fast: a mismatched buckets width throws instead of mis-pruning") {
+    val docs = graft.Tables(spark, sf("sf0.01")).documents.limit(60).localCheckpoint(true)
+    val dir = Files.createTempDirectory("searchidx-meta").toString
+    SearchIndex.build(docs, dir) // records buckets=64, docBuckets in _graft_meta.json
+    assert(new java.io.File(s"$dir/_graft_meta.json").isFile)
+    val terms = Seq("data", "fast", "query")
+    // default (omitted) resolves to the stored width
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)).nonEmpty)
+    // an explicit WRONG width would statically prune the probe to the wrong
+    // partition directories and silently return incomplete rows (VERDICT
+    // r14 #1) — it must throw
+    val e1 = intercept[IllegalStateException] {
+      SearchIndex.query(spark, dir, terms, k = 20, buckets = 32)
+    }
+    assert(e1.getMessage.contains("buckets=64"))
+    val e2 = intercept[IllegalStateException] {
+      SearchIndex.append(docs, dir, buckets = 32)
+    }
+    assert(e2.getMessage.contains("buckets=64"))
+    val e3 = intercept[IllegalStateException] {
+      SearchIndex.moreLikeThis(spark, dir, 1L, k = 5, buckets = 32)
+    }
+    assert(e3.getMessage.contains("buckets=64"))
+    // the matching explicit value still works
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20, buckets = 64)).nonEmpty)
+  }
+
+  test("thresholded compact: below-minShare buckets stay byte-identical, answers stay exact") {
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+    val dir = Files.createTempDirectory("searchidx-share").toString
+    SearchIndex.build(docs, dir)
+    val terms = Seq("data", "fast", "query")
+    val victim = docs.agg(min("doc_id")).head().getLong(0)
+    import spark.implicits._
+    SearchIndex.forget(spark, dir, Seq(victim).toDF("doc_id"))
+    val postingsBefore = files(s"$dir/postings")
+    // one doc of a corpus: every bucket's tombstoned share is far below the
+    // default threshold — compact must rewrite NOTHING in postings and
+    // RETAIN the tombstones (serving stays exact via the anti-join)
+    SearchIndex.compact(spark, dir)
+    assert(files(s"$dir/postings") == postingsBefore,
+      "below-threshold buckets must not be rewritten (VERDICT r14 #2)")
+    assert(new java.io.File(s"$dir/tombstones").exists(),
+      "tombstones covering still-present postings must be retained")
+    val oneShot1 = Search.bm25TopDocs(docs.filter(col("doc_id") =!= victim), terms, k = 20)
+    val want1 = rows(oneShot1); oneShot1.unpersist(): Unit
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)) == want1)
+    // a second, repeated compact must not churn the postings either
+    SearchIndex.compact(spark, dir)
+    assert(files(s"$dir/postings") == postingsBefore)
+    // now forget half the corpus: every affected bucket crosses the
+    // threshold, the rewrite happens, and the tombstones clear fully
+    SearchIndex.forget(spark, dir, docs.filter(col("doc_id") % 2 === 0).select("doc_id"))
+    SearchIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "a full reclaim must clear the tombstone set")
+    val left = spark.read.parquet(s"$dir/postings").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!left.contains(victim) && left.forall(_ % 2 != 0),
+      "an above-threshold compact must physically remove the forgotten docs")
+    val keep = docs.filter(col("doc_id") % 2 =!= 0 && col("doc_id") =!= victim)
+    val oneShot2 = Search.bm25TopDocs(keep, terms, k = 20)
+    val want2 = rows(oneShot2); oneShot2.unpersist(): Unit
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)) == want2)
+  }
+
+  test("append onto a meta-less legacy index: forget falls back to postings, df stays exact") {
+    // simulate a pre-r15 index WITHOUT a forward store (r13 layout): the
+    // fix under test (ADVICE r14) is that after an append creates a PARTIAL
+    // forward/, forget must NOT trust it for df deltas — a forward-derived
+    // delta would skip the pre-append docs' tokens and leave df inflated
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val dir = Files.createTempDirectory("searchidx-legacy").toString
+    SearchIndex.build(docs.filter(col("doc_id") <= hi / 2), dir)
+    assert(new java.io.File(s"$dir/_graft_meta.json").delete())
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$dir/forward"))
+    SearchIndex.append(docs.filter(col("doc_id") > hi / 2), dir)
+    // the append pinned a meta that marks forward NOT complete
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_graft_meta.json")), "UTF-8")
+    assert(meta.contains("\"forward\":false"), meta)
+    // forget a PRE-APPEND doc (it has no forward rows): df must still be
+    // exact — the postings-pass fallback
+    val victim = docs.agg(min("doc_id")).head().getLong(0)
+    import spark.implicits._
+    SearchIndex.forget(spark, dir, Seq(victim).toDF("doc_id"))
+    val terms = Seq("data", "fast", "query")
+    val oneShot = Search.bm25TopDocs(docs.filter(col("doc_id") =!= victim), terms, k = 20)
+    val want = rows(oneShot); oneShot.unpersist(): Unit
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)) == want,
+      "a partial forward store must never be trusted for df deltas")
+    // and more-like-this refuses the incomplete forward outright
+    val e = intercept[IllegalStateException] {
+      SearchIndex.moreLikeThis(spark, dir, hi, k = 5)
+    }
+    assert(e.getMessage.contains("incomplete forward"))
+  }
+
+  test("moreLikeThis refuses a forgotten seed; the batch form drops it") {
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+    val dir = Files.createTempDirectory("searchidx-mlt-tomb").toString
+    SearchIndex.build(docs, dir)
+    import spark.implicits._
+    SearchIndex.forget(spark, dir, Seq(1L).toDF("doc_id"))
+    val e = intercept[IllegalArgumentException] {
+      SearchIndex.moreLikeThis(spark, dir, 1L, k = 10)
+    }
+    assert(e.getMessage.contains("forgotten"))
+    val b = SearchIndex.moreLikeThisBatch(spark, dir, Seq(1L, 2L).toDF("doc_id"), k = 10)
+      .collect()
+    assert(b.nonEmpty && b.map(_.getAs[Long]("seed_id")).toSet == Set(2L),
+      "a forgotten seed must not produce recommendations")
+  }
+
+  test("hot-term guard: df > maxDfShare*n terms never enter the MLT probe") {
+    import spark.implicits._
+    // 12 docs; "hot" carried by 11 (df 11 > floor(0.9*12) = 10, a truly
+    // corpus-saturated term whose postings bucket is corpus-sized); the
+    // seed's informative terms are rare1/rare2 (df 2 each). The assertion
+    // is structural: guarded selection must not touch the saturated term's
+    // postings at all, so docs sharing ONLY "hot" never become candidates.
+    val docs = (Seq(
+      1L -> "hot hot hot rare1 rare2",
+      2L -> "hot rare1 pad2",
+      3L -> "hot rare2 pad3") ++
+      (4L to 9L).map(i => i -> s"hot pad$i") ++ Seq(
+      10L -> "hot pad10",
+      11L -> "hot pad11",
+      12L -> "pad12")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("searchidx-hot").toString
+    SearchIndex.build(docs, dir, buckets = 8)
+    val guarded = SearchIndex.moreLikeThis(spark, dir, 1L, k = 12, topTerms = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // only docs sharing a RARE term qualify; docs 4..9 share only "hot"
+    assert(guarded == Set(2L, 3L), s"got $guarded")
+    // counterfactual: disabling the guard admits the df=8 term and drags
+    // the only-hot docs in — proving the guard (not chance) excluded them
+    val unguarded = SearchIndex.moreLikeThis(spark, dir, 1L, k = 12, topTerms = 10,
+        maxDfShare = 1.0)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert((4L to 9L).forall(unguarded.contains), s"got $unguarded")
+    // batch form applies the same guard
+    val b = SearchIndex.moreLikeThisBatch(spark, dir, Seq(1L).toDF("doc_id"), k = 12,
+        topTerms = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(b == Set(2L, 3L), s"got $b")
+  }
+
+  test("docBuckets: sized by corpus policy, honored at a non-default width end to end") {
+    // policy: one bucket per 2^20 docs, clamped to [16, 4096]
+    assert(IndexMeta.bucketPolicy(600) == 16)
+    assert(IndexMeta.bucketPolicy(16L << 20) == 16)
+    assert(IndexMeta.bucketPolicy(100L << 20) == 100)
+    assert(IndexMeta.bucketPolicy(1L << 40) == 4096)
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+    val dir = Files.createTempDirectory("searchidx-db32").toString
+    SearchIndex.build(docs, dir, docBuckets = 32)
+    def dbDirs(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .count(_.getName.startsWith("dbucket="))
+    assert(dbDirs("forward") == 32 && dbDirs("census") == 32)
+    val victims = docs.filter(col("doc_id") % 5 === 2).select("doc_id")
+    SearchIndex.forget(spark, dir, victims)
+    val terms = Seq("data", "fast", "query")
+    val oneShot = Search.bm25TopDocs(docs.filter(col("doc_id") % 5 =!= 2), terms, k = 20)
+    val want = rows(oneShot); oneShot.unpersist(): Unit
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)) == want)
+    SearchIndex.compact(spark, dir, minShare = 0.0)
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)) == want)
+    assert(rows(SearchIndex.moreLikeThis(spark, dir, 1L, k = 10).toDF()).nonEmpty)
+  }
+
+  test("fold-swap crash window: readers fall back to the backup, mutators repair it") {
+    val docs = graft.Tables(spark, sf("sf0.01")).documents.limit(80).localCheckpoint(true)
+    val dir = Files.createTempDirectory("searchidx-foldcrash").toString
+    SearchIndex.build(docs, dir)
+    val terms = Seq("data", "fast", "query")
+    val want = rows(SearchIndex.query(spark, dir, terms, k = 20))
+    assert(want.nonEmpty)
+    // simulate a crash between foldSwap's two renames: the live df/ is
+    // gone, the backup holds the complete store (ADVICE r14 — the r14
+    // in-place overwrite could destroy the stats here)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/df"),
+      java.nio.file.Paths.get(s"$dir/df.__fold_old"))
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)) == want,
+      "a reader in the swap window must see the complete backup store")
+    // the next locked mutator repairs the layout before touching anything
+    import spark.implicits._
+    SearchIndex.forget(spark, dir, Seq(-1L).toDF("doc_id")) // absent id: stats no-op
+    assert(new java.io.File(s"$dir/df").isDirectory &&
+      !new java.io.File(s"$dir/df.__fold_old").exists(),
+      "a mutator must restore the live root from the backup")
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)) == want)
   }
 
   test("token-sorted postings prune INSIDE buckets: fewer rows read than an unsorted twin") {

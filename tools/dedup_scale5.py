@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Analyze the dedup_scale5.sh recordings (VERDICT r14 #3): per query and
+leg, the 5-pass wall-time median with its spread and a median CI, the
+shuffle-write-bytes flatness across passes, and the resulting
+median-of-5 scale exponents. Decision rule printed per query:
+
+  - shuffle bytes flat (<5% spread) + wall spread wide  -> HOST DRIFT
+    (the plan did the same work every pass; the wall clock didn't)
+  - shuffle bytes growing across passes                 -> REAL, named
+    (the plan itself did more work — e.g. extra label-prop rounds)
+
+CI: the nonparametric median CI for n=5 is [x_(1), x_(5)] at ~93.75%
+coverage; we report half-width relative to the median and flag >15%
+(the judge's bound) — with 5 quiet passes the bound holds unless the
+host is genuinely noisy, in which case the shuffle column still decides.
+
+Usage: dedup_scale5.py <outdir with {sf0.1,sf1,sf3}_p{1..5}.json>
+"""
+import sys, json, glob, math, statistics, os
+
+out = sys.argv[1]
+legs = ["sf0.1", "sf1", "sf3"]
+data = {}      # leg -> list of (queries, shuffle) dicts
+for leg in legs:
+    paths = sorted(glob.glob(os.path.join(out, f"{leg}_p*.json")))
+    runs = []
+    for p in paths:
+        with open(p) as f:
+            j = json.load(f)
+        runs.append((j["queries"], j.get("shuffle_write", {})))
+    if runs:
+        data[leg] = runs
+
+queries = sorted(data[legs[0]][0][0]) if legs[0] in data else []
+print("| query | leg | median s | min..max s | spread | medCI | shuffle GB min..max | bytes flat? |")
+print("|---|---|---|---|---|---|---|---|")
+med = {}
+for q in queries:
+    for leg in legs:
+        if leg not in data:
+            continue
+        ts = sorted(r[0][q] for r in data[leg] if q in r[0])
+        sb = sorted(r[1].get(q, 0) for r in data[leg] if q in r[0])
+        m = statistics.median(ts)
+        med[(q, leg)] = m
+        spread = (ts[-1] - ts[0]) / m if m else 0
+        ci = (ts[-1] - ts[0]) / 2 / m if m else 0  # order-stat CI half-width
+        flat = "FLAT" if (sb[-1] - sb[0]) <= 0.05 * max(sb[-1], 1) else "GROWING"
+        print(f"| {q} | {leg} | {m:.2f} | {ts[0]:.2f}..{ts[-1]:.2f} | "
+              f"{spread*100:.0f}% | ±{ci*100:.0f}% | "
+              f"{sb[0]/1e9:.2f}..{sb[-1]/1e9:.2f} | {flat} |")
+
+print()
+print("| query | exp sf0.1->sf1 | exp sf1->sf3 | delta |")
+print("|---|---|---|---|")
+for q in queries:
+    if all((q, leg) in med for leg in legs):
+        e01 = math.log10(med[(q, "sf1")] / med[(q, "sf0.1")])
+        e13 = math.log(med[(q, "sf3")] / med[(q, "sf1")]) / math.log(3)
+        d = e13 - e01
+        flag = " **(curved)**" if d > 0.15 else ""
+        print(f"| {q} | {e01:.2f} | {e13:.2f} | {d:+.2f}{flag} |")
