@@ -58,16 +58,32 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** Default hot-shingle document-frequency cap: 1% of the corpus, floored
-    * at 20 so tiny corpora never cap. The cap bounds the inverted-index
+    * at 20 so tiny corpora never cap — and CEILINGED at an absolute
+    * [[DfCapCeiling]] (r15, the dedup_scale5 finding): a purely RELATIVE
+    * cap makes the capped self-join mass Σ min(df,cap)² itself quadratic
+    * in corpus size (df and cap both scale with n for sub-1%-share
+    * boilerplate shingles — measured as the dedup tier's shuffle bytes
+    * growing at a 1.49 sf1→sf3 exponent while true pairs stayed linear,
+    * DEDUPSCALE5_r15.md). With an absolute ceiling the mass is bounded by
+    * |vocab| × ceiling² — linear in n. The cap bounds the inverted-index
     * self-join at Σ min(df,cap)² instead of Σ df² — one stop-shingle with
     * df=10⁶ would otherwise contribute 10¹² candidate rows. Recall safety:
-    * a true pair is only lost if EVERY shared shingle exceeds the cap; the
-    * exact-Jaccard recount restores precision for all surviving candidates
-    * (measured on this corpus: max over true pairs of min shared df is 3 at
-    * sf0.01 and 10 at sf0.1 — far under the cap, so capped ≡ uncapped;
-    * proven by equality in AnalyticsSpec). */
+    * a true pair is only lost if EVERY shared shingle exceeds the cap —
+    * near-dup pairs share ≥minJaccard of their (many) shingles, so this
+    * needs every distinctive trigram of the pair to be corpus-hot
+    * (measured max-over-true-pairs of min shared df: 3 at sf0.01, 10 at
+    * sf0.1, ~115 at sf3 under ScaleUp's 3.7×-per-10× df growth — under the
+    * ceiling at every verified scale, and the sampled sf1 completeness
+    * check re-validates it per round); the exact-Jaccard recount restores
+    * precision for all surviving candidates. */
   def dfCapFor(nDocs: Long): Int =
-    math.min(math.max(20L, nDocs / 100L), Int.MaxValue.toLong).toInt
+    math.min(math.max(20L, nDocs / 100L), DfCapCeiling.toLong).toInt
+
+  /** Absolute ceiling of [[dfCapFor]] — the knob that keeps candidate mass
+    * linear in corpus size (see scaladoc there). Callers with corpora whose
+    * true duplicates genuinely share only hot shingles can pass a larger
+    * explicit `maxDf`. */
+  val DfCapCeiling = 256
 
   /** Candidate pairs sharing ≥1 shingle (inverted index), with exact Jaccard
     * verified on the full shingle sets; returns pairs with
@@ -225,16 +241,64 @@ object Dedup {
     * all-pairs structure is within a band bucket. */
   def minhashLshPairs(docs: DataFrame, minJaccard: Double,
                       bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text",
+                      maxBucket: Int = BandBucketCap): DataFrame = {
     val withSh = shingleFrame(docs, n, idCol, textCol)
     val banded = minhashBanded(withSh, bands, rowsPerBand)
-    val x = banded.as("x"); val y = banded.as("y")
-    val cand = x.join(y,
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    jaccardVerify(cand, withSh, minJaccard)
+    jaccardVerify(bandedCandidates(banded, maxBucket), withSh, minJaccard)
+  }
+
+  /** Default band-bucket population cap for [[bandedCandidates]] (r15, the
+    * dedup_scale5 finding): the banded self-join expands Σ m(m−1)/2 over
+    * bucket populations m, and DEGENERATE collision classes (docs sharing a
+    * band signature by structure, not similarity — short/boilerplate docs)
+    * have populations growing ∝ corpus, so their pair mass is quadratic: at
+    * sf3, buckets over this cap carried 52% of the candidate mass while
+    * verified pairs stayed linear (96% of candidates were false —
+    * DEDUPSCALE5_r15.md / graft.analytics.DedupBytesProbe). No oracle
+    * corpus reaches it (max population 13 at sf0.1). */
+  private[analytics] val BandBucketCap = 64
+
+  /** Candidate pairs from a [[minhashBanded]] frame, bucket-population
+    * capped: buckets at or under `cap` expand all-pairs (exact, the plain
+    * LSH contract); buckets OVER it pair only docs whose FULL signature
+    * (all bands) matches. The full-signature refinement keeps what a
+    * genuinely hot bucket legitimately holds — large exact/near-exact
+    * duplicate clusters, whose members agree on every band and whose pair
+    * list is output-justified — while dropping the degenerate cross
+    * products (j≈0 docs colliding on one band slice). Recall caveat, same
+    * class as [[dfCapFor]]'s: a mid-similarity true pair colliding ONLY in
+    * over-cap buckets with differing full signatures is never a candidate;
+    * at j ≥ 0.6 a pair matches each band independently (p = j^rows per
+    * band), so this needs every matching band to be population-degenerate.
+    * `cap <= 0` disables capping (the exact all-pairs expansion). */
+  private[analytics] def bandedCandidates(banded: DataFrame, cap: Int): DataFrame = {
+    val allPairs = (f: DataFrame, extraKey: Seq[String]) => {
+      val keys = (Seq("band", "bucket") ++ extraKey)
+      val cond = keys.map(k => col(s"x.$k") === col(s"y.$k"))
+        .reduce(_ && _) && col("x.doc_id") < col("y.doc_id")
+      f.as("x").join(f.as("y"), cond)
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    }
+    if (cap <= 0) allPairs(banded, Seq.empty).distinct()
+    else {
+      val pops = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__m"))
+      val tagged = banded.join(pops, Seq("band", "bucket"))
+      val cold = tagged.filter(col("__m") <= cap)
+        .select("doc_id", "band", "bucket")
+      val hot = tagged.filter(col("__m") > cap)
+        .select("doc_id", "band", "bucket")
+      // full signature of the HOT docs only (band-ordered bucket concat) —
+      // the common no-hot-bucket path aggregates empty frames
+      val fsig = banded
+        .join(hot.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .groupBy("doc_id")
+        .agg(concat_ws("|", transform(
+          array_sort(collect_list(struct(col("band"), col("bucket")))),
+          s => s.getField("bucket"))).as("__fsig"))
+      val hotPairs = allPairs(hot.join(fsig, "doc_id"), Seq("__fsig"))
+      allPairs(cold, Seq.empty).union(hotPairs).distinct()
+    }
   }
 
   /** (doc_id, sh) shingle-set frame — the shared head of every MinHash

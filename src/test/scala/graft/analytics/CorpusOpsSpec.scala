@@ -232,4 +232,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(s(1) > s(0) && s(2) > s(1))          // monotone in tf
     assert(s(1) - s(0) > s(2) - s(1))            // saturating increments
   }
+
+  test("band-bucket cap: a giant exact-dup cluster keeps ALL its pairs; degenerate cross products don't survive (r15)") {
+    // 150 identical docs (every band bucket's population 150 > the 64 cap,
+    // full signatures identical -> the all-pairs expansion is
+    // output-justified and must survive) + distinct background docs
+    val boiler = (1L to 150L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val bg = (1000L to 1100L).map(i => (i, s"unique$i words for doc number $i only here"))
+    val docs = (boiler ++ bg).toDF("doc_id", "text")
+    val capped = Dedup.minhashLshPairs(docs, minJaccard = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.minhashLshPairs(docs, minJaccard = 0.9, maxBucket = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.size == 150 * 149 / 2,
+      s"the hot-bucket dup cluster must keep every pair, got ${capped.size}")
+    assert(capped == uncapped,
+      "on a corpus whose only hot buckets are true dup clusters, capped == exact")
+    // and the candidate EXPANSION is bounded: a hot bucket of mixed
+    // non-dups (same band slice by construction impossible to plant via
+    // text, so this is asserted at scale by DedupBytesProbe / SCALING.md)
+  }
 }

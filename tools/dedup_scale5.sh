@@ -31,7 +31,7 @@ for leg in "sf0.1:/root/testdata/sf0.1" "sf1:/root/repo/data/sf1" "sf3:/root/rep
     SPARK_GRAFT_NO_RERUN=1 \
     SPARK_GRAFT_SHUFFLE=1 \
     SPARK_GRAFT_BENCH_OUT="$OUT/${name}_p${p}.json" \
-    sbt -batch "runMain graft.Bench $SUBSET" > "$OUT/${name}_p${p}.log" 2>&1
+    java -cp "/opt/spark/jars/*:$JAR" graft.Bench $SUBSET > "$OUT/${name}_p${p}.log" 2>&1
     tail -1 "$OUT/${name}_p${p}.log"
   done
 done
