@@ -107,7 +107,11 @@ object Bm25CompactScale {
     import spark.implicits._
     val fourIds = docs.select("doc_id").orderBy("doc_id").limit(4)
       .as[Long].collect().toSeq.toDF("doc_id").localCheckpoint(true)
-    Seq(16, 64).foreach { db =>
+    // width 1 = no pruning at all (the whole doc-store is one bucket) —
+    // the anchor that shows what the bucket level buys; 16 vs 64 then
+    // shows the marginal gain is footer-bound at this SF (the policy keeps
+    // 16 until the per-bucket data bytes dominate)
+    Seq(1, 16, 64).foreach { db =>
       val idx = java.nio.file.Files.createTempDirectory(s"bm25db-$db").toString
       SearchIndex.build(docs, idx, docBuckets = db)
       val storeBytes = snapshot(s"$idx/forward").values.sum +
