@@ -161,24 +161,12 @@ object Bench {
     // rounds). Off by default: the post-query listener quiesce wait would
     // perturb the regression-gated timings.
     val recordShuffle = sys.env.contains("SPARK_GRAFT_SHUFFLE")
-    val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
-    if (recordShuffle)
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = t.taskMetrics
-          if (m != null) shuffleAcc.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
-        }
-      })
+    val shuffleCounter =
+      if (recordShuffle) Some(graft.tools.ProbeMetrics.shuffleWritten(spark.sparkContext))
+      else None
     /** Snapshot the shuffle counter after waiting for the async listener
-      * bus to quiesce (same spin pattern as the byte-accounting specs). */
-    def shuffleSnapshot(): Long = {
-      var last = -1L
-      var spins = 0
-      while (shuffleAcc.get() != last && spins < 30) {
-        last = shuffleAcc.get(); Thread.sleep(100); spins += 1
-      }
-      shuffleAcc.get()
-    }
+      * bus to quiesce (shared spin in [[graft.tools.ProbeMetrics]]). */
+    def shuffleSnapshot(): Long = shuffleCounter.fold(0L)(_.quiesce(maxSpins = 30))
     val shuffleByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
     // one untimed warmup: JVM/codegen/parquet-footer caches

@@ -117,9 +117,16 @@ object CdcIndex {
   private def appendUnlocked(delta: DataFrame, dir: String, w: Int, modulus: Int,
                              idCol: String, textCol: String): Unit = {
     checkGeometry(delta.sparkSession, dir, w, modulus)
+    val hadMeta = IndexMeta.readText(delta.sparkSession, dir).isDefined
     hashes(delta, w, modulus, idCol, textCol)
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/chunks")
+    // first mutating touch of a legacy meta-less index: pin the caller's
+    // geometry (the chunks just written compose only under it) so every
+    // later operation stops trusting caller parameters — the same
+    // first-touch rule as SearchIndex.append / DedupIndex.appendUnlocked;
+    // without it this index alone would keep the silent-miss hazard open
+    if (!hadMeta) writeMeta(delta.sparkSession, dir, w, modulus)
   }
 
   /** Append a shard's chunk hashes (blind — screen first via

@@ -28,21 +28,44 @@ private[analytics] object IndexMeta {
 
   def metaPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_meta.json")
 
-  /** Overwrite the meta file with the given pre-rendered JSON object. */
+  private def tmpPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_meta.json.tmp")
+
+  /** Replace the meta file with the given pre-rendered JSON object —
+    * atomically for lock-free readers. A plain create(overwrite=true)
+    * truncates first, so a reader racing a meta REWRITE (every
+    * [[PqIndex]] append refreshes drift fields; first-touch pins rewrite
+    * legacy indexes) could see an empty or partial object and either crash
+    * or, worse, fall back to the legacy default width and silently
+    * mis-prune. Instead: write the full object to a `.tmp` twin, then
+    * delete-and-rename into place. [[readText]] covers the between-renames
+    * window by falling back to the complete `.tmp`. */
   def write(spark: SparkSession, dir: String, json: String): Unit = {
     val p = metaPath(dir)
-    val out = fs(spark, p).create(p, true)
+    val t = tmpPath(dir)
+    val f = fs(spark, p)
+    val out = f.create(t, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    f.delete(p, false)
+    if (!f.rename(t, p))
+      throw new IllegalStateException(s"index meta swap: cannot move $t into place")
   }
 
+  /** Read the meta object. Prefers the live file; a missing live file with
+    * a `.tmp` twin present means a writer is mid-swap (or crashed there) —
+    * the twin holds the complete object, so read it rather than reporting
+    * "no meta" (which downstream means LEGACY layout, a silently different
+    * bucket rule). One final re-read of the live path closes the race where
+    * the swap's rename lands between the two probes. */
   def readText(spark: SparkSession, dir: String): Option[String] = {
-    val p = metaPath(dir)
-    val f = fs(spark, p)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close())
+    def read1(p: org.apache.hadoop.fs.Path): Option[String] = {
+      val f = fs(spark, p)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close())
+      }
     }
+    read1(metaPath(dir)).orElse(read1(tmpPath(dir))).orElse(read1(metaPath(dir)))
   }
 
   def long(txt: String, k: String): Option[Long] =

@@ -49,7 +49,6 @@ object PqIndex {
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def metaPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_meta.json")
 
   /** Historical vec-hash width of the `vlists/` sidecar (pre-r15 indexes;
     * r15 builds choose by corpus size — [[IndexMeta.bucketPolicy]], VERDICT
@@ -78,8 +77,6 @@ object PqIndex {
                         driftLastMicro: Option[Long] = None,
                         vbuckets: Int = 0,
                         vlistsComplete: Boolean = false): Unit = {
-    val p = metaPath(dir)
-    val out = fs(spark, p).create(p, true)
     val driftFields = ccosP5Micro
       .map(v => s""","ccos_p5_micro":$v,"drift_appended":$driftAppended,""" +
         s""""drift_outliers":$driftOutliers""")
@@ -93,9 +90,11 @@ object PqIndex {
     // pre-existing tombstoned ids and resurrect forgotten vectors
     val layoutFields = (if (vbuckets > 0) s""","vbuckets":$vbuckets""" else "") +
       (if (vlistsComplete) s""","vlists":true""" else "")
-    try out.write((s"""{"layout":$LayoutVersion,"m":$m,"subDim":$subDim,""" +
-      s""""trained":"$trained"$driftFields$layoutFields}""").getBytes("UTF-8"))
-    finally out.close()
+    // IndexMeta.write swaps atomically: every append REWRITES this file
+    // (drift fields), and a lock-free query racing a truncate-then-write
+    // could have read a partial object (ADVICE r15-review)
+    IndexMeta.write(spark, dir, s"""{"layout":$LayoutVersion,"m":$m,"subDim":$subDim,""" +
+      s""""trained":"$trained"$driftFields$layoutFields}""")
   }
 
   /** The stored vlists width (pre-r15 meta carries none → the historical
@@ -107,18 +106,13 @@ object PqIndex {
         IndexMeta.flag(txt, "vlists"))
     }
 
-  private def readMetaText(spark: SparkSession, dir: String): Option[String] = {
-    val p = metaPath(dir)
-    val f = fs(spark, p)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close())
-    }
-  }
+  // meta I/O is the shared family layer ([[IndexMeta]]) — one read/write
+  // implementation, one atomic-swap discipline, no parallel copy to drift
+  private def readMetaText(spark: SparkSession, dir: String): Option[String] =
+    IndexMeta.readText(spark, dir)
 
   private def metaLong(txt: String, k: String): Option[Long] =
-    s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    IndexMeta.long(txt, k)
 
   /** The recorded training mode ("full" / "sampled" / "explicit") of a
     * stored index — observability for the default-policy branch (PqIndexSpec
@@ -217,19 +211,12 @@ object PqIndex {
     * the caller's (m, subDim) is not what the codes were packed under. */
   private def checkMeta(spark: SparkSession, dir: String, m: Int, subDim: Int,
                         builder: String = "PqIndex.build"): Unit = {
-    val p = metaPath(dir)
-    val f = fs(spark, p)
-    if (!f.exists(p))
+    val txt = readMetaText(spark, dir).getOrElse(
       throw new IllegalStateException(s"PQ index at $dir has no _graft_meta.json " +
-        s"(built before the packed-codes layout); rebuild it with $builder")
-    val txt = {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    }
+        s"(built before the packed-codes layout); rebuild it with $builder"))
     def field(k: String): Long =
-      s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-        .getOrElse(throw new IllegalStateException(
-          s"PQ index meta at $dir is unreadable: $txt"))
+      metaLong(txt, k).getOrElse(throw new IllegalStateException(
+        s"PQ index meta at $dir is unreadable: $txt"))
     if (field("layout") != LayoutVersion || field("m") != m || field("subDim") != subDim)
       throw new IllegalStateException(
         s"PQ index at $dir was built as layout=${field("layout")} m=${field("m")} " +

@@ -448,6 +448,22 @@ object SearchIndex {
         val t = broadcast(tomb)
         val postRoot = path(s"$dir/postings")
         val f = fs(spark, postRoot)
+        // A prior PARTIAL compact (some buckets rewritten, some skipped)
+        // already purged the retained docs' rows from the rewritten
+        // buckets, but their forward rows are kept (they drive the NEXT
+        // discovery) — so forward-derived (bucket, doc) pairs are a
+        // superset holding STALE entries for purged buckets. Counting
+        // those as live would (a) keep a since-deleted bucket "affected"
+        // forever — it never appears in the totals join, so it can never
+        // be rewritten, lands in `skipped` every round, and the tombstone
+        // set never clears; (b) inflate a surviving bucket's tombstoned
+        // share and trigger spurious whole-bucket rewrites. The marker
+        // records that state: the FIRST compact after forgets stays
+        // forward-derived O(|ids|); after a partial one, the residual rows
+        // are re-derived exactly from the candidate buckets themselves
+        // (partition-pruned, doc_id column only).
+        val partialMarker = path(s"$dir/tombstones/_graft_partial")
+        val hadPartial = f.exists(partialMarker)
         // (bucket, doc_id) of every tombstoned POSTINGS row. O(|ids|) when
         // the forward store is known-complete: the ids' dbuckets are a pure
         // function of the ids and the token-bucket rule is recomputed from
@@ -460,8 +476,18 @@ object SearchIndex {
             val base =
               if (cb.isEmpty) readForward(spark, dir).limit(0)
               else readForward(spark, dir).filter(col("dbucket").isin(cb: _*))
-            base.join(t, Seq("doc_id"), "left_semi")
+            val derived = base.join(t, Seq("doc_id"), "left_semi")
               .select((Dedup.hash60(col("token")) % m.buckets).as("bucket"), col("doc_id"))
+            if (!hadPartial) derived
+            else {
+              val candB = derived.select("bucket").distinct()
+                .collect().map(_.getLong(0)).toSeq
+              if (candB.isEmpty) derived
+              else readPostings(spark, dir)
+                .filter(col("bucket").isin(candB: _*))
+                .join(t, Seq("doc_id"), "left_semi")
+                .select(col("bucket").cast("long").as("bucket"), col("doc_id"))
+            }
           case _ =>
             readPostings(spark, dir)
               .join(t, Seq("doc_id"), "left_semi")
@@ -473,6 +499,7 @@ object SearchIndex {
         val affected = perBucket.select("bucket")
           .collect().map(_.getLong(0)).toSet
         var skipped = Set.empty[Long]
+        var rewrote = false
         if (affected.nonEmpty) {
           val rewrite: Set[Long] =
             if (minShare <= 0d) affected
@@ -487,6 +514,7 @@ object SearchIndex {
                 .select("bucket").collect().map(_.getLong(0)).toSet
             }
           skipped = affected -- rewrite
+          rewrote = rewrite.nonEmpty
           if (rewrite.nonEmpty) {
             val surv = readPostings(spark, dir)
               .filter(col("bucket").isin(rewrite.toSeq: _*))
@@ -572,10 +600,14 @@ object SearchIndex {
         // tombstones are cleared only on a FULL reclaim: with any bucket
         // skipped, suppressed postings remain on disk and the whole set is
         // retained (never shrunk in place — a lock-free reader must never
-        // see a partial tombstone dir)
+        // see a partial tombstone dir). A partial reclaim that REWROTE
+        // anything leaves the marker telling the next compact its forward
+        // rows are stale for the rewritten buckets (see tombRows above).
         if (skipped.isEmpty) {
           val p = path(s"$dir/tombstones")
           fs(spark, p).delete(p, true): Unit
+        } else if (rewrote && !hadPartial) {
+          fs(spark, partialMarker).create(partialMarker, true).close()
         }
       }
     }
@@ -710,14 +742,20 @@ object SearchIndex {
       .join(broadcast(seed.select("token")), Seq("token"), "left_semi")
       .groupBy("token").agg(sum(col("df")).as("df"))
     // exact-integer term ranking: weight = tf × idf_micro, both BIGINT;
-    // hot terms (df > maxDfShare·n) never enter the ranking
-    val terms = seed.join(seedDf, "token")
-      .filter(col("df") <= maxDf)
+    // hot terms (df > maxDfShare·n) are skipped — UNLESS that leaves
+    // nothing (a tiny or homogeneous corpus where every informative seed
+    // term is hot): the guard is a probe-cost bound, not a correctness
+    // rule, so it must never turn a previously-answerable seed into a
+    // failure; the fallback ranks every w > 0 term as pre-guard code did
+    val ranked = seed.join(seedDf, "token")
       .withColumn("w", col("tf") * Search.idfMicro(col("df"), n))
       .filter(col("w") > 0)
-      .orderBy(col("w").desc, col("token"))
-      .limit(topTerms)
-      .select("token").collect().map(_.getString(0)).sorted.toSeq
+      .localCheckpoint(true) // seed-vocab-sized; read twice on fallback
+    def top(sel: DataFrame): Seq[String] =
+      sel.orderBy(col("w").desc, col("token")).limit(topTerms)
+        .select("token").collect().map(_.getString(0)).sorted.toSeq
+    val guarded = top(ranked.filter(col("df") <= maxDf))
+    val terms = if (guarded.nonEmpty) guarded else top(ranked)
     require(terms.nonEmpty, s"doc $docId has no indexed terms at $dir")
     val dfMap = readSumStore(spark, dir, "df")
       .filter(col("token").isin(terms: _*))
@@ -795,14 +833,23 @@ object SearchIndex {
       .select(col("seed_id"), col("token"), col("tf"))
     val dfSums = readSumStore(spark, dir, "df")
       .groupBy("token").agg(sum(col("df")).as("df"))
-    // per-seed exact-integer term ranking (w = tf × idf_micro, BIGINTs)
+    // per-seed exact-integer term ranking (w = tf × idf_micro, BIGINTs).
+    // The hot-term guard (df > maxDfShare·n skipped) falls back PER SEED
+    // exactly as the single-seed form does: a seed whose every w > 0 term
+    // is hot keeps its hot terms rather than silently vanishing from the
+    // output — `any_cold` is a second frame over the same seed_id
+    // partitioning (no extra shuffle), so the guard only ever REMOVES hot
+    // terms from seeds that still have a cold one to rank
     val wTerm = org.apache.spark.sql.expressions.Window
       .partitionBy(col("seed_id")).orderBy(col("w").desc, col("token"))
+    val wSeed = org.apache.spark.sql.expressions.Window.partitionBy(col("seed_id"))
     val terms = seedTf.join(dfSums, "token")
-      .filter(col("df") <= maxDf)
       .withColumn("idf_micro", Search.idfMicro(col("df"), n))
       .withColumn("w", col("tf") * col("idf_micro"))
       .filter(col("w") > 0)
+      .withColumn("hot", col("df") > maxDf)
+      .withColumn("any_cold", max(when(col("hot"), 0).otherwise(1)).over(wSeed))
+      .filter(!col("hot") || col("any_cold") === 0)
       .withColumn("rn", row_number().over(wTerm))
       .filter(col("rn") <= topTerms)
       .select(col("seed_id"), col("token"), col("idf_micro"))

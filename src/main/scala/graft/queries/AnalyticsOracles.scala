@@ -2831,14 +2831,17 @@ object AnalyticsOracles {
         |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
         |s AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS dl_sum FROM d),
         |df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
-        |terms AS (
-        |  SELECT t.tok
+        |cand AS (
+        |  SELECT t.tok,
+        |    t.tf * round(ln((s.n+1)::DOUBLE / (df.df+1)) * 1000000)::BIGINT AS w,
+        |    (df.df > floor(0.9 * s.n)::BIGINT) AS hot
         |  FROM tf t JOIN df USING (tok) CROSS JOIN s
         |  WHERE t.doc_id = 1
-        |    AND df.df <= floor(0.9 * s.n)::BIGINT
-        |    AND t.tf * round(ln((s.n+1)::DOUBLE / (df.df+1)) * 1000000)::BIGINT > 0
-        |  ORDER BY t.tf * round(ln((s.n+1)::DOUBLE / (df.df+1)) * 1000000)::BIGINT DESC,
-        |    t.tok
+        |    AND t.tf * round(ln((s.n+1)::DOUBLE / (df.df+1)) * 1000000)::BIGINT > 0),
+        |terms AS (
+        |  SELECT tok FROM cand
+        |  WHERE (NOT hot) OR NOT EXISTS (SELECT 1 FROM cand WHERE NOT hot)
+        |  ORDER BY w DESC, tok
         |  LIMIT 10),
         |sc AS (
         |  SELECT t.doc_id, d.dl,
@@ -2869,15 +2872,20 @@ object AnalyticsOracles {
         |tw AS (
         |  SELECT t.doc_id AS seed_id, t.tok,
         |    round(ln((s.n+1)::DOUBLE / (df.df+1)) * 1000000)::BIGINT AS idfm,
-        |    t.tf * round(ln((s.n+1)::DOUBLE / (df.df+1)) * 1000000)::BIGINT AS w
+        |    t.tf * round(ln((s.n+1)::DOUBLE / (df.df+1)) * 1000000)::BIGINT AS w,
+        |    (df.df > floor(0.9 * s.n)::BIGINT) AS hot
         |  FROM tf t JOIN df USING (tok) CROSS JOIN s
-        |  WHERE t.doc_id IN (1, 2, 3)
-        |    AND df.df <= floor(0.9 * s.n)::BIGINT),
+        |  WHERE t.doc_id IN (1, 2, 3)),
         |terms AS (
         |  SELECT seed_id, tok, idfm FROM (
         |    SELECT seed_id, tok, idfm,
         |      row_number() OVER (PARTITION BY seed_id ORDER BY w DESC, tok) AS rn
-        |    FROM tw WHERE w > 0)
+        |    FROM (
+        |      SELECT seed_id, tok, idfm, w, hot,
+        |        max(CASE WHEN hot THEN 0 ELSE 1 END)
+        |          OVER (PARTITION BY seed_id) AS any_cold
+        |      FROM tw WHERE w > 0)
+        |    WHERE (NOT hot) OR any_cold = 0)
         |  WHERE rn <= 10),
         |sc AS (
         |  SELECT terms.seed_id, t.doc_id, d.dl,

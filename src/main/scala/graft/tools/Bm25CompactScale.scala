@@ -34,24 +34,9 @@ object Bm25CompactScale {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BM25COMPACT_r15.jsonl")
     val sink = new java.io.PrintWriter(new java.io.FileWriter(outPath, true))
 
-    val read = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) read.addAndGet(m.inputMetrics.bytesRead): Unit
-      }
-    })
-    def quiesce(): Long = {
-      var last = -1L; var spins = 0
-      while (read.get() != last && spins < 30) { last = read.get(); Thread.sleep(100); spins += 1 }
-      read.get()
-    }
-    def walk(f: java.io.File): Seq[java.io.File] = {
-      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(walk)
-    }
-    def snapshot(p: String): Map[String, Long] =
-      walk(new java.io.File(p)).map(f => f.getPath -> f.length()).toMap
+    val read = ProbeMetrics.bytesRead(spark.sparkContext)
+    def quiesce(): Long = read.quiesce(maxSpins = 30)
+    def snapshot(p: String): Map[String, Long] = ProbeMetrics.fileSizes(p)
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -61,20 +61,8 @@ object CompactScaleProbe {
       * byte cost — what the r14 sidecar replaces: a two-column scan of the
       * WHOLE codes store per compact). */
     def bytesRead[T](f: => T): (T, Long) = {
-      var read = 0L
-      val l = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          read += t.taskMetrics.inputMetrics.bytesRead
-      }
-      spark.sparkContext.addSparkListener(l)
-      val r =
-        try f
-        finally {
-          var last = -1L; var spins = 0
-          while (read != last && spins < 50) { last = read; Thread.sleep(100); spins += 1 }
-          spark.sparkContext.removeSparkListener(l)
-        }
-      (r, read)
+      val c = ProbeMetrics.bytesRead(spark.sparkContext)
+      try { val r = f; (r, c.quiesce()) } finally c.remove()
     }
 
     // ---- PqIndex: tombstone whole lists at increasing share ------------

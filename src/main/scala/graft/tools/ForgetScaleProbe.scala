@@ -39,13 +39,7 @@ object ForgetScaleProbe {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
-    def dirBytes(p: String): Long = {
-      def walk(f: java.io.File): Long = {
-        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-        kids.filter(_.isFile).map(_.length()).sum + kids.filter(_.isDirectory).map(walk).sum
-      }
-      walk(new java.io.File(p))
-    }
+    def dirBytes(p: String): Long = ProbeMetrics.dirBytes(p)
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
 
     val docs = graft.Tables(spark, dir).documents
@@ -59,18 +53,17 @@ object ForgetScaleProbe {
     locally {
       val idx = java.nio.file.Files.createTempDirectory("fsp-bm25").toString
       val (_, tB) = timed(SearchIndex.build(docs, idx))
-      var read = 0L
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          read += t.taskMetrics.inputMetrics.bytesRead
-      }
-      spark.sparkContext.addSparkListener(listener)
+      val counter = ProbeMetrics.bytesRead(spark.sparkContext)
       val (_, tF) = timed(SearchIndex.forget(spark, idx, ids))
-      var last = -1L; var spins = 0
-      while (read != last && spins < 50) { last = read; Thread.sleep(100); spins += 1 }
-      spark.sparkContext.removeSparkListener(listener)
+      val read = counter.quiesce()
+      counter.remove()
       val bytesTotal = dirBytes(idx)
-      val (_, tC) = timed(SearchIndex.compact(spark, idx))
+      // minShare = 0 forces the FULL reclaim: this probe's compact_s series
+      // is compared across rounds (FORGETSCALE_r14 recorded the pre-
+      // threshold full rewrite), and the r15 default (0.1) would skip every
+      // bucket for a 200-doc forget and time a near-no-op instead —
+      // tools.Bm25CompactScale measures the thresholded behavior
+      val (_, tC) = timed(SearchIndex.compact(spark, idx, minShare = 0))
       lines += s"""{"index":"bm25","sf":"$dir","n_docs":$nDocs,"ids":200,""" +
         s""""build_s":${f3(tB)},"forget_s":${f3(tF)},"forget_bytes_read":$read,""" +
         s""""compact_s":${f3(tC)},"index_bytes":$bytesTotal}"""

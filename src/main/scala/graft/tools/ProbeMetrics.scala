@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Shared measurement plumbing for the bench/probe mains: ONE
+  * implementation of the task-metric accumulator with its async-bus
+  * quiesce spin, and of the recursive directory byte walk, instead of a
+  * hand-rolled near-copy per probe with slightly different spin caps
+  * (r15 review). Measurement-protocol changes now land in one place and
+  * keep every probe's numbers comparable. */
+object ProbeMetrics {
+
+  /** Accumulates one task metric across all jobs from construction on;
+    * [[quiesce]] waits for the async listener bus to drain (value stable
+    * across 100 ms polls, bounded spins) before reading — reading the
+    * counter right after an action would race events still in flight. */
+  final class TaskCounter(sc: SparkContext,
+                          metric: org.apache.spark.executor.TaskMetrics => Long) {
+    private val acc = new java.util.concurrent.atomic.AtomicLong
+    private val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) acc.addAndGet(metric(m)): Unit
+      }
+    }
+    sc.addSparkListener(listener)
+    def quiesce(maxSpins: Int = 50): Long = {
+      var last = -1L
+      var spins = 0
+      while (acc.get() != last && spins < maxSpins) {
+        last = acc.get(); Thread.sleep(100); spins += 1
+      }
+      acc.get()
+    }
+    def remove(): Unit = sc.removeSparkListener(listener)
+  }
+
+  /** Parquet/scan input bytes (task `inputMetrics.bytesRead`). */
+  def bytesRead(sc: SparkContext): TaskCounter =
+    new TaskCounter(sc, _.inputMetrics.bytesRead)
+
+  /** Shuffle-write bytes — the scale-variance protocol's decider: flat
+    * bytes across passes with spreading wall-time = host drift; growing
+    * bytes = the plan itself did more work. */
+  def shuffleWritten(sc: SparkContext): TaskCounter =
+    new TaskCounter(sc, _.shuffleWriteMetrics.bytesWritten)
+
+  /** Every file under `dir` with its length, recursive — the
+    * bytes-rewritten comparisons diff two of these snapshots. */
+  def fileSizes(dir: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(walk)
+    }
+    walk(new java.io.File(dir)).map(f => f.getPath -> f.length()).toMap
+  }
+
+  def dirBytes(dir: String): Long = fileSizes(dir).values.sum
+}

@@ -248,4 +248,25 @@ class CdcIndexSpec extends SparkSpec {
     // the matching explicit values still work
     assert(CdcIndex.screenDelta(spark, dir, delta, w = 4, modulus = 16).count() == 3)
   }
+
+  test("append onto a meta-less legacy index pins the caller geometry") {
+    val shared = (0 until 120).map(i => s"p$i").mkString(" ")
+    val dir = tmp("cdcidx-pin")
+    CdcIndex.build(Seq((1L, shared)).toDF("doc_id", "text"), dir,
+      w = 8, modulus = 32)
+    // simulate a pre-r15 index: no layout meta on disk
+    assert(new java.io.File(s"$dir/_graft_meta.json").delete())
+    CdcIndex.append(Seq((2L, shared + " extra")).toDF("doc_id", "text"), dir,
+      w = 8, modulus = 32)
+    // the first mutating touch pinned the caller's geometry — without it,
+    // the CDC index alone would keep trusting caller parameters and a
+    // default-geometry screen would silently miss every duplicate
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_graft_meta.json")), "UTF-8")
+    assert(meta.contains("\"w\":8") && meta.contains("\"modulus\":32"), meta)
+    val e = intercept[IllegalStateException] {
+      CdcIndex.screenDelta(spark, dir, Seq((3L, shared)).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("w=8"))
+  }
 }

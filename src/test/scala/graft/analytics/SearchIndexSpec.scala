@@ -579,4 +579,96 @@ class SearchIndexSpec extends SparkSpec {
     assert(partitionsRead.exists(n => n > 0 && n <= 3),
       s"3 terms must read <=3 of $totalBuckets buckets, read $partitionsRead")
   }
+
+  test("partial compact: stale forward rows never churn buckets or strand the tombstone set") {
+    import spark.implicits._
+    // Craft per-bucket shares: doc 1 holds 100% of one postings bucket
+    // (its unique token), 50% of another (a token shared with doc 2 only),
+    // and 10% of a third (a token every doc has) — chosen so all involved
+    // tokens land in DISTINCT token-hash buckets
+    val pool = (1 to 2000).map(i => s"w$i")
+    val distinct = pool.foldLeft(Vector.empty[String]) { (acc, w) =>
+      if (acc.size < 7 && !acc.exists(a =>
+        Dedup.hash60Local(a) % 64 == Dedup.hash60Local(w) % 64)) acc :+ w else acc
+    }
+    val Vector(uniq, shared, com1, com2, com3, com4, com5) = distinct
+    val common = Seq(com1, com2, com3, com4, com5).mkString(" ")
+    val docs = (Seq((1L, s"$uniq $shared $com1"), (2L, s"$shared $common")) ++
+      (3L to 10L).map(i => (i, common))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("searchidx-partialc").toString
+    SearchIndex.build(docs, dir)
+    SearchIndex.forget(spark, dir, Seq(1L).toDF("doc_id"))
+    // minShare 0.5 makes the reclaim PARTIAL: the unique bucket (share 1.0)
+    // is rewritten and emptied, the shared bucket (0.5) rewritten with doc
+    // 2's row surviving, the common bucket (1/10) skipped
+    SearchIndex.compact(spark, dir, minShare = 0.5)
+    assert(new java.io.File(s"$dir/tombstones").exists())
+    assert(new java.io.File(s"$dir/tombstones/_graft_partial").exists())
+    assert(!new java.io.File(
+      s"$dir/postings/bucket=${Dedup.hash60Local(uniq) % 64}").exists())
+    // doc 1's rows in the rewritten buckets are GONE, but its forward rows
+    // remain (it is retained via the skipped bucket). Re-compacting at the
+    // same threshold must be a postings NO-OP: counting the stale forward
+    // rows would inflate the surviving shared bucket's share (1 stale tomb
+    // row vs 1 live row = 100%) and churn it on every compact forever
+    val snap = files(s"$dir/postings")
+    SearchIndex.compact(spark, dir, minShare = 0.5)
+    assert(files(s"$dir/postings") == snap,
+      "stale forward rows must not trigger spurious bucket rewrites")
+    // shares accrue: with docs 2..6 also forgotten every residual bucket
+    // crosses 0.5, and the reclaim must CONVERGE — the already-deleted
+    // unique bucket must not be held 'affected but skipped' forever (it
+    // can never appear in the totals join)
+    SearchIndex.forget(spark, dir, (2L to 6L).toDF("doc_id"))
+    SearchIndex.compact(spark, dir, minShare = 0.5)
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "once every residual bucket crossed the threshold the tombstones must clear")
+    val keep = docs.filter(col("doc_id") >= 7L)
+    val oneShot = Search.bm25TopDocs(keep, Seq(com1), k = 10)
+    val want = rows(oneShot); oneShot.unpersist(): Unit
+    assert(rows(SearchIndex.query(spark, dir, Seq(com1), k = 10)) == want)
+  }
+
+  test("hot-term guard falls back instead of failing when every seed term is hot") {
+    import spark.implicits._
+    // 20 docs; the seed's whole vocabulary sits in 19 of them: df = 19 >
+    // floor(0.9 * 20) = 18 (hot) yet idf > 0 — the guard alone would empty
+    // the term set and fail a seed r14 answered; the fallback ranks the
+    // hot terms instead
+    val docs = ((1L to 19L).map(i => (i, "alpha beta")) :+ (20L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("searchidx-mlt-hot").toString
+    SearchIndex.build(docs, dir)
+    val single = SearchIndex.moreLikeThis(spark, dir, 1L, k = 5)
+    val got = single.collect()
+    assert(got.nonEmpty, "an all-hot seed must fall back, not fail")
+    assert(got.map(_.getAs[Long]("doc_id")).forall(d => d >= 2L && d <= 19L))
+    // batch-of-one equality holds through the per-seed fallback too
+    val batch = SearchIndex.moreLikeThisBatch(spark, dir, Seq(1L).toDF("doc_id"), k = 5)
+    assert(rows(batch.select("doc_id", "dl", "n_terms", "score_micro")) ==
+      got.map(_.toSeq).toSet)
+    // and a guarded corpus stays guarded: doc 20's cold terms rank
+    // normally in the same batch (they have no co-occurring docs, so the
+    // seed contributes no rows — but it must not throw)
+    val mixed = SearchIndex.moreLikeThisBatch(spark, dir, Seq(1L, 20L).toDF("doc_id"), k = 5)
+    assert(mixed.select("seed_id").distinct().as[Long].collect().toSet == Set(1L))
+  }
+
+  test("meta mid-swap window: readers fall back to the .tmp twin, never the legacy width") {
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+    val dir = Files.createTempDirectory("searchidx-metaswap").toString
+    // a NON-default width: a reader that loses the meta would fall back to
+    // the legacy 64 and silently prune probes to the wrong directories
+    SearchIndex.build(docs, dir, buckets = 32)
+    val terms = Seq("data", "fast", "query")
+    val want = rows(SearchIndex.query(spark, dir, terms, k = 20))
+    assert(want.nonEmpty)
+    // simulate a writer crashed between IndexMeta.write's delete and
+    // rename: live file gone, complete .tmp twin present
+    val meta = new java.io.File(s"$dir/_graft_meta.json")
+    val tmp = new java.io.File(s"$dir/_graft_meta.json.tmp")
+    assert(meta.renameTo(tmp))
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)) == want,
+      "the .tmp twin must be honored - the legacy-width fallback would mis-prune")
+  }
 }
