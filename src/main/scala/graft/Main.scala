@@ -151,8 +151,11 @@ object Main {
       .getOrElse(throw new IllegalArgumentException(s"unknown tenant $tenant"))
     val spark = session()
     val dlq = new Dlq(spark, sys.env.getOrElse("GRAFT_DLQ_DIR", "/tmp/graft-dlq") + s"/$tenant")
+    // validated + formatted in ONE place (BackfillJob.tsBounds) — and the
+    // range is now rejected BEFORE a scan over a bad range is built
+    val (startTs, endTs) = BackfillJob.tsBounds(start, end)
     val source = MongoStatements.statements(
-      Sources.mongoRangeScan(spark, t, start.replace('T', ' ') + ":00", end.replace('T', ' ') + ":00"),
+      Sources.mongoRangeScan(spark, t, startTs, endTs),
       cfg.encryptionSalt, t.name)
     val res = BackfillJob.runTransformed(source, start, end,
       sinkFor(cfg, t), tablesFor(t), dlq, dimProvider(spark, cfg))

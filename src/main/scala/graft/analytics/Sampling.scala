@@ -297,7 +297,10 @@ object Sampling {
                  textCol: String = "text"): DataFrame =
     docs.select(shardOf(col(idCol), nShards).as("shard"),
         col(idCol).as("id"),
-        size(split(trim(col(textCol)), "\\s+")).cast("long").as("toks"))
+        // strict counting (blank doc = 0, not 1): the stats must agree
+        // with the packing manifest over the same shards, and
+        // packSequences counts through strictTokenCount
+        strictTokenCount(col(textCol)).as("toks"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
         min("id").as("min_id"), max("id").as("max_id"))
@@ -308,7 +311,7 @@ object Sampling {
   def lengthHistogram(docs: DataFrame, bucketWidth: Int,
                       lenCol: String = "n_chars", textCol: String = "text"): DataFrame =
     docs.select((col(lenCol) / bucketWidth).cast("long").as("bucket"),
-        size(split(trim(col(textCol)), "\\s+")).cast("long").as("toks"))
+        strictTokenCount(col(textCol)).as("toks")) // blank doc = 0 tokens
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), round(avg(col("toks")), 4).as("avg_tokens"))
 
@@ -516,7 +519,9 @@ object Sampling {
       .as(Seq("quantile", "thr_rep")))
     // kept mass per threshold from the histogram alone: every doc in a
     // bucket counts as its rep (the sketch's standard rank contract)
-    val total = hist.agg(sum(col("cnt"))).head().getLong(0)
+    val totalRow = hist.agg(sum(col("cnt"))).head()
+    // empty corpus: sum over zero rows is NULL — an empty sweep, not an NPE
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     thr.crossJoin(broadcast(hist.select(col("rep"), col("cnt"))))
       .groupBy(col("quantile"), col("thr_rep"))
       .agg(sum(when(col("rep") >= col("thr_rep"), col("cnt")).otherwise(0L))

@@ -73,6 +73,13 @@ object Search {
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms == queryTerms.sorted,
       "queryTerms must be non-empty and sorted (fixed summation order is the determinism contract)")
+    require(queryTerms.toSet.size == queryTerms.size,
+      "queryTerms must be distinct (a duplicate would alias two identical tf columns)")
+    // per-term columns are NAMED after the term (the output contract), so
+    // later references must be backtick-quoted: col("tf_u.s.") would parse
+    // the dots as struct-field access and fail to resolve — whitespace
+    // tokenization makes dotted terms ordinary input, not an edge case
+    def tfCol(t: String): Column = col("`tf_" + t.replace("`", "``") + "`")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val toks = TextAnalysis.tokens(col(textCol))
     val perDoc = docs.select(
@@ -84,13 +91,13 @@ object Search {
     val statsRow = perDoc.agg(
       count(lit(1)).as("n"),
       (Seq(sum(col("dl")).as("dl_sum")) ++
-        queryTerms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
+        queryTerms.map(t => sum(when(tfCol(t) > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
       .head()
     val n = statsRow.getAs[Long]("n")
     val avgdl = statsRow.getAs[Long]("dl_sum").toDouble / n
     val score = queryTerms.map { t =>
       val df = statsRow.getAs[Long](s"df_$t")
-      val tf = col(s"tf_$t").cast("double")
+      val tf = tfCol(t).cast("double")
       (idfMicro(lit(df), n).cast("double") / 1e6) *
         (tf * (k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
     }.reduce(_ + _) // fixed left-to-right term order == the oracle's chain
@@ -99,7 +106,7 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
       .select((Seq(col("doc_id"), col("dl")) ++
-        queryTerms.map(t => col(s"tf_$t")) ++ Seq(col("score"))): _*)
+        queryTerms.map(tfCol) ++ Seq(col("score"))): _*)
       .persist(lvl)
     out.count(): Unit // scoring scan reads the cached counters, not parquet
     perDoc.unpersist()
@@ -209,12 +216,19 @@ object Search {
     val nt = c2.agg(count(lit(1)).as("nt"))
     val out = bg.join(c2, "bg").join(c1, "w1").join(n1m, "w2")
       .crossJoin(broadcast(nt))
+      // products in DOUBLE, each operand cast first (the collocations /
+      // dsirLogWeights convention): 4·c1·nt and the num terms are int64
+      // products of corpus-scale counts — they overflow Long near
+      // c1·nt ≈ 2.3e18 (reachable around a TB of text) and would wrap
+      // into log() as NaN; doubles lose nothing here (only the log's
+      // argument, already rounded to micro units afterwards)
       .withColumn("num",
-        greatest(lit(4L) * col("c2") - lit(3L), lit(0L)) * col("nt") +
-          lit(3L) * col("n1p") * col("n1m"))
+        greatest(lit(4L) * col("c2") - lit(3L), lit(0L)).cast("double") *
+          col("nt").cast("double") +
+          lit(3.0) * col("n1p").cast("double") * col("n1m").cast("double"))
       .withColumn("s_micro",
-        round(log((lit(4L) * col("c1") * col("nt")).cast("double") /
-          col("num").cast("double")) * 1e6).cast("long"))
+        round(log(lit(4.0) * col("c1").cast("double") * col("nt").cast("double") /
+          col("num")) * 1e6).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("s_micro")).as("sum_micro"))
       .select(col("doc_id"), col("n_bigrams"),
@@ -286,15 +300,18 @@ object Search {
       .join(n1m, Seq("w2"), "left")
       .crossJoin(broadcast(z))
       .na.fill(0L, Seq("c2", "c1", "n1p", "n1m"))
+      // same double-product convention as knSurprisal (int64 products of
+      // corpus-scale counts overflow Long long before the doc counts do)
       .withColumn("num", when(col("c1") > 0,
-          greatest(lit(4L) * col("c2") - lit(3L), lit(0L)) * col("z") +
-            lit(3L) * col("n1p") * (col("n1m") + lit(1L)))
-        .otherwise(col("n1m") + lit(1L)))
+          greatest(lit(4L) * col("c2") - lit(3L), lit(0L)).cast("double") *
+            col("z").cast("double") +
+            lit(3.0) * col("n1p").cast("double") * (col("n1m") + lit(1L)).cast("double"))
+        .otherwise((col("n1m") + lit(1L)).cast("double")))
       .withColumn("den", when(col("c1") > 0,
-        lit(4L) * col("c1") * col("z")).otherwise(col("z")))
+          lit(4.0) * col("c1").cast("double") * col("z").cast("double"))
+        .otherwise(col("z").cast("double")))
       .withColumn("s_micro",
-        round(log(col("den").cast("double") / col("num").cast("double")) * 1e6)
-          .cast("long"))
+        round(log(col("den") / col("num")) * 1e6).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("c2") === 0, 1L).otherwise(0L)).as("n_unseen"),
@@ -442,10 +459,12 @@ object Search {
     *
     * Shape at 100 TB: the corpus collapses to [[perScoreCounts]]'s
     * distinct-logit frame; the single-partition ordered window below runs
-    * over THAT (thousands of rows at most), never the corpus. The int64
-    * products are exact up to P·N < 2⁶³ (≈3·10⁹ docs per class); past
-    * that, swap the two product columns to DECIMAL(38,0) — the shape is
-    * unchanged. */
+    * over THAT (thousands of rows at most), never the corpus. auc_num and
+    * auc_den stay int64 (exact up to P·N < 2⁶³⁻¹, ≈2·10⁹ docs per class);
+    * the permicro scaling goes through DECIMAL(38,0), whose headroom
+    * covers 10⁶·auc_num everywhere auc_num itself fits — past the int64
+    * doc bound, swap the two product columns to DECIMAL(38,0) too. A
+    * single-class corpus reports auc_permicro NULL (AUC is undefined). */
   def classifierAuc(docs: DataFrame, weights: DataFrame, dims: Int = 16,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val counts = perScoreCounts(docs, weights, dims, textCol, idCol)
@@ -458,7 +477,14 @@ object Search {
         count(lit(1)).as("n_scores"),
         sum(col("n_pos") * (lit(2L) * col("__nb") + col("n_neg"))).as("auc_num"))
       .withColumn("auc_den", lit(2L) * col("n_pos") * col("n_neg"))
-      .withColumn("auc_permicro", expr("1000000 * auc_num div auc_den"))
+      // permicro through DECIMAL(38,0): the int64 product 1000000·auc_num
+      // overflows at P·N ≈ 4.6e12 (~2.2M docs per class) — three orders
+      // below auc_num's own 2^63 bound; and a single-class corpus
+      // (auc_den = 0) yields NULL, not a division error
+      .withColumn("auc_permicro",
+        when(col("auc_den") > 0,
+          floor(col("auc_num").cast("decimal(38,0)") * lit(1000000L) / col("auc_den"))
+            .cast("long")))
   }
 
   /** Precision/recall sweep over every distinct logit threshold (predict
@@ -692,8 +718,15 @@ object Search {
         sum(coalesce(col("__rc"), lit(0L))).as("ref_grams"),
         sum(least(coalesce(col("__cc"), lit(0L)),
           coalesce(col("__rc"), lit(0L)))).as("overlap"))
-      .withColumn("p_permille", expr("1000 * overlap div cand_grams"))
-      .withColumn("r_permille", expr("1000 * overlap div ref_grams"))
-      .withColumn("f_permille", expr("2000 * overlap div (cand_grams + ref_grams)"))
+      // a pair whose cand (or ref) side has < 2 tokens has zero grams on
+      // that side: its permille is NULL per the contract above — an
+      // unguarded integral div would THROW under the ANSI runtime
+      .withColumn("p_permille",
+        when(col("cand_grams") > 0, expr("1000 * overlap div cand_grams")))
+      .withColumn("r_permille",
+        when(col("ref_grams") > 0, expr("1000 * overlap div ref_grams")))
+      .withColumn("f_permille",
+        when(col("cand_grams") + col("ref_grams") > 0,
+          expr("2000 * overlap div (cand_grams + ref_grams)")))
   }
 }

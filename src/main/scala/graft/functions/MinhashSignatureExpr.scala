@@ -29,6 +29,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 case class MinhashSignatureExpr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
 
+  // k <= 0 would silently give every document an EMPTY signature (all
+  // tabulates/fills degenerate) — LSH banding downstream would then treat
+  // all documents as indistinguishable; fail fast like the sibling
+  // expressions (WinnowFingerprintsExpr, WordShingles, TopKByScore)
+  require(k >= 1, s"$prettyName requires k >= 1, got $k")
+
   override def nullable: Boolean = true
 
 

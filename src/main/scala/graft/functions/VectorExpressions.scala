@@ -18,10 +18,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * whole-stage codegen: no allocation, no virtual calls.
   *
   * Summation is a strict left-to-right fold — bit-for-bit identical to both
-  * the HOF formulation and the DuckDB oracle's `list_reduce`.
+  * the HOF formulation and the DuckDB oracle's `list_reduce`. That parity
+  * includes the degenerate shapes: mismatched lengths yield NULL (zip_with
+  * pads the shorter side with nulls → null product → null sum) and a NULL
+  * element yields NULL — a truncated or corrupt embedding must surface as
+  * NULL and drop out of top-k, not contribute a plausible-looking partial
+  * dot product. The per-element null check is SKIPPED in the generated
+  * loop when both inputs' array types declare containsNull = false.
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // may return NULL (length mismatch / null element) even for non-null,
+  // non-nullable-typed inputs
+  override def nullable: Boolean = true
+
+  private def elementsMayBeNull: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -39,22 +54,41 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
-    acc
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      val checkNulls = elementsMayBeNull
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      acc
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val nullCheck =
+        if (elementsMayBeNull)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |    ${ev.isNull} = true; ${ev.value} = 0.0; break;
+             |  }""".stripMargin
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
        """.stripMargin
     })

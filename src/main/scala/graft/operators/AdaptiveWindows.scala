@@ -28,12 +28,16 @@ import org.apache.spark.sql.functions._
   */
 object AdaptiveWindows {
 
-  /** (hottest key's row count, total rows) in one aggregation. */
+  /** (hottest key's row count, total rows) in one aggregation; (0, 0) on
+    * an EMPTY frame — the agg row is then all nulls and the primitive
+    * getters would NPE, where the vanilla forms simply return empty
+    * (shared with [[graft.operators.Salting.wouldSalt]], whose probe is
+    * this same question on a join key). */
   def hotKeyStats(events: DataFrame, keyCol: String = "user_id"): (Long, Long) = {
     val r = events.groupBy(col(keyCol)).count()
       .agg(max(col("count")).as("hot"), sum(col("count")).as("total"))
       .head()
-    (r.getLong(0), r.getLong(1))
+    if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
   }
 
   /** The measured engagement rule: hottest key exceeds `factor` × a

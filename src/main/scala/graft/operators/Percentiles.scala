@@ -61,12 +61,22 @@ object Percentiles {
   }
 
   /** Sketch-based percentiles (map-side combinable; rank error ≤
-    * 1/accuracy) — the path for inputs too large for exact ranking. */
+    * 1/accuracy) — the path for inputs too large for exact ranking.
+    * Shaped to match [[exactByWindow]]'s contract, not raw
+    * percentile_approx: the value is CAST TO DOUBLE first (on an integer
+    * column the sketch would return an integer element while the exact
+    * path interpolates doubles — same query flipping type and value at
+    * exactRowLimit), and all-NULL groups are dropped as the exact path's
+    * null filter drops them (the sketch alone would keep them with NULL
+    * quantiles). Values remain approximate by design; the PARITY contract
+    * is row set and schema. */
   def approxPerGroup(df: DataFrame, groupCol: String, valueCol: String,
                      ps: Seq[(String, Double)], accuracy: Int = 10000): DataFrame =
-    df.groupBy(col(groupCol))
+    df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col(groupCol))
       .agg(
-        percentile_approx(col(valueCol), array(ps.map(p => lit(p._2)): _*), lit(accuracy))
+        percentile_approx(col("__v"), array(ps.map(p => lit(p._2)): _*), lit(accuracy))
           .as("__qs"))
       .select(col(groupCol) +:
         ps.zipWithIndex.map { case ((name, _), i) => col("__qs")(i).as(name) }: _*)

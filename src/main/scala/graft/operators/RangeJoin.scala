@@ -32,6 +32,22 @@ object RangeJoin {
                       intervals: DataFrame, startSec: String, endSec: String,
                       bucketSec: Long): DataFrame = {
     require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    // the upper bucket floor((endSec - 1)/bucketSec) subtracts a FULL
+    // second, which is only the exclusive-boundary adjustment for INTEGER
+    // seconds: a fractional endSec (e.g. 100.5 with bucketSec 100) would
+    // under-cover its last bucket and silently drop true matches near
+    // interval ends — reject fractional column types up front
+    Seq(points.schema(pointSec), intervals.schema(startSec), intervals.schema(endSec))
+      .foreach { f =>
+        import org.apache.spark.sql.types._
+        val integral = f.dataType match {
+          case LongType | IntegerType | ShortType | ByteType => true
+          case _ => false
+        }
+        require(integral,
+          s"${f.name} must be an integral epoch-seconds column for exact " +
+            s"bucket coverage, got ${f.dataType.simpleString}")
+      }
     // Degenerate intervals (endSec <= startSec) can never contain a point,
     // but sequence(start, stop) with start > stop silently counts DOWN
     // (default step -1) — up to span/width rows of fan-out per corrupt

@@ -22,8 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  private def rowSalt(df: DataFrame, salts: Int): Column =
+  // salts <= 0 must fail LOUDLY: pmod(x, 0) is NULL under non-ANSI
+  // semantics, so a salted join under salts = 0 would silently return
+  // ZERO rows (NULL never equals any replica salt) instead of erroring
+  private def rowSalt(df: DataFrame, salts: Int): Column = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts))
+  }
 
   /** Two-phase salted count+sum per key (extend with more partials as
     * needed — any algebraic aggregate decomposes the same way). */
@@ -54,13 +59,13 @@ object Salting {
     * can ask of a key distribution at 100 TB; a production pipeline would
     * cache it per (table, key) epoch. */
   def wouldSalt(big: DataFrame, bigKey: String, factor: Double = 5.0): Boolean = {
-    val r = big.groupBy(col(bigKey)).count()
-      .agg(max(col("count")).as("hot"), sum(col("count")).as("total"))
-      .head()
-    if (r.isNullAt(0)) false // empty input: nothing to salt
+    // ONE probe implementation (AdaptiveWindows.hotKeyStats) — the two
+    // hand-rolled copies had already diverged on the empty-input guard
+    val (hot, total) = AdaptiveWindows.hotKeyStats(big, bigKey)
+    if (total == 0L) false // empty input: nothing to salt
     else {
       val par = big.sparkSession.sparkContext.defaultParallelism.toDouble
-      r.getLong(0) > factor * r.getLong(1) / par
+      hot > factor * total / par
     }
   }
 

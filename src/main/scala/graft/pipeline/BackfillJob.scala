@@ -34,6 +34,17 @@ object BackfillJob {
 
   final case class Result(input: Long, written: Long, skipped: Long, deadLettered: Long)
 
+  /** The validated CLI range formatted as timestamp-literal pushdown
+    * bounds ("yyyy-MM-dd HH:mm:ss") — the ONE place CLI strings become
+    * source bounds, shared by [[run]] and `Main.backfill`'s range-scan
+    * wiring so the format cannot drift from what [[validateRange]]
+    * accepted. */
+  def tsBounds(start: String, end: String): (String, String) = {
+    val (s, e) = validateRange(start, end)
+    val f = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    (s.format(f), e.format(f))
+  }
+
   /** Variant for an already-transformed statement frame (the production
     * Mongo path: [[MongoStatements.statements]] over a range scan whose
     * time bounds were pushed to the source). Routes + writes against the
@@ -52,27 +63,35 @@ object BackfillJob {
     } finally { statements.unpersist(): Unit }
   }
 
-  /** Run the backfill over an already-loaded source DataFrame (tests inject
-    * a parquet scan; production injects [[graft.sources.Sources.mongoRangeScan]]). */
+  /** Run the backfill over an EVENTS-schema source DataFrame (ts /
+    * event_id / props / user_id — tests inject a parquet scan over the
+    * synthetic events table). The production Mongo path does NOT come
+    * through here: a [[graft.sources.Sources.mongoRangeScan]] frame
+    * carries the Mongo document schema and its time bounds are pushed to
+    * the source, so `Main.backfill` transforms it with
+    * [[MongoStatements.statements]] and calls [[runTransformed]]. */
   def run(source: DataFrame, start: String, end: String,
           sink: BatchSink, tables: SinkTables, dlq: Dlq,
           policy: RetryPolicy = RetryPolicy()): Result = {
-    validateRange(start, end): Unit
-    val startTs = start.replace('T', ' ') + ":00"
-    val endTs = end.replace('T', ' ') + ":00"
+    val (startTs, endTs) = tsBounds(start, end)
     val tsType = source.schema("ts").dataType
     val bounded = source.filter(
       col("ts") >= lit(startTs).cast(tsType) && col("ts") <= lit(endTs).cast(tsType))
-
-    val input = bounded.count() // O3: reference's count_documents progress total
-    val statements = EventStatements.statements(bounded).persist()
+      // the bounded scan feeds THREE consumers (the O3 progress count, the
+      // transform chain, and the opt-out dimension) — persist it or a
+      // large remote range scan runs three full times
+      .persist()
     try {
-      val transformed = statements.count()
-      val res = StreamingPipeline.processBatch(
-        statements, EventStatements.optOutHashes(bounded), sink, tables, dlq, policy)
-      // `written` counts rows the SINK accepted; dead-lettered rows are
-      // reported separately (not silently claimed as written)
-      Result(input, res.written, input - transformed, res.deadLettered)
-    } finally { statements.unpersist(): Unit }
+      val input = bounded.count() // O3: reference's count_documents progress total
+      val statements = EventStatements.statements(bounded).persist()
+      try {
+        val transformed = statements.count()
+        val res = StreamingPipeline.processBatch(
+          statements, EventStatements.optOutHashes(bounded), sink, tables, dlq, policy)
+        // `written` counts rows the SINK accepted; dead-lettered rows are
+        // reported separately (not silently claimed as written)
+        Result(input, res.written, input - transformed, res.deadLettered)
+      } finally { statements.unpersist(): Unit }
+    } finally { bounded.unpersist(): Unit }
   }
 }

@@ -1111,7 +1111,8 @@ object AnalyticsOracles {
     "shard_stats" ->
       """SELECT ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 64 AS shard,
         |  count(*) AS n_docs,
-        |  sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens,
+        |  sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
     "tfidf_top_terms" ->
@@ -1514,7 +1515,8 @@ object AnalyticsOracles {
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "doc_len_histogram" ->
       """SELECT n_chars // 50 AS bucket, count(*) AS n_docs,
-        |  round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens
+        |  round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END), 4) AS avg_tokens
         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
     "text_tokens" -> (tokCte +
       """SELECT doc_id, len(toks)::BIGINT AS n_tokens,
@@ -2239,8 +2241,9 @@ object AnalyticsOracles {
         |  count(*)::BIGINT AS n_scores,
         |  sum(n_pos * (2 * nb + n_neg))::BIGINT AS auc_num,
         |  (2 * sum(n_pos) * sum(n_neg))::BIGINT AS auc_den,
-        |  ((1000000 * sum(n_pos * (2 * nb + n_neg)))
-        |    // (2 * sum(n_pos) * sum(n_neg)))::BIGINT AS auc_permicro
+        |  CASE WHEN sum(n_pos) > 0 AND sum(n_neg) > 0 THEN
+        |    ((1000000::HUGEINT * sum(n_pos * (2 * nb + n_neg)))
+        |      // (2 * sum(n_pos) * sum(n_neg)))::BIGINT END AS auc_permicro
         |FROM cc""".stripMargin,
     // threshold sweep over the same per-logit counts: predict positive at
     // logit >= t, permille metrics by integer division
@@ -2639,9 +2642,10 @@ object AnalyticsOracles {
         |    AND pair_id + 1 IN (SELECT doc_id FROM documents)
         |  GROUP BY pair_id)
         |SELECT pair_id, cand_grams, ref_grams, overlap,
-        |  (1000 * overlap) // cand_grams AS p_permille,
-        |  (1000 * overlap) // ref_grams AS r_permille,
-        |  (2000 * overlap) // (cand_grams + ref_grams) AS f_permille
+        |  CASE WHEN cand_grams > 0 THEN (1000 * overlap) // cand_grams END AS p_permille,
+        |  CASE WHEN ref_grams > 0 THEN (1000 * overlap) // ref_grams END AS r_permille,
+        |  CASE WHEN cand_grams + ref_grams > 0
+        |    THEN (2000 * overlap) // (cand_grams + ref_grams) END AS f_permille
         |FROM agg ORDER BY pair_id""".stripMargin,
     // length-band ladder, per-(band,shard) row_number batching, integer
     // waste permille; shard is the hash60(id) routing expression

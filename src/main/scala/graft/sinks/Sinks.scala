@@ -129,6 +129,15 @@ final class ZOrderedParquetSink(baseDir: String, partitions: Int,
     val stats = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    // empty batch (or all-null cluster columns): the agg row is all nulls
+    // and the primitive getters would NPE — honor the BatchSink contract
+    // every other sink keeps (an empty write is a harmless no-op) instead
+    // of burning the caller's retries on a batch with nothing unwritable
+    if (stats.isNullAt(0) || stats.isNullAt(2)) {
+      if (!df.isEmpty)
+        df.write.mode(SaveMode.Append).parquet(s"$baseDir/$table")
+      return
+    }
     val (minA, maxA, minB, maxB) =
       (stats.getDouble(0), stats.getDouble(1), stats.getDouble(2), stats.getDouble(3))
     val maxCell = (1L << bits) - 1

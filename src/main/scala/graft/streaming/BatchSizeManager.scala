@@ -69,8 +69,13 @@ final class AdmissionListener(manager: BatchSizeManager, queryName: String)
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
     if (queryName == p.name && p.numInputRows > 0) {
-      val ms = Option(p.durationMs.get("triggerExecution")).map(_.longValue()).getOrElse(1L)
-      manager.adjust(p.numInputRows, java.time.Duration.ofMillis(math.max(ms, 1L))): Unit
+      // a progress event without a (positive) triggerExecution duration
+      // carries no rate evidence — SKIP it rather than defaulting to 1 ms,
+      // which would fabricate an astronomical throughput and double the
+      // cap on nothing
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue())
+        .filter(_ > 0L)
+        .foreach(ms => manager.adjust(p.numInputRows, java.time.Duration.ofMillis(ms)): Unit)
     }
   }
 

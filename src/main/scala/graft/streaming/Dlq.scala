@@ -25,23 +25,35 @@ final class Dlq(spark: SparkSession, dir: String) extends Serializable {
 
   private def fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** O18: persist a failed batch with its routing metadata. */
+  /** O18: persist a failed batch with its routing metadata. The parquet
+    * job writes into a staging name and the batch joins the queue by ONE
+    * directory rename — a crash or job cancellation mid-append leaves only
+    * a `.tmp_` directory [[pending]] never lists, not a half-written
+    * `batch_` dir that would poison [[replayOnce]] with an unreadable
+    * parquet read every cycle forever. A stale staging dir is harmless:
+    * its micro-batch never committed, so the stream replays it. */
   def append(batch: DataFrame, tenant: String, db: String, table: String, optOut: Boolean): Unit = {
-    val batchDir = new Path(dir, s"batch_${java.util.UUID.randomUUID().toString}")
+    val id = java.util.UUID.randomUUID().toString
+    val staging = new Path(dir, s".tmp_$id")
     batch
       .withColumn("__tenant", lit(tenant))
       .withColumn("__db", lit(db))
       .withColumn("__table", lit(table))
       .withColumn("__opt_out", lit(optOut))
-      .write.mode(SaveMode.ErrorIfExists).parquet(batchDir.toString)
+      .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    if (!fs.rename(staging, new Path(dir, s"batch_$id")))
+      throw new IllegalStateException(s"DLQ append: cannot commit $staging")
   }
 
-  /** Batches currently queued. */
+  /** Batches currently queued. Matched on the directory NAME — a DLQ root
+    * path that itself contains "batch_" must not turn every child
+    * (including staging dirs) into a replay candidate. */
   def pending(): Seq[String] = {
     val root = new Path(dir)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath.toString).filter(_.contains("batch_")).toSeq.sorted
+      .filter(_.getPath.getName.startsWith("batch_"))
+      .map(_.getPath.toString).toSeq.sorted
   }
 
   /** O19 (fixed semantics): re-insert every queued batch; drop each batch
@@ -71,7 +83,7 @@ final class Dlq(spark: SparkSession, dir: String) extends Serializable {
         // stop the loop and leave the flag set for the caller. Spark wraps
         // an interrupt that lands mid-job in SparkException — check the
         // cause chain, not just the outer type.
-        case e: Throwable if isInterrupt(e) =>
+        case e: Throwable if StreamingPipeline.isInterrupt(e) =>
           Thread.currentThread().interrupt()
           return (ok, failed + 1)
         case scala.util.control.NonFatal(_) =>
@@ -79,16 +91,5 @@ final class Dlq(spark: SparkSession, dir: String) extends Serializable {
       }
     }
     (ok, failed)
-  }
-
-  private def isInterrupt(e: Throwable): Boolean = {
-    var cur = e
-    var depth = 0
-    while (cur != null && depth < 10) {
-      if (cur.isInstanceOf[InterruptedException]) return true
-      cur = cur.getCause
-      depth += 1
-    }
-    false
   }
 }

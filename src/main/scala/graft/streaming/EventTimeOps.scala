@@ -543,16 +543,32 @@ object EventTimeOps {
                           (implicit spark: SparkSession): Dataset[QuotaVerdict] = {
     import spark.implicits._
     val rows = docs.select(col("source"), col("doc_id")).as[QuotaIn]
-    rows.groupByKey(_.source)
-      .flatMapGroupsWithState[QuotaState, QuotaVerdict](
+    quotaFold[QuotaIn, QuotaVerdict](rows, cap)(_.source, _.sortBy(_.doc_id),
+      (r, admit, idx) => QuotaVerdict(r.source, r.doc_id, admit, idx))
+  }
+
+  /** The ONE stateful quota fold both quota operators share
+    * ([[streamingSourceQuota]] and [[streamingAdmit]]'s first stage): state
+    * per source is a single long; `order` fixes the IN-BATCH admission
+    * order (so verdicts never depend on partition order) and `mk` builds
+    * the verdict row from (row, admitted, 1-based-index-or-0). One body
+    * means the admit/index convention cannot silently diverge between the
+    * two operators. */
+  private def quotaFold[I, O: org.apache.spark.sql.Encoder](rows: Dataset[I], cap: Long)(
+      key: I => String, order: Array[I] => Array[I], mk: (I, Boolean, Long) => O)
+      (implicit spark: SparkSession, ct: scala.reflect.ClassTag[I]): Dataset[O] = {
+    import spark.implicits._
+    rows.groupByKey(key)
+      .flatMapGroupsWithState[QuotaState, O](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) {
-        (src: String, it: Iterator[QuotaIn], state: GroupState[QuotaState]) =>
+        (_: String, it: Iterator[I], state: GroupState[QuotaState]) =>
           var n = state.getOption.map(_.admitted).getOrElse(0L)
-          val out = it.toArray.sortBy(_.doc_id).map { r =>
+          // strict map (state.update must see the post-fold count)
+          val out = order(it.toArray).toIndexedSeq.map { r =>
             val admit = n < cap
             if (admit) n += 1
-            QuotaVerdict(src, r.doc_id, admit, if (admit) n else 0L)
+            mk(r, admit, if (admit) n else 0L)
           }
           state.update(QuotaState(n))
           out.iterator
@@ -630,20 +646,9 @@ object EventTimeOps {
     val rows = docs.select(col("source"), col("doc_id"), col("text"),
         round(graft.functions.GraftFunctions.qualityFast(col("text")) * 10000)
           .cast("long").as("qmicro")).as[AdmitIn]
-    val quota = rows.groupByKey(_.source)
-      .flatMapGroupsWithState[QuotaState, AdmitQuota](
-        org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) {
-        (src: String, it: Iterator[AdmitIn], state: GroupState[QuotaState]) =>
-          var n = state.getOption.map(_.admitted).getOrElse(0L)
-          val out = it.toArray.sortBy(r => (-r.qmicro, r.doc_id)).map { r =>
-            val admit = n < cap
-            if (admit) n += 1
-            AdmitQuota(src, r.doc_id, r.text, admit, if (admit) n else 0L)
-          }
-          state.update(QuotaState(n))
-          out.iterator
-      }
+    val quota = quotaFold[AdmitIn, AdmitQuota](rows, cap)(
+      _.source, _.sortBy(r => (-r.qmicro, r.doc_id)),
+      (r, admit, idx) => AdmitQuota(r.source, r.doc_id, r.text, admit, idx))
     graft.analytics.Dedup.withSpanTrim(quota.toDF(), spanTokens, "text")
       .withColumn("q_micro",
         round(graft.functions.GraftFunctions.qualityFast(col("kept_text")) * 10000)
@@ -672,7 +677,10 @@ object EventTimeOps {
   /** Exactly-once-per-key emission with TTL'd state
     * (`mapGroupsWithState`): emits a key's payload only the first time the
     * key is seen; the seen-marker expires after `ttlMs` of processing time
-    * so unbounded key spaces can't grow state forever. */
+    * so unbounded key spaces can't grow state forever. Null payloads are
+    * ignored entirely — they can't be emitted (null is the internal
+    * suppression sentinel) and they don't mark the key seen, so the key's
+    * first NON-null payload is the one emitted. */
   def firstSeen(events: Dataset[Keyed], ttlMs: Long)
                (implicit spark: SparkSession): Dataset[Keyed] = {
     import spark.implicits._
@@ -686,9 +694,18 @@ object EventTimeOps {
             state.setTimeoutDuration(ttlMs)
             Keyed(key, null) // already emitted once
           } else {
-            state.update(SeenState(System.currentTimeMillis()))
-            state.setTimeoutDuration(ttlMs)
-            rows.take(1).toSeq.headOption.getOrElse(Keyed(key, null))
+            // null IS the suppression sentinel the final filter drops — a
+            // null-payload record can never be emitted, so it must not
+            // consume the key's single emission either (marking the key
+            // seen on it would suppress a later REAL payload forever);
+            // only the first emittable payload claims the seen-marker
+            rows.find(_.payload != null) match {
+              case Some(first) =>
+                state.update(SeenState(System.currentTimeMillis()))
+                state.setTimeoutDuration(ttlMs)
+                first
+              case None => Keyed(key, null)
+            }
           }
       }
       .filter(_.payload != null)

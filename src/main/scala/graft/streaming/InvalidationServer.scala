@@ -60,12 +60,19 @@ final class InvalidationServer(port: Int, onInvalidate: () => Unit) {
               new String(buf, 0, upto, StandardCharsets.UTF_8).trim
             }
             try {
-              // stop as soon as a full command is decidable: newline, EOF,
-              // cap, or the accumulated bytes already ARE the known command
-              // (reference clients single-write "invalidate" with no newline
-              // and no shutdownOutput — they must not wait out SoTimeout)
-              while (!eof && n < buf.length &&
-                  !buf.take(n).contains('\n'.toByte) && parsed != "invalidate") {
+              // read until newline, EOF, or the 1024-byte cap. The FIRST
+              // read waits the full 5 s (client connect-then-write
+              // latency); once bytes have arrived, later reads wait only a
+              // short linger — reference clients single-write "invalidate"
+              // with no newline and no shutdownOutput, so without the
+              // linger they would wait out the full SoTimeout, and WITH an
+              // accumulated-bytes == "invalidate" early exit a longer
+              // command (e.g. "invalidateall") split by TCP exactly at the
+              // 10-byte boundary would spuriously invalidate: one write's
+              // segments arrive well inside the linger, so the tail is
+              // seen and the command correctly answers Unknown.
+              while (!eof && n < buf.length && !buf.take(n).contains('\n'.toByte)) {
+                if (n > 0) sock.setSoTimeout(200)
                 val r = in.read(buf, n, buf.length - n)
                 if (r < 0) eof = true else n += r
               }
@@ -84,8 +91,13 @@ final class InvalidationServer(port: Int, onInvalidate: () => Unit) {
             sock.getOutputStream.flush()
           } finally sock.close()
         } catch {
-          case NonFatal(_) if running.get() => // keep serving
-          case _: Throwable => // socket closed during stop
+          // keep serving on transient accept/handler failures, but with a
+          // pause: a PERSISTENT failure (e.g. fd exhaustion making every
+          // accept() throw) must not busy-spin the thread at 100% CPU
+          case NonFatal(_) if running.get() => Thread.sleep(100)
+          case NonFatal(_) => // socket closed during stop → loop exits
+          // a fatal error (OOM, linkage) propagates and ends the daemon
+          // thread instead of looping inside a corrupted JVM
         }
       }
     }, "graft-invalidation-server")

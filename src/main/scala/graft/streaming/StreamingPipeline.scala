@@ -34,21 +34,47 @@ object StreamingPipeline {
   /** O17 constants (reference `MAX_RETRIES`/`INITIAL_RETRY_DELAY`). */
   final case class RetryPolicy(maxRetries: Int = 5, initialDelayMs: Long = 1000)
 
+  /** True when `e` IS (or wraps) a thread interrupt. Spark wraps an
+    * interrupt that lands mid-job in SparkException — a bare
+    * `case _: InterruptedException` misses it, so a graceful stop that
+    * cancels the job group mid-write would look like a retryable sink
+    * failure: the retry loop would stall shutdown through every backoff
+    * sleep and then dead-letter rows that were never unwritable. Checked
+    * over the cause chain (shared with [[Dlq]]'s replay loop). */
+  private[streaming] def isInterrupt(e: Throwable): Boolean = {
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 10) {
+      if (cur.isInstanceOf[InterruptedException]) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
   final case class SinkTables(tenant: String, db: String, main: String, optOut: String)
 
   /** Retrying write (O17): `maxRetries` TOTAL attempts with a doubling
     * sleep between them (reference gives up once `retry_count >=
     * MAX_RETRIES`, src/main.rs:717-739 — 5 attempts, 4 sleeps). Returns
-    * true on success, false on exhaustion. */
+    * true on success, false on exhaustion (→ DLQ); a (possibly
+    * Spark-wrapped) interrupt rethrows with the flag restored so the
+    * micro-batch fails and replays instead of dead-lettering. */
   def writeWithRetry(sink: BatchSink, df: DataFrame, table: String, policy: RetryPolicy): Boolean = {
     var attempt = 1
     var delay = policy.initialDelayMs
     while (true) {
       try { sink.write(df, table); return true }
       catch {
-        case _: InterruptedException =>
-          Thread.currentThread().interrupt() // shutdown in flight: fail fast
-          return false
+        // an interrupt — bare or Spark-wrapped (job cancellation during a
+        // graceful stop) — must fail fast, never retry: the backoff sleeps
+        // would stall shutdown. It RETHROWS rather than returning false:
+        // false means "exhausted" and sends the split to the DLQ, but an
+        // interrupted batch was never unwritable — failing the micro-batch
+        // leaves it uncommitted, so the restart replays it
+        case e: Throwable if isInterrupt(e) =>
+          Thread.currentThread().interrupt()
+          throw e
         case NonFatal(_) if attempt < policy.maxRetries =>
           Thread.sleep(delay)
           // saturating ×2, like the reference's `saturating_mul(2)` (src/main.rs:736)

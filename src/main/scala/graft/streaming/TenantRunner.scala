@@ -34,10 +34,19 @@ final class TenantRunner(spark: SparkSession, restartDelayMs: Long = 60000) {
     * position is unrecoverable, waiting only widens the gap); the fresh
     * checkpoint makes the source start at its "latest" position. Without
     * recovery such a failure would restart-loop forever against the same
-    * dead resume point. */
+    * dead resume point. Back-to-back recoveries DO take the delay: a
+    * second position-lost failure right after a cleared checkpoint means
+    * the deletion was not the cure, and immediate retries would hot-loop
+    * against the source. */
   def run(tenant: String, recoverCheckpoint: Option[String] = None)
          (mkQuery: () => StreamingQuery): Unit = {
     val t = new Thread(() => {
+      // recovery is immediate ONCE: if the very next start fails the same
+      // way, deleting the checkpoint did not cure it (e.g. the source is
+      // unreachable and happens to phrase its error like a lost position) —
+      // without this flag the loop would hammer mkQuery/delete/fail as fast
+      // as query startup allows, with no backoff ever applied
+      var lastRecovered = false
       while (!stopping.get()) {
         try {
           val q = mkQuery()
@@ -46,6 +55,7 @@ final class TenantRunner(spark: SparkSession, restartDelayMs: Long = 60000) {
           // in flight, this query was invisible to stopAll's iteration
           if (stopping.get()) q.stop()
           q.awaitTermination()
+          lastRecovered = false
           if (!stopping.get()) Thread.sleep(restartDelayMs) // stream ended unexpectedly
         } catch {
           case _: InterruptedException => // shutdown
@@ -59,7 +69,8 @@ final class TenantRunner(spark: SparkSession, restartDelayMs: Long = 60000) {
                 true
               }
             }
-            if (!recovered && !stopping.get()) Thread.sleep(restartDelayMs)
+            if ((!recovered || lastRecovered) && !stopping.get()) Thread.sleep(restartDelayMs)
+            lastRecovered = recovered
         }
       }
     }, s"graft-tenant-$tenant")
@@ -93,17 +104,22 @@ object CheckpointRecovery {
 
   /** Failure signatures across the sources this engine reads: the Mongo
     * connector surfaces server 280/286 resume failures with these phrases;
-    * Kafka-style sources say "failOnDataLoss"/"out of range"; file sources
-    * report deleted input. Matched case-insensitively over the cause chain.
-    * Numeric codes are boundary-anchored regexes — a false positive here
-    * DELETES a checkpoint and skips data, so "error 280" must not match
-    * "error 28012". */
+    * Kafka-style sources report lost offsets with the phrases below; file
+    * sources report deleted input. Matched case-insensitively over the
+    * cause chain. A false positive here DELETES a checkpoint and skips
+    * data, so every signature is a phrase only the loss error itself
+    * carries: numeric codes are boundary-anchored ("error 280" must not
+    * match "error 28012"), and the bare option name "failOnDataLoss" is
+    * deliberately NOT matched — a config-validation error ("Invalid value
+    * ... for option failOnDataLoss") contains it without any position
+    * having been lost. */
   private val positionLostSignatures: Seq[scala.util.matching.Regex] = Seq(
     "changestreamhistorylost",
     """(error|code) 280\b""", """(error|code) 286\b""",
     "resume of change stream was not possible",
     "resume point may no longer be in the oplog",
-    "failondataloss", "offsets out of range", "out of range offset")
+    "data may have been lost because they are not available",
+    "offsets out of range", "out of range offset")
     .map(p => new scala.util.matching.Regex(p))
 
   def isPositionLost(e: Throwable): Boolean = {

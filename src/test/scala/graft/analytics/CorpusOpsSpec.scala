@@ -252,4 +252,41 @@ class CorpusOpsSpec extends SparkSpec {
     // non-dups (same band slice by construction impossible to plant via
     // text, so this is asserted at scale by DedupBytesProbe / SCALING.md)
   }
+
+  test("bm25TopDocs: dotted query terms resolve; duplicate terms are rejected") {
+    // tf columns are NAMED after the term, and an unquoted col("tf_u.s.")
+    // would parse the dots as struct-field access and fail — whitespace
+    // tokenization makes dotted terms ordinary input
+    val docs = Seq((1L, "the u.s. economy"), (2L, "the economy"), (3L, "u.s. u.s.")).toDF("doc_id", "text")
+    val out = Search.bm25TopDocs(docs, Seq("u.s."), k = 10).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+    assert(out.find(_.getAs[Long]("doc_id") == 3L).get.getAs[Long]("tf_u.s.") == 2L)
+    val e = intercept[IllegalArgumentException] {
+      Search.bm25TopDocs(docs, Seq("economy", "economy"), k = 10)
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
+  test("rouge2: a sub-bigram side yields NULL permilles, not a division error") {
+    // under the ANSI runtime an unguarded integral div by the empty side's
+    // zero gram count would throw; the contract is null permilles
+    val pairs = Seq((1L, "hello", "a b c")).toDF("pair_id", "cand", "ref")
+    val r = Search.rouge2(pairs).head()
+    assert(r.getAs[Long]("cand_grams") == 0L && r.getAs[Long]("ref_grams") == 2L)
+    assert(r.isNullAt(r.fieldIndex("p_permille")), "0 cand grams -> null precision")
+    assert(!r.isNullAt(r.fieldIndex("r_permille")) && r.getAs[Long]("r_permille") == 0L)
+    assert(!r.isNullAt(r.fieldIndex("f_permille")) && r.getAs[Long]("f_permille") == 0L)
+  }
+
+  test("shardStats counts a blank doc as 0 tokens, agreeing with the packing manifest") {
+    val docs = Seq((1L, "two tokens"), (2L, "   ")).toDF("doc_id", "text")
+    val total = Sampling.shardStats(docs, nShards = 1)
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(total == 2L, s"blank doc must add 0 tokens (strictTokenCount), got $total")
+  }
+
+  test("thresholdSweep on an empty corpus returns an empty sweep, not an NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Sampling.thresholdSweep(empty).isEmpty)
+  }
 }

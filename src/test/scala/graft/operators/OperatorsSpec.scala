@@ -88,4 +88,49 @@ class OperatorsSpec extends SparkSpec {
     assert(got(100L) == 901L) // t=10 ties with right t=10 → included
     assert(got(102L) == -1L)  // k=2 has no right rows at all
   }
+
+  test("skew probes and salting guard their degenerate inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("user_id", "value")
+    // empty frame: the agg row is all nulls — must answer (0, 0)/false,
+    // not NPE (the vanilla forms return empty on the same input)
+    assert(AdaptiveWindows.hotKeyStats(empty) == (0L, 0L))
+    assert(!AdaptiveWindows.wouldChunk(empty))
+    assert(!Salting.wouldSalt(empty, "user_id"))
+    // salts = 0: pmod(x, 0) is NULL under non-ANSI semantics, so a salted
+    // join would silently return ZERO rows — it must throw instead
+    val df = Seq((1L, 2L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Salting.saltedJoin(df, df.withColumnRenamed("k", "k2"), "k", "k2", salts = 0)
+    }
+    assert(e.getMessage.contains("salts"))
+  }
+
+  test("perGroup paths agree on schema and row set: integer values, all-null groups") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("x", Option.empty[Long]))
+      .toDF("g", "v")
+    val exact = Percentiles.exactByWindow(df, "g", "v", Seq("p50" -> 0.5))
+      .orderBy("g").collect()
+    val approx = Percentiles.approxPerGroup(df, "g", "v", Seq("p50" -> 0.5))
+      .orderBy("g").collect()
+    // INTEGER value column: both paths must return interpolating DOUBLEs
+    // (the raw sketch would return a long element — same query flipping
+    // type and value at the exactRowLimit gate)
+    assert(exact.map(_.getString(0)).toSeq == Seq("a"))
+    assert(approx.map(_.getString(0)).toSeq == Seq("a"),
+      "an all-null group must be dropped by BOTH paths, not kept with null quantiles")
+    assert(exact(0).getDouble(1) == 1.5)
+    assert(approx(0).schema("p50").dataType.typeName == "double")
+  }
+
+  test("range join rejects fractional second columns (silent match loss near interval ends)") {
+    import spark.implicits._
+    val pts = Seq((1L, 100.2)).toDF("id", "es")
+    val iv = Seq((10L, 99.0, 100.5)).toDF("win", "s", "e")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, "es", iv, "s", "e", bucketSec = 100L)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
 }

@@ -100,4 +100,23 @@ class LayoutSpec extends SparkSpec {
       s"clustered layout should skip most row groups: $prunedRows vs $fullRows")
     ev.unpersist()
   }
+
+  test("z-ordered sink: an empty or all-null batch appends harmlessly instead of NPE-ing") {
+    // the BatchSink contract every other sink keeps — a retry/replay path
+    // can legitimately hand a sink zero rows, and the min/max stats row is
+    // then all nulls (primitive getters would throw)
+    val base = Files.createTempDirectory("zempty").toString
+    val ev = graft.Tables(spark, sf("sf0.001")).events
+    val sink = new ZOrderedParquetSink(base, partitions = 2, "event_id", "user_id")
+    sink.write(ev.filter(col("event_id") < 0), "t") // empty
+    assert(!new java.io.File(s"$base/t").exists() ||
+      spark.read.parquet(s"$base/t").isEmpty)
+    // all-null cluster column: rows must still land (plain append fallback)
+    val nulls = ev.limit(5).withColumn("event_id", lit(null).cast("long"))
+    sink.write(nulls, "t")
+    assert(spark.read.parquet(s"$base/t").count() == 5)
+    // and a normal batch afterwards still z-orders fine
+    sink.write(ev.limit(10), "t")
+    assert(spark.read.parquet(s"$base/t").count() == 15)
+  }
 }

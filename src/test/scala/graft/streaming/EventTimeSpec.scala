@@ -321,6 +321,38 @@ class EventTimeSpec extends SparkSpec {
     assert(out.find(_.key == 3L).get.payload == "c")
   }
 
+  test("firstSeen: a null payload neither emits nor consumes the key's single emission") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
+    // key 1's FIRST record is a null payload (null is also the operator's
+    // internal suppression sentinel): it must not mark the key seen, or
+    // the later real payload is suppressed forever
+    Seq(EventTimeOps.Keyed(1, null), EventTimeOps.Keyed(2, "b"))
+      .toDS().write.parquet(s"$srcDir/d0")
+    Seq(EventTimeOps.Keyed(1, "real"), EventTimeOps.Keyed(2, "b2"))
+      .toDS().write.parquet(s"$srcDir/d1")
+    val schema = spark.read.parquet(s"$srcDir/d0").schema
+    // one file per micro-batch: the null must be PROCESSED (and a seen-
+    // marker tempted) before the real payload arrives
+    val stream = Sources.fileStream(spark, s"$srcDir/d*", schema, maxFilesPerTrigger = 1)
+      .as[EventTimeOps.Keyed]
+    val q = EventTimeOps.firstSeen(stream, ttlMs = 3600000)
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[EventTimeOps.Keyed], _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(outDir).as[EventTimeOps.Keyed].collect()
+    assert(out.map(_.key).sorted.toSeq == Seq(1L, 2L))
+    assert(out.find(_.key == 1L).get.payload == "real",
+      "the first NON-null payload must be the one emitted")
+    assert(out.find(_.key == 2L).get.payload == "b")
+  }
+
   test("native stream-static join: streaming facts against a static dimension match batch") {
     val (srcDir, outDir, ckpt) = (tmp("src"), tmp("out"), tmp("ckpt"))
     val ev = graft.Tables(spark, sf("sf0.001")).events

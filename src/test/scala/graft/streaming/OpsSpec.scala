@@ -70,6 +70,30 @@ class OpsSpec extends AnyFunSuite {
       assert(hits.get() == 1)
       assert(send("invalidate\n").contains("OK")) // trimmed like the reference
       assert(hits.get() == 2)
+      // a LONGER command split by TCP exactly at the 10-byte boundary must
+      // not spuriously invalidate: the linger read sees the tail segment
+      val split = new Socket("127.0.0.1", srv.listeningPort)
+      try {
+        split.getOutputStream.write("invalidate".getBytes(StandardCharsets.UTF_8))
+        split.getOutputStream.flush()
+        Thread.sleep(50) // force a second segment
+        split.getOutputStream.write("all".getBytes(StandardCharsets.UTF_8))
+        split.getOutputStream.flush()
+        split.shutdownOutput()
+        val reply = new String(split.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+        assert(reply == "Unknown command\n", reply)
+        assert(hits.get() == 2, "a split 'invalidateall' must not invalidate")
+      } finally split.close()
+      // the reference's newline-less, non-closing client still succeeds
+      // (the linger expires and the accumulated command is served)
+      val open = new Socket("127.0.0.1", srv.listeningPort)
+      try {
+        open.getOutputStream.write("invalidate".getBytes(StandardCharsets.UTF_8))
+        open.getOutputStream.flush() // no newline, no shutdownOutput
+        val reply = new String(open.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+        assert(reply.contains("Cache invalidated successfully"), reply)
+        assert(hits.get() == 3)
+      } finally open.close()
     } finally srv.stop()
   }
 }
