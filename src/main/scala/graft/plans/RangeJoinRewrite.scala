@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.LongType
 
 /** Optimizer rule: rewrite a pure point-in-interval inequality join into
   * the bucketed equi-join of [[graft.operators.RangeJoin]], automatically.
@@ -30,9 +30,18 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 case class RangeJoinRewrite(bucketWidth: Long = 86400L) extends Rule[LogicalPlan] {
 
-  /** floor(x / width) as a LongType bucket id (matches RangeJoin). */
+  require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+
+  /** floor(x / width) as a LongType bucket id (matches RangeJoin) — in
+    * EXACT integer arithmetic: the double-cast form loses integer
+    * precision past 2^52, so a nanosecond-scale epoch (~1.7e18, double
+    * ulp 256) could round across a bucket boundary and the equi-join
+    * would silently drop rows the original inequality join returns.
+    * `(x - pmod(x, w)) div w` is floor division for any sign of x (pmod
+    * is non-negative, the numerator is exactly divisible). */
   private def bucketOf(x: Expression): Expression =
-    Floor(Divide(Cast(x, DoubleType), Literal(bucketWidth.toDouble)))
+    IntegralDivide(
+      Subtract(x, Pmod(x, Literal(bucketWidth))), Literal(bucketWidth))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
     case j @ Join(left, right, Inner,

@@ -82,4 +82,27 @@ class RangeJoinRuleSpec extends SparkSpec {
       assert(df.queryExecution.executedPlan.toString.contains("NestedLoop"))
     } finally spark.experimental.extraOptimizations = prev
   }
+
+  test("bucket ids stay exact past 2^52: nanosecond-scale epochs keep their matches") {
+    // the old double-cast floor lost integer precision at this magnitude
+    // (double ulp at 2^60 is 256): an interval starting 100 below a bucket
+    // boundary rounded UP across it, its true first bucket never exploded,
+    // and the boundary-straddling match silently vanished from the rewrite
+    import spark.implicits._
+    val w = 3600L
+    val k = (1L << 60) / w
+    val boundary = k * w // a bucket edge near 2^60
+    val pts = Seq((1L, boundary - 50L), (2L, boundary + 50L)).toDF("id", "x")
+    val iv = Seq((10L, boundary - 100L, boundary + 100L)).toDF("win", "lo", "hi")
+    def run() = pts.join(iv, $"x" >= $"lo" && $"x" < $"hi")
+      .select("id", "win").collect().map(_.getLong(0)).sorted.toSeq
+    val before = run()
+    assert(before == Seq(1L, 2L))
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RangeJoinRewrite(bucketWidth = w)
+    try {
+      assert(run() == before,
+        "the rewritten equi-join must keep boundary-straddling matches at 2^60 epochs")
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }
