@@ -4,6 +4,54 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
+  /** Classification of a query's time vs the committed baseline, decided
+    * by BOTH wall-clock and shuffle-write bytes (VERDICT r15 #2). Bytes
+    * are a property of the PLAN, not the host: a wall-time flag whose
+    * bytes are flat vs baseline means the plan did the same work and the
+    * clock drifted (the r10/r13/r15 recurring closing-run pattern); a
+    * flag whose bytes also moved means the plan itself did more work and
+    * an operator must be named. */
+  sealed trait Flag
+  object Flag {
+    /** Within wall gate (or no baseline entry — new query). */
+    case object Clean extends Flag
+    /** Wall moved but shuffle bytes flat vs the bytes baseline: the plan
+      * did identical work — host drift suspected, rerun rather than page. */
+    case object DriftSuspect extends Flag
+    /** Wall moved AND bytes moved — or no bytes baseline exists to
+      * exonerate the wall flag (conservative until one is recorded). */
+    case object Regressed extends Flag
+  }
+
+  /** Wall gate unchanged since r08: >1.3x the committed median AND >0.5 s
+    * absolute (micro-query jitter over a 32-thread box must not page). */
+  def wallMoved(wall: Double, base: Double): Boolean =
+    wall > base * 1.3 && wall - base > 0.5
+
+  /** Bytes gate: >10% over the committed median AND >1 MiB absolute. The
+    * 10% band covers AQE re-planning jitter (the r15 DEDUPSCALE5 protocol
+    * measured <=3-5% pass-to-pass spread on a fixed plan); the absolute
+    * floor keeps broadcast-only micro-queries (bytes ~0) from flagging on
+    * noise. */
+  def bytesMoved(bytes: Long, base: Long): Boolean =
+    bytes > base * 1.10 && bytes - base > (1L << 20)
+
+  /** Pure decision function (spec-pinned in BenchGateSpec): a deliberate
+    * plan change (wall AND bytes up) classifies Regressed; a noisy rerun
+    * (wall up, bytes flat) classifies DriftSuspect and is rerun, not
+    * paged. Missing bytes on either side cannot exonerate — Regressed. */
+  def classify(wall: Double, baseWall: Option[Double],
+               bytes: Option[Long], baseBytes: Option[Long]): Flag =
+    baseWall match {
+      case None => Flag.Clean
+      case Some(bw) if !wallMoved(wall, bw) => Flag.Clean
+      case Some(_) =>
+        (bytes, baseBytes) match {
+          case (Some(b), Some(bb)) if !bytesMoved(b, bb) => Flag.DriftSuspect
+          case _ => Flag.Regressed
+        }
+    }
+
   /** Round-15 regression baseline: per-query MEDIAN of the three closing
     * quiet recordings (sf0.1, local[8], 188 queries each, 0 failures) —
     * ALL THREE committed as BENCH_LOCAL_r15_run{1,2,3}.json, so the
@@ -117,6 +165,16 @@ object Bench {
     "w1_topn_per_group" -> 0.662, "w2_running_sum" -> 0.566,
     "w3_sessionize" -> 0.935, "w4_ntile" -> 0.944)
 
+  /** Per-query shuffle-write BYTES baseline (r16, VERDICT r15 #2):
+    * median of the same three closing quiet recordings that produce
+    * [[baselinePrev]] (BENCH_LOCAL_r16_run{1,2,3}.json `shuffle_write`
+    * maps, folded by tools/baseline_swap.py). Used by [[classify]] to
+    * split wall-time flags into Regressed (bytes moved too — the plan
+    * did more work) vs DriftSuspect (bytes flat — host drift, rerun).
+    * Populated at the r16 closing recording; empty means every wall flag
+    * conservatively classifies Regressed. */
+  val baselineShuffle: Map[String, Long] = Map.empty
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -151,14 +209,16 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Per-query shuffle-write bytes (r15, VERDICT r14 #3): opt-in via
-    // SPARK_GRAFT_SHUFFLE=1 — the scale-variance protocol's decider
-    // (tools/dedup_scale5.sh). Bytes are a property of the PLAN: flat
-    // bytes across passes + spreading wall-time = host drift; growing
-    // bytes = the plan itself did more work (e.g. extra label-prop
-    // rounds). Off by default: the post-query listener quiesce wait would
-    // perturb the regression-gated timings.
-    val recordShuffle = sys.env.contains("SPARK_GRAFT_SHUFFLE")
+    // Per-query shuffle-write bytes — ALWAYS recorded since r16 (VERDICT
+    // r15 #2): the regression gate needs them to split wall flags into
+    // Regressed vs DriftSuspect, so every bench run (driver rounds and
+    // BENCH_LOCAL baseline recordings alike) carries a bytes map. Bytes
+    // are a property of the PLAN: flat bytes + moved wall = host drift;
+    // moved bytes = the plan itself did more work. The listener quiesce
+    // runs BETWEEN queries (outside the timed window), one snapshot per
+    // boundary, so recording does not perturb the gated timings.
+    // SPARK_GRAFT_SHUFFLE=0 opts out (diagnostic escape hatch only).
+    val recordShuffle = !sys.env.get("SPARK_GRAFT_SHUFFLE").contains("0")
     val shuffleCounter =
       if (recordShuffle) Some(graft.tools.ProbeMetrics.shuffleWritten(spark.sparkContext))
       else None
@@ -186,11 +246,15 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    var prevSnap = if (recordShuffle) shuffleSnapshot() else 0L
     val firstPass = names.map { name =>
-      val before = if (recordShuffle) shuffleSnapshot() else 0L
       val (t, ok) = timeOnce(name)
       if (!ok) failed ::= name
-      if (recordShuffle) shuffleByQuery(name) = shuffleSnapshot() - before
+      if (recordShuffle) {
+        val snap = shuffleSnapshot()
+        shuffleByQuery(name) = snap - prevSnap
+        prevSnap = snap
+      }
       name -> t
     }
     // The baseline (and thus the rerun/regression protocol) is only
@@ -198,8 +262,15 @@ object Bench {
     // this to skip re-measurement — there every heavy query trips the
     // sf0.1 thresholds by design and the reruns would triple the run.
     val noRerun = sys.env.contains("SPARK_GRAFT_NO_RERUN")
-    def regressed(k: String, v: Double): Boolean =
-      !noRerun && baselinePrev.get(k).exists(b => v > b * 1.3 && v - b > 0.5)
+    /** Bytes-aware flag (VERDICT r15 #2): wall gate decides WHETHER the
+      * query is flagged; the recorded shuffle bytes vs [[baselineShuffle]]
+      * decide WHAT KIND (Regressed vs DriftSuspect). Reruns apply to both
+      * kinds — a real regression reproduces, drift usually doesn't. */
+    def flagOf(k: String, v: Double): Flag =
+      if (noRerun) Flag.Clean
+      else classify(v, baselinePrev.get(k), shuffleByQuery.get(k),
+        baselineShuffle.get(k))
+    def regressed(k: String, v: Double): Boolean = flagOf(k, v) != Flag.Clean
     // Re-measure any flagged outlier up to TWICE and keep the min: a
     // transient burst of contention on the bench box (observed in the
     // driver's r02 recording — 25 s for a query that re-measures at 1.7 s
@@ -229,11 +300,20 @@ object Bench {
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val reranJson = reran.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     // >1.3× vs the previous round's baseline (and >0.5 s absolute, so
-    // micro-query jitter over a 32-thread local cluster doesn't page anyone)
+    // micro-query jitter over a 32-thread local cluster doesn't page
+    // anyone), SPLIT by the bytes evidence (r16): `regressions_vs_prev`
+    // carries only flags whose shuffle bytes also moved (or that have no
+    // bytes baseline to exonerate them) — the plan did more work, name
+    // the operator. `drift_suspect` carries wall-only flags whose bytes
+    // are flat vs baseline — same plan, drifting clock; rerun, don't page.
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON.
+    def ratioEntry(k: String, v: Double): String =
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", v / baselinePrev(k))
     val regressions = results.collect {
-      case (k, v) if regressed(k, v) =>
-        // Locale.ROOT: a comma decimal separator would corrupt the JSON
-        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", v / baselinePrev(k))
+      case (k, v) if flagOf(k, v) == Flag.Regressed => ratioEntry(k, v)
+    }.mkString("{", ",", "}")
+    val driftSuspects = results.collect {
+      case (k, v) if flagOf(k, v) == Flag.DriftSuspect => ratioEntry(k, v)
     }.mkString("{", ",", "}")
     // Known-trade annotations: when a flagged query's slowdown is a
     // DELIBERATE trade shipped this round, say so in the artifact instead
@@ -245,14 +325,25 @@ object Bench {
       "8x8 (~0.20, flat in nprobe) and crosses the 0.5 bar only at 32x2 " +
       "(0.58-0.68 at sf0.1); the ADC join/pivot now carries 4x the code " +
       "rows per candidate"
-    // r11 triage of the r10 closing-bench flags on these three: HOST, not
-    // plan — the driver's closing run and the committed quiet medians ran
-    // the SAME commit (identical binary), and the matched cold-subset A/B
-    // (r10 snapshot vs r11 HEAD, 3 fresh JVMs each) measured <5% deltas
-    // with the dedup_exact control at the committed floor. SCALING.md r11.
-    val r10TrioTriage = "r10 closing flag triaged as HOST drift (SCALING.md " +
-      "r11 trio triage): closing run and committed quiet medians ran the " +
-      "same commit; matched cold-subset A/B r10-vs-r11 deltas <5%"
+    // r16 triage of the r15 driver doublings (pipeline_full 2.21x,
+    // sim_pqindex_forget 1.69x — VERDICT r15 #1): same-commit evidence,
+    // fresh this round. (a) In-suite quiet local[8] full run: 8.12 s
+    // (1.10x) / 10.07 s (1.06x) — no regression in the plan's regime.
+    // (b) 5-pass fresh-JVM subset A/B at local[32]: per-query shuffle
+    // bytes BIT-IDENTICAL across all passes (20.811 MB / 5.885 MB every
+    // pass) while wall spread 21.5-36.9 s / 19.9-71.7 s — the plan did the
+    // same work every time; only the clock moved. (c) Dedicated-subset
+    // runs read these composed queries ~2.2x above their in-suite medians
+    // even quiet (18-21 s vs 8.1 s) — the same subset-vs-in-suite JIT
+    // effect the r15 bm25_mlt re-recording measured. The r15 driver
+    // doubling did not reproduce on the same tree in-suite; from r16 the
+    // always-on bytes map classifies such wall-only flags as
+    // drift_suspect automatically. TRIAGE_r16.md.
+    val r16DriftTriage = "r15 driver doubling triaged with r16 evidence " +
+      "(TRIAGE_r16.md): in-suite quiet rerun 1.06-1.10x of baseline; 5-pass " +
+      "same-commit A/B shuffle bytes bit-identical across passes while wall " +
+      "spread up to 3.6x - wall-only movement, plan work constant; " +
+      "bytes-aware gate now classifies this as drift_suspect"
     val dedupLayoutTrade = "r13 layout trade: DedupIndex gained a 16-way " +
       "doc-hash partition level (bands 4->64 dirs, shingles 1->16) so " +
       "compaction is partition-scoped instead of a full index rewrite " +
@@ -274,13 +365,17 @@ object Bench {
       "bm25_index_search" -> ("times a FULL index lifecycle per run (postings " +
         "build + 64-bucket write + pruned probe) — serving cost is the probe " +
         "alone; the build amortizes over queries (SearchIndexSpec/SCALING.md)"),
-      "dedup_minhash" -> ("host drift, not a plan change: git-stash A/B mid-r10 " +
-        "measured 1.39 s on the SAME committed code that recorded the 1.02 s " +
-        "baseline median (dedup_exact drifted 2.0x alongside on both sides of " +
-        "the stash); SCALING.md r10 drift note"),
-      "pipeline_full" -> r10TrioTriage,
-      "clf_train" -> r10TrioTriage,
-      "text_lm_score" -> r10TrioTriage,
+      "dedup_minhash" -> ("r16 triage, RULED IN (TRIAGE_r16.md): a binary A/B " +
+        "(pre-cap 1ff9d92^ vs cap) attributes the r15 median move " +
+        "0.99->1.49 s to the bandedCandidates population-cap aggregate - " +
+        "its per-band population count adds 0.022->1.576 MB shuffle at " +
+        "sf0.1; deliberate trade (sf3 candidate mass -37%, verified pairs " +
+        "-0.02%). Current in-suite median 1.51 s = 1.01x of the r15 " +
+        "baseline that already carries it"),
+      "pipeline_full" -> r16DriftTriage,
+      "sim_pqindex_forget" -> r16DriftTriage,
+      "clf_train" -> r16DriftTriage,
+      "text_lm_score" -> r16DriftTriage,
       "dedup_delta" -> dedupLayoutTrade,
       "dedup_admit" -> dedupLayoutTrade,
       "dedup_index_forget" -> dedupLayoutTrade)
@@ -320,6 +415,7 @@ object Bench {
         .mkString(""","shuffle_write":{""", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failedJson,"reran":$reranJson,"regressions_vs_prev":$regressions,""" +
+      s""""drift_suspect":$driftSuspects,""" +
       s""""regression_notes":$notes,"index_split":$splitJson$shuffleJson,"sf":"$sfDir"}"""
     // The FULL per-query map (~4 KB for 180 queries) goes to a FILE, never
     // to stdout: the harness that records BENCH_r{N}.json keeps only the
@@ -351,7 +447,7 @@ object Bench {
     def assemble(withSlowest: Boolean, withSplit: Boolean, withNotes: Boolean): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
         s""""n_queries":${results.size},"n_failed":${failed.size},""" +
-        s""""regressions_vs_prev":$regressions,""" +
+        s""""regressions_vs_prev":$regressions,"drift_suspect":$driftSuspects,""" +
         (if (withNotes) s""""regression_note_keys":$noteKeys,""" else "") +
         (if (withSplit) s""""index_split":$splitJson,""" else "") +
         (if (withSlowest) s""""slowest":$top,""" else "") +

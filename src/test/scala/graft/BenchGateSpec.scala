@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bytes-aware regression gate (VERDICT r15 #2): the decision
+  * that splits a wall-time flag into "the plan did more work" (Regressed)
+  * vs "same plan, drifting clock" (DriftSuspect) must be a pure function
+  * with its thresholds spec-locked, so a deliberate plan change and a
+  * synthetic noisy rerun land in different categories. */
+class BenchGateSpec extends AnyFunSuite {
+  import Bench.{Flag, classify}
+
+  private val MiB = 1L << 20
+
+  test("deliberate plan change — wall AND bytes up — classifies Regressed") {
+    // e.g. a probe width bump: 1.5x wall, 2x shuffle bytes
+    assert(classify(3.0, Some(2.0), Some(200 * MiB), Some(100 * MiB)) == Flag.Regressed)
+  }
+
+  test("noisy rerun — wall up, bytes flat — classifies DriftSuspect") {
+    // the r10/r13/r15 closing-run pattern: wall doubles, plan unchanged
+    assert(classify(4.0, Some(2.0), Some(100 * MiB), Some(100 * MiB)) == Flag.DriftSuspect)
+    // bytes within the 10% AQE jitter band still count as flat
+    assert(classify(4.0, Some(2.0), Some(109 * MiB), Some(100 * MiB)) == Flag.DriftSuspect)
+  }
+
+  test("wall inside the gate is Clean regardless of bytes") {
+    assert(classify(2.5, Some(2.0), Some(300 * MiB), Some(100 * MiB)) == Flag.Clean)
+    // >1.3x ratio but <=0.5 s absolute: micro-query jitter stays Clean
+    assert(classify(0.30, Some(0.10), Some(300 * MiB), Some(100 * MiB)) == Flag.Clean)
+  }
+
+  test("new query (no wall baseline) is Clean") {
+    assert(classify(10.0, None, Some(300 * MiB), None) == Flag.Clean)
+  }
+
+  test("missing bytes on either side cannot exonerate — Regressed") {
+    assert(classify(4.0, Some(2.0), None, Some(100 * MiB)) == Flag.Regressed)
+    assert(classify(4.0, Some(2.0), Some(100 * MiB), None) == Flag.Regressed)
+    assert(classify(4.0, Some(2.0), None, None) == Flag.Regressed)
+  }
+
+  test("bytes gate needs BOTH >10% ratio and >1 MiB absolute") {
+    // broadcast-only micro-query: bytes near zero, 3x ratio but <1 MiB
+    assert(!Bench.bytesMoved(300 * 1024, 100 * 1024))
+    // large absolute move under 10% ratio: flat (AQE jitter band)
+    assert(!Bench.bytesMoved(105 * MiB, 100 * MiB))
+    assert(Bench.bytesMoved(120 * MiB, 100 * MiB))
+  }
+}

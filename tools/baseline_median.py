@@ -8,14 +8,19 @@ Usage: baseline_median.py "<method note>" run1.json run2.json [run3.json ...]
 
 Fails loudly when the runs' query key sets differ (a query missing from any
 run must not silently fall out of the regression baseline — ADVICE r12).
-Pair with tools/baseline_swap.py to regenerate the Bench.baselinePrev map.
+Since r16 the runs carry per-query shuffle-write bytes ("shuffle_write");
+their medians are folded into the baseline too — the bytes side of the
+bytes-aware regression gate (VERDICT r15 #2).
+Pair with tools/baseline_swap.py to regenerate the Bench.baselinePrev and
+Bench.baselineShuffle maps.
 """
 import sys, json, statistics
 
 if len(sys.argv) < 4:
     sys.exit(__doc__)
 method = sys.argv[1]
-runs = [json.load(open(p))["queries"] for p in sys.argv[2:]]
+full = [json.load(open(p)) for p in sys.argv[2:]]
+runs = [j["queries"] for j in full]
 union = set().union(*runs)
 inter = set(runs[0])
 for r in runs[1:]:
@@ -31,4 +36,10 @@ out = {
     "method": method,
     "sf": "/root/testdata/sf0.1",
 }
+shuf = [j.get("shuffle_write", {}) for j in full]
+if all(shuf):
+    out["shuffle_write"] = {
+        k: int(statistics.median([s.get(k, 0) for s in shuf]))
+        for k in sorted(inter)
+    }
 print(json.dumps(out, indent=1))
