@@ -59,11 +59,16 @@ private[analytics] object IndexMeta {
   def readText(spark: SparkSession, dir: String): Option[String] = {
     def read1(p: org.apache.hadoop.fs.Path): Option[String] = {
       val f = fs(spark, p)
+      // exists() then open() is a TOCTOU against write()'s delete/rename
+      // (ADVICE r15): the file can vanish between the probe and the open —
+      // treat that exactly like exists()=false so the orElse chain falls
+      // through to the path the swap moved the object to.
       if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close())
-      }
+      else
+        try {
+          val in = f.open(p)
+          Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close())
+        } catch { case _: java.io.FileNotFoundException => None }
     }
     read1(metaPath(dir)).orElse(read1(tmpPath(dir))).orElse(read1(metaPath(dir)))
   }
@@ -87,4 +92,17 @@ private[analytics] object IndexMeta {
     * by every later operation — never recomputed from a constant. */
   def bucketPolicy(rows: Long): Int =
     math.min(4096L, math.max(16L, (rows + (1L << 20) - 1) >> 20)).toInt
+
+  /** Token-hash postings width by postings-row count (r16, VERDICT r15
+    * #4): the fixed 64-way layout of r13–r15 makes every probed bucket
+    * corpus/64-sized and pins compact granularity forever — the same
+    * wrong-constant shape [[bucketPolicy]] closed for the doc-hash width.
+    * One bucket per ~2^20 postings rows (~tens of MB of parquet at
+    * realistic row widths) keeps per-term probes near-constant-sized as
+    * the corpus grows; clamped to [64, 4096] so every oracle corpus lands
+    * on the historical 64 (existing indexes byte-stable) and directory
+    * count stays bounded. Recorded in the index meta at build; probes and
+    * mutators read it back ([[SearchIndex.resolveBuckets]] fail-fast). */
+  def tokenBucketPolicy(postingsRows: Long): Int =
+    math.min(4096L, math.max(64L, (postingsRows + (1L << 20) - 1) >> 20)).toInt
 }

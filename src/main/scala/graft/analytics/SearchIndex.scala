@@ -221,21 +221,26 @@ object SearchIndex {
       f.delete(tmp, true): Unit
     }
 
-  /** Write one index generation. `docBuckets > 0` pins the census/forward
-    * width (appends MUST reuse the stored width — the bucket rule is a pure
-    * function of the id only at constant width); `0` derives it from the
-    * corpus size ([[IndexMeta.bucketPolicy]], build path). Returns the
-    * width used. */
-  private def writeIndex(docs: DataFrame, dir: String, buckets: Int, docBuckets0: Int,
-                         mode: String, idCol: String, textCol: String): Int = {
+  /** Write one index generation. `buckets0 > 0` / `docBuckets0 > 0` pin the
+    * token and census/forward widths (appends MUST reuse the stored widths —
+    * each bucket rule is a pure function of its key only at constant
+    * width); `0` derives them from the corpus ([[IndexMeta
+    * .tokenBucketPolicy]] over the postings row count /
+    * [[IndexMeta.bucketPolicy]] over the doc count, build path). Returns
+    * (tokenWidth, docWidth) used. */
+  private def writeIndex(docs: DataFrame, dir: String, buckets0: Int, docBuckets0: Int,
+                         mode: String, idCol: String, textCol: String): (Int, Int) = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val postings = docs
+    val postings0 = docs
       .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
         explode(toks).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", Dedup.hash60(col("token")) % buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets =
+      if (buckets0 > 0) buckets0 else IndexMeta.tokenBucketPolicy(postings0.count())
+    val postings = postings0
+      .withColumn("bucket", Dedup.hash60(col("token")) % buckets)
     // sort postings by token INSIDE each bucket (r13, VERDICT r12 #4): the
     // probe prunes to |terms| bucket directories, but inside a bucket it
     // still row-filters `token IN (...)` — with token-sorted files the
@@ -274,27 +279,30 @@ object SearchIndex {
     // clear the all-buckets-emptied marker only AFTER real postings exist
     // (reader-safe ordering, same as the twins)
     val wrotePostings = !postings.isEmpty
-    census0.unpersist(); postings.unpersist()
+    census0.unpersist(); postings0.unpersist()
     val mp = emptyMarker(dir)
     val mf = fs(docs.sparkSession, mp)
     if (wrotePostings && mf.exists(mp)) mf.delete(mp, false): Unit
-    docBuckets
+    (buckets, docBuckets)
   }
 
   /** Tokenize once; write postings, document frequencies, census, stats,
-    * and the layout meta. `docBuckets = 0` (default) sizes the census/
-    * forward width from the corpus ([[IndexMeta.bucketPolicy]]); an
-    * explicit value pins it (the A/B-probe knob). */
-  def build(docs: DataFrame, dir: String, buckets: Int = DefaultBuckets,
+    * and the layout meta. `buckets = 0` (default since r16) sizes the
+    * postings token-hash width from the postings row count
+    * ([[IndexMeta.tokenBucketPolicy]]); `docBuckets = 0` (default) sizes
+    * the census/forward width from the corpus ([[IndexMeta.bucketPolicy]]);
+    * an explicit value pins either (the A/B-probe knob). Both land in the
+    * meta and every later operation reads them back. */
+  def build(docs: DataFrame, dir: String, buckets: Int = 0,
             idCol: String = "doc_id", textCol: String = "text",
             docBuckets: Int = 0): Unit =
     IndexLock.withLock(docs.sparkSession, dir) {
-      require(buckets > 0, s"buckets must be positive, got $buckets")
+      require(buckets >= 0, s"buckets must be non-negative, got $buckets")
       repairFoldSwap(docs.sparkSession, dir)
-      val db = writeIndex(docs, dir, buckets, docBuckets, "overwrite", idCol, textCol)
+      val (b, db) = writeIndex(docs, dir, buckets, docBuckets, "overwrite", idCol, textCol)
       // meta AFTER the data (a crash mid-build leaves a meta-less partial
       // index, handled by the conservative legacy path everywhere)
-      writeMeta(docs.sparkSession, dir, Meta(buckets, db, forwardComplete = true))
+      writeMeta(docs.sparkSession, dir, Meta(b, db, forwardComplete = true))
       // a REBUILD resets the index completely (the overwrite already
       // replaced df/stats wholesale, negative parts included): stale
       // tombstones must not keep suppressing the fresh corpus
@@ -504,9 +512,14 @@ object SearchIndex {
           val rewrite: Set[Long] =
             if (minShare <= 0d) affected
             else {
-              // per-bucket totals: a partition-column-only aggregate — the
-              // scan reads no data columns, just footers and row counts
+              // per-bucket totals: a partition-column-only aggregate (the
+              // scan reads no data columns, just footers and row counts),
+              // PRUNED to the affected buckets (r16, VERDICT r15 #2 — the
+              // unpruned form listed and footer-scanned every bucket of the
+              // index for a share decision that only concerns the affected
+              // ones; at 100 TB that is O(index-width) I/O per compact)
               val totals = readPostings(spark, dir)
+                .filter(col("bucket").isin(affected.toSeq: _*))
                 .groupBy(col("bucket").cast("long").as("bucket"))
                 .agg(count(lit(1)).as("all_rows"))
               perBucket.join(totals, "bucket")
@@ -515,6 +528,14 @@ object SearchIndex {
             }
           skipped = affected -- rewrite
           rewrote = rewrite.nonEmpty
+          // marker BEFORE the postings rewrite (ADVICE r15): a crash
+          // between the rewrite and a trailing marker write would leave
+          // stale forward rows unflagged — re-opening the churn/strand
+          // hazard the marker exists to close. A premature marker (crash
+          // before the rewrite lands) only costs the next compact one
+          // conservative postings-derived discovery pass.
+          if (rewrote && skipped.nonEmpty && !hadPartial)
+            fs(spark, partialMarker).create(partialMarker, true).close()
           if (rewrite.nonEmpty) {
             val surv = readPostings(spark, dir)
               .filter(col("bucket").isin(rewrite.toSeq: _*))
@@ -601,13 +622,12 @@ object SearchIndex {
         // skipped, suppressed postings remain on disk and the whole set is
         // retained (never shrunk in place — a lock-free reader must never
         // see a partial tombstone dir). A partial reclaim that REWROTE
-        // anything leaves the marker telling the next compact its forward
-        // rows are stale for the rewritten buckets (see tombRows above).
+        // anything has already left the marker (written BEFORE the rewrite,
+        // ADVICE r15) telling the next compact its forward rows are stale
+        // for the rewritten buckets (see tombRows above).
         if (skipped.isEmpty) {
           val p = path(s"$dir/tombstones")
           fs(spark, p).delete(p, true): Unit
-        } else if (rewrote && !hadPartial) {
-          fs(spark, partialMarker).create(partialMarker, true).close()
         }
       }
     }

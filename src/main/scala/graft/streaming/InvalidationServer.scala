@@ -71,8 +71,15 @@ final class InvalidationServer(port: Int, onInvalidate: () => Unit) {
               // 10-byte boundary would spuriously invalidate: one write's
               // segments arrive well inside the linger, so the tail is
               // seen and the command correctly answers Unknown.
+              // 100 ms linger (ADVICE r15, halved from 200): reference-
+              // style clients (single write, no newline, connection held
+              // open) always pay one full linger before a reply, so it is
+              // the fixed per-command latency; it only needs to exceed one
+              // inter-segment gap of a split write — same-write TCP
+              // segments arrive microseconds apart, and the deliberately
+              // split OpsSpec client (50 ms gap) keeps 2x margin.
               while (!eof && n < buf.length && !buf.take(n).contains('\n'.toByte)) {
-                if (n > 0) sock.setSoTimeout(200)
+                if (n > 0) sock.setSoTimeout(100)
                 val r = in.read(buf, n, buf.length - n)
                 if (r < 0) eof = true else n += r
               }

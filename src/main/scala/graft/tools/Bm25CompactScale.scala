@@ -36,6 +36,12 @@ object Bm25CompactScale {
 
     val read = ProbeMetrics.bytesRead(spark.sparkContext)
     def quiesce(): Long = read.quiesce(maxSpins = 30)
+    // r16: the task-level counter above ALSO counts block-manager reads of
+    // localCheckpoint blocks (deserialized rows, ~20x their parquet size —
+    // the r15 "1.5 GB read" was mostly that); the scan counter below sums
+    // post-pruning selected bytes of the executed file scans — the honest
+    // file-I/O figure. Both are recorded.
+    val scan = new ProbeMetrics.ScanBytes(spark)
     def snapshot(p: String): Map[String, Long] = ProbeMetrics.fileSizes(p)
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -59,10 +65,12 @@ object Bm25CompactScale {
       val nTomb = victims.count()
       SearchIndex.forget(spark, idx, victims)
       val r0 = quiesce()
+      val s0 = scan.drain()
       val t0 = System.nanoTime()
       SearchIndex.compact(spark, idx, minShare = minShare)
       val wall = (System.nanoTime() - t0) / 1e9
       val bytesRead = quiesce() - r0
+      val scanBytes = scan.drain() - s0
       val post1 = snapshot(s"$idx/postings")
       // rewritten = any file added or changed inside postings/
       val rewrittenBytes = post1.collect {
@@ -80,6 +88,7 @@ object Bm25CompactScale {
         s""""min_share":$minShare,"postings_bytes":$postingsBytes,""" +
         s""""bytes_rewritten":$rewrittenBytes,"buckets_rewritten":${changedBuckets.size},""" +
         s""""buckets_total":$totalBuckets,"bytes_read":$bytesRead,""" +
+        s""""scan_bytes":$scanBytes,""" +
         s""""tombstones_retained":$retained,"wall_s":${f3(wall)}}""")
       sink.flush()
     }
@@ -102,14 +111,52 @@ object Bm25CompactScale {
       val storeBytes = snapshot(s"$idx/forward").values.sum +
         snapshot(s"$idx/census").values.sum
       val r0 = quiesce()
+      val s0 = scan.drain()
       val t0 = System.nanoTime()
       SearchIndex.forget(spark, idx, fourIds)
       val wall = (System.nanoTime() - t0) / 1e9
       val bytesRead = quiesce() - r0
+      val scanBytes = scan.drain() - s0
       sink.println(
         s"""{"probe":"bm25_docbuckets_ab","sf":"$dir","doc_buckets":$db,""" +
         s""""n_docs":$nDocs,"ids":4,"forget_bytes_read":$bytesRead,""" +
+        s""""forget_scan_bytes":$scanBytes,""" +
         s""""docstore_bytes":$storeBytes,"forget_s":${f3(wall)}}""")
+      sink.flush()
+    }
+    // ---- token-bucket width A/B (r16, VERDICT r15 #4) ----------------
+    // The probe reads |terms| postings buckets, each ~store/width — a 4x
+    // wider token layout must cut query scan bytes ~4x; a share-crossing
+    // compact's rewrite set is also width-granular. Build the same corpus
+    // at two pinned widths (the policy picks by postings rows in
+    // production; pinning isolates the width variable) and measure a
+    // 3-term query probe and a pct30 compact at each.
+    Seq(64, 256).foreach { tb =>
+      val idx = java.nio.file.Files.createTempDirectory(s"bm25tb-$tb").toString
+      SearchIndex.build(docs, idx, buckets = tb)
+      val postingsBytes = snapshot(s"$idx/postings").values.sum
+      val terms = Seq("data", "fast", "query").sorted
+      val q0r = quiesce(); val q0s = scan.drain()
+      val tq0 = System.nanoTime()
+      SearchIndex.query(spark, idx, terms, k = 20).collect(): Unit
+      val queryWall = (System.nanoTime() - tq0) / 1e9
+      val queryRead = quiesce() - q0r
+      val queryScan = scan.drain() - q0s
+      SearchIndex.forget(spark, idx, docs.filter(pmod(col("doc_id"), lit(10)) < 3)
+        .select("doc_id"))
+      val c0r = quiesce(); val c0s = scan.drain()
+      val tc0 = System.nanoTime()
+      SearchIndex.compact(spark, idx, minShare = 0.1)
+      val compactWall = (System.nanoTime() - tc0) / 1e9
+      val compactRead = quiesce() - c0r
+      val compactScan = scan.drain() - c0s
+      sink.println(
+        s"""{"probe":"bm25_tokenbuckets_ab","sf":"$dir","token_buckets":$tb,""" +
+        s""""n_docs":$nDocs,"postings_bytes":$postingsBytes,""" +
+        s""""query_scan_bytes":$queryScan,"query_bytes_read":$queryRead,""" +
+        s""""query_s":${f3(queryWall)},""" +
+        s""""compact_scan_bytes":$compactScan,"compact_bytes_read":$compactRead,""" +
+        s""""compact_s":${f3(compactWall)}}""")
       sink.flush()
     }
     sink.close()

@@ -46,6 +46,49 @@ object ProbeMetrics {
   def shuffleWritten(sc: SparkContext): TaskCounter =
     new TaskCounter(sc, _.shuffleWriteMetrics.bytesWritten)
 
+  /** Sum of SELECTED parquet bytes across every executed file scan
+    * (post partition-pruning `filesSize` of each `FileSourceScanExec`,
+    * AQE- and subquery-aware) — the honest file-I/O proxy for index
+    * maintenance probes. The task-level [[bytesRead]] counter ALSO counts
+    * block-manager reads of cached/localCheckpoint blocks, whose
+    * deserialized rows inflate ~20x over their parquet source (the r15
+    * BM25COMPACT "1.5 GB read" was mostly that, measured by
+    * Bm25CompactDissect r16) — this counter sees only what the plans
+    * selected from disk. Register before the work, read after; `drain`
+    * waits for straggling onSuccess callbacks. */
+  final class ScanBytes(spark: org.apache.spark.sql.SparkSession) {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    private val acc = new java.util.concurrent.atomic.AtomicLong
+    private def walk(p: SparkPlan): Unit = {
+      p match {
+        case s: FileSourceScanExec =>
+          acc.addAndGet(s.metrics.get("filesSize").map(_.value).getOrElse(0L)): Unit
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case r: ReusedSubqueryExec => walk(r.child)
+        case _ => ()
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    private val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit =
+        walk(qe.executedPlan)
+      override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    def drain(maxSpins: Int = 30): Long = {
+      var last = -1L
+      var spins = 0
+      while (acc.get() != last && spins < maxSpins) {
+        last = acc.get(); Thread.sleep(100); spins += 1
+      }
+      acc.get()
+    }
+    def remove(): Unit = spark.listenerManager.unregister(listener)
+  }
+
   /** Every file under `dir` with its length, recursive — the
     * bytes-rewritten comparisons diff two of these snapshots. */
   def fileSizes(dir: String): Map[String, Long] = {

@@ -455,6 +455,40 @@ class SearchIndexSpec extends SparkSpec {
     assert(rows(SearchIndex.moreLikeThis(spark, dir, 1L, k = 10).toDF()).nonEmpty)
   }
 
+  test("token buckets: sized by postings policy, honored at a non-default width end to end") {
+    // policy: one bucket per 2^20 postings rows, clamped to [64, 4096]
+    assert(IndexMeta.tokenBucketPolicy(600) == 64)
+    assert(IndexMeta.tokenBucketPolicy(64L << 20) == 64)
+    assert(IndexMeta.tokenBucketPolicy(200L << 20) == 200)
+    assert(IndexMeta.tokenBucketPolicy(1L << 40) == 4096)
+    val docs = graft.Tables(spark, sf("sf0.01")).documents
+    // default build: the oracle-scale corpus lands on the policy floor (the
+    // historical 64) and records it in meta — existing indexes byte-stable
+    val dirDef = Files.createTempDirectory("searchidx-tbdef").toString
+    SearchIndex.build(docs, dirDef)
+    assert(IndexMeta.readText(spark, dirDef).flatMap(IndexMeta.long(_, "buckets"))
+      .contains(64L))
+    // explicit non-default width: recorded, probed correctly, survives the
+    // full forget/compact lifecycle, and a mismatching caller still throws
+    val dir = Files.createTempDirectory("searchidx-tb96").toString
+    SearchIndex.build(docs, dir, buckets = 96)
+    assert(IndexMeta.readText(spark, dir).flatMap(IndexMeta.long(_, "buckets"))
+      .contains(96L))
+    val terms = Seq("data", "fast", "query")
+    val wantAll = rows(Search.bm25TopDocs(docs, terms, k = 20))
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)) == wantAll)
+    val victims = docs.filter(col("doc_id") % 5 === 2).select("doc_id")
+    SearchIndex.forget(spark, dir, victims)
+    val oneShot = Search.bm25TopDocs(docs.filter(col("doc_id") % 5 =!= 2), terms, k = 20)
+    val want = rows(oneShot); oneShot.unpersist(): Unit
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)) == want)
+    SearchIndex.compact(spark, dir, minShare = 0.0)
+    assert(rows(SearchIndex.query(spark, dir, terms, k = 20)) == want)
+    intercept[IllegalStateException] {
+      SearchIndex.query(spark, dir, terms, k = 20, buckets = 64)
+    }: Unit
+  }
+
   test("fold-swap crash window: readers fall back to the backup, mutators repair it") {
     val docs = graft.Tables(spark, sf("sf0.01")).documents.limit(80).localCheckpoint(true)
     val dir = Files.createTempDirectory("searchidx-foldcrash").toString
