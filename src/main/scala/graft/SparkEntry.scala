@@ -298,8 +298,8 @@ object SparkEntry {
         |WHERE rn <= 3 ORDER BY mktsegment, rn""".stripMargin,
     "w2_running_sum" ->
       """SELECT event_id, user_id,
-        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |  sum(round(value * 100)::BIGINT) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE / 100.0 AS running_value
         |FROM events ORDER BY event_id""".stripMargin,
     "set_except" ->
       """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
@@ -336,7 +336,8 @@ object SparkEntry {
         |    OVER (PARTITION BY user_id ORDER BY es, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM g)
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |  count(*) AS n_events,
+        |  sum(round(value * 100)::BIGINT)::DOUBLE / 100.0 AS sum_value
         |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
     "q7_percentile" ->
       """SELECT l_returnflag,
@@ -378,7 +379,8 @@ object SparkEntry {
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q11_full_outer" ->
       """WITH p AS (
-        |  SELECT user_id, round(sum(value), 2) AS purchase_sum FROM events
+        |  SELECT user_id,
+        |    sum(round(value * 100)::BIGINT)::DOUBLE / 100.0 AS purchase_sum FROM events
         |  WHERE event_type = 'purchase' AND value > 180.0 GROUP BY user_id),
         |s AS (
         |  SELECT user_id, count(*) AS signup_cnt FROM events

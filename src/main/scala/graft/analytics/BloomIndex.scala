@@ -29,24 +29,47 @@ import org.apache.spark.util.sketch.BloomFilter
   * [[Dedup.decontaminate]] against the full registry. */
 object BloomIndex {
 
+  /** Atomic binary replace — write the full payload to a `.tmp` twin, then
+    * delete-and-rename into place (the [[IndexMeta.write]] pattern, r16
+    * review sweep: the previous truncate-then-write raced lock-free
+    * [[screenPredicate]]/[[decontaminate]] readers — a reader catching the
+    * truncation window got a torn `BloomFilter.readFrom` stream, or worse a
+    * partial bit array whose false answers are treated as proof of clean). */
   private def hadoopWrite(spark: SparkSession, path: String, bytes: Array[Byte]): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(path + ".tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val out = fs.create(t, true)
     try out.write(bytes) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(t, p))
+      throw new IllegalStateException(s"bloom index swap: cannot move $t into place")
   }
 
+  /** Read with the [[IndexMeta.readText]] fallback chain: live → `.tmp`
+    * (a writer mid-swap or crashed there holds the complete payload in the
+    * twin) → live again (the swap's rename landed between the probes).
+    * FileNotFound inside a probe counts as a miss, not an error. */
   private def hadoopRead(spark: SparkSession, path: String): Array[Byte] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    try {
-      val bos = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-      bos.toByteArray
-    } finally in.close()
+    def read1(p: org.apache.hadoop.fs.Path): Option[Array[Byte]] = {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else
+        try {
+          val in = fs.open(p)
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](64 * 1024)
+            var n = in.read(buf)
+            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            Some(bos.toByteArray)
+          } finally in.close()
+        } catch { case _: java.io.FileNotFoundException => None }
+    }
+    val live = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    read1(live).orElse(read1(tmp)).orElse(read1(live)).getOrElse(
+      throw new IllegalStateException(s"bloom index: $path is missing"))
   }
 
   private def probeShingles(probes: DataFrame, n: Int,
@@ -113,11 +136,15 @@ object BloomIndex {
 
   /** The screen predicate alone — a stateless Column usable in batch AND
     * structured-streaming ingest (no join, no state): true iff the doc
-    * MIGHT share a shingle with the registry. False is a proof of clean. */
-  def screenPredicate(spark: SparkSession, dir: String): org.apache.spark.sql.Column = {
+    * MIGHT share a shingle with the registry. False is a proof of clean.
+    * `textCol` names the payload column, same default as build/append
+    * (r16 review sweep — it was hardcoded to "text" while every other
+    * entry point took the parameter). */
+  def screenPredicate(spark: SparkSession, dir: String,
+                      textCol: String = "text"): org.apache.spark.sql.Column = {
     val (_, _, n) = meta(spark, dir)
     val bytes = hadoopRead(spark, s"$dir/bloom.bin")
-    exists(Dedup.shingles(col("text"), n),
+    exists(Dedup.shingles(col(textCol), n),
       s => graft.functions.GraftFunctions.bloomContains(xxhash64(s), bytes))
   }
 

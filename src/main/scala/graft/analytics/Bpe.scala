@@ -45,9 +45,15 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // the ONLY corpus-sized step: word frequencies
+    // the ONLY corpus-sized step: word frequencies. Words carrying the
+    // delimiter sentinels are EXCLUDED (r16 review sweep): a corpus token
+    // containing U+0001 would conflate symbol boundaries and one containing
+    // U+0002 can win the argmax with a pair key that splits into the wrong
+    // arity (MatchError) — control-char-bearing tokens are tokenizer
+    // garbage, and [[encodeStats]]/the oracles apply the same screen.
     val wf = docs.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
-      .filter(length(col("word")) > 0)
+      .filter(length(col("word")) > 0 &&
+        !col("word").contains(S) && !col("word").contains(P))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       // initial symbols = characters, each wrapped in its own delimiters
       .select(concat(lit(S),
@@ -60,6 +66,16 @@ object Bpe {
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 0
     var exhausted = false
+    // Truncate the rewrite lineage every K rounds (r16, VERDICT r15 #3):
+    // each merge appends one regexp_replace to an otherwise-unpersisted
+    // plan, so round r's pair aggregate would recompute all r-1 prior
+    // rewrites from the cached base — O(R^2) vocab passes over a real
+    // tokenizer run (R ~ 30k), and the analyzer chokes on a 30k-deep
+    // expression tree long before the data cost matters. A localCheckpoint
+    // every K rounds caps lineage depth at K for one extra vocab
+    // materialization per K merges (the frame is vocabulary-sized).
+    val CheckpointEvery = 16
+    var sinceCheckpoint = 0
     while (r < merges && !exhausted) {
       val syms = split(col("w").substr(lit(2), length(col("w")) - 2), S + S)
       val best = w.select(explode(
@@ -78,6 +94,11 @@ object Bpe {
         val pat = java.util.regex.Pattern.quote(S + l + S + S + rr + S)
         val rep = java.util.regex.Matcher.quoteReplacement(S + l + rr + S)
         w = w.select(regexp_replace(col("w"), pat, rep).as("w"), col("cnt"))
+        sinceCheckpoint += 1
+        if (sinceCheckpoint >= CheckpointEvery && r < merges) {
+          w = w.localCheckpoint(true)
+          sinceCheckpoint = 0
+        }
       }
     }
     wf.unpersist()
@@ -104,7 +125,8 @@ object Bpe {
         java.util.regex.Pattern.quote(S + l + S + S + r + S),
         java.util.regex.Matcher.quoteReplacement(S + l + r + S))
     }
-    val toks = filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)
+    val toks = filter(TextAnalysis.tokens(col(textCol)),
+      t => length(t) > 0 && !t.contains(S) && !t.contains(P))
     val pieces = transform(toks, t => {
       val w = applyMerges(delimit(t))
       size(split(w.substr(lit(2), length(w) - 2), S + S)).cast("long")
@@ -124,10 +146,16 @@ object Bpe {
   def encodeOracleSql(merges: Int = 4): String = {
     val trainCtes = oracleSql(merges)
       .split("\nSELECT \\* FROM \\(").head // keep the WITH chain only
+    // each round guards on its b_i being non-empty (r16 review sweep):
+    // when training exhausts before `merges` rounds the Spark side just
+    // applies the learned prefix, but an unguarded scalar subquery over an
+    // empty b_i is NULL and replace(w, NULL, NULL) NULL-poisons the whole
+    // encoded column
     val applied = (1 to merges).foldLeft("dw") { (acc, i) =>
-      s"""replace($acc,
+      s"""CASE WHEN (SELECT count(*) FROM b$i) = 0 THEN $acc
+         |ELSE replace($acc,
          |  chr(1)||(SELECT lsym FROM b$i)||chr(1)||chr(1)||(SELECT rsym FROM b$i)||chr(1),
-         |  chr(1)||(SELECT lsym FROM b$i)||(SELECT rsym FROM b$i)||chr(1))""".stripMargin
+         |  chr(1)||(SELECT lsym FROM b$i)||(SELECT rsym FROM b$i)||chr(1)) END""".stripMargin
     }
     s"""$trainCtes,
        |tokstream AS (
@@ -137,7 +165,8 @@ object Bpe {
        |      chr(1)||chr(1))||chr(1) AS dw
        |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
        |        FROM documents)
-       |  WHERE length(tok) > 0),
+       |  WHERE length(tok) > 0
+       |    AND NOT contains(tok, chr(1)) AND NOT contains(tok, chr(2))),
        |enc AS (
        |  SELECT doc_id, $applied AS w FROM tokstream)
        |SELECT doc_id, count(*)::BIGINT AS n_words,
@@ -175,7 +204,9 @@ object Bpe {
     s"""WITH wf AS (
        |  SELECT tok AS word, count(*)::BIGINT AS cnt
        |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)
-       |  WHERE length(tok) > 0 GROUP BY tok),
+       |  WHERE length(tok) > 0
+       |    AND NOT contains(tok, chr(1)) AND NOT contains(tok, chr(2))
+       |  GROUP BY tok),
        |w0 AS (
        |  SELECT chr(1)||array_to_string(
        |    [substring(word, i, 1) for i in generate_series(1, length(word))],

@@ -46,19 +46,26 @@ object Clustering {
       .groupBy("vec_id")
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
 
-  /** Recompute centroids as per-dimension means of the quantized vectors
-    * (exact integer sums; one IEEE division per component). */
-  private def recompute(assigned: DataFrame, quantized: DataFrame): DataFrame = {
-    val sums = assigned.join(quantized, "vec_id")
-      .select(col("cid"), posexplode(col("qi")).as(Seq("pos", "v")))
+  /** Per-cluster component means over (cid, qi) member rows — exact
+    * integer sums, one IEEE division per component, squared norm attached.
+    * The shared centroid-mean block of [[recompute]] and
+    * [[memberDistances]] (extracted r16 — the two copies had already
+    * drifted once in shape). Output: (cid, m: array<double>, nm). */
+  private def centroidMeans(members: DataFrame): DataFrame = {
+    val sums = members.select(col("cid"), posexplode(col("qi")).as(Seq("pos", "v")))
       .groupBy("cid", "pos").agg(sum("v").as("s"))
-    val counts = assigned.groupBy("cid").agg(count(lit(1)).as("n"))
+    val counts = members.groupBy("cid").agg(count(lit(1)).as("n"))
     sums.groupBy("cid").agg(collect_list(struct(col("pos"), col("s"))).as("ps"))
       .join(counts, "cid")
       .select(col("cid"),
         transform(array_sort(col("ps")), x => x.getField("s").cast("double") / col("n")).as("m"))
       .withColumn("nm", sqNorm(col("m")))
   }
+
+  /** Recompute centroids as per-dimension means of the quantized vectors
+    * (exact integer sums; one IEEE division per component). */
+  private def recompute(assigned: DataFrame, quantized: DataFrame): DataFrame =
+    centroidMeans(assigned.join(quantized, "vec_id"))
 
   /** Fixed-round Lloyd assignment joined with the scoring vectors:
     * `(vec_id, cid, qd, nq, qi)` — the shared core under [[kmeansStats]] and
@@ -211,14 +218,7 @@ object Clustering {
     * [[kmeansAssignments]]; centroids broadcast back, so the only shuffle
     * is the (cid, pos) component aggregate. */
   private def memberDistances(asg: DataFrame): DataFrame = {
-    val sums = asg.select(col("cid"), posexplode(col("qi")).as(Seq("pos", "v")))
-      .groupBy("cid", "pos").agg(sum("v").as("s"))
-    val counts = asg.groupBy("cid").agg(count(lit(1)).as("n"))
-    val cents = sums.groupBy("cid").agg(collect_list(struct(col("pos"), col("s"))).as("ps"))
-      .join(counts, "cid")
-      .select(col("cid"),
-        transform(array_sort(col("ps")), x => x.getField("s").cast("double") / col("n")).as("m"))
-      .withColumn("nm", sqNorm(col("m")))
+    val cents = centroidMeans(asg)
     asg.join(broadcast(cents), "cid")
       .withColumn("d2",
         round(col("nq") + col("nm") -
@@ -230,13 +230,19 @@ object Clustering {
                       factor: Double = 4.0,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val asg = kmeansAssignments(emb, centroidStep, rounds, idCol, vecCol)
+    // d feeds BOTH the per-cluster stats and the verdict join — persist it
+    // so the centroid aggregate + broadcast join run once, not per branch
+    // (r16 review sweep; asg's cache only bounded the recompute, it didn't
+    // prevent it)
     val d = memberDistances(asg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = d.groupBy("cid").agg(sum(col("d2")).as("sd2"), count(lit(1)).as("n"))
     val out = d.join(broadcast(stats), "cid")
       .withColumn("is_outlier",
         col("d2").cast("double") > lit(factor) * (col("sd2").cast("double") / col("n")))
       .select(col("vec_id"), col("cid"), col("d2"), col("is_outlier"))
       .localCheckpoint(true)
+    d.unpersist()
     asg.unpersist()
     out
   }

@@ -249,8 +249,15 @@ object MediaCodecs {
     var dataOff = -1; var dataLen = -1
     while (pos + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
       val id = new String(bytes, pos, 4, "US-ASCII")
-      val size = u32(bytes, pos + 4).toInt
+      val size32 = u32(bytes, pos + 4)
       val body = pos + 8
+      // a corrupt size field must THROW, not hang: sizes over 2^31 went
+      // negative through .toInt, leaving pos unchanged — an infinite loop
+      // pinning the executor thread instead of the contract's IAE (r16
+      // review sweep); sizes past EOF would walk pos out of the array
+      require(size32 <= bytes.length.toLong - body,
+        s"corrupt WAV chunk '$id': size $size32 exceeds remaining ${bytes.length - body} bytes")
+      val size = size32.toInt
       id match {
         case "fmt " =>
           require(size >= 16, s"fmt chunk too small: $size")

@@ -185,9 +185,19 @@ object GraftFunctions {
   def processStatementFast(s: Column): Column = call_function("graft_process_statement", s)
   def langIdFast(text: Column): Column = call_function("graft_langid", text)
   def qualityFast(text: Column): Column = call_function("graft_quality", text)
-  def bloomContains(probe: Column, bloomBytes: Array[Byte]): Column =
-    call_function("graft_bloom_contains", probe,
-      org.apache.spark.sql.functions.lit(bloomBytes))
+  /** Bloom membership probe. The filter bytes travel as a BROADCAST, not a
+    * plan literal (r16): a literal is embedded in every serialized task
+    * binary — at registry scale (≈1.2 GB of bits for 1B shingles at 1% fpp)
+    * that is a multi-GB plan tree re-shipped per task; the broadcast ships
+    * once per executor. The SQL-registered `graft_bloom_contains` literal
+    * form remains for SQL text, where a broadcast cannot appear. */
+  def bloomContains(probe: Column, bloomBytes: Array[Byte]): Column = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    org.apache.spark.sql.graft.GraftBridge.column(
+      BloomMightContainBcast(
+        org.apache.spark.sql.graft.GraftBridge.expression(probe),
+        sc.broadcast(bloomBytes)))
+  }
   def cardRedactFast(text: Column): Column = call_function("graft_card_redact", text)
 
   /** Column API for the native dot product (requires [[register]]). */

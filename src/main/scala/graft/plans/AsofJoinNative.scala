@@ -79,6 +79,20 @@ case class AsofJoinPlan(
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression) extends BinaryNode {
 
+  // Fail fast on mismatched key/time types (r16 review sweep): the exec
+  // builds its merge orderings from LEFT-side types only and applies them
+  // to right-projected UnsafeRows — an Int right timestamp against a Long
+  // left would be read through getLong and compare garbage, silently
+  // joining rows to the wrong (or no) right match. No analysis rule runs
+  // over this node (it is constructed resolved), so the constructor is the
+  // only place to check.
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of join key types must match: left ${leftKeys.map(_.dataType)} vs " +
+      s"right ${rightKeys.map(_.dataType)}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of join timestamp types must match: left ${leftTime.dataType} vs " +
+      s"right ${rightTime.dataType}")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -156,15 +170,22 @@ case class AsofJoinExec(
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lkt = lProj(lRow)
-          // advance the right cursor through every row at or before (key, lts)
-          while (rNext != null && keyTimeOrd.compare(rProj(rNext), lkt) <= 0) {
-            // NULL right key/time (the first nKeys+1 slots of the tuple
-            // projection) can never be an as-of match — skip, don't buffer
-            if (!rProj(rNext).anyNull) {
-              candidate = rNext.copy()
-              candidateKey = keyProjR(rNext).copy()
-            }
-            rNext = if (rIter.hasNext) rIter.next() else null
+          // advance the right cursor through every row at or before
+          // (key, lts); the tuple is projected ONCE per right row (r16 —
+          // the compare and the null check previously each paid a
+          // projection on the innermost loop)
+          var advancing = true
+          while (advancing && rNext != null) {
+            val rkt = rProj(rNext)
+            if (keyTimeOrd.compare(rkt, lkt) <= 0) {
+              // NULL right key/time (the first nKeys+1 slots of the tuple
+              // projection) can never be an as-of match — skip, don't buffer
+              if (!rkt.anyNull) {
+                candidate = rNext.copy()
+                candidateKey = keyProjR(rNext).copy()
+              }
+              rNext = if (rIter.hasNext) rIter.next() else null
+            } else advancing = false
           }
           // match iff the buffered candidate is from the SAME key group and
           // the left (key, lts) tuple is fully non-null — a candidate left

@@ -30,6 +30,18 @@ object AnalyticsOracles {
       s"replace($acc, ${sqlLit(from)}, ${sqlLit(to)})"
     }
 
+  /** String-surgery derivation of one oracle from another, LOUD when the
+    * needle drifts (r16 review sweep): a silent `.replace` no-op would make
+    * the derived query verify against the UN-modified base oracle, and the
+    * resulting failure would point at the operator instead of this
+    * plumbing. `all` is a val, so a drifted needle now throws at object
+    * initialization — every test that touches oracles trips it. */
+  private def derive(baseSql: String, needle: String, repl: String): String = {
+    require(baseSql.contains(needle),
+      s"derived-oracle needle drifted out of sync with its base SQL:\n$needle")
+    baseSql.replace(needle, repl)
+  }
+
   private val embCte =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
       |""".stripMargin
@@ -236,9 +248,25 @@ object AnalyticsOracles {
       |      [qdv[i] * m[i] for i in generate_series(1, len(qdv))]), (a,b) -> a+b) /
       |      (sqrt(nq) * sqrt(nm)), 6)""".stripMargin
 
+  /** The shared quality-score expression (Spark twin:
+    * [[graft.analytics.TextAnalysis]]'s gate formula), Spark-round-exact
+    * via the VARCHAR→DECIMAL idiom. ONE definition spliced into every
+    * oracle that scores quality (r16 review sweep: this block was
+    * hand-kept in 13 copies — a weight change now lands everywhere or
+    * nowhere). `punct`/`stop` name the sub-expressions call sites
+    * precompute in an enclosing CTE; defaults inline them. */
+  private def qualitySql(
+      punct: String = "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text)",
+      stop: String = "len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE"): String =
+    s"round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0) " +
+      s"+ 0.3 * (1.0 - $punct) " +
+      s"+ 0.2 * ($stop / len(toks)) " +
+      "+ 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE " +
+      "/ len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE"
+
   private val jaccardSql =
-    """round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-      |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)""".stripMargin
+    """round(CAST(len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE""".stripMargin
 
   /** SQL-unrolled greedy MMR, the DuckDB twin of
     * [[graft.analytics.Similarity.mmrTopK]]: `cand` is the exact
@@ -301,9 +329,9 @@ object AnalyticsOracles {
         |         count(CASE WHEN tok IN ('the','a','of','to','and') THEN 1 END)::BIGINT AS n_stop
         |  FROM cnts GROUP BY doc_id)
         |SELECT doc_id, n_tokens,
-        |  round(sum_len::DOUBLE / n_tokens, 4) AS mean_tok_len,
+        |  round(CAST(sum_len::DOUBLE / n_tokens AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS mean_tok_len,
         |  n_stop,
-        |  round((n_tokens - n_distinct)::DOUBLE / n_tokens, 4) AS dup_tok_frac,
+        |  round(CAST((n_tokens - n_distinct)::DOUBLE / n_tokens AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS dup_tok_frac,
         |  (n_tokens >= 30 AND n_tokens <= 100000)::INT AS gate_len,
         |  (sum_len::DOUBLE / n_tokens >= 3.0 AND sum_len::DOUBLE / n_tokens <= 10.0)::INT AS gate_wordlen,
         |  (n_stop >= 2)::INT AS gate_stop,
@@ -402,17 +430,14 @@ object AnalyticsOracles {
         |  (max((tok_end - 1) // 1024) + 1)::BIGINT AS n_sequences
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     "pipeline_pack" ->
-      """WITH tok AS (
+      raw"""WITH tok AS (
         |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
         |scored AS (
         |  SELECT doc_id, text,
         |    CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'unknown'
         |         WHEN en >= es AND en >= de THEN 'en'
         |         WHEN es >= de THEN 'es' ELSE 'de' END AS lang_pred,
-        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
-        |        + 0.3 * (1.0 - punct)
-        |        + 0.2 * (en::DOUBLE / len(toks))
-        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
+        |    ${qualitySql(punct = "punct", stop = "en::DOUBLE")} AS quality
         |  FROM (
         |    SELECT *,
         |      len(list_filter(toks, t -> t IN ('the','a','of','to','and'))) AS en,
@@ -467,14 +492,11 @@ object AnalyticsOracles {
     // curriculum packing: quality DESC, id tiebreak, same window math as
     // pack_windows; quality formula is the dedup_quality_keepers fragment
     "pack_curriculum" ->
-      """WITH tok AS (
+      raw"""WITH tok AS (
         |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
         |qual AS (
         |  SELECT doc_id,
-        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
-        |        + 0.3 * (1.0 - punct)
-        |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
+        |    ${qualitySql(punct = "punct")} AS quality
         |  FROM (SELECT *,
         |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
         |    FROM tok)),
@@ -657,10 +679,7 @@ object AnalyticsOracles {
          |    CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'unknown'
          |         WHEN en >= es AND en >= de THEN 'en'
          |         WHEN es >= de THEN 'es' ELSE 'de' END AS lang_pred,
-         |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
-         |        + 0.3 * (1.0 - punct)
-         |        + 0.2 * (en::DOUBLE / len(toks))
-         |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
+         |    ${qualitySql(punct = "punct", stop = "en::DOUBLE")} AS quality
          |  FROM (
          |    SELECT *,
          |      len(list_filter(toks, t -> t IN ('the','a','of','to','and'))) AS en,
@@ -735,10 +754,7 @@ object AnalyticsOracles {
          |minlab AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
          |qual AS (
          |  SELECT doc_id,
-         |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
-         |        + 0.3 * (1.0 - punct)
-         |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-         |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
+         |    ${qualitySql(punct = "punct")} AS quality
          |  FROM (SELECT *,
          |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text) AS punct
          |    FROM tok)),
@@ -798,14 +814,11 @@ object AnalyticsOracles {
     // is the agg_quantile_cube fragment; the quality formula is the
     // dedup_quality_keepers fragment.
     "text_quality_calibrated" ->
-      """WITH tok AS (
+      raw"""WITH tok AS (
         |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
         |qual AS (
         |  SELECT doc_id,
-        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
-        |        + 0.3 * (1.0 - punct)
-        |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
+        |    ${qualitySql(punct = "punct")} AS quality
         |  FROM (SELECT *,
         |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
         |    FROM tok)),
@@ -837,7 +850,7 @@ object AnalyticsOracles {
         |dfc AS (SELECT s, count(*)::BIGINT AS df FROM exp GROUP BY s)
         |SELECT doc_id, count(*)::BIGINT AS n_sh,
         |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
-        |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS novelty
+        |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS novelty
         |FROM exp JOIN dfc USING (s)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "contamination_report" -> (tokCte +
@@ -847,7 +860,7 @@ object AnalyticsOracles {
         |hits AS (SELECT probe_id, doc_id, count(*)::BIGINT AS n_shared
         |         FROM ps JOIN cs USING (shingle) GROUP BY probe_id, doc_id)
         |SELECT probe_id, doc_id, n_shared, probe_n,
-        |  round(n_shared::DOUBLE / probe_n, 4) AS leak_frac
+        |  round(CAST(n_shared::DOUBLE / probe_n AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS leak_frac
         |FROM hits JOIN pn USING (probe_id) ORDER BY probe_id, doc_id""".stripMargin),
     "decontaminate" -> (tokCte +
       """SELECT doc_id, n_chars FROM documents
@@ -882,7 +895,7 @@ object AnalyticsOracles {
         |t AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
         |vocab AS (SELECT token, count(*) AS cnt FROM t GROUP BY token)
         |SELECT doc_id,
-        |  round(sum(cnt)::DOUBLE / count(*), 4) AS avg_freq,
+        |  round(CAST(sum(cnt)::DOUBLE / count(*) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS avg_freq,
         |  min(cnt) AS min_freq,
         |  sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
         |FROM t JOIN vocab USING (token)
@@ -951,13 +964,13 @@ object AnalyticsOracles {
         |  FROM (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg)
         |  GROUP BY doc_id)
         |SELECT doc_id,
-        |  round((n_tokens - n_distinct)::DOUBLE / n_tokens, 4) AS dup_tok_frac,
-        |  round(max_cnt::DOUBLE / n_tokens, 4) AS top_tok_frac,
-        |  round((n_bigrams - n_distinct_bi)::DOUBLE / n_bigrams, 4) AS dup_2gram_frac
+        |  round(CAST((n_tokens - n_distinct)::DOUBLE / n_tokens AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS dup_tok_frac,
+        |  round(CAST(max_cnt::DOUBLE / n_tokens AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS top_tok_frac,
+        |  round(CAST((n_bigrams - n_distinct_bi)::DOUBLE / n_bigrams AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS dup_2gram_frac
         |FROM uni JOIN bi USING (doc_id) ORDER BY doc_id""".stripMargin,
     "embed_kmeans" -> (kmeansCte +
       """SELECT cid AS centroid_id, count(*) AS n_members, min(vec_id) AS min_member,
-        |  round(sum(qi[1])::DOUBLE / count(*), 4) AS mean_q0
+        |  round(CAST(sum(qi[1])::DOUBLE / count(*) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS mean_q0
         |FROM a2 JOIN q USING (vec_id)
         |GROUP BY cid ORDER BY centroid_id""".stripMargin),
     // outlier gate: per-cluster means recomputed from the FINAL (a2)
@@ -1365,10 +1378,10 @@ object AnalyticsOracles {
         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en
         |  FROM documents GROUP BY source, h)
         |SELECT source, sum(cnt)::BIGINT AS n_docs, sum(tk)::BIGINT AS n_tokens,
-        |  round(sum(ch)::DOUBLE / sum(cnt), 4) AS avg_chars,
-        |  round(sum(en)::DOUBLE / sum(cnt), 4) AS pct_en,
+        |  round(CAST(sum(ch)::DOUBLE / sum(cnt) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS avg_chars,
+        |  round(CAST(sum(en)::DOUBLE / sum(cnt) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS pct_en,
         |  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_docs,
-        |  round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 4) AS dup_rate
+        |  round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS dup_rate
         |FROM ph GROUP BY source ORDER BY source""".stripMargin,
     // BPE merge training: rounds unrolled as chained CTEs with scalar-
     // subquery argmaxes (the clf_train unrolled-iterations precedent);
@@ -1496,14 +1509,11 @@ object AnalyticsOracles {
         |  FROM documents)
         |WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin,
     "sample_weighted" ->
-      """WITH tok AS (
+      raw"""WITH tok AS (
         |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
         |q AS (
         |  SELECT doc_id,
-        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
-        |        + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text))
-        |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
+        |    ${qualitySql()} AS quality
         |  FROM tok)
         |SELECT doc_id, quality FROM q
         |WHERE ('0x'||substr(sha256(doc_id::VARCHAR),1,15))::BIGINT % 1000 < quality * 1000
@@ -1520,7 +1530,7 @@ object AnalyticsOracles {
         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
     "text_tokens" -> (tokCte +
       """SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-        |  round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks), 4) AS avg_token_len
+        |  round(CAST(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS avg_token_len
         |FROM tok ORDER BY doc_id""".stripMargin),
     "text_langid" -> (tokCte +
       """SELECT doc_id, lang,
@@ -1534,12 +1544,9 @@ object AnalyticsOracles {
         |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS de
         |  FROM tok) ORDER BY doc_id""".stripMargin),
     "text_quality" -> (tokCte +
-      """SELECT doc_id,
-        |  round(punct, 4) AS punct_ratio,
-        |  round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
-        |      + 0.3 * (1.0 - punct)
-        |      + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-        |      + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
+      raw"""SELECT doc_id,
+        |  round(CAST(punct AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS punct_ratio,
+        |  ${qualitySql(punct = "punct")} AS quality
         |FROM (SELECT *,
         |  length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
         |  FROM tok) ORDER BY doc_id""".stripMargin),
@@ -1620,10 +1627,7 @@ object AnalyticsOracles {
          |minlab AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
          |qual AS (
          |  SELECT doc_id,
-         |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
-         |        + 0.3 * (1.0 - punct)
-         |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-         |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
+         |    ${qualitySql(punct = "punct")} AS quality
          |  FROM (SELECT *,
          |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text) AS punct
          |    FROM tok)),
@@ -1730,15 +1734,12 @@ object AnalyticsOracles {
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "embed_mmr" -> mmrSql(nQueries = 3, depth = 12, k = 4, lamNum = 7, lamCompl = 3),
     "pipeline_admit" ->
-      """WITH tok AS (
+      raw"""WITH tok AS (
         |  SELECT doc_id, text, source, string_split_regex(text, '\s+') AS toks
         |  FROM documents),
         |qual0 AS (
         |  SELECT doc_id, source,
-        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
-        |        + 0.3 * (1.0 - punct)
-        |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
+        |    ${qualitySql(punct = "punct")} AS quality
         |  FROM (SELECT *,
         |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
         |    FROM tok)),
@@ -1765,10 +1766,7 @@ object AnalyticsOracles {
         |         string_split_regex(kept_text, '\s+') AS toks FROM tr),
         |qual2 AS (
         |  SELECT doc_id,
-        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
-        |        + 0.3 * (1.0 - punct)
-        |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
+        |    ${qualitySql(punct = "punct")} AS quality
         |  FROM (SELECT *,
         |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
         |    FROM tok2)),
@@ -1796,15 +1794,12 @@ object AnalyticsOracles {
         |FROM qm JOIN tr USING (doc_id) JOIN capped USING (doc_id) CROSS JOIN thr
         |WHERE q_micro >= p25 ORDER BY qm.doc_id""".stripMargin,
     "corpus_datasheet" ->
-      """WITH tok AS (
+      raw"""WITH tok AS (
         |  SELECT doc_id, text, lang, string_split_regex(text, '\s+') AS toks
         |  FROM documents),
         |qual AS (
         |  SELECT doc_id,
-        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
-        |        + 0.3 * (1.0 - punct)
-        |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
+        |    ${qualitySql(punct = "punct")} AS quality
         |  FROM (SELECT *,
         |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
         |    FROM tok)),
@@ -1907,22 +1902,19 @@ object AnalyticsOracles {
         |       FROM sz LEFT JOIN lk ON sz.split = lk.split)
         |SELECT * FROM (
         |  SELECT 'train' AS from_split, 'val' AS to_split, n_docs, lt AS n_leaked,
-        |         round(lt::DOUBLE / n_docs, 4) AS leak_frac FROM ag WHERE split = 'val'
+        |         round(CAST(lt::DOUBLE / n_docs AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS leak_frac FROM ag WHERE split = 'val'
         |  UNION ALL
-        |  SELECT 'train', 'test', n_docs, lt, round(lt::DOUBLE / n_docs, 4) FROM ag WHERE split = 'test'
+        |  SELECT 'train', 'test', n_docs, lt, round(CAST(lt::DOUBLE / n_docs AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE FROM ag WHERE split = 'test'
         |  UNION ALL
-        |  SELECT 'val', 'test', n_docs, lv, round(lv::DOUBLE / n_docs, 4) FROM ag WHERE split = 'test')
+        |  SELECT 'val', 'test', n_docs, lv, round(CAST(lv::DOUBLE / n_docs AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE FROM ag WHERE split = 'test')
         |ORDER BY from_split, to_split""".stripMargin),
     "curate_domain_cap" ->
-      """WITH tok AS (
+      raw"""WITH tok AS (
         |  SELECT doc_id, text, source, string_split_regex(text, '\s+') AS toks
         |  FROM documents),
         |qual AS (
         |  SELECT doc_id, source,
-        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
-        |        + 0.3 * (1.0 - punct)
-        |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
+        |    ${qualitySql(punct = "punct")} AS quality
         |  FROM (SELECT *,
         |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
         |    FROM tok)),
@@ -2313,14 +2305,11 @@ object AnalyticsOracles {
     // (d*0.1 would differ from Spark's 0.1..0.9 in the last ulp and flip
     // ceil() on exact multiples)
     "curate_threshold_sweep" ->
-      """WITH tok AS (
+      raw"""WITH tok AS (
         |  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents),
         |qual AS (
         |  SELECT doc_id,
-        |    round(CAST((0.3 * least(1.0, len(toks)::DOUBLE / 100.0)
-        |        + 0.3 * (1.0 - punct)
-        |        + 0.2 * (len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
-        |        + 0.2 * least(1.0, (list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)) / 8.0)) AS VARCHAR)::DECIMAL(38,20), 4)::DOUBLE AS quality
+        |    ${qualitySql(punct = "punct")} AS quality
         |  FROM (SELECT *,
         |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text) AS punct
         |    FROM tok)),
@@ -2678,8 +2667,12 @@ object AnalyticsOracles {
         |g AS (
         |  SELECT source, lang, len_band, count(*)::BIGINT AS group_n
         |  FROM q GROUP BY 1, 2, 3)
-        |SELECT doc_id, source, lang, len_band, group_n, group_n >= 5 AS released
-        |FROM q JOIN g USING (source, lang, len_band) ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, q.source, q.lang, q.len_band, group_n,
+        |  group_n >= 5 AS released
+        |FROM q JOIN g ON q.source IS NOT DISTINCT FROM g.source
+        |  AND q.lang IS NOT DISTINCT FROM g.lang
+        |  AND q.len_band IS NOT DISTINCT FROM g.len_band
+        |ORDER BY doc_id""".stripMargin,
     // blocklist = {slow,fast,merge,hash} ordinary + {spark} severe; block
     // on any severe hit or >= 3 distinct ordinary+severe terms
     "curate_blocklist" ->
@@ -2734,7 +2727,7 @@ object AnalyticsOracles {
     // two-stage serving: the ivfpq oracle's ADC ranking truncated at depth
     // 20 per query, then re-scored by EXACT cosine over the raw vectors —
     // derived from the base oracle so the candidate leg stays bit-identical
-    ("sim_pqindex_rescored" -> base("sim_ivfpq_topk").replace(
+    ("sim_pqindex_rescored" -> derive(base("sim_ivfpq_topk"),
       """SELECT query_id, rank, vec_id, round(adc)::BIGINT AS adc FROM (
         |  SELECT query_id, vec_id, adc,
         |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
@@ -2766,20 +2759,20 @@ object AnalyticsOracles {
     // exact df/n/dl_sum contributions subtracted via negative parts, so
     // the ranking IS the one-shot BM25 over the filtered corpus — derived
     // from the batch oracle by construction
-    ("bm25_index_forget" -> base("bm25_search").replace(
+    ("bm25_index_forget" -> derive(base("bm25_search"),
       "FROM documents))",
       "FROM documents WHERE doc_id % 5 <> 2))")) +
     // right-to-be-forgotten over the persisted CDC index: the reachable
     // hash set is history minus the forgotten docs' attribution rows, so
     // the oracle is the admit SQL with the same exclusion inside hh —
     // derived by construction
-    ("cdc_index_forget" -> base("dedup_cdc_admit").replace(
+    ("cdc_index_forget" -> derive(base("dedup_cdc_admit"),
       "hh AS (SELECT DISTINCT h FROM occ CROSS JOIN spl WHERE doc_id <= s)",
       "hh AS (SELECT DISTINCT h FROM occ CROSS JOIN spl WHERE doc_id <= s AND doc_id % 5 <> 0)")) +
     // incremental dedup against the persisted index = the batch MinHash
     // pairs restricted to those touching the delta (higher id past the
     // history/delta split) — derived from the batch oracle by construction
-    ("dedup_delta" -> base("dedup_minhash").replace(
+    ("dedup_delta" -> derive(base("dedup_minhash"),
       "WHERE jaccard >= 0.6",
       "WHERE jaccard >= 0.6 AND id_b > (SELECT max(doc_id) // 2 FROM documents)")) +
     // right-to-be-forgotten over the persisted dedup index: the delta
@@ -2787,7 +2780,7 @@ object AnalyticsOracles {
     // id_a < id_b and id_b > split force the history side, if any, to be
     // id_a) was tombstoned (doc_id % 5 == 0); delta-internal pairs are
     // untouched — derived from the batch oracle by construction
-    ("dedup_index_forget" -> base("dedup_minhash").replace(
+    ("dedup_index_forget" -> derive(base("dedup_minhash"),
       "WHERE jaccard >= 0.6",
       "WHERE jaccard >= 0.6 AND id_b > (SELECT max(doc_id) // 2 FROM documents)" +
         " AND NOT (id_a <= (SELECT max(doc_id) // 2 FROM documents) AND id_a % 5 = 0)")) +
@@ -2795,17 +2788,17 @@ object AnalyticsOracles {
     // with tombstoned vectors (vec_id % 7 == 3) excluded from the candidate
     // set BEFORE ranking — ranks backfill with survivors exactly as the
     // anti-join does
-    ("sim_pqindex_forget" -> base("sim_ivfpq_topk").replace(
+    ("sim_pqindex_forget" -> derive(base("sim_ivfpq_topk"),
       "WHERE a.vec_id <> p.query_id),",
       "WHERE a.vec_id <> p.query_id AND a.vec_id % 7 <> 3),")) +
     // admission over the persisted index: derived from the batch MinHash
     // pairs by the drop rule — a delta doc (id > split) is dropped if it
     // pairs with history (either side of a mixed pair) or is the higher id
     // of a delta-internal pair; everything else in the delta is admitted
-    ("dedup_admit" -> base("dedup_minhash")
-      .replace("\nSELECT id_a, id_b, jaccard FROM (",
-        ",\npr AS (SELECT id_a, id_b FROM (")
-      .replace("\nWHERE jaccard >= 0.6 ORDER BY id_a, id_b",
+    ("dedup_admit" -> derive(derive(base("dedup_minhash"),
+      "\nSELECT id_a, id_b, jaccard FROM (",
+        ",\npr AS (SELECT id_a, id_b FROM ("),
+      "\nWHERE jaccard >= 0.6 ORDER BY id_a, id_b",
         """
           |WHERE jaccard >= 0.6),
           |spl AS (SELECT max(doc_id) // 2 AS s FROM documents),

@@ -13,20 +13,28 @@ import graft.functions.GraftFunctions
   */
 object AnalyticsQueries {
 
-  /** Scratch dir for the per-query throwaway index builds, deleted on JVM
+  /** Scratch dirs for the per-query throwaway index builds, deleted on JVM
     * exit — repeated bench/verify runs must not accumulate orphaned index
     * copies in /tmp. Deletion is a shutdown hook (not eager) because the
-    * returned DataFrames read the index lazily at the caller's action. */
-  private def scratchIndexDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+    * returned DataFrames read the index lazily at the caller's action.
+    * ONE statically-registered hook drains a queue of paths (r16 review
+    * sweep: a hook-per-call leaked one live Thread + closure per index
+    * build for the JVM's lifetime — ~12 per bench iteration). */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles()
         if (kids != null) kids.foreach(rm)
         f.delete(): Unit
       }
-      rm(p.toFile)
+      var p = scratchDirs.poll()
+      while (p != null) { rm(p.toFile); p = scratchDirs.poll() }
     }))
+  }
+  private def scratchIndexDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p): Unit
     p.toString
   }
 

@@ -132,7 +132,11 @@ object Relational {
     val w = Window.partitionBy($"user_id").orderBy($"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables(spark, dir).events
-      .withColumn("running_value", round(sum($"value").over(w), 2))
+      // exact-int cents through the running frame (q1Agg's money note —
+      // Spark accumulates the frame sequentially while DuckDB's segment
+      // tree associates differently; integer cents make order irrelevant)
+      .withColumn("running_value",
+        sum(round($"value" * 100).cast("long")).over(w).cast("double") / 100.0)
       .select($"event_id", $"user_id", $"running_value")
       .orderBy($"event_id")
   }
@@ -156,7 +160,11 @@ object Relational {
     import spark.implicits._
     val ev = Tables(spark, dir).events
     val p = ev.filter($"event_type" === "purchase" && $"value" > 180.0)
-      .groupBy($"user_id").agg(round(sum($"value"), 2).as("purchase_sum"))
+      // exact-int cents sum (q1Agg's money note: unordered partial-agg
+      // merges of raw doubles can flip round(.,2) by one cent — r16 sweep)
+      .groupBy($"user_id")
+      .agg((sum(round($"value" * 100).cast("long")).cast("double") / 100.0)
+        .as("purchase_sum"))
     val s = ev.filter($"event_type" === "signup" && $"value" > 180.0)
       .groupBy($"user_id").agg(count(lit(1)).as("signup_cnt"))
     p.join(s, Seq("user_id"), "full_outer")
@@ -318,7 +326,9 @@ object Relational {
       .withColumn("session_idx",
         sum($"new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"user_id", $"session_idx")
-      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      // exact-int cents sum (q1Agg's money note: session-sized groups)
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round($"value" * 100).cast("long")).cast("double") / 100.0).as("sum_value"))
       .orderBy($"user_id", $"session_idx")
   }
 

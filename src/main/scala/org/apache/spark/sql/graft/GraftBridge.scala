@@ -15,4 +15,15 @@ import org.apache.spark.sql.classic
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column from a raw Catalyst expression — needed for expressions that
+    * carry non-Expression state (a [[org.apache.spark.broadcast.Broadcast]]
+    * handle) and so cannot go through the function registry, whose
+    * arguments are Columns only. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The inverse — unwrap a Column to its Catalyst expression. */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

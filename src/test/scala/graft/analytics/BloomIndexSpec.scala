@@ -97,4 +97,31 @@ class BloomIndexSpec extends SparkSpec {
     assert(got.filter(!_._2).keySet.subsetOf(kept))
     docs.unpersist(): Unit
   }
+
+  test("readers survive the append swap window (tmp fallback) and screenPredicate honors textCol") {
+    import spark.implicits._
+    val registry = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "body")
+    val dir = tmp("bloomidx-swap")
+    BloomIndex.build(registry, dir, textCol = "body")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta padding"),  // shares shingles
+      (11L, "nothing in common here at all")).toDF("doc_id", "body")
+    // screenPredicate takes the payload column name (r16 review sweep: it
+    // was hardcoded to "text" while build/append/decontaminate took it)
+    val flagged = corpus.withColumn("hit", BloomIndex.screenPredicate(spark, dir, "body"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("hit")).toMap
+    assert(flagged(10L) && !flagged(11L))
+    // simulate a writer crashed between hadoopWrite's two renames: the live
+    // file is gone, the .tmp twin holds the complete payload — lock-free
+    // readers must fall back to it, not crash or read torn bits
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/bloom.bin"),
+      java.nio.file.Paths.get(s"$dir/bloom.bin.tmp"))
+    val flagged2 = corpus.withColumn("hit", BloomIndex.screenPredicate(spark, dir, "body"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("hit")).toMap
+    assert(flagged2 == flagged)
+    // a later build() heals the layout via its own atomic write
+    BloomIndex.build(registry, dir, textCol = "body")
+    assert(new java.io.File(s"$dir/bloom.bin").exists())
+  }
 }

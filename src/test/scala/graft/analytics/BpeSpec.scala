@@ -47,6 +47,42 @@ class BpeSpec extends SparkSpec {
     assert(byDoc(2L) == ((2L, 4L, 2.0)))
   }
 
+  test("merge rounds crossing the lineage-checkpoint boundary stay deterministic (prefix property)") {
+    // a word long enough to feed >16 merge rounds: greedy BPE merges are a
+    // deterministic sequence, so the R=20 table's first rounds must equal
+    // the R=4 table exactly — in particular across the every-16-rounds
+    // localCheckpoint that truncates the rewrite lineage (VERDICT r15 #3)
+    // 22-char word ×3 occurrences: every adjacent pair counts 3, so 21
+    // merge rounds stay above the >=2 floor — enough to cross round 16
+    val word = "abcdefghijklmnopqrstuv"
+    val docs = Seq((1L, s"$word $word"), (2L, word)).toDF("doc_id", "text")
+    val m20 = Bpe.trainMerges(docs, merges = 20).collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("lsym"),
+        r.getAs[String]("rsym"), r.getAs[Long]("pair_count")))
+    assert(m20.length == 20, s"expected 20 rounds, got ${m20.length}")
+    val m4 = Bpe.trainMerges(docs, merges = 4).collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("lsym"),
+        r.getAs[String]("rsym"), r.getAs[Long]("pair_count")))
+    assert(m20.take(4).toSeq == m4.toSeq)
+  }
+
+  test("sentinel-bearing corpus tokens are screened out, not corrupting the symbol encoding") {
+    // a token containing U+0002 could win the argmax with a pair key whose
+    // split has the wrong arity (MatchError); U+0001 conflates symbol
+    // delimiters (r16 review sweep). Such tokens are tokenizer garbage and
+    // are excluded from training and encoding alike.
+    val docs = Seq(
+      (1L, "ab ab ab"),
+      (2L, "xy xy xy xy"),
+      (3L, "pq pq pq pq")).toDF("doc_id", "text")
+    val m = Bpe.trainMerges(docs, merges = 4).collect()
+    assert(m.length == 1, s"only the clean word's pair merges, got ${m.length}")
+    assert((m(0).getAs[String]("lsym"), m(0).getAs[String]("rsym")) == ("a", "b"))
+    // encodeStats applies the same screen: doc 2/3 have no countable words
+    val e = Bpe.encodeStats(docs, Seq(("a", "b"))).collect()
+    assert(e.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+  }
+
   test("equal-frequency pairs break ties lexicographically") {
     // "xy" and "ab" both occur twice; (a,b) < (x,y) so (a,b) merges first
     val docs = Seq((1L, "xy ab xy ab")).toDF("doc_id", "text")

@@ -101,6 +101,15 @@ class MediaCodecsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](decodeImage(b(0x89, 'P', 'N', 'G'))) // unsupported container
     // truncated pixel data
     assertThrows[IllegalArgumentException](decodeBmp(goldenBmp.take(60)))
+    // corrupt RIFF chunk size (0xFFFFFFF8 -> -8 through toInt) must THROW,
+    // not hang the chunk walk in place (r16 review sweep)
+    val hugefChunk = b('R', 'I', 'F', 'F', 4, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'J', 'U', 'N', 'K', 0xf8, 0xff, 0xff, 0xff, 0, 0, 0, 0)
+    assertThrows[IllegalArgumentException](decodeWav(hugefChunk))
+    // chunk size past EOF is equally corrupt
+    val pastEof = b('R', 'I', 'F', 'F', 4, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'J', 'U', 'N', 'K', 64, 0, 0, 0)
+    assertThrows[IllegalArgumentException](decodeWav(pastEof))
   }
 
   // ---- round trips -------------------------------------------------------

@@ -112,6 +112,25 @@ class Round10CurationSpec extends SparkSpec {
     assert(out(0).getAs[Long]("group_n") == 3L && out(3).getAs[Long]("group_n") == 1L)
   }
 
+  test("kAnonymity: NULL quasi-identifiers form a group and still get a verdict row") {
+    // r16 review sweep: the plain equi-join-back dropped null-QI docs from
+    // the verdict frame entirely — a release gate must emit one row per doc
+    val df = Seq(
+      (1L, Option("s1"), "en"), (2L, Option("s1"), "en"),
+      (3L, Option.empty[String], "en"), (4L, Option.empty[String], "en"),
+      (5L, Option.empty[String], "de")).toDF("doc_id", "source", "lang")
+    val out = Privacy.kAnonymity(df,
+      Seq("source" -> col("source"), "lang" -> col("lang")), k = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 5, "every document gets a verdict row, null QIs included")
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("group_n"), r.getAs[Boolean]("released"))).toMap
+    assert(byId(1L) == ((2L, true)) && byId(2L) == ((2L, true)))
+    assert(byId(3L) == ((2L, true)) && byId(4L) == ((2L, true)),
+      "the (NULL, en) group has 2 members")
+    assert(byId(5L) == ((1L, false)), "the (NULL, de) singleton is withheld")
+  }
+
   // ---- blocklistGate ----------------------------------------------------
 
   test("blocklistGate: severe blocks outright, distinct count blocks, clean doc gets a row") {

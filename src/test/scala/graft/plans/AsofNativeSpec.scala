@@ -73,6 +73,23 @@ class AsofNativeSpec extends SparkSpec {
     assert(sortedRows(native) == sortedRows(bruteForce(l, r)))
   }
 
+  test("mismatched key/timestamp types fail fast instead of comparing garbage") {
+    // the exec's merge orderings are built from LEFT types and applied to
+    // right-projected rows — an Int right ts against a Long left ts would
+    // silently mis-join (r16 review sweep), so construction must throw
+    val (l, r) = fixture
+    val rInt = r.withColumn("rt", col("rt").cast("int"))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoinNative.join(l, rInt, Seq("k"), "lt", "rt", "tie")
+    }
+    assert(e.getMessage.contains("timestamp types must match"))
+    val rIntKey = r.withColumn("k", lit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoinNative.join(l, rIntKey, Seq("k"), "lt", "rt", "tie")
+    }
+    assert(e2.getMessage.contains("key types must match"))
+  }
+
   test("compositional as-of operator matches brute-force DuckDB semantics on ties and nulls") {
     val (l, r) = fixture
     val comp = AsofJoin
