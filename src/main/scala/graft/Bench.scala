@@ -52,118 +52,117 @@ object Bench {
         }
     }
 
-  /** Round-15 regression baseline: per-query MEDIAN of the three closing
-    * quiet recordings (sf0.1, local[8], 188 queries each, 0 failures) —
-    * ALL THREE committed as BENCH_LOCAL_r15_run{1,2,3}.json, so the
-    * baseline is reproducible from history. Run totals: 283.9 / 270.6 /
-    * 285.9 s -> per-query-median sum 279.1 s (BENCH_LOCAL_r15.json; r14
-    * was 270.9 — the +3% is uniform small-query drift; every heavy
-    * index-lifecycle row is within 0.96-1.17x). bm25_mlt/bm25_mlt_batch
-    * medians DROPPED from 11.1/11.4 to 6.5/7.0 because the r14 values
-    * came from dedicated cold subset runs while these are in-suite
-    * recordings like every other row — the comparable regime going
-    * forward. The r15 hardening (partial-compact marker, atomic meta
-    * swap, per-seed MLT fallback) is baked into the lifecycle rows.
-    * Flagged slowdowns are re-measured TWICE before being reported
-    * (below). sim_pqindex_* / bm25_index_* / bm25_mlt* / dedup_cdc_admit
-    * / cdc_index_forget / sim_pq_adc time a FULL index lifecycle per run
-    * (train/build + partitioned write + probe) — the build/serve split is
-    * emitted separately as `index_split`. */
+  /** Round-16 regression baseline: per-query MEDIAN of the three closing
+    * quiet recordings (sf0.1, local[8], 188 queries each, 0 failures, 0
+    * flags of either kind) — ALL THREE committed as
+    * BENCH_LOCAL_r16_run{1,2,3}.json, so the baseline is reproducible from
+    * history. Run totals: 305.1 / 261.3 / 256.0 s -> per-query-median sum
+    * 266.2 s (BENCH_LOCAL_r16.json; r15 was 279.1 — 4.6% faster round-
+    * over-round, uniform small-query movement; the heavy index-lifecycle
+    * rows are within 0.83-1.23x with the biggest mover dedup_cdc_admit
+    * 2.65 -> 3.11 s). These recordings are the FIRST to carry per-query
+    * shuffle-write bytes; their medians are [[baselineShuffle]] — the
+    * bytes side of the r16 gate. Flagged slowdowns are re-measured TWICE
+    * before being reported (below). sim_pqindex_* / bm25_index_* /
+    * bm25_mlt* / dedup_cdc_admit / cdc_index_forget / sim_pq_adc time a
+    * FULL index lifecycle per run (train/build + partitioned write +
+    * probe) — the build/serve split is emitted separately as
+    * `index_split`. */
   val baselinePrev: Map[String, Double] = Map(
-    "agg_approx" -> 2.787, "agg_approx_pct" -> 2.383,
-    "agg_hll_cube" -> 0.771, "agg_quantile_cube" -> 1.489,
-    "agg_stats" -> 1.651, "asof_native" -> 0.958,
-    "asof_signup" -> 1.511, "bm25_index_forget" -> 10.873,
-    "bm25_index_search" -> 6.515, "bm25_mlt" -> 6.518,
-    "bm25_mlt_batch" -> 6.956, "bm25_search" -> 0.861,
-    "bpe_encode" -> 4.545, "bpe_merges" -> 0.712,
-    "cdc_index_forget" -> 4.498, "clf_auc" -> 1.432,
-    "clf_calibration" -> 1.424, "clf_pr_curve" -> 1.145,
-    "clf_train" -> 2.090, "cluster_topics" -> 3.193,
-    "contamination_report" -> 0.956, "corpus_datasheet" -> 1.082,
-    "corpus_diff" -> 0.458, "corpus_report" -> 0.553,
-    "curate_blocklist" -> 0.693, "curate_domain_cap" -> 0.564,
-    "curate_threshold_sweep" -> 1.059, "curate_url_dedup" -> 1.458,
-    "decontaminate" -> 0.820, "decontaminate_bloom" -> 0.839,
-    "decontaminate_index" -> 1.073, "dedup_admit" -> 3.827,
-    "dedup_cc_keepers" -> 3.840, "dedup_cc_star" -> 4.364,
-    "dedup_cdc" -> 1.406, "dedup_cdc_admit" -> 2.654,
-    "dedup_cdc_rewrite" -> 1.515, "dedup_closure" -> 4.099,
-    "dedup_containment" -> 3.070, "dedup_delta" -> 2.935,
-    "dedup_exact" -> 0.340, "dedup_fuzzy_verify" -> 1.137,
-    "dedup_index_forget" -> 3.036, "dedup_intradoc" -> 0.776,
-    "dedup_minhash" -> 1.489, "dedup_ngram" -> 3.425,
-    "dedup_ngram_keepers" -> 3.183, "dedup_prefix" -> 0.565,
-    "dedup_quality_keepers" -> 4.064, "dedup_simhash" -> 0.311,
-    "dedup_simhash_pairs" -> 0.959, "dedup_spans" -> 0.931,
-    "dedup_spans_keepers" -> 0.884, "dedup_winnow_pairs" -> 1.748,
-    "doc_chunks" -> 0.373, "doc_len_histogram" -> 0.321,
-    "dsir_weights" -> 2.446, "embed_kmeans" -> 1.658,
-    "embed_mmr" -> 1.701, "embed_neardup" -> 3.464,
-    "embed_outliers" -> 2.264, "embed_pq" -> 0.402,
-    "embed_project" -> 0.848, "embed_prototypes" -> 1.998,
-    "embed_quantize" -> 0.443, "eval_rouge2" -> 2.094,
-    "mm_decode" -> 0.436, "mm_decode_image" -> 0.273,
-    "mm_decode_wav" -> 0.243, "mm_frames" -> 0.254,
-    "mm_resize" -> 0.239, "mm_resize_image" -> 0.193,
-    "o10_escape" -> 1.361, "o11_o13_route" -> 2.089,
-    "o12_optout_dim" -> 0.677, "o14_format_values" -> 2.290,
-    "o3_count_range" -> 0.182, "o4_o5_extract" -> 1.321,
-    "o6_o7_anonymize" -> 0.931, "o8_o9_statement_json" -> 1.658,
-    "o8_withfield" -> 1.627, "pack_chat_template" -> 1.032,
-    "pack_curriculum" -> 0.499, "pack_fim" -> 0.393,
-    "pack_length_buckets" -> 0.450, "pack_shards" -> 0.399,
-    "pack_shuffled" -> 0.406, "pack_window_map" -> 0.349,
-    "pack_windows" -> 0.318, "pipeline_admit" -> 1.208,
-    "pipeline_curate" -> 4.318, "pipeline_full" -> 7.365,
-    "pipeline_pack" -> 1.280, "pipeline_web_ingest" -> 2.198,
-    "privacy_k_anon" -> 0.324, "q10_cube" -> 0.539,
-    "q11_full_outer" -> 0.347, "q12_corr_subquery" -> 0.835,
-    "q13_grouping_sets" -> 0.343, "q14_range_frame" -> 0.751,
-    "q15_explode" -> 0.280, "q16_anti" -> 0.534,
-    "q17_window_nav" -> 0.618, "q18_month_series" -> 0.411,
-    "q19_sorted_collect" -> 0.309, "q1_agg" -> 0.632,
-    "q20_cond_agg" -> 0.321, "q21_range_join" -> 0.606,
-    "q22_map_agg" -> 0.395, "q23_corr" -> 0.385,
-    "q24_null_safe" -> 0.412, "q25_array_ops" -> 0.595,
-    "q26_rank_dist" -> 0.995, "q27_datetime" -> 0.385,
-    "q28_regr" -> 0.387, "q29_mode" -> 0.345,
-    "q30_cum_distinct" -> 0.637, "q31_variant" -> 0.597,
-    "q32_lateral" -> 0.946, "q33_gapfill" -> 0.428,
-    "q34_interval_merge" -> 0.854, "q35_unpivot" -> 0.335,
-    "q36_try" -> 1.767, "q37_scd2" -> 0.768,
-    "q38_retention" -> 0.573, "q39_funnel" -> 0.827,
-    "q3_topk" -> 0.868, "q40_transitions" -> 0.761,
-    "q41_twa" -> 0.689, "q42_dau" -> 0.744,
-    "q5_multijoin" -> 1.082, "q6_rollup" -> 0.530,
-    "q7_percentile" -> 1.758, "q8_pivot" -> 0.414,
-    "q9_exists" -> 0.457, "sample_epochs" -> 0.382,
-    "sample_mix" -> 0.500, "sample_per_group" -> 0.292,
-    "sample_stratified" -> 0.183, "sample_temperature" -> 0.296,
-    "sample_weighted" -> 0.360, "search_rrf" -> 1.092,
-    "semdedup_keepers" -> 1.990, "set_except" -> 0.439,
-    "set_intersect" -> 0.343, "shard_stats" -> 0.337,
-    "sim_ivf_topk" -> 2.780, "sim_ivfpq_topk" -> 5.705,
-    "sim_lsh_banded" -> 1.742, "sim_lsh_bucket" -> 0.661,
-    "sim_pq_adc" -> 5.106, "sim_pqindex_forget" -> 9.466,
-    "sim_pqindex_rescored" -> 9.317, "sim_pqindex_topk" -> 9.464,
-    "sim_topk" -> 0.413, "skew_join_agg" -> 0.698,
-    "split_assign" -> 0.366, "split_leakage" -> 2.566,
-    "text_boilerplate_lines" -> 0.771, "text_card_redact" -> 0.339,
-    "text_clf_score" -> 1.049, "text_cms_topk" -> 0.796,
-    "text_collocations" -> 0.997, "text_entropy" -> 1.167,
-    "text_fingerprint" -> 0.186, "text_fix_encoding" -> 0.538,
-    "text_gopher_gates" -> 0.647, "text_hash_vec" -> 0.767,
-    "text_html_extract" -> 0.932, "text_kn_heldout" -> 1.637,
-    "text_kn_score" -> 1.855, "text_langid" -> 0.268,
-    "text_lm_score" -> 1.699, "text_novelty" -> 1.073,
-    "text_pii_redact" -> 0.318, "text_quality" -> 0.546,
-    "text_quality_calibrated" -> 0.806, "text_repetition" -> 1.275,
-    "text_tok_freq" -> 0.577, "text_tokens" -> 0.364,
-    "text_tokens_re" -> 0.747, "text_top_tokens" -> 0.202,
-    "text_winnow" -> 0.475, "tfidf_top_terms" -> 1.228,
-    "w1_topn_per_group" -> 0.662, "w2_running_sum" -> 0.566,
-    "w3_sessionize" -> 0.935, "w4_ntile" -> 0.944)
+    "agg_approx" -> 2.572, "agg_approx_pct" -> 2.613,
+    "agg_hll_cube" -> 0.791, "agg_quantile_cube" -> 1.331,
+    "agg_stats" -> 1.496, "asof_native" -> 0.936,
+    "asof_signup" -> 1.315, "bm25_index_forget" -> 10.742,
+    "bm25_index_search" -> 5.956, "bm25_mlt" -> 5.883,
+    "bm25_mlt_batch" -> 6.189, "bm25_search" -> 0.725,
+    "bpe_encode" -> 4.224, "bpe_merges" -> 0.787,
+    "cdc_index_forget" -> 3.729, "clf_auc" -> 1.275,
+    "clf_calibration" -> 1.114, "clf_pr_curve" -> 0.997,
+    "clf_train" -> 1.868, "cluster_topics" -> 3.282,
+    "contamination_report" -> 0.842, "corpus_datasheet" -> 1.004,
+    "corpus_diff" -> 0.364, "corpus_report" -> 0.455,
+    "curate_blocklist" -> 0.562, "curate_domain_cap" -> 0.447,
+    "curate_threshold_sweep" -> 0.726, "curate_url_dedup" -> 1.347,
+    "decontaminate" -> 0.690, "decontaminate_bloom" -> 0.680,
+    "decontaminate_index" -> 0.981, "dedup_admit" -> 3.738,
+    "dedup_cc_keepers" -> 3.821, "dedup_cc_star" -> 4.093,
+    "dedup_cdc" -> 1.585, "dedup_cdc_admit" -> 3.110,
+    "dedup_cdc_rewrite" -> 1.742, "dedup_closure" -> 3.730,
+    "dedup_containment" -> 3.062, "dedup_delta" -> 3.125,
+    "dedup_exact" -> 0.342, "dedup_fuzzy_verify" -> 1.288,
+    "dedup_index_forget" -> 3.292, "dedup_intradoc" -> 0.772,
+    "dedup_minhash" -> 1.532, "dedup_ngram" -> 3.268,
+    "dedup_ngram_keepers" -> 2.744, "dedup_prefix" -> 0.545,
+    "dedup_quality_keepers" -> 3.653, "dedup_simhash" -> 0.282,
+    "dedup_simhash_pairs" -> 1.049, "dedup_spans" -> 0.917,
+    "dedup_spans_keepers" -> 1.001, "dedup_winnow_pairs" -> 1.780,
+    "doc_chunks" -> 0.431, "doc_len_histogram" -> 0.339,
+    "dsir_weights" -> 2.444, "embed_kmeans" -> 1.563,
+    "embed_mmr" -> 1.413, "embed_neardup" -> 3.307,
+    "embed_outliers" -> 2.151, "embed_pq" -> 0.368,
+    "embed_project" -> 0.846, "embed_prototypes" -> 2.018,
+    "embed_quantize" -> 0.425, "eval_rouge2" -> 1.973,
+    "mm_decode" -> 0.385, "mm_decode_image" -> 0.227,
+    "mm_decode_wav" -> 0.228, "mm_frames" -> 0.243,
+    "mm_resize" -> 0.217, "mm_resize_image" -> 0.178,
+    "o10_escape" -> 1.392, "o11_o13_route" -> 1.931,
+    "o12_optout_dim" -> 0.648, "o14_format_values" -> 2.011,
+    "o3_count_range" -> 0.148, "o4_o5_extract" -> 1.584,
+    "o6_o7_anonymize" -> 0.909, "o8_o9_statement_json" -> 1.429,
+    "o8_withfield" -> 1.628, "pack_chat_template" -> 1.016,
+    "pack_curriculum" -> 0.484, "pack_fim" -> 0.384,
+    "pack_length_buckets" -> 0.381, "pack_shards" -> 0.391,
+    "pack_shuffled" -> 0.340, "pack_window_map" -> 0.334,
+    "pack_windows" -> 0.310, "pipeline_admit" -> 1.245,
+    "pipeline_curate" -> 4.146, "pipeline_full" -> 6.909,
+    "pipeline_pack" -> 1.011, "pipeline_web_ingest" -> 1.971,
+    "privacy_k_anon" -> 0.336, "q10_cube" -> 0.537,
+    "q11_full_outer" -> 0.330, "q12_corr_subquery" -> 0.852,
+    "q13_grouping_sets" -> 0.380, "q14_range_frame" -> 0.818,
+    "q15_explode" -> 0.292, "q16_anti" -> 0.516,
+    "q17_window_nav" -> 0.705, "q18_month_series" -> 0.430,
+    "q19_sorted_collect" -> 0.316, "q1_agg" -> 0.589,
+    "q20_cond_agg" -> 0.275, "q21_range_join" -> 0.507,
+    "q22_map_agg" -> 0.393, "q23_corr" -> 0.347,
+    "q24_null_safe" -> 0.374, "q25_array_ops" -> 0.554,
+    "q26_rank_dist" -> 0.884, "q27_datetime" -> 0.361,
+    "q28_regr" -> 0.343, "q29_mode" -> 0.313,
+    "q30_cum_distinct" -> 0.552, "q31_variant" -> 0.559,
+    "q32_lateral" -> 0.842, "q33_gapfill" -> 0.403,
+    "q34_interval_merge" -> 0.793, "q35_unpivot" -> 0.334,
+    "q36_try" -> 1.671, "q37_scd2" -> 0.723,
+    "q38_retention" -> 0.593, "q39_funnel" -> 0.817,
+    "q3_topk" -> 0.738, "q40_transitions" -> 0.626,
+    "q41_twa" -> 0.590, "q42_dau" -> 0.609,
+    "q5_multijoin" -> 0.919, "q6_rollup" -> 0.517,
+    "q7_percentile" -> 1.978, "q8_pivot" -> 0.482,
+    "q9_exists" -> 0.450, "sample_epochs" -> 0.386,
+    "sample_mix" -> 0.479, "sample_per_group" -> 0.292,
+    "sample_stratified" -> 0.185, "sample_temperature" -> 0.287,
+    "sample_weighted" -> 0.360, "search_rrf" -> 1.043,
+    "semdedup_keepers" -> 1.877, "set_except" -> 0.396,
+    "set_intersect" -> 0.312, "shard_stats" -> 0.297,
+    "sim_ivf_topk" -> 2.595, "sim_ivfpq_topk" -> 5.655,
+    "sim_lsh_banded" -> 1.536, "sim_lsh_bucket" -> 0.659,
+    "sim_pq_adc" -> 4.850, "sim_pqindex_forget" -> 9.524,
+    "sim_pqindex_rescored" -> 9.069, "sim_pqindex_topk" -> 9.248,
+    "sim_topk" -> 0.420, "skew_join_agg" -> 0.706,
+    "split_assign" -> 0.290, "split_leakage" -> 2.617,
+    "text_boilerplate_lines" -> 0.768, "text_card_redact" -> 0.329,
+    "text_clf_score" -> 0.964, "text_cms_topk" -> 0.714,
+    "text_collocations" -> 0.982, "text_entropy" -> 1.050,
+    "text_fingerprint" -> 0.198, "text_fix_encoding" -> 0.516,
+    "text_gopher_gates" -> 0.651, "text_hash_vec" -> 0.712,
+    "text_html_extract" -> 0.894, "text_kn_heldout" -> 1.496,
+    "text_kn_score" -> 1.778, "text_langid" -> 0.248,
+    "text_lm_score" -> 1.379, "text_novelty" -> 0.977,
+    "text_pii_redact" -> 0.315, "text_quality" -> 0.482,
+    "text_quality_calibrated" -> 0.711, "text_repetition" -> 1.220,
+    "text_tok_freq" -> 0.559, "text_tokens" -> 0.368,
+    "text_tokens_re" -> 0.756, "text_top_tokens" -> 0.194,
+    "text_winnow" -> 0.472, "tfidf_top_terms" -> 1.131,
+    "w1_topn_per_group" -> 0.650, "w2_running_sum" -> 0.525,
+    "w3_sessionize" -> 0.832, "w4_ntile" -> 0.838)
 
   /** Per-query shuffle-write BYTES baseline (r16, VERDICT r15 #2):
     * median of the same three closing quiet recordings that produce
@@ -171,9 +170,105 @@ object Bench {
     * maps, folded by tools/baseline_swap.py). Used by [[classify]] to
     * split wall-time flags into Regressed (bytes moved too — the plan
     * did more work) vs DriftSuspect (bytes flat — host drift, rerun).
-    * Populated at the r16 closing recording; empty means every wall flag
-    * conservatively classifies Regressed. */
-  val baselineShuffle: Map[String, Long] = Map.empty
+    * An empty map would make every wall flag conservatively classify
+    * Regressed. Pass-to-pass these are near-bit-stable (the TRIAGE_r16
+    * A/Bs measured zero spread at fixed config); the 10% gate band covers
+    * the residual AQE jitter. */
+  val baselineShuffle: Map[String, Long] = Map(
+    "agg_approx" -> 3095847L, "agg_approx_pct" -> 5596751L,
+    "agg_hll_cube" -> 428781L, "agg_quantile_cube" -> 553839L,
+    "agg_stats" -> 9424233L, "asof_native" -> 2855566L,
+    "asof_signup" -> 3100494L, "bm25_index_forget" -> 5672835L,
+    "bm25_index_search" -> 5681746L, "bm25_mlt" -> 5846306L,
+    "bm25_mlt_batch" -> 5550901L, "bm25_search" -> 80L,
+    "bpe_encode" -> 106889L, "bpe_merges" -> 18995L,
+    "cdc_index_forget" -> 362333L, "clf_auc" -> 794663L,
+    "clf_calibration" -> 763775L, "clf_pr_curve" -> 794722L,
+    "clf_train" -> 3761959L, "cluster_topics" -> 518058L,
+    "contamination_report" -> 32480L, "corpus_datasheet" -> 325398L,
+    "corpus_diff" -> 1060169L, "corpus_report" -> 137167L,
+    "curate_blocklist" -> 428596L, "curate_domain_cap" -> 130604L,
+    "curate_threshold_sweep" -> 2729L, "curate_url_dedup" -> 111926L,
+    "decontaminate" -> 49496L, "decontaminate_bloom" -> 100159L,
+    "decontaminate_index" -> 101984L, "dedup_admit" -> 2863655L,
+    "dedup_cc_keepers" -> 16697842L, "dedup_cc_star" -> 16723109L,
+    "dedup_cdc" -> 792079L, "dedup_cdc_admit" -> 359633L,
+    "dedup_cdc_rewrite" -> 2370927L, "dedup_closure" -> 16584459L,
+    "dedup_containment" -> 16569735L, "dedup_delta" -> 2355285L,
+    "dedup_exact" -> 689137L, "dedup_fuzzy_verify" -> 23150L,
+    "dedup_index_forget" -> 2356721L, "dedup_intradoc" -> 860416L,
+    "dedup_minhash" -> 1575521L, "dedup_ngram" -> 16570504L,
+    "dedup_ngram_keepers" -> 16665695L, "dedup_prefix" -> 18952L,
+    "dedup_quality_keepers" -> 16846783L, "dedup_simhash" -> 67797L,
+    "dedup_simhash_pairs" -> 21428L, "dedup_spans" -> 850847L,
+    "dedup_spans_keepers" -> 2687130L, "dedup_winnow_pairs" -> 2856831L,
+    "doc_chunks" -> 355224L, "doc_len_histogram" -> 1142L,
+    "dsir_weights" -> 2234150L, "embed_kmeans" -> 208999L,
+    "embed_mmr" -> 41003L, "embed_neardup" -> 15716L,
+    "embed_outliers" -> 604528L, "embed_pq" -> 4545065L,
+    "embed_project" -> 423959L, "embed_prototypes" -> 619301L,
+    "embed_quantize" -> 380937L, "eval_rouge2" -> 6307404L,
+    "mm_decode" -> 108598L, "mm_decode_image" -> 100425L,
+    "mm_decode_wav" -> 100453L, "mm_frames" -> 139792L,
+    "mm_resize" -> 79971L, "mm_resize_image" -> 113871L,
+    "o10_escape" -> 1736798L, "o11_o13_route" -> 1217530L,
+    "o12_optout_dim" -> 245361L, "o14_format_values" -> 9227356L,
+    "o3_count_range" -> 56L, "o4_o5_extract" -> 2795827L,
+    "o6_o7_anonymize" -> 251489L, "o8_o9_statement_json" -> 7713607L,
+    "o8_withfield" -> 7710861L, "pack_chat_template" -> 3267678L,
+    "pack_curriculum" -> 217844L, "pack_fim" -> 930707L,
+    "pack_length_buckets" -> 62224L, "pack_shards" -> 51403L,
+    "pack_shuffled" -> 234103L, "pack_window_map" -> 135670L,
+    "pack_windows" -> 183272L, "pipeline_admit" -> 102259L,
+    "pipeline_curate" -> 15400977L, "pipeline_full" -> 16395598L,
+    "pipeline_pack" -> 338970L, "pipeline_web_ingest" -> 1908820L,
+    "privacy_k_anon" -> 123307L, "q10_cube" -> 2536L,
+    "q11_full_outer" -> 19397L, "q12_corr_subquery" -> 1496196L,
+    "q13_grouping_sets" -> 1260L, "q14_range_frame" -> 3190933L,
+    "q15_explode" -> 1500L, "q16_anti" -> 1019278L,
+    "q17_window_nav" -> 3715991L, "q18_month_series" -> 3215L,
+    "q19_sorted_collect" -> 160083L, "q1_agg" -> 1392L,
+    "q20_cond_agg" -> 853L, "q21_range_join" -> 1862L,
+    "q22_map_agg" -> 223499L, "q23_corr" -> 895L,
+    "q24_null_safe" -> 1572L, "q25_array_ops" -> 143363L,
+    "q26_rank_dist" -> 1969992L, "q27_datetime" -> 531471L,
+    "q28_regr" -> 935L, "q29_mode" -> 1296L,
+    "q30_cum_distinct" -> 142305L, "q31_variant" -> 731L,
+    "q32_lateral" -> 6189703L, "q33_gapfill" -> 3078L,
+    "q34_interval_merge" -> 2663311L, "q35_unpivot" -> 380L,
+    "q36_try" -> 758L, "q37_scd2" -> 3304545L,
+    "q38_retention" -> 116115L, "q39_funnel" -> 74763L,
+    "q3_topk" -> 460556L, "q40_transitions" -> 2071860L,
+    "q41_twa" -> 1898651L, "q42_dau" -> 883491L,
+    "q5_multijoin" -> 1911L, "q6_rollup" -> 1367L,
+    "q7_percentile" -> 5435113L, "q8_pivot" -> 206698L,
+    "q9_exists" -> 796094L, "sample_epochs" -> 1026L,
+    "sample_mix" -> 44050L, "sample_per_group" -> 1530L,
+    "sample_stratified" -> 8862L, "sample_temperature" -> 958L,
+    "sample_weighted" -> 34674L, "search_rrf" -> 3072L,
+    "semdedup_keepers" -> 222158L, "set_except" -> 14869L,
+    "set_intersect" -> 27906L, "shard_stats" -> 4126L,
+    "sim_ivf_topk" -> 1439933L, "sim_ivfpq_topk" -> 3694269L,
+    "sim_lsh_banded" -> 2460591L, "sim_lsh_bucket" -> 939556L,
+    "sim_pq_adc" -> 4282078L, "sim_pqindex_forget" -> 5188172L,
+    "sim_pqindex_rescored" -> 5186413L, "sim_pqindex_topk" -> 5185823L,
+    "sim_topk" -> 2447L, "skew_join_agg" -> 24325L,
+    "split_assign" -> 494L, "split_leakage" -> 2684685L,
+    "text_boilerplate_lines" -> 1525598L, "text_card_redact" -> 276401L,
+    "text_clf_score" -> 780310L, "text_cms_topk" -> 8224L,
+    "text_collocations" -> 47189L, "text_entropy" -> 1502015L,
+    "text_fingerprint" -> 52218L, "text_fix_encoding" -> 419392L,
+    "text_gopher_gates" -> 1802631L, "text_hash_vec" -> 1357900L,
+    "text_html_extract" -> 94820L, "text_kn_heldout" -> 108702L,
+    "text_kn_score" -> 219406L, "text_langid" -> 49734L,
+    "text_lm_score" -> 171827L, "text_novelty" -> 635452L,
+    "text_pii_redact" -> 281044L, "text_quality" -> 56971L,
+    "text_quality_calibrated" -> 39335L, "text_repetition" -> 5725829L,
+    "text_tok_freq" -> 134645L, "text_tokens" -> 71083L,
+    "text_tokens_re" -> 80635L, "text_top_tokens" -> 991L,
+    "text_winnow" -> 1212292L, "tfidf_top_terms" -> 3290769L,
+    "w1_topn_per_group" -> 1463L, "w2_running_sum" -> 2751991L,
+    "w3_sessionize" -> 3085020L, "w4_ntile" -> 1984617L)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -135,13 +135,22 @@ object Bm25CompactScale {
       val idx = java.nio.file.Files.createTempDirectory(s"bm25tb-$tb").toString
       SearchIndex.build(docs, idx, buckets = tb)
       val postingsBytes = snapshot(s"$idx/postings").values.sum
+      // HOT terms (df ~ corpus): their own postings dominate any bucket
+      // they land in, so width cannot shrink their probe — that cost is
+      // the data, not the layout. RARE terms (the 3 lowest-df tokens) are
+      // where width pays: their probe is ~store/width of collision mass.
       val terms = Seq("data", "fast", "query").sorted
-      val q0r = quiesce(); val q0s = scan.drain()
-      val tq0 = System.nanoTime()
-      SearchIndex.query(spark, idx, terms, k = 20).collect(): Unit
-      val queryWall = (System.nanoTime() - tq0) / 1e9
-      val queryRead = quiesce() - q0r
-      val queryScan = scan.drain() - q0s
+      val rareTerms = spark.read.parquet(s"$idx/df")
+        .orderBy(col("df"), col("token")).limit(3)
+        .collect().map(_.getAs[String]("token")).toSeq.sorted
+      def timedQuery(ts: Seq[String]): (Double, Long, Long) = {
+        val r0 = quiesce(); val s0 = scan.drain()
+        val t0 = System.nanoTime()
+        SearchIndex.query(spark, idx, ts, k = 20).collect(): Unit
+        ((System.nanoTime() - t0) / 1e9, quiesce() - r0, scan.drain() - s0)
+      }
+      val (queryWall, queryRead, queryScan) = timedQuery(terms)
+      val (rareWall, rareRead, rareScan) = timedQuery(rareTerms)
       SearchIndex.forget(spark, idx, docs.filter(pmod(col("doc_id"), lit(10)) < 3)
         .select("doc_id"))
       val c0r = quiesce(); val c0s = scan.drain()
@@ -155,6 +164,8 @@ object Bm25CompactScale {
         s""""n_docs":$nDocs,"postings_bytes":$postingsBytes,""" +
         s""""query_scan_bytes":$queryScan,"query_bytes_read":$queryRead,""" +
         s""""query_s":${f3(queryWall)},""" +
+        s""""rare_query_scan_bytes":$rareScan,"rare_query_bytes_read":$rareRead,""" +
+        s""""rare_query_s":${f3(rareWall)},""" +
         s""""compact_scan_bytes":$compactScan,"compact_bytes_read":$compactRead,""" +
         s""""compact_s":${f3(compactWall)}}""")
       sink.flush()
