@@ -28,13 +28,18 @@ object Bench {
   def wallMoved(wall: Double, base: Double): Boolean =
     wall > base * 1.3 && wall - base > 0.5
 
-  /** Bytes gate: >10% over the committed median AND >1 MiB absolute. The
-    * 10% band covers AQE re-planning jitter (the r15 DEDUPSCALE5 protocol
-    * measured <=3-5% pass-to-pass spread on a fixed plan); the absolute
-    * floor keeps broadcast-only micro-queries (bytes ~0) from flagging on
-    * noise. */
+  /** Bytes gate: >10% deviation from the committed median IN EITHER
+    * DIRECTION, and >1 MiB absolute. Increases are the obvious plan
+    * regression; DECREASES matter too (r16 self-review) — a change that
+    * trades shuffle for recompute (e.g. a join flipped to a broadcast
+    * nested loop) moves wall UP while bytes drop, and a drop must not
+    * read as "plan did identical work". The 10% band covers AQE
+    * re-planning jitter (the r15 DEDUPSCALE5 protocol measured <=3-5%
+    * pass-to-pass spread on a fixed plan); the absolute floor keeps
+    * broadcast-only micro-queries (bytes ~0) from flagging on noise. */
   def bytesMoved(bytes: Long, base: Long): Boolean =
-    bytes > base * 1.10 && bytes - base > (1L << 20)
+    (bytes > base * 1.10 || bytes < base * 0.90) &&
+      math.abs(bytes - base) > (1L << 20)
 
   /** Pure decision function (spec-pinned in BenchGateSpec): a deliberate
     * plan change (wall AND bytes up) classifies Regressed; a noisy rerun

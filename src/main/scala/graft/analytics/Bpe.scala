@@ -146,17 +146,21 @@ object Bpe {
   def encodeOracleSql(merges: Int = 4): String = {
     val trainCtes = oracleSql(merges)
       .split("\nSELECT \\* FROM \\(").head // keep the WITH chain only
-    // each round guards on its b_i being non-empty (r16 review sweep):
-    // when training exhausts before `merges` rounds the Spark side just
-    // applies the learned prefix, but an unguarded scalar subquery over an
-    // empty b_i is NULL and replace(w, NULL, NULL) NULL-poisons the whole
-    // encoded column
-    val applied = (1 to merges).foldLeft("dw") { (acc, i) =>
-      s"""CASE WHEN (SELECT count(*) FROM b$i) = 0 THEN $acc
-         |ELSE replace($acc,
-         |  chr(1)||(SELECT lsym FROM b$i)||chr(1)||chr(1)||(SELECT rsym FROM b$i)||chr(1),
-         |  chr(1)||(SELECT lsym FROM b$i)||(SELECT rsym FROM b$i)||chr(1)) END""".stripMargin
-    }
+    // one CTE per round, NOT a nested expression (r16 self-review: a CASE
+    // guard that embeds its accumulator twice per round doubles the SQL
+    // text every merge — O(2^R); the CTE chain is linear). Each round
+    // guards on its b_i being non-empty (r16 review sweep): when training
+    // exhausts before `merges` rounds the Spark side just applies the
+    // learned prefix, but an unguarded scalar subquery over an empty b_i
+    // is NULL and replace(w, NULL, NULL) NULL-poisons the encoded column.
+    val encCtes = (1 to merges).map { i =>
+      s"""enc$i AS (
+         |  SELECT doc_id, CASE WHEN (SELECT count(*) FROM b$i) = 0 THEN w
+         |    ELSE replace(w,
+         |      chr(1)||(SELECT lsym FROM b$i)||chr(1)||chr(1)||(SELECT rsym FROM b$i)||chr(1),
+         |      chr(1)||(SELECT lsym FROM b$i)||(SELECT rsym FROM b$i)||chr(1)) END AS w
+         |  FROM enc${i - 1})""".stripMargin
+    }.mkString(",\n")
     s"""$trainCtes,
        |tokstream AS (
        |  SELECT doc_id, tok,

@@ -96,12 +96,29 @@ object SearchIndex {
     IndexMeta.write(spark, dir, s"""{"layout":1,"buckets":${m.buckets},""" +
       s""""docBuckets":${m.docBuckets},"forward":${m.forwardComplete}}""")
 
-  private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
-    IndexMeta.readText(spark, dir).map { txt =>
+  /** Marker held for the duration of [[build]]'s data writes: since r16
+    * the token width is DERIVED from the corpus (no longer a constant), so
+    * a crash after the partitioned writes but before the meta lands would
+    * leave data laid out at a non-default width that the meta-less legacy
+    * fallback (64) would silently mis-prune. With the marker, that state
+    * is an explicit error instead; true pre-r15 legacy indexes have
+    * neither meta nor marker and keep their documented fallback. */
+  private def buildingMarker(dir: String) = path(s"$dir/_graft_building")
+
+  private def readMeta(spark: SparkSession, dir: String): Option[Meta] = {
+    val meta = IndexMeta.readText(spark, dir).map { txt =>
       def field(k: String): Int = IndexMeta.long(txt, k).getOrElse(
         throw new IllegalStateException(s"BM25 index meta at $dir is unreadable: $txt")).toInt
       Meta(field("buckets"), field("docBuckets"), IndexMeta.flag(txt, "forward"))
     }
+    if (meta.isEmpty && fs(spark, buildingMarker(dir)).exists(buildingMarker(dir)))
+      throw new IllegalStateException(
+        s"BM25 index at $dir has a _graft_building marker but no layout meta: a build " +
+          "crashed between its data writes and the meta write, so the on-disk bucket " +
+          "widths are unknown (they are corpus-derived since r16) and the legacy-width " +
+          "fallback would silently mis-prune. Rebuild with SearchIndex.build.")
+    meta
+  }
 
   /** Fail-fast width resolution (r15, VERDICT r14 #1): the stored value
     * wins; an EXPLICIT caller value that disagrees throws — it would prune
@@ -297,12 +314,19 @@ object SearchIndex {
             idCol: String = "doc_id", textCol: String = "text",
             docBuckets: Int = 0): Unit =
     IndexLock.withLock(docs.sparkSession, dir) {
+      val spark = docs.sparkSession
       require(buckets >= 0, s"buckets must be non-negative, got $buckets")
-      repairFoldSwap(docs.sparkSession, dir)
+      repairFoldSwap(spark, dir)
+      // marker BEFORE the data, cleared AFTER the meta (r16 self-review):
+      // the widths are corpus-derived now, so a crash between the data
+      // writes and the meta must read as an explicit rebuild-me error —
+      // not fall back to the legacy constant and silently mis-prune
+      // (readMeta throws on marker-without-meta)
+      val bm = buildingMarker(dir)
+      fs(spark, bm).create(bm, true).close()
       val (b, db) = writeIndex(docs, dir, buckets, docBuckets, "overwrite", idCol, textCol)
-      // meta AFTER the data (a crash mid-build leaves a meta-less partial
-      // index, handled by the conservative legacy path everywhere)
-      writeMeta(docs.sparkSession, dir, Meta(b, db, forwardComplete = true))
+      writeMeta(spark, dir, Meta(b, db, forwardComplete = true))
+      fs(spark, bm).delete(bm, false): Unit
       // a REBUILD resets the index completely (the overwrite already
       // replaced df/stats wholesale, negative parts included): stale
       // tombstones must not keep suppressing the fresh corpus

@@ -40,25 +40,14 @@ object Bm25CompactDissect {
     val scans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       import org.apache.spark.sql.execution._
-      import org.apache.spark.sql.execution.adaptive._
-      def walk(p: SparkPlan, out: StringBuilder): Unit = {
-        p match {
-          case s: FileSourceScanExec =>
-            val path = s.relation.location.rootPaths.headOption.map(_.toString).getOrElse("?")
-            val files = s.metrics.get("numFiles").map(_.value).getOrElse(-1L)
-            val bytes = s.metrics.get("filesSize").map(_.value).getOrElse(-1L)
-            out.append(f"    scan $path files=$files size=${bytes / 1e6}%.2fMB\n"): Unit
-          case a: AdaptiveSparkPlanExec => walk(a.executedPlan, out)
-          case q: QueryStageExec => walk(q.plan, out)
-          case r: ReusedSubqueryExec => walk(r.child, out)
-          case _ => ()
-        }
-        p.children.foreach(walk(_, out))
-        p.subqueries.foreach(walk(_, out))
-      }
       override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit = {
         val sb = new StringBuilder
-        walk(qe.executedPlan, sb)
+        ProbeMetrics.walkScans(qe.executedPlan) { s =>
+          val path = s.relation.location.rootPaths.headOption.map(_.toString).getOrElse("?")
+          val files = s.metrics.get("numFiles").map(_.value).getOrElse(-1L)
+          val bytes = s.metrics.get("filesSize").map(_.value).getOrElse(-1L)
+          sb.append(f"    scan $path files=$files size=${bytes / 1e6}%.2fMB\n"): Unit
+        }
         if (sb.nonEmpty) scans.add(s"-- $fn:\n$sb"): Unit
       }
       override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()

@@ -56,25 +56,39 @@ object ProbeMetrics {
     * Bm25CompactDissect r16) — this counter sees only what the plans
     * selected from disk. Register before the work, read after; `drain`
     * waits for straggling onSuccess callbacks. */
-  final class ScanBytes(spark: org.apache.spark.sql.SparkSession) {
+  /** Walk an EXECUTED physical plan, calling `onScan` once per
+    * [[org.apache.spark.sql.execution.FileSourceScanExec]] — AQE- and
+    * subquery-aware, shared by [[ScanBytes]] and the dissect tooling so
+    * the walk semantics cannot drift between them (r16 self-review).
+    * `ReusedSubqueryExec` is deliberately NOT descended: it re-reads a
+    * subquery result that already executed (and was already counted) at
+    * its original site — descending would double-count its scans. */
+  def walkScans(p: org.apache.spark.sql.execution.SparkPlan)(
+      onScan: org.apache.spark.sql.execution.FileSourceScanExec => Unit): Unit = {
     import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.adaptive._
-    private val acc = new java.util.concurrent.atomic.AtomicLong
-    private def walk(p: SparkPlan): Unit = {
-      p match {
-        case s: FileSourceScanExec =>
-          acc.addAndGet(s.metrics.get("filesSize").map(_.value).getOrElse(0L)): Unit
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case q: QueryStageExec => walk(q.plan)
-        case r: ReusedSubqueryExec => walk(r.child)
-        case _ => ()
-      }
-      p.children.foreach(walk)
-      p.subqueries.foreach(walk)
+    p match {
+      case s: FileSourceScanExec => onScan(s)
+      case a: AdaptiveSparkPlanExec => walkScans(a.executedPlan)(onScan)
+      case q: QueryStageExec => walkScans(q.plan)(onScan)
+      case _: ReusedSubqueryExec => ()
+      case _ => ()
     }
+    p match {
+      case _: ReusedSubqueryExec => ()
+      case _ =>
+        p.children.foreach(walkScans(_)(onScan))
+        p.subqueries.foreach(walkScans(_)(onScan))
+    }
+  }
+
+  final class ScanBytes(spark: org.apache.spark.sql.SparkSession) {
+    import org.apache.spark.sql.execution._
+    private val acc = new java.util.concurrent.atomic.AtomicLong
     private val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit =
-        walk(qe.executedPlan)
+        walkScans(qe.executedPlan)(s =>
+          acc.addAndGet(s.metrics.get("filesSize").map(_.value).getOrElse(0L)): Unit)
       override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)

@@ -40,11 +40,20 @@ class BenchGateSpec extends AnyFunSuite {
     assert(classify(4.0, Some(2.0), None, None) == Flag.Regressed)
   }
 
-  test("bytes gate needs BOTH >10% ratio and >1 MiB absolute") {
+  test("bytes gate needs BOTH >10% deviation and >1 MiB absolute") {
     // broadcast-only micro-query: bytes near zero, 3x ratio but <1 MiB
     assert(!Bench.bytesMoved(300 * 1024, 100 * 1024))
     // large absolute move under 10% ratio: flat (AQE jitter band)
     assert(!Bench.bytesMoved(105 * MiB, 100 * MiB))
     assert(Bench.bytesMoved(120 * MiB, 100 * MiB))
+  }
+
+  test("a shuffle-for-recompute trade (bytes DROP, wall up) classifies Regressed") {
+    // e.g. a join flipped to broadcast nested loop: wall 0.9 -> 4.5 s,
+    // shuffle 50 MB -> ~0 — a bytes drop is a plan change, not drift
+    assert(Bench.bytesMoved(0, 50 * MiB))
+    assert(classify(4.5, Some(0.9), Some(0L), Some(50 * MiB)) == Flag.Regressed)
+    // within the band in the downward direction stays flat
+    assert(!Bench.bytesMoved(95 * MiB, 100 * MiB))
   }
 }

@@ -489,6 +489,26 @@ class SearchIndexSpec extends SparkSpec {
     }: Unit
   }
 
+  test("a build crashed before its meta write fails loudly instead of mis-pruning at the legacy width") {
+    // since r16 the token width is corpus-derived, so a meta-less index
+    // WITH the in-progress marker means the on-disk widths are unknown —
+    // the legacy-64 fallback would silently probe the wrong directories
+    val docs = graft.Tables(spark, sf("sf0.01")).documents.limit(60).localCheckpoint(true)
+    val dir = Files.createTempDirectory("searchidx-crashbuild").toString
+    SearchIndex.build(docs, dir)
+    // simulate the crash window: marker present, meta gone
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/_graft_building"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_graft_meta.json"))
+    val e = intercept[IllegalStateException] {
+      SearchIndex.query(spark, dir, Seq("data"), k = 5)
+    }
+    assert(e.getMessage.contains("Rebuild"))
+    // a fresh build repairs the state (marker cleared, meta back)
+    SearchIndex.build(docs, dir)
+    assert(!new java.io.File(s"$dir/_graft_building").exists())
+    assert(rows(SearchIndex.query(spark, dir, Seq("data"), k = 5)).nonEmpty)
+  }
+
   test("fold-swap crash window: readers fall back to the backup, mutators repair it") {
     val docs = graft.Tables(spark, sf("sf0.01")).documents.limit(80).localCheckpoint(true)
     val dir = Files.createTempDirectory("searchidx-foldcrash").toString
