@@ -41,18 +41,39 @@ object Bench {
     (bytes > base * 1.10 || bytes < base * 0.90) &&
       math.abs(bytes - base) > (1L << 20)
 
+  /** Documented AQE plan bimodality (DEDUPSCALE5_r16, VERDICT r16 #3):
+    * queries whose plan flips run-to-run between two recorded byte
+    * regimes. The committed [[baselineShuffle]] median is ONE mode; the
+    * values here are the OTHER observed mode(s). A wall flag whose bytes
+    * land within the 10% band of a recorded alternate mode is the same
+    * documented plan re-chosen by AQE, not new work — it must classify
+    * DriftSuspect (rerun), not Regressed (page). dedup_ngram: the
+    * recount/meta leg flips broadcast-vs-shuffle at sf0.1 — 8.48 MB
+    * (BENCH_LOCAL_r16_run1) vs the committed 16.57 MB large-plan median
+    * (runs 2–3). Entries here require a DEDUPSCALE5/TRIAGE note naming
+    * the flipping leg; an unexplained second mode is a plan bug, not a
+    * gate annotation. */
+  val bimodalShuffle: Map[String, Seq[Long]] = Map(
+    "dedup_ngram" -> Seq(8475842L))
+
   /** Pure decision function (spec-pinned in BenchGateSpec): a deliberate
     * plan change (wall AND bytes up) classifies Regressed; a noisy rerun
     * (wall up, bytes flat) classifies DriftSuspect and is rerun, not
-    * paged. Missing bytes on either side cannot exonerate — Regressed. */
+    * paged. Missing bytes on either side cannot exonerate — Regressed.
+    * `altBytes` carries [[bimodalShuffle]]'s alternate plan modes: bytes
+    * flat vs the baseline OR vs any recorded alternate mode count as
+    * "same plan". */
   def classify(wall: Double, baseWall: Option[Double],
-               bytes: Option[Long], baseBytes: Option[Long]): Flag =
+               bytes: Option[Long], baseBytes: Option[Long],
+               altBytes: Seq[Long] = Nil): Flag =
     baseWall match {
       case None => Flag.Clean
       case Some(bw) if !wallMoved(wall, bw) => Flag.Clean
       case Some(_) =>
         (bytes, baseBytes) match {
-          case (Some(b), Some(bb)) if !bytesMoved(b, bb) => Flag.DriftSuspect
+          case (Some(b), Some(bb))
+            if !bytesMoved(b, bb) || altBytes.exists(a => !bytesMoved(b, a)) =>
+            Flag.DriftSuspect
           case _ => Flag.Regressed
         }
     }
@@ -369,7 +390,7 @@ object Bench {
     def flagOf(k: String, v: Double): Flag =
       if (noRerun) Flag.Clean
       else classify(v, baselinePrev.get(k), shuffleByQuery.get(k),
-        baselineShuffle.get(k))
+        baselineShuffle.get(k), bimodalShuffle.getOrElse(k, Nil))
     def regressed(k: String, v: Double): Boolean = flagOf(k, v) != Flag.Clean
     // Re-measure any flagged outlier up to TWICE and keep the min: a
     // transient burst of contention on the bench box (observed in the

@@ -76,6 +76,11 @@ object Bpe {
     // materialization per K merges (the frame is vocabulary-sized).
     val CheckpointEvery = 16
     var sinceCheckpoint = 0
+    // previous checkpoint's blocks are released once the next one
+    // materializes (ADVICE r16): without the unpersist, a real run
+    // (R ~ 30k) pins ~R/16 vocabulary-sized block sets for the job's
+    // lifetime
+    var prevCheckpoint: Option[org.apache.spark.sql.DataFrame] = None
     while (r < merges && !exhausted) {
       val syms = split(col("w").substr(lit(2), length(col("w")) - 2), S + S)
       val best = w.select(explode(
@@ -96,11 +101,14 @@ object Bpe {
         w = w.select(regexp_replace(col("w"), pat, rep).as("w"), col("cnt"))
         sinceCheckpoint += 1
         if (sinceCheckpoint >= CheckpointEvery && r < merges) {
-          w = w.localCheckpoint(true)
+          w = w.localCheckpoint(true) // eager: materialized before the old blocks go
+          prevCheckpoint.foreach(_.unpersist(): Unit)
+          prevCheckpoint = Some(w)
           sinceCheckpoint = 0
         }
       }
     }
+    prevCheckpoint.foreach(_.unpersist(): Unit)
     wf.unpersist()
     learned.toSeq.toDF("merge_rank", "lsym", "rsym", "pair_count")
   }
@@ -161,6 +169,11 @@ object Bpe {
          |      chr(1)||(SELECT lsym FROM b$i)||(SELECT rsym FROM b$i)||chr(1)) END AS w
          |  FROM enc${i - 1})""".stripMargin
     }.mkString(",\n")
+    // merges = 0 → no round CTEs: the chain is just enc0 and the final
+    // SELECT reads it directly (no dangling comma).
+    val encChain =
+      if (merges == 0) "enc0 AS (\n  SELECT doc_id, dw AS w FROM tokstream)"
+      else s"enc0 AS (\n  SELECT doc_id, dw AS w FROM tokstream),\n$encCtes"
     s"""$trainCtes,
        |tokstream AS (
        |  SELECT doc_id, tok,
@@ -171,13 +184,12 @@ object Bpe {
        |        FROM documents)
        |  WHERE length(tok) > 0
        |    AND NOT contains(tok, chr(1)) AND NOT contains(tok, chr(2))),
-       |enc AS (
-       |  SELECT doc_id, $applied AS w FROM tokstream)
+       |$encChain
        |SELECT doc_id, count(*)::BIGINT AS n_words,
        |  sum(len(string_split(substring(w, 2, length(w) - 2), chr(1)||chr(1))))::BIGINT AS n_pieces,
        |  round(sum(len(string_split(substring(w, 2, length(w) - 2), chr(1)||chr(1))))::DOUBLE
        |    / count(*), 4) AS fertility
-       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM enc$merges GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB-dialect oracle for [[trainMerges]]: the same rounds unrolled as

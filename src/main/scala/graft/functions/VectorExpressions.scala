@@ -191,12 +191,34 @@ object GraftFunctions {
     * that is a multi-GB plan tree re-shipped per task; the broadcast ships
     * once per executor. The SQL-registered `graft_bloom_contains` literal
     * form remains for SQL text, where a broadcast cannot appear. */
+  /** Broadcast cache for [[bloomContains]] (ADVICE r16): a fresh
+    * `sc.broadcast` per call accumulates broadcast blocks across a
+    * long-lived session (streaming ingest probes the same registry filter
+    * every micro-batch; at the ~1.2 GB registry scale that exhausts
+    * storage memory). Keyed by the filter byte-array IDENTITY (arrays
+    * compare by reference in a WeakHashMap), so the same loaded filter
+    * broadcasts once; WEAK keys mean a caller dropping its filter bytes
+    * releases the entry, and the unreferenced Broadcast is then destroyed
+    * by Spark's ContextCleaner. A cached entry from a stopped context
+    * (test sessions) is re-broadcast, not served stale. */
+  private val bloomBcastCache =
+    new java.util.WeakHashMap[Array[Byte],
+      (org.apache.spark.SparkContext, org.apache.spark.broadcast.Broadcast[Array[Byte]])]()
+
   def bloomContains(probe: Column, bloomBytes: Array[Byte]): Column = {
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val bc = bloomBcastCache.synchronized {
+      bloomBcastCache.get(bloomBytes) match {
+        case (`sc`, cached) if !sc.isStopped => cached
+        case _ =>
+          val fresh = sc.broadcast(bloomBytes)
+          bloomBcastCache.put(bloomBytes, (sc, fresh))
+          fresh
+      }
+    }
     org.apache.spark.sql.graft.GraftBridge.column(
       BloomMightContainBcast(
-        org.apache.spark.sql.graft.GraftBridge.expression(probe),
-        sc.broadcast(bloomBytes)))
+        org.apache.spark.sql.graft.GraftBridge.expression(probe), bc))
   }
   def cardRedactFast(text: Column): Column = call_function("graft_card_redact", text)
 

@@ -36,14 +36,36 @@ import org.apache.spark.sql.functions._
   * the harder case for the window/sessionize family (denser per-day
   * partitions) than stretching the calendar would be.
   *
-  * Usage: ScaleUp <outDir> [replicas=10] [inDir=/root/testdata/sf0.1]
+  * Document-vocabulary modes (r17, VERDICT r16 #5):
+  *
+  *  - `unique` (default, the r14–r16 generator): replica r's mutated word
+  *    forms carry the replica id (`wq3`), so every replica mints its own
+  *    vocabulary — vocab grows LINEARLY with corpus size. Real corpora
+  *    don't do that (Heaps' law: vocab ∝ tokens^β, β≈0.4–0.6), and the
+  *    linear-vocab regime keeps the df-capped inverted-index candidate
+  *    mass in its transition region forever: every sub-cap shingle's df
+  *    keeps growing, so Σ min(df,cap)² reads ~1.5 exponents that say
+  *    nothing about the plateau.
+  *  - `heaps`: the mutated form's suffix is drawn from a SHARED pool of
+  *    P = ceil(3·√replicas) variants per base word (deterministic per
+  *    (word, position, replica)); across R replicas a base word
+  *    accumulates ~min(R, P) distinct forms, so vocab ∝ √corpus — the
+  *    Heaps β≈0.5 regime. Cross-replica doc similarity stays far below
+  *    every dedup threshold: per word, two replicas agree w.p.
+  *    (2/3)² + (1/3)²/P < 0.46, so a 5-gram survives between replicas
+  *    w.p. < 0.46^5 ≈ 0.02 (vs 0.13 for an INTACT shingle in both modes —
+  *    the near-dup workload character is unchanged; ScaleUpSpec pins the
+  *    vocab exponent and the cross-replica Jaccard ceiling).
+  *
+  * Usage: ScaleUp <outDir> [replicas=10] [inDir=/root/testdata/sf0.1] [docMode=unique|heaps]
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleUp <outDir> [replicas] [inDir]")
+    require(args.nonEmpty, "usage: ScaleUp <outDir> [replicas] [inDir] [docMode]")
     val outDir   = args(0)
     val replicas = if (args.length > 1) args(1).toInt else 10
     val inDir    = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val docMode  = if (args.length > 3) args(3) else "unique"
     val cpus     = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -53,11 +75,14 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, inDir, outDir, replicas)
+    run(spark, inDir, outDir, replicas, docMode)
     spark.stop()
   }
 
-  def run(spark: SparkSession, inDir: String, outDir: String, replicas: Int): Unit = {
+  def run(spark: SparkSession, inDir: String, outDir: String, replicas: Int,
+          docMode: String = "unique"): Unit = {
+    require(docMode == "unique" || docMode == "heaps",
+      s"docMode must be 'unique' or 'heaps', got '$docMode'")
     def t(name: String): DataFrame = spark.read.parquet(s"$inDir/$name.parquet")
 
     /** Cross-join each row with replica ids 0..replicas-1 (a broadcast-tiny
@@ -98,6 +123,15 @@ object ScaleUp {
     // documents: key shift + per-replica word mutation (see scaladoc); the
     // mutation is a compiled-expression pipeline (no interpreted lambda on
     // the doc-sized axis beyond the one transform over the word array).
+    // the mutated form: per-replica-unique suffix (linear vocab) or a
+    // pooled suffix (Heaps β≈0.5 vocab — pool size ∝ √replicas). 'q' vs
+    // 'h' marker keeps the two generators' vocabularies disjoint so a
+    // mixed-mode dataset can never alias forms across modes.
+    val pool = math.max(1, math.ceil(3.0 * math.sqrt(replicas.toDouble)).toInt)
+    def mutatedForm(r: String): String =
+      if (docMode == "heaps")
+        s"concat(w, 'h', CAST(pmod(hash(w, i, $r, 7), $pool) AS STRING))"
+      else s"concat(w, 'q', CAST($r AS STRING))"
     write(replicate(t("documents")) { (df, r) =>
       shiftKey("doc_id", r)(df)
         .withColumn("text", expr(
@@ -106,7 +140,7 @@ object ScaleUp {
              |     zip_with(split(text, ' '),
              |              sequence(0, size(split(text, ' ')) - 1),
              |              (w, i) -> IF(pmod(hash(w, i, $r), 3) = 0,
-             |                           concat(w, 'q', CAST($r AS STRING)), w)),
+             |                           ${mutatedForm(r)}, w)),
              |     ' '))""".stripMargin))
         .withColumn("n_chars", length(col("text")))
     }, "documents", 8)

@@ -48,6 +48,29 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.bytesMoved(120 * MiB, 100 * MiB))
   }
 
+  test("documented AQE bimodality: wall flag on the alternate plan mode is DriftSuspect") {
+    // DEDUPSCALE5_r16 / VERDICT r16 #3: dedup_ngram flips between a
+    // 8.48 MB and a 16.57 MB plan; the committed baseline is the large
+    // mode. A wall flag landing on the SMALL plan reads bytes ~49% below
+    // baseline — without the bimodality note that is a Regressed page on
+    // pure AQE noise; with it, DriftSuspect (rerun).
+    val alt = Bench.bimodalShuffle("dedup_ngram")
+    assert(classify(6.0, Some(3.268), Some(8475842L), Some(16570504L), alt)
+      == Flag.DriftSuspect)
+    // within the 10% band of the alternate mode still counts
+    assert(classify(6.0, Some(3.268), Some(9000000L), Some(16570504L), alt)
+      == Flag.DriftSuspect)
+    // bytes matching NEITHER mode remain Regressed — the note never
+    // blankets the query
+    assert(classify(6.0, Some(3.268), Some(33000000L), Some(16570504L), alt)
+      == Flag.Regressed)
+    assert(classify(6.0, Some(3.268), Some(2000000L), Some(16570504L), alt)
+      == Flag.Regressed)
+    // and a query with no note behaves exactly as before (default arg)
+    assert(classify(6.0, Some(3.268), Some(8475842L), Some(16570504L))
+      == Flag.Regressed)
+  }
+
   test("a shuffle-for-recompute trade (bytes DROP, wall up) classifies Regressed") {
     // e.g. a join flipped to broadcast nested loop: wall 0.9 -> 4.5 s,
     // shuffle 50 MB -> ~0 — a bytes drop is a plan change, not drift

@@ -509,6 +509,46 @@ class SearchIndexSpec extends SparkSpec {
     assert(rows(SearchIndex.query(spark, dir, Seq("data"), k = 5)).nonEmpty)
   }
 
+  test("building marker beside a PRIOR build's meta does not throw — meta wins") {
+    // the other half of the crash window (VERDICT r16 #3): a marker left
+    // by a crashed REbuild over a healthy index coexists with the prior
+    // build's meta. readMeta only escalates marker-WITHOUT-meta (widths
+    // unknown); with meta present the stored widths are authoritative and
+    // serving must continue.
+    val docs = graft.Tables(spark, sf("sf0.01")).documents.limit(60).localCheckpoint(true)
+    val dir = Files.createTempDirectory("searchidx-markermeta").toString
+    SearchIndex.build(docs, dir)
+    val want = rows(SearchIndex.query(spark, dir, Seq("data"), k = 5))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/_graft_building"))
+    assert(rows(SearchIndex.query(spark, dir, Seq("data"), k = 5)) == want,
+      "marker + meta present must serve from the stored meta, not throw")
+    // and the next successful build clears the stale marker
+    SearchIndex.build(docs, dir)
+    assert(!new java.io.File(s"$dir/_graft_building").exists())
+  }
+
+  test("a FAILED build leaves the marker on disk — the explicit-error contract") {
+    // the marker's whole point: any build that dies between marker
+    // creation and the meta write must leave the marker behind so the
+    // next reader gets the explicit rebuild-me error instead of the
+    // silent legacy-width fallback
+    val docs = graft.Tables(spark, sf("sf0.01")).documents.limit(60).localCheckpoint(true)
+    val dir = Files.createTempDirectory("searchidx-failedbuild").toString
+    intercept[Exception] {
+      SearchIndex.build(docs, dir, idCol = "no_such_column")
+    }: Unit
+    assert(new java.io.File(s"$dir/_graft_building").exists(),
+      "failed build must leave the in-progress marker")
+    val e = intercept[IllegalStateException] {
+      SearchIndex.query(spark, dir, Seq("data"), k = 5)
+    }
+    assert(e.getMessage.contains("Rebuild"))
+    // recovery path: a clean rebuild clears the marker and serves
+    SearchIndex.build(docs, dir)
+    assert(!new java.io.File(s"$dir/_graft_building").exists())
+    assert(rows(SearchIndex.query(spark, dir, Seq("data"), k = 5)).nonEmpty)
+  }
+
   test("fold-swap crash window: readers fall back to the backup, mutators repair it") {
     val docs = graft.Tables(spark, sf("sf0.01")).documents.limit(80).localCheckpoint(true)
     val dir = Files.createTempDirectory("searchidx-foldcrash").toString

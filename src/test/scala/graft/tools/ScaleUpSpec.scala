@@ -91,6 +91,51 @@ class ScaleUpSpec extends SparkSpec {
     assert(stats.getDouble(2) == 0.0, s"norm delta ${stats.getDouble(2)}")
   }
 
+  test("heaps docMode: vocab grows ~sqrt(corpus) while unique mode grows ~linear") {
+    // VERDICT r16 #5: the inverted-index scale claim ("plateau mass ∝
+    // |vocab|, sublinear in tokens") needs a generator whose vocabulary
+    // actually follows Heaps' law. Pin the two modes' measured vocab
+    // exponents apart: unique ≈ 1, heaps ≈ 0.5.
+    def vocabOf(dir: String): Long = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).select("w").distinct().count()
+    def gen(replicas: Int, mode: String): String = {
+      val dir = Files.createTempDirectory(s"scaleup-$mode-$replicas").toString
+      ScaleUp.run(spark, sf("sf0.001"), dir, replicas, mode)
+      dir
+    }
+    val hLo = vocabOf(gen(4, "heaps")); val hHi = vocabOf(gen(16, "heaps"))
+    val uLo = vocabOf(gen(4, "unique")); val uHi = vocabOf(gen(16, "unique"))
+    val expH = math.log(hHi.toDouble / hLo) / math.log(4.0)
+    val expU = math.log(uHi.toDouble / uLo) / math.log(4.0)
+    assert(expH > 0.25 && expH < 0.75, s"heaps vocab exponent $expH ($hLo -> $hHi)")
+    assert(expU > 0.85, s"unique vocab exponent $expU ($uLo -> $uHi)")
+    assert(expH < expU - 0.2, s"heaps ($expH) must be clearly below unique ($expU)")
+  }
+
+  test("heaps docMode keeps the cross-replica near-dup residual contract") {
+    // shared suffix pool must NOT alias replicas into near-duplicates:
+    // per word two replicas agree w.p. (2/3)^2 + (1/3)^2/P < 0.46, so the
+    // fraction of cross-replica pairs crossing the 0.6 dedup threshold
+    // stays residual exactly like unique mode
+    val dir = Files.createTempDirectory("scaleup-heapsdup").toString
+    ScaleUp.run(spark, sf("sf0.001"), dir, replicas = 3, docMode = "heaps")
+    val sh = spark.read.parquet(s"$dir/documents.parquet")
+      .select((col("doc_id") % 1000000000L).as("base_id"),
+        expr("doc_id div 1000000000").as("rep"),
+        graft.analytics.Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.filter(col("rep") === 0).select(col("base_id"), col("sh").as("sa"))
+    val b = sh.filter(col("rep") === 1).select(col("base_id"), col("sh").as("sb"))
+    val jac = a.join(b, "base_id")
+      .select((size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb")))).as("j"))
+      .agg(avg(col("j")).as("avg_j"),
+        avg(when(col("j") >= 0.6, 1.0).otherwise(0.0)).as("frac_dup")).head()
+    assert(jac.getDouble(0) < 0.25, s"avg cross-replica jaccard ${jac.getDouble(0)}")
+    assert(jac.getDouble(1) < 0.02, s"frac j>=0.6 ${jac.getDouble(1)}")
+  }
+
   test("events keep their time range: denser days, not a longer calendar") {
     val orig = o("events").agg(min(col("ts")), max(col("ts"))).head()
     val scaled = t("events").agg(min(col("ts")), max(col("ts"))).head()

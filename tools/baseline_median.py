@@ -38,8 +38,14 @@ out = {
 }
 shuf = [j.get("shuffle_write", {}) for j in full]
 if all(shuf):
+    # loud key-set check, same contract as the wall medians (ADVICE r16):
+    # a missing key must fail the fold, not default to 0
+    missing = {k for k in inter for s in shuf if k not in s}
+    if missing:
+        sys.exit(f"shuffle_write key sets differ across runs; "
+                 f"missing somewhere: {sorted(missing)}")
     out["shuffle_write"] = {
-        k: int(statistics.median([s.get(k, 0) for s in shuf]))
+        k: int(statistics.median([s[k] for s in shuf]))
         for k in sorted(inter)
     }
 print(json.dumps(out, indent=1))

@@ -33,7 +33,15 @@ print(f"// {len(entries)} queries, median total {total:.1f} s", file=sys.stderr)
 
 shuf = [j.get("shuffle_write", {}) for j in full]
 if all(shuf):
-    sentries = [(k, int(statistics.median([s.get(k, 0) for s in shuf])))
+    # same loud key-set check as the wall medians (ADVICE r16): a key
+    # missing from one run's shuffle map must not silently contribute 0
+    # to the median — that deflates the bytes baseline and makes future
+    # clean runs classify Regressed
+    missing = {k for k in keys for s in shuf if k not in s}
+    if missing:
+        sys.exit(f"shuffle_write key sets differ across runs; "
+                 f"missing somewhere: {sorted(missing)}")
+    sentries = [(k, int(statistics.median([s[k] for s in shuf])))
                 for k in keys]
     out = []
     for i in range(0, len(sentries), 2):

@@ -60,3 +60,28 @@ for q in queries:
         d = e13 - e01
         flag = " **(curved)**" if d > 0.15 else ""
         print(f"| {q} | {e01:.2f} | {e13:.2f} | {d:+.2f}{flag} |")
+
+# Bytes-median exponents (the r16 certification method, DEDUPSCALE5_r16):
+# wall CIs on this host are +-11..126%; the shuffle-bytes medians spread
+# <=3-5% pass-to-pass, so the exponent of the BYTES curve is the
+# certifiable one. Legs may be a heaps-vocabulary dataset (r17) -- the
+# leg-name -> size ratios below only assume the sf1 leg is 10x and the
+# sf3 leg is 3x the sf1 leg, whatever the generator mode.
+bmed = {}
+for q in queries:
+    for leg in legs:
+        if leg not in data:
+            continue
+        sb = sorted(r[1].get(q, 0) for r in data[leg] if q in r[0])
+        if sb and sb[-1] > 0:
+            bmed[(q, leg)] = statistics.median(sb)
+print()
+print("| query | bytes MB sf0.1 / sf1 / sf3 | bytes exp 0.1->1 | bytes exp 1->3 |")
+print("|---|---|---|---|")
+for q in queries:
+    if all((q, leg) in bmed for leg in legs):
+        b0, b1, b3 = (bmed[(q, leg)] for leg in legs)
+        e01 = math.log10(b1 / b0)
+        e13 = math.log(b3 / b1) / math.log(3)
+        print(f"| {q} | {b0/1e6:.2f} / {b1/1e6:.2f} / {b3/1e6:.2f} | "
+              f"{e01:.2f} | {e13:.2f} |")
