@@ -50,11 +50,21 @@ object Bench {
     * DriftSuspect (rerun), not Regressed (page). dedup_ngram: the
     * recount/meta leg flips broadcast-vs-shuffle at sf0.1 — 8.48 MB
     * (BENCH_LOCAL_r16_run1) vs the committed 16.57 MB large-plan median
-    * (runs 2–3). Entries here require a DEDUPSCALE5/TRIAGE note naming
-    * the flipping leg; an unexplained second mode is a plan bug, not a
-    * gate annotation. */
+    * (runs 2–3). The r17 heaps protocol's sf0.1 leg caught the SAME flip
+    * on the other pair-leg sharers — dedup_cc_keepers 9.22 MB (p3) and
+    * dedup_cc_star 9.24 MB (p1) vs their ~17.6 MB large-plan mode
+    * (DEDUPSCALE5_r17 §4; the family shares one pair leg within 0.4%
+    * bytes, so the flip is one plan choice, not three) — recorded at the
+    * small-plan bytes observed there (local-cluster and local[8] modes
+    * sit within the 10% band of each other: 9.07 vs 8.48 MB on ngram).
+    * dedup_closure has never been observed to flip; it gets an entry
+    * only when a run shows one. Entries here require a DEDUPSCALE5/
+    * TRIAGE note naming the flipping leg; an unexplained second mode is
+    * a plan bug, not a gate annotation. */
   val bimodalShuffle: Map[String, Seq[Long]] = Map(
-    "dedup_ngram" -> Seq(8475842L))
+    "dedup_ngram" -> Seq(8475842L),
+    "dedup_cc_keepers" -> Seq(9219897L),
+    "dedup_cc_star" -> Seq(9240477L))
 
   /** Pure decision function (spec-pinned in BenchGateSpec): a deliberate
     * plan change (wall AND bytes up) classifies Regressed; a noisy rerun

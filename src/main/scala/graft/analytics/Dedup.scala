@@ -72,18 +72,32 @@ object Dedup {
     * near-dup pairs share ≥minJaccard of their (many) shingles, so this
     * needs every distinctive trigram of the pair to be corpus-hot
     * (measured max-over-true-pairs of min shared df: 3 at sf0.01, 10 at
-    * sf0.1, ~115 at sf3 under ScaleUp's 3.7×-per-10× df growth — under the
-    * ceiling at every verified scale, and the sampled sf1 completeness
-    * check re-validates it per round); the exact-Jaccard recount restores
-    * precision for all surviving candidates. */
+    * sf0.1; the sampled sf1 completeness check re-validates per round);
+    * the exact-Jaccard recount restores precision for all surviving
+    * candidates. */
   def dfCapFor(nDocs: Long): Int =
     math.min(math.max(20L, nDocs / 100L), DfCapCeiling.toLong).toInt
 
   /** Absolute ceiling of [[dfCapFor]] — the knob that keeps candidate mass
-    * linear in corpus size (see scaladoc there). Callers with corpora whose
-    * true duplicates genuinely share only hot shingles can pass a larger
-    * explicit `maxDf`. */
-  val DfCapCeiling = 256
+    * linear in corpus size (see scaladoc there). 256 → 64 in r17
+    * (VERDICT r16 #5, DEDUPSCALE5_r17): under the Heaps-vocabulary scale
+    * corpus the capped mass Σ min(df,cap)² reads a 1.63–1.70 sf1→sf3
+    * exponent at ceiling 256 — the plateau never engages at reachable
+    * test scales because sub-cap head dfs keep growing ∝ corpus — while
+    * ceiling 64 measures 0.95 (≈ the Zipf-head asymptote: #shingles at
+    * cap ∝ n, mass ∝ n·cap²·const). Measured recall cost at 64: 0.00% of
+    * true (j≥0.6) pairs at sf1h, −2.77% at sf3h — and every lost pair is
+    * a pair whose EVERY shared trigram is corpus-hot (boilerplate-only
+    * overlap; ScaleUp replication inflates these dfs linearly, so the
+    * test-corpus delta is an upper bound for a real Heaps corpus whose
+    * rare distinctive content does not recur). The df-independent
+    * MinHash-LSH leg ([[minhashLshPairs]]) recovers 70.6% of the sf3h
+    * lost pairs (163/231, tools.CapRecallProbe — the remainder sit on the
+    * banding S-curve near the 0.6 threshold), so the union-of-legs loss
+    * is 0.81% at sf3h and 0.00% at sf1h (DEDUPSCALE5_r17). Callers with
+    * corpora whose true duplicates genuinely share only hot shingles can
+    * pass a larger explicit `maxDf`. */
+  val DfCapCeiling = 64
 
   /** Candidate pairs sharing ≥1 shingle (inverted index), with exact Jaccard
     * verified on the full shingle sets; returns pairs with

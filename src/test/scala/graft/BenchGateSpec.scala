@@ -69,6 +69,13 @@ class BenchGateSpec extends AnyFunSuite {
     // and a query with no note behaves exactly as before (default arg)
     assert(classify(6.0, Some(3.268), Some(8475842L), Some(16570504L))
       == Flag.Regressed)
+    // r17: the pair-leg sharers flip the SAME plan (DEDUPSCALE5_r17 §4
+    // caught dedup_cc_keepers at 9.22 MB and dedup_cc_star at 9.24 MB) —
+    // a wall flag on their small-plan mode must also rerun, not page
+    assert(classify(8.0, Some(3.821), Some(9219897L), Some(16697842L),
+      Bench.bimodalShuffle("dedup_cc_keepers")) == Flag.DriftSuspect)
+    assert(classify(8.0, Some(4.093), Some(9240477L), Some(16723109L),
+      Bench.bimodalShuffle("dedup_cc_star")) == Flag.DriftSuspect)
   }
 
   test("a shuffle-for-recompute trade (bytes DROP, wall up) classifies Regressed") {
