@@ -133,13 +133,20 @@ object Bpe {
         java.util.regex.Pattern.quote(S + l + S + S + r + S),
         java.util.regex.Matcher.quoteReplacement(S + l + r + S))
     }
-    val toks = filter(TextAnalysis.tokens(col(textCol)),
+    // tokenize+screen once per doc (r17): `toks` is referenced twice in
+    // the stats projection (the pieces fold and n_words) — a single-select
+    // form instantiates the tokenizer/filter chain twice per row; the
+    // referenced-twice non-cheap alias survives CollapseProject, so the
+    // two-step select runs it once.
+    val toks0 = filter(TextAnalysis.tokens(col(textCol)),
       t => length(t) > 0 && !t.contains(S) && !t.contains(P))
+    val toks = col("__toks")
     val pieces = transform(toks, t => {
       val w = applyMerges(delimit(t))
       size(split(w.substr(lit(2), length(w) - 2), S + S)).cast("long")
     })
-    docs.select(col(idCol).as("doc_id"),
+    docs.select(col(idCol).as("doc_id"), toks0.as("__toks"))
+      .select(col("doc_id"),
         size(toks).cast("long").as("n_words"),
         aggregate(pieces, lit(0L), (acc, x) => acc + x).as("n_pieces"))
       .filter(col("n_words") > 0)

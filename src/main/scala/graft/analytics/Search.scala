@@ -81,11 +81,19 @@ object Search {
     // tokenization makes dotted terms ordinary input, not an edge case
     def tfCol(t: String): Column = col("`tf_" + t.replace("`", "``") + "`")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // tokenize ONCE per doc (r17): `toks` is referenced |terms|+1 times
+    // below — as a single-select form each reference instantiates the
+    // tokenizer expression, i.e. |terms|+1 regex passes per row. A
+    // referenced-twice non-cheap alias survives CollapseProject, so the
+    // two-step select evaluates the tokenizer once and the counters read
+    // the materialized array.
     val toks = TextAnalysis.tokens(col(textCol))
-    val perDoc = docs.select(
-      (Seq(col(idCol).as("doc_id"), size(toks).cast("long").as("dl")) ++
-        queryTerms.map(t =>
-          size(filter(toks, x => x === t)).cast("long").as(s"tf_$t"))): _*)
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(
+        (Seq(col("doc_id"), size(col("__toks")).cast("long").as("dl")) ++
+          queryTerms.map(t =>
+            size(filter(col("__toks"), x => x === t)).cast("long").as(s"tf_$t"))): _*)
       .persist(lvl)
     // one tiny aggregate: N, total token mass, per-term document frequencies
     val statsRow = perDoc.agg(

@@ -248,12 +248,27 @@ object SearchIndex {
   private def writeIndex(docs: DataFrame, dir: String, buckets0: Int, docBuckets0: Int,
                          mode: String, idCol: String, textCol: String): (Int, Int) = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val postings0 = docs
-      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
-        explode(toks).as("token"))
-      .filter(length(col("token")) > 0)
+    // ONE corpus pass (r17): tokenize once and let the census derive from
+    // the same persisted aggregate. The pre-r17 shape tokenized the raw
+    // text a SECOND time just to compute (doc_id, dl) for the census — at
+    // 100 TB that is a whole extra corpus read + regex pass per
+    // build/append. explode_outer keeps blank/null-token docs as a single
+    // null-token row so they still reach the census (and n / dl_sum)
+    // exactly as before; the null row is filtered out of the postings by
+    // the same length() predicate (length(NULL) > 0 is not true).
+    // `toks` is materialized as a column first: size() and the generator
+    // both reference it, and a single-select form instantiates the
+    // tokenizer expression twice (ExtractGenerator hoists the explode
+    // above the projection) — two regex passes per row. As a referenced-
+    // twice non-cheap alias it survives CollapseProject, so the tokenizer
+    // runs once per doc.
+    val base = docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode_outer(col("toks")).as("token"))
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings0 = base.filter(length(col("token")) > 0)
     val buckets =
       if (buckets0 > 0) buckets0 else IndexMeta.tokenBucketPolicy(postings0.count())
     val postings = postings0
@@ -271,11 +286,17 @@ object SearchIndex {
     postings.groupBy("token").agg(count(lit(1)).as("df"))
       .write.mode(mode).parquet(s"$dir/df")
     // census covers ALL docs (a blank doc has no postings but still counts
-    // toward n and dl_sum); stats derive from it — same census
-    // bm25TopDocs takes. Persisted BEFORE the doc-bucketed writes so the
-    // build can size docBuckets from the actual corpus row count.
-    val census0 = docs
-      .select(col(idCol).cast("long").as("doc_id"), size(toks).cast("long").as("dl"))
+    // toward n and dl_sum — explode_outer carried it into `base` as a
+    // null-token row); stats derive from it — same census bm25TopDocs
+    // takes. Derived from the cached aggregate, NOT from a second pass
+    // over the raw text (r17). distinct() collapses the per-token rows
+    // back to one (doc_id, dl) row per doc; map-side partial distinct
+    // collapses each doc's token rows before the exchange, so the shuffle
+    // is ~doc-count-sized. Persisted BEFORE the doc-bucketed writes so
+    // the build can size docBuckets from the actual corpus row count.
+    val census0 = base
+      .select(col("doc_id").cast("long").as("doc_id"), col("dl"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docBuckets =
       if (docBuckets0 > 0) docBuckets0 else IndexMeta.bucketPolicy(census0.count())
@@ -296,7 +317,7 @@ object SearchIndex {
     // clear the all-buckets-emptied marker only AFTER real postings exist
     // (reader-safe ordering, same as the twins)
     val wrotePostings = !postings.isEmpty
-    census0.unpersist(); postings0.unpersist()
+    census0.unpersist(); base.unpersist()
     val mp = emptyMarker(dir)
     val mf = fs(docs.sparkSession, mp)
     if (wrotePostings && mf.exists(mp)) mf.delete(mp, false): Unit

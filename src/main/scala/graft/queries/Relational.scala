@@ -593,8 +593,12 @@ object Relational {
   def q25ArrayOps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vocab = array(Seq("data", "fast", "query", "slow", "table").map(lit): _*)
-    val toks = array_distinct(split($"text", "\\s+"))
+    // split+distinct materialized once (r17): six references in one
+    // projection would instantiate the split/dedup chain six times per
+    // row; the referenced-many non-cheap alias survives CollapseProject
+    val toks = col("__toks")
     Tables(spark, dir).documents
+      .select($"doc_id", array_distinct(split($"text", "\\s+")).as("__toks"))
       .select($"doc_id",
         size(toks).as("n_distinct"),
         size(array_intersect(toks, vocab)).as("n_in_vocab"),
