@@ -39,6 +39,20 @@ object Bpe {
   private val S = "\u0001" // symbol delimiter
   private val P = "\u0002" // pair-key separator (sorts below any corpus char)
 
+  /** Deterministically free a superseded localCheckpoint's blocks.
+    * `Dataset.unpersist()` is NOT this (r17 review): it only uncaches
+    * CacheManager entries, and a localCheckpoint's blocks are RDD-level
+    * persisted, never registered there -- the r16 unpersist call freed
+    * nothing. The checkpointed RDD itself is reachable through the
+    * LogicalRDD node the checkpoint returns; unpersisting THAT drops the
+    * block set (spec-pinned via sc.getPersistentRDDs in BpeSpec). Safe
+    * only once nothing will read the frame again -- a later action on a
+    * released checkpoint has no lineage to recompute from. */
+  private[analytics] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false): Unit)
+
   /** Train `merges` BPE merges on the corpus's word-frequency table. */
   def trainMerges(docs: DataFrame, merges: Int = 4,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -77,9 +91,10 @@ object Bpe {
     val CheckpointEvery = 16
     var sinceCheckpoint = 0
     // previous checkpoint's blocks are released once the next one
-    // materializes (ADVICE r16): without the unpersist, a real run
+    // materializes (ADVICE r16): without the release, a real run
     // (R ~ 30k) pins ~R/16 vocabulary-sized block sets for the job's
-    // lifetime
+    // lifetime. See [[releaseCheckpoint]] for why Dataset.unpersist()
+    // is not that release.
     var prevCheckpoint: Option[org.apache.spark.sql.DataFrame] = None
     while (r < merges && !exhausted) {
       val syms = split(col("w").substr(lit(2), length(col("w")) - 2), S + S)
@@ -102,13 +117,13 @@ object Bpe {
         sinceCheckpoint += 1
         if (sinceCheckpoint >= CheckpointEvery && r < merges) {
           w = w.localCheckpoint(true) // eager: materialized before the old blocks go
-          prevCheckpoint.foreach(_.unpersist(): Unit)
+          prevCheckpoint.foreach(releaseCheckpoint)
           prevCheckpoint = Some(w)
           sinceCheckpoint = 0
         }
       }
     }
-    prevCheckpoint.foreach(_.unpersist(): Unit)
+    prevCheckpoint.foreach(releaseCheckpoint)
     wf.unpersist()
     learned.toSeq.toDF("merge_rank", "lsym", "rsym", "pair_count")
   }
@@ -223,7 +238,17 @@ object Bpe {
          |    chr(1)||(SELECT lsym FROM b$i)||(SELECT rsym FROM b$i)||chr(1)) AS w, cnt
          |  FROM $prev)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to merges).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+    // merges = 0 (r17 review): the old splice emitted a dangling comma
+    // after w0 and `SELECT * FROM ()` — invalid SQL. The degenerate form
+    // keeps the schema with an empty merge table (WHERE FALSE), phrased as
+    // `SELECT * FROM (...)` so [[encodeOracleSql]]'s CTE-chain split
+    // matches both arities; for merges >= 1 the emitted text is
+    // byte-identical to the pre-r17 form.
+    val roundsPart = if (merges == 0) "" else s",\n$rounds"
+    val union =
+      if (merges == 0)
+        "SELECT 0 AS merge_rank, '' AS lsym, '' AS rsym, 0::BIGINT AS pair_count WHERE FALSE"
+      else (1 to merges).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
     s"""WITH wf AS (
        |  SELECT tok AS word, count(*)::BIGINT AS cnt
        |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)
@@ -234,8 +259,7 @@ object Bpe {
        |  SELECT chr(1)||array_to_string(
        |    [substring(word, i, 1) for i in generate_series(1, length(word))],
        |    chr(1)||chr(1))||chr(1) AS w, cnt
-       |  FROM wf),
-       |$rounds
+       |  FROM wf)$roundsPart
        |SELECT * FROM ($union) ORDER BY merge_rank""".stripMargin
   }
 }

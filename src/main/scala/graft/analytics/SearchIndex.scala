@@ -298,8 +298,22 @@ object SearchIndex {
       .select(col("doc_id").cast("long").as("doc_id"), col("dl"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val censusRows = census0.count()
+    // unique-id contract, fail-fast on the catchable class (r17 review):
+    // the same id carried with two different texts (a dirty append batch,
+    // or string ids cast-colliding onto one long) used to double-count n
+    // and dl_sum while the postings aggregate merged the rows — two
+    // stores silently disagreeing; it now throws. Byte-identical
+    // duplicate rows are NOT detectable here (the token aggregate already
+    // absorbed them) — unique (id, text) input rows are the documented
+    // build contract.
+    val distinctIds = census0.agg(count_distinct(col("doc_id"))).head().getLong(0)
+    require(censusRows == distinctIds,
+      s"index build requires unique doc ids: $censusRows distinct (doc_id, dl) census rows " +
+        s"but $distinctIds distinct ids — the same id appears with different texts " +
+        "(duplicate-id input rows, or string ids cast-colliding to the same long)")
     val docBuckets =
-      if (docBuckets0 > 0) docBuckets0 else IndexMeta.bucketPolicy(census0.count())
+      if (docBuckets0 > 0) docBuckets0 else IndexMeta.bucketPolicy(censusRows)
     // forward index (r14): the same (doc_id, token, tf) rows as postings,
     // laid out in DOC order — [[forget]]'s df deltas read only the
     // tombstoned ids' dbuckets from here, never the postings (which are

@@ -191,19 +191,42 @@ object GraftFunctions {
     * that is a multi-GB plan tree re-shipped per task; the broadcast ships
     * once per executor. The SQL-registered `graft_bloom_contains` literal
     * form remains for SQL text, where a broadcast cannot appear. */
-  /** Broadcast cache for [[bloomContains]] (ADVICE r16): a fresh
-    * `sc.broadcast` per call accumulates broadcast blocks across a
+  /** Broadcast cache for [[bloomContains]] (ADVICE r16; r17 review): a
+    * fresh `sc.broadcast` per call accumulates broadcast blocks across a
     * long-lived session (streaming ingest probes the same registry filter
     * every micro-batch; at the ~1.2 GB registry scale that exhausts
-    * storage memory). Keyed by the filter byte-array IDENTITY (arrays
-    * compare by reference in a WeakHashMap), so the same loaded filter
-    * broadcasts once; WEAK keys mean a caller dropping its filter bytes
-    * releases the entry, and the unreferenced Broadcast is then destroyed
-    * by Spark's ContextCleaner. A cached entry from a stopped context
-    * (test sessions) is re-broadcast, not served stale. */
+    * storage memory). NOT a WeakHashMap: `sc.broadcast` stores the SAME
+    * array instance in the driver BlockManager (a strong reference), so a
+    * weak key over the filter bytes can never clear and the map would pin
+    * every broadcast forever — the r17 review caught the r16 weak-key
+    * form turning the per-call accumulation into a permanent leak for
+    * callers that rebuild the bytes per call. Instead: a small LRU keyed
+    * by array IDENTITY (same loaded instance → cache hit, the streaming
+    * reuse pattern). Eviction calls `unpersist(false)` — non-destructive,
+    * an in-flight query's executors refetch from the driver — and once
+    * the evicted Broadcast object itself is unreferenced, ContextCleaner
+    * removes the driver block too. Content-equal but distinct arrays
+    * re-broadcast; the bound keeps that path at pre-cache behavior
+    * (bounded live blocks + GC-driven cleanup) instead of a leak.
+    * Entries from a stopped context (test sessions) are replaced, not
+    * served stale. */
+  private val BloomCacheMax = 4
+  private type BloomEntry =
+    (org.apache.spark.SparkContext, org.apache.spark.broadcast.Broadcast[Array[Byte]])
   private val bloomBcastCache =
-    new java.util.WeakHashMap[Array[Byte],
-      (org.apache.spark.SparkContext, org.apache.spark.broadcast.Broadcast[Array[Byte]])]()
+    new java.util.LinkedHashMap[Array[Byte], BloomEntry](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Array[Byte], BloomEntry]): Boolean =
+        if (size() > BloomCacheMax) {
+          val (esc, ebc) = e.getValue
+          if (!esc.isStopped) scala.util.Try(ebc.unpersist(false)): Unit
+          true
+        } else false
+    }
+
+  /** Test hook: current number of live cache entries. */
+  private[graft] def bloomCacheSize: Int =
+    bloomBcastCache.synchronized(bloomBcastCache.size())
 
   def bloomContains(probe: Column, bloomBytes: Array[Byte]): Column = {
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext

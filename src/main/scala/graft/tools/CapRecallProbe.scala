@@ -5,19 +5,25 @@ import org.apache.spark.sql.functions._
 
 /** Measure what the [[graft.analytics.Dedup.DfCapCeiling]] choice costs
   * (r17, VERDICT r16 #5): on a ScaleUp corpus, the true (j ≥ minJaccard)
-  * pair set from an effectively-uncapped inverted index vs the capped
+  * pair set from a genuinely UNCAPPED inverted index vs the capped
   * default — and whether the lost pairs (every shared shingle hotter than
   * the cap) are still surfaced by the df-independent MinHash-LSH leg.
   *
-  * Usage: CapRecallProbe <sfDir> [uncappedDf=300]
-  * Prints one JSON line: total/lost pair counts per cap and the fraction
-  * of lost pairs recovered by minhashLshPairs at the same threshold.
+  * Usage: CapRecallProbe <sfDir> [referenceDf]
+  * The reference leg is uncapped by default (r17 review: a finite default
+  * silently undercounts pairs_lost on any corpus whose boilerplate dfs
+  * exceed it — the r17 published runs passed 300 with the observed max df
+  * 257, valid, but only because that was checked by hand). Pass an
+  * explicit referenceDf only to bound a pathologically hot corpus, and
+  * read `max_observed_df` in the output to validate the choice. Prints
+  * one JSON line: total/lost pair counts and the fraction of lost pairs
+  * recovered by minhashLshPairs at the same threshold.
   */
 object CapRecallProbe {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CapRecallProbe <sfDir> [uncappedDf]")
+    require(args.nonEmpty, "usage: CapRecallProbe <sfDir> [referenceDf]")
     val dir = args(0)
-    val uncapped = if (args.length > 1) args(1).toInt else 300
+    val reference: Option[Int] = if (args.length > 1) Some(args(1).toInt) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,15 +34,23 @@ object CapRecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.analytics.Dedup
+    graft.functions.GraftFunctions.register(spark) // shingles() needs the registry
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).localCheckpoint(true)
     val n = docs.count()
     val cap = Dedup.dfCapFor(n)
-    def keyed(maxDf: Int) =
-      Dedup.ngramJaccardPairs(docs, minJaccard = 0.6, maxDf = Some(maxDf))
+    // the observed max shingle df, recorded so a bounded referenceDf run
+    // can be validated (referenceDf <= this value means the "true" pair
+    // set itself was capped and pairs_lost is an undercount)
+    val maxObservedDf = docs
+      .select(explode(Dedup.shingles(col("text"))).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head().getLong(0)
+    def keyed(maxDf: Option[Int]) =
+      Dedup.ngramJaccardPairs(docs, minJaccard = 0.6, maxDf = maxDf)
         .select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val full = keyed(uncapped)
-    val capped = keyed(cap)
+    val full = keyed(reference)
+    val capped = keyed(Some(cap))
     val lost = full.join(capped, Seq("id_a", "id_b"), "left_anti").localCheckpoint(true)
     val nFull = full.count(); val nCapped = capped.count(); val nLost = lost.count()
     // the MinHash leg at the library default: banding is df-independent,
@@ -45,7 +59,9 @@ object CapRecallProbe {
       .select(col("id_a"), col("id_b"))
     val recovered = lost.join(mh, Seq("id_a", "id_b"), "left_semi").count()
     spark.stop()
-    println(s"""{"dir":"$dir","docs":$n,"cap":$cap,"uncappedDf":$uncapped,""" +
+    println(s"""{"dir":"$dir","docs":$n,"cap":$cap,""" +
+      s""""reference_df":${reference.fold("\"uncapped\"")(_.toString)},""" +
+      s""""max_observed_df":$maxObservedDf,""" +
       s""""pairs_uncapped":$nFull,"pairs_capped":$nCapped,"pairs_lost":$nLost,""" +
       s""""lost_recovered_by_minhash":$recovered}""")
   }

@@ -89,4 +89,46 @@ class BpeSpec extends SparkSpec {
     val m = Bpe.trainMerges(docs, merges = 1).collect()
     assert((m(0).getAs[String]("lsym"), m(0).getAs[String]("rsym")) == ("a", "b"))
   }
+
+  test("releaseCheckpoint frees a localCheckpoint's blocks (Dataset.unpersist does not)") {
+    // r17 review: Dataset.unpersist only uncaches CacheManager entries; a
+    // localCheckpoint's blocks are RDD-level persisted and survive it —
+    // the r16 "release" was a no-op. Assertions are id-specific (the
+    // suite-shared context may host concurrent suites' RDDs).
+    val df = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text").localCheckpoint(true)
+    val sc = spark.sparkContext
+    val rddId = df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.get
+    assert(sc.getPersistentRDDs.contains(rddId),
+      "a localCheckpoint'd frame must hold RDD-level persisted blocks")
+    df.unpersist()
+    assert(sc.getPersistentRDDs.contains(rddId),
+      "Dataset.unpersist must NOT free checkpoint blocks (CacheManager path only) — " +
+        "if this starts failing, Spark changed and releaseCheckpoint can be retired")
+    Bpe.releaseCheckpoint(df)
+    assert(!sc.getPersistentRDDs.contains(rddId),
+      "releaseCheckpoint must deterministically drop the checkpointed RDD's blocks")
+  }
+
+  test("merges=0 oracle SQL is structurally valid (no dangling comma, empty merge table)") {
+    // r17 review: the old merges=0 splice emitted `w0 AS (...),` followed
+    // by nothing (train side) and `SELECT * FROM ()` — invalid SQL even
+    // though no in-repo caller passes 0. The degenerate arity now keeps
+    // the schema with a WHERE FALSE merge table and the encode chain
+    // reads enc0 directly.
+    val train0 = Bpe.oracleSql(0)
+    assert(!train0.contains(",\n,"), "no dangling comma in the WITH chain")
+    assert(!train0.contains("FROM ()"), "no empty FROM")
+    assert(train0.contains("WHERE FALSE"), "merge table is schema-shaped empty")
+    val enc0 = Bpe.encodeOracleSql(0)
+    assert(!enc0.contains(",\n,"), "no dangling comma after the spliced train CTEs")
+    assert(enc0.contains("FROM enc0 GROUP BY doc_id"), "final select reads the base chain")
+    // and the merges>=1 text is byte-identical to the pre-r17 emitter
+    // shape: the chain still carries one b_i per round and the final
+    // select unions them
+    val train4 = Bpe.oracleSql(4)
+    assert((1 to 4).forall(i => train4.contains(s"b$i AS (")))
+    assert(train4.contains("SELECT * FROM (SELECT * FROM b1 UNION ALL "))
+  }
 }

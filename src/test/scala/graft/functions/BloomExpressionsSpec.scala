@@ -36,6 +36,31 @@ class BloomExpressionsSpec extends SparkSpec {
     assert(fp.toDouble / nonMembers.size < 0.05, s"observed fpp ${fp.toDouble / nonMembers.size}")
   }
 
+  test("broadcast cache is bounded: fresh filter bytes per call evict, same instance hits") {
+    // r17 review: the r16 WeakHashMap could never clear (sc.broadcast
+    // strongly holds the key array in the driver BlockManager), so fresh
+    // bytes per call — the decontaminateBloom pattern — leaked one
+    // broadcast per call forever. The LRU bound caps live entries and
+    // unpersists evictees; same-instance reuse stays a cache hit.
+    import spark.implicits._
+    val probe = Seq(1L).toDF("h")
+    def freshBytes(n: Long): Array[Byte] = {
+      val bf = BloomFilter.create(100L, 0.01); bf.putLong(n); serialize(bf)
+    }
+    val reused = freshBytes(0L)
+    probe.filter(GraftFunctions.bloomContains(col("h"), reused)).count()
+    val afterFirst = GraftFunctions.bloomCacheSize
+    probe.filter(GraftFunctions.bloomContains(col("h"), reused)).count()
+    assert(GraftFunctions.bloomCacheSize == afterFirst,
+      "probing with the SAME byte-array instance must not grow the cache")
+    // a long-lived session churning fresh arrays: entries stay bounded
+    (1L to 12L).foreach { i =>
+      probe.filter(GraftFunctions.bloomContains(col("h"), freshBytes(i))).count()
+    }
+    assert(GraftFunctions.bloomCacheSize <= 4,
+      s"cache must stay within its LRU bound, got ${GraftFunctions.bloomCacheSize}")
+  }
+
   test("bloom probe composes with xxhash64 over strings end to end") {
     import spark.implicits._
     val words = Seq("alpha", "beta", "gamma", "delta")

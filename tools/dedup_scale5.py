@@ -72,7 +72,18 @@ for q in queries:
     for leg in legs:
         if leg not in data:
             continue
-        sb = sorted(r[1].get(q, 0) for r in data[leg] if q in r[0])
+        # a pass missing the shuffle map for a query it ran must FAIL the
+        # certification, not contribute a silent 0 to the median (the same
+        # contract baseline_median.py enforces for the gate baselines): a
+        # zero-deflated median would certify a wrong exponent with no
+        # warning, or divide by zero two tables down.
+        missing = [i + 1 for i, r in enumerate(data[leg])
+                   if q in r[0] and q not in r[1]]
+        if missing:
+            sys.exit(f"FATAL: leg {leg} pass(es) {missing} ran {q} but "
+                     f"recorded no shuffle_write entry — rerun with "
+                     f"SPARK_GRAFT_SHUFFLE=1 or drop the broken pass file")
+        sb = sorted(r[1][q] for r in data[leg] if q in r[0])
         if sb and sb[-1] > 0:
             bmed[(q, leg)] = statistics.median(sb)
 print()
