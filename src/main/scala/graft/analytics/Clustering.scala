@@ -52,11 +52,24 @@ object Clustering {
     * [[memberDistances]] (extracted r16 — the two copies had already
     * drifted once in shape). Output: (cid, m: array<double>, nm). */
   private def centroidMeans(members: DataFrame): DataFrame = {
-    val sums = members.select(col("cid"), posexplode(col("qi")).as(Seq("pos", "v")))
-      .groupBy("cid", "pos").agg(sum("v").as("s"))
-    val counts = members.groupBy("cid").agg(count(lit(1)).as("n"))
-    sums.groupBy("cid").agg(collect_list(struct(col("pos"), col("s"))).as("ps"))
-      .join(counts, "cid")
+    // ONE pass over the members (r17): per-(cid, pos) component sums and
+    // the per-cid member count come out of a single posexplode_outer
+    // aggregate. The old sums/counts PAIR forked `members`, and under AQE
+    // the two branches ran as concurrent stage-jobs, each re-executing the
+    // upstream (for [[recompute]] callers: the whole crossJoin argmax —
+    // measured as twin jobs dominating every Lloyd round). Exactness of n:
+    // posexplode_outer gives every member exactly one row at pos 0
+    // (non-empty vector) or pos null (empty/null vector), so summing c over
+    // {pos is null, pos = 0} counts each member once — identical to the old
+    // count(*), including degenerate empty-vector members. Null-pos rows
+    // are excluded from ps (collect_list skips null entries); cids whose
+    // every member is empty are dropped, as the old inner join did.
+    val byPos = members.select(col("cid"), posexplode_outer(col("qi")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos").agg(sum("v").as("s"), count(lit(1)).as("c"))
+    byPos.groupBy("cid")
+      .agg(collect_list(when(col("pos").isNotNull, struct(col("pos"), col("s")))).as("ps"),
+        sum(when(col("pos").isNull || col("pos") === 0, col("c")).otherwise(0L)).as("n"))
+      .where(size(col("ps")) > 0)
       .select(col("cid"),
         transform(array_sort(col("ps")), x => x.getField("s").cast("double") / col("n")).as("m"))
       .withColumn("nm", sqNorm(col("m")))

@@ -194,17 +194,35 @@ object Dedup {
       .withColumn("inter_max", (col("common") + col("extra_max")).cast("double"))
       // optimistic score; pairs failing even this can't pass the exact filter
       .filter(keep(col("inter_max"), col("n_a"), col("n_b")))
+      // materialized ONCE: the exact and recounted branches below both
+      // fork from here, and that fork used to re-execute the whole
+      // inverted-index self-join + candidate aggregate per branch (under
+      // AQE the two branches run as concurrent stage-jobs — the pair-leg
+      // profile showed the candidate exchanges written up to 8x in the
+      // composed pipelines). The frame is candidate-pair-sized (already
+      // optimistically filtered), far below the exchange it caps.
+      .localCheckpoint(true)
     val exact = bounded.filter(col("extra_max") === 0)
       .withColumn("inter", col("common").cast("double"))
       .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"))
-    val sa = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val sb = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val recounted = bounded.filter(col("extra_max") > 0).select("id_a", "id_b")
-      .join(sa, "id_a").join(sb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
-        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
-    exact.unionByName(recounted)
+    // the recount branch re-tokenizes the corpus on BOTH join sides; with
+    // `bounded` materialized its emptiness is a free driver check, and on
+    // the common path (no candidate shares a hot shingle on both sides —
+    // every oracle corpus, and any corpus whose cap exceeds the pair-wise
+    // shared dfs) the two corpus passes are skipped outright. Returns the
+    // identical frame: an empty recount union is a no-op.
+    val needRecount = !bounded.filter(col("extra_max") > 0).isEmpty
+    if (!needRecount) exact
+    else {
+      val sa = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val sb = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val recounted = bounded.filter(col("extra_max") > 0).select("id_a", "id_b")
+        .join(sa, "id_a").join(sb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
+          size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      exact.unionByName(recounted)
+    }
   }
 
   /** Shingle CONTAINMENT near-dup pairs: `inter / min(|A|, |B|)` — the

@@ -168,14 +168,28 @@ object ProductQuantization {
     def assign(cents: DataFrame): DataFrame = assignToBooks(subs, cents)
     val seeds = subs.filter(col("vec_id") % centroidStep === 0)
       .select(col("sub"), col("vec_id").as("cid"), col("sqd").as("m"), col("nq").as("nm"))
+    // ONE pass from the round-1 assignment to the trained codebooks (r17):
+    // per-(sub, cid, pos) component sums and the per-(sub, cid) member
+    // count come out of a single posexplode_outer aggregate. The old
+    // sums/counts PAIR forked `a1`, and under AQE the two branches ran as
+    // concurrent stage-jobs, each re-executing the broadcast-join + argmax
+    // over |vecs| x m x k rows — the expensive half of PQ training
+    // (measured: twin jobs dominated the pqindex build profile). Exactness
+    // of n: every (vec, sub) member lands exactly one row at pos 0
+    // (non-empty slice) or pos null (empty slice), so summing c over
+    // {pos is null, pos = 0} equals the old count(*), degenerate slices
+    // included; null-pos rows stay out of ps (collect_list skips nulls),
+    // and (sub, cid) groups whose every slice is empty drop out as the old
+    // inner join dropped them.
     val a1 = assign(seeds)
-    val sums = a1.join(subs, Seq("vec_id", "sub"))
-      .select(col("sub"), col("cid"), posexplode(col("sqi")).as(Seq("pos", "v")))
-      .groupBy("sub", "cid", "pos").agg(sum("v").as("s"))
-    val counts = a1.groupBy("sub", "cid").agg(count(lit(1)).as("n"))
-    val cents1 = sums
-      .groupBy("sub", "cid").agg(collect_list(struct(col("pos"), col("s"))).as("ps"))
-      .join(counts, Seq("sub", "cid"))
+    val byPos = a1.join(subs, Seq("vec_id", "sub"))
+      .select(col("sub"), col("cid"), posexplode_outer(col("sqi")).as(Seq("pos", "v")))
+      .groupBy("sub", "cid", "pos").agg(sum("v").as("s"), count(lit(1)).as("c"))
+    val cents1 = byPos
+      .groupBy("sub", "cid")
+      .agg(collect_list(when(col("pos").isNotNull, struct(col("pos"), col("s")))).as("ps"),
+        sum(when(col("pos").isNull || col("pos") === 0, col("c")).otherwise(0L)).as("n"))
+      .where(size(col("ps")) > 0)
       .select(col("sub"), col("cid"),
         transform(array_sort(col("ps")), x => x.getField("s").cast("double") / col("n")).as("m"))
       .withColumn("nm", dot(col("m"), col("m")))

@@ -61,6 +61,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(pairs(Some(0)).isEmpty)
   }
 
+  test("df-cap recount branch: a pair whose shared shingles include a capped-out " +
+    "hot shingle is recounted exactly (r17: the branch is gated on a materialized " +
+    "emptiness check — this corpus forces it live)") {
+    import spark.implicits._
+    // "x y z" is corpus-hot (df = 5 > cap = 2) and is SHARED by the near-dup
+    // pair (1, 2); their remaining shared trigrams survive the cap. Without
+    // the recount, inter would be the post-cap common count (3) and the pair
+    // would score 3/7 ≈ 0.43 < 0.6 — i.e. this test FAILS if the recount
+    // branch is skipped or its arithmetic drifts. With it, inter is restored
+    // to 4 from the full shingle sets: jaccard = 4/(5+5-4) = 0.6667.
+    val docs = Seq(
+      (1L, "x y z a b c d"),
+      (2L, "x y z a b c e"),
+      (3L, "x y z q1 q2"),
+      (4L, "x y z q3 q4"),
+      (5L, "x y z q5 q6")).toDF("doc_id", "text")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = collectPairs(Dedup.ngramJaccardPairs(docs, 0.6, maxDf = Some(2)))
+    assert(capped == Set((1L, 2L, 0.6667)),
+      s"recounted pair must carry the EXACT jaccard incl. the capped shingle; got $capped")
+    // pairs sharing ONLY the hot shingle (3,4,5 among themselves and with
+    // 1/2) are below threshold uncapped too, so capped == uncapped here
+    assert(capped == collectPairs(Dedup.ngramJaccardPairs(docs, 0.6, maxDf = None)))
+    // containment twin shares the recount core: doc 6's two trigrams are
+    // both inside doc 1 — "a b c" goes hot once doc 6 lands (df 3 > 2), so
+    // containment 1.0 = 2/2 is only reachable through the recount ("b c d"
+    // alone would read 1/2 = 0.5 and the pair would be dropped)
+    val docs2 = docs.union(Seq((6L, "a b c d")).toDF("doc_id", "text"))
+    val cont = Dedup.ngramContainmentPairs(docs2, 0.9, maxDf = Some(2))
+      .filter(col("id_b") === 6L).collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(cont == Set((1L, 1.0)),
+      s"containment recount must restore the capped shared shingle; got $cont")
+  }
+
   test("stratified sampling: deterministic, rate-faithful per stratum; histogram covers all docs") {
     val docs = graft.Tables(spark, sf("sf0.01")).documents
     val s1 = Sampling.stratified(docs, "lang", "doc_id", Map("en" -> 500), 100)
