@@ -32,11 +32,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Deterministic ordering comes from sorting the RAW events first (r17):
+    * a trailing global orderBy makes the range-partitioner SAMPLING pass
+    * re-execute the whole narrow chain once before the exchange executes
+    * it again (measured: ~half of each o-query's wall). Sorting up front
+    * samples only the scan+filter (the validity predicates push below the
+    * Sort), the exchange carries raw columns, and the expression chain —
+    * which Catalyst does not push through a Sort — runs exactly once,
+    * after the exchange. id == event_id, so the output order is
+    * unchanged. */
   private def o4o5Extract(spark: SparkSession, dir: String): DataFrame =
-    EventStatements.extracted(Tables(spark, dir).events)
+    EventStatements.extracted(Tables(spark, dir).events.orderBy(col("event_id")))
       .withColumn("ts_s", StatementTransforms.sinkTimestamp(col("ts")))
       .select(col("id"), col("user_id"), col("event_type"), col("k"), col("ts_s"))
-      .orderBy(col("id"))
 
   private def o6o7Anonymize(spark: SparkSession, dir: String): DataFrame =
     EventStatements.anonymized(Tables(spark, dir).events)
@@ -44,18 +52,18 @@ object SparkEntry {
       .distinct()
       .orderBy(col("user_id"))
 
+  /** Sorted at the source — see [[o4o5Extract]]'s r17 note. */
   private def o8o9StatementJson(spark: SparkSession, dir: String): DataFrame =
-    EventStatements.statements(Tables(spark, dir).events)
+    EventStatements.statements(Tables(spark, dir).events.orderBy(col("event_id")))
       .select(col("id"), col("statement"))
-      .orderBy(col("id"))
 
   /** O8 via nested-struct withField mutation + to_json (see
     * EventStatements.withStatementStruct). */
+  /** Sorted at the source — see [[o4o5Extract]]'s r17 note. */
   private def o8WithField(spark: SparkSession, dir: String): DataFrame =
     EventStatements.withStatementStruct(
-      EventStatements.anonymized(Tables(spark, dir).events))
+      EventStatements.anonymized(Tables(spark, dir).events.orderBy(col("event_id"))))
       .select(col("id"), col("statement"))
-      .orderBy(col("id"))
 
   private def o12OptOutDim(spark: SparkSession, dir: String): DataFrame =
     EventStatements.optOutDim(Tables(spark, dir).events)
@@ -71,26 +79,26 @@ object SparkEntry {
     * varying parity, embedded single quotes, and wrapping double quotes. */
   private def o10Escape(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    EventStatements.extracted(Tables(spark, dir).events)
+    // sorted at the source — see o4o5Extract's r17 note
+    EventStatements.extracted(Tables(spark, dir).events.orderBy(col("event_id")))
       .withColumn("raw",
         concat(lit("\"it's "), repeat(lit("\\"), (col("k") % 5).cast("int")),
           lit(" x"), repeat(lit("\\"), (col("k") % 3).cast("int")), lit(" end\"")))
       .withColumn("escaped", graft.functions.GraftFunctions.processStatementFast(col("raw")))
       .select(col("id"), col("raw"), col("escaped"))
-      .orderBy(col("id"))
   }
 
   /** O14 — sink VALUES-tuple formatting (`src/main.rs:864-867`), minus the
     * server-side `now()` column which is non-deterministic by design. */
   private def o14FormatValues(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    EventStatements.statements(Tables(spark, dir).events)
+    // sorted at the source — see o4o5Extract's r17 note
+    EventStatements.statements(Tables(spark, dir).events.orderBy(col("event_id")))
       .withColumn("insert_values",
         concat(lit("('"), col("id").cast("string"), lit("','"),
           graft.functions.GraftFunctions.processStatementFast(col("statement")), lit("','"),
           StatementTransforms.sinkTimestamp(col("ts")), lit("')")))
       .select(col("id"), col("insert_values"))
-      .orderBy(col("id"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

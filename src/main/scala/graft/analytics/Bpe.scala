@@ -160,14 +160,21 @@ object Bpe {
       val w = applyMerges(delimit(t))
       size(split(w.substr(lit(2), length(w) - 2), S + S)).cast("long")
     })
-    docs.select(col(idCol).as("doc_id"), toks0.as("__toks"))
+    // sort the RAW (id, text) rows first (r17): a trailing global orderBy
+    // makes the range-sampler pass re-execute the whole merge-fold chain
+    // before the exchange executes it again; sorted up front, the sampler
+    // pays scan(+pushed token screen) only and the R-merge regex fold runs
+    // exactly once, after the exchange (Catalyst does not push the
+    // projection through the Sort). Output rows and order are unchanged.
+    docs.select(col(idCol).as("doc_id"), col(textCol))
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), toks0.as("__toks"))
       .select(col("doc_id"),
         size(toks).cast("long").as("n_words"),
         aggregate(pieces, lit(0L), (acc, x) => acc + x).as("n_pieces"))
       .filter(col("n_words") > 0)
       .withColumn("fertility",
         round(col("n_pieces").cast("double") / col("n_words"), 4))
-      .orderBy(col("doc_id"))
   }
 
   /** DuckDB twin of [[encodeStats]] composed over [[oracleSql]]'s training

@@ -298,7 +298,6 @@ object SearchIndex {
       .select(col("doc_id").cast("long").as("doc_id"), col("dl"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val censusRows = census0.count()
     // unique-id contract, fail-fast on the catchable class (r17 review):
     // the same id carried with two different texts (a dirty append batch,
     // or string ids cast-colliding onto one long) used to double-count n
@@ -306,8 +305,11 @@ object SearchIndex {
     // stores silently disagreeing; it now throws. Byte-identical
     // duplicate rows are NOT detectable here (the token aggregate already
     // absorbed them) — unique (id, text) input rows are the documented
-    // build contract.
-    val distinctIds = census0.agg(count_distinct(col("doc_id"))).head().getLong(0)
+    // build contract. Row count and distinct-id count come from ONE
+    // aggregate job over the cached census (they were two driver actions).
+    val censusCounts = census0.agg(count(lit(1)), count_distinct(col("doc_id"))).head()
+    val censusRows = censusCounts.getLong(0)
+    val distinctIds = censusCounts.getLong(1)
     require(censusRows == distinctIds,
       s"index build requires unique doc ids: $censusRows distinct (doc_id, dl) census rows " +
         s"but $distinctIds distinct ids — the same id appears with different texts " +
