@@ -275,9 +275,21 @@ object Dedup {
                       bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
                       idCol: String = "doc_id", textCol: String = "text",
                       maxBucket: Int = BandBucketCap): DataFrame = {
+    // tokenize ONCE (r17): the shingle frame feeds five branches (the
+    // bucket-population aggregate, the tagged join, the hot-doc full
+    // signatures, and both verify sides) — unpersisted, each branch
+    // re-tokenized the corpus (the DedupIndex sibling already persisted
+    // it). The banded frame (a few fixed-width rows per doc) is eagerly
+    // checkpointed so the signature pass also runs once, not per branch;
+    // the result is materialized before the cache is released (the
+    // operator family's caller-must-not-see-a-cache contract).
     val withSh = shingleFrame(docs, n, idCol, textCol)
-    val banded = minhashBanded(withSh, bands, rowsPerBand)
-    jaccardVerify(bandedCandidates(banded, maxBucket), withSh, minJaccard)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = minhashBanded(withSh, bands, rowsPerBand).localCheckpoint(true)
+    val out = jaccardVerify(bandedCandidates(banded, maxBucket), withSh, minJaccard)
+      .localCheckpoint(true)
+    withSh.unpersist()
+    out
   }
 
   /** Default band-bucket population cap for [[bandedCandidates]] (r15, the
@@ -774,8 +786,12 @@ object Dedup {
     * row-for-row. */
   def embeddingNearDupPairsBlocked(emb: DataFrame, minCos: Double, blocks: Int = 8,
                                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // normalize ONCE (r17): the frame feeds both triangle sides; see
+    // Similarity.lshBucketPairsBanded's note. Caller actions materialize
+    // it via the first side; MEMORY_AND_DISK bounds the cost at scale.
     val e = Similarity.withNorm(emb, idCol, vecCol, "id", "v", "nrm")
       .withColumn("blk", pmod(hash(col("id")), lit(blocks)))
+      .localCheckpoint(true)
     val left = e.withColumn("bp", explode(array((0 until blocks).map(x => lit(x)): _*)))
       .filter(col("bp") >= col("blk"))
       .select(col("blk").as("kp"), col("bp").as("kq"),
@@ -834,8 +850,14 @@ object Dedup {
                      minShared: Long = 2, maxDf: Option[Long] = None,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // fingerprint ONCE (r17): the (doc, fp) frame feeds the df aggregate,
+    // the semi-join probe side, and both self-join sides — unpersisted,
+    // each branch re-ran the winnowing (k-gram hashes + window minima)
+    // over the corpus. Checkpoint is fingerprint-rows-sized (the selected
+    // minima only, a fraction of the token stream).
     val fps = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .localCheckpoint(true)
     val kept = maxDf.fold(fps) { cap =>
       val cool = fps.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select("fp")

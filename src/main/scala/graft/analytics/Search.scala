@@ -646,9 +646,12 @@ object Search {
       .agg(count(lit(1)).as("cnt"))
       .persist(lvl)
     feat.count(): Unit // one corpus scan feeds both the λ table and scoring
+    // dims-row frame, materialized once (r17): `tot` and `lam` both fork
+    // from it, and each fork re-aggregated the cached feature frame
     val counts = feat.groupBy("bucket").agg(
       sum(when(col("is_target") === 1, col("cnt")).otherwise(0L)).as("ct"),
       sum(col("cnt")).as("cr"))
+      .localCheckpoint(true)
     val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     val lam = counts.crossJoin(broadcast(tot))
       .select(col("bucket"),

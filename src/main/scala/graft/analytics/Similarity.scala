@@ -254,7 +254,11 @@ object Similarity {
                            planes: Int = 4, dims: Int = 64,
                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
+    // normalize ONCE (r17): `e` feeds the bucket index and both verify
+    // sides — unpersisted, each branch re-ran the scan + norm pass. The
+    // result is eagerly materialized before the cache is released.
     val e = withNorm(emb, idCol, vecCol, "vec_id", "v", "n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = e.select(col("vec_id"),
         posexplode(array((0 until reps).map(r =>
           lshBucketAt(col("v"), r * planes, planes, dims)): _*)))
@@ -264,12 +268,15 @@ object Similarity {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
-    cand
+    val out = cand
       .join(e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b")), "id_b")
       .withColumn("cos", round(cosPre(col("v_a"), col("v_b"), col("n_a"), col("n_b")), 6))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
   }
 
   /** Maximal-marginal-relevance diversified top-k: greedy selection where
