@@ -488,8 +488,16 @@ object Bench {
       "scale - +16-37% at sf0.1, 7-12% at sf1 (DEDUPAB_r14.jsonl A/B) - " +
       "and DocBuckets is a by-corpus-size knob; compact cost drops from " +
       "O(index) to O(tombstoned share)"
+    val r18AssignTrade = "deliberate r18 trade: the PQ/Lloyd assignment is " +
+      "now a compiled per-row argmin over a driver-collected codebook " +
+      "(graft.functions.NearestBookCode) instead of a broadcast-join + " +
+      "min_by aggregate — training adds two bounded model-to-driver " +
+      "collects (seed books, trained codebooks), a fixed ~0.3-0.7 s of " +
+      "driver round-trips that dominates THIS sub-second query while the " +
+      "same change cuts every sim_pqindex_*/sim_ivfpq/sim_pq_adc lifecycle " +
+      "30-50% (OPTIMIZATION_r18.md)"
     val knownTrades = Map(
-      "embed_pq" -> pqTrade,
+      "embed_pq" -> (pqTrade + "; ALSO " + r18AssignTrade),
       "sim_pq_adc" -> pqTrade,
       "sim_pqindex_rescored" -> pqTrade,
       "sim_ivf_topk" -> ("coarse quantizer is now TRAINED (3-round spherical Lloyd) " +

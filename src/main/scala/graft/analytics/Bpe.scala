@@ -111,9 +111,10 @@ object Bpe {
         r += 1
         val Array(l, rr) = best.head.getAs[String]("p").split(P)
         learned += ((r, l, rr, best.head.getAs[Long]("c")))
-        val pat = java.util.regex.Pattern.quote(S + l + S + S + rr + S)
-        val rep = java.util.regex.Matcher.quoteReplacement(S + l + rr + S)
-        w = w.select(regexp_replace(col("w"), pat, rep).as("w"), col("cnt"))
+        // literal replace — see [[encodeStats]]: identical semantics to the
+        // quoted-pattern regexp_replace, minus the regex engine per word
+        w = w.select(call_function("replace", col("w"),
+          lit(S + l + S + S + rr + S), lit(S + l + rr + S)).as("w"), col("cnt"))
         sinceCheckpoint += 1
         if (sinceCheckpoint >= CheckpointEvery && r < merges) {
           w = w.localCheckpoint(true) // eager: materialized before the old blocks go
@@ -143,10 +144,13 @@ object Bpe {
     import org.apache.spark.sql.Column
     def delimit(t: Column): Column =
       concat(lit(S), array_join(regexp_extract_all(t, lit("(?s)."), lit(0)), S + S), lit(S))
+    // literal (non-regex) replace since r18: the pattern is a quoted
+    // literal, and StringReplace's all-occurrences left-to-right scan is
+    // exactly regexp_replace's semantics for a quoted pattern — same
+    // greedy merge, no regex engine per token per round. This is also the
+    // operation the DuckDB oracle has always used (`replace(w, ...)`).
     def applyMerges(w: Column): Column = pairs.foldLeft(w) { case (acc, (l, r)) =>
-      regexp_replace(acc,
-        java.util.regex.Pattern.quote(S + l + S + S + r + S),
-        java.util.regex.Matcher.quoteReplacement(S + l + r + S))
+      call_function("replace", acc, lit(S + l + S + S + r + S), lit(S + l + r + S))
     }
     // tokenize+screen once per doc (r17): `toks` is referenced twice in
     // the stats projection (the pieces fold and n_words) — a single-select

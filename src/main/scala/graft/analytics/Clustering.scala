@@ -2,7 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions
+import graft.functions.{CentroidTable, GraftFunctions}
 
 /** Distributed k-means (Lloyd iterations) over the embedding corpus — the
   * classic Spark clustering workload, shaped for 100 TB:
@@ -37,14 +37,35 @@ object Clustering {
   private def sqNorm(v: Column): Column = GraftFunctions.arrayDot(v, v)
 
   /** One Lloyd assignment: nearest centroid per vector (ties → lowest
-    * centroid id). Input `corpus`: (vec_id, qd: array<double>, nq);
-    * `cents`: (cid, m: array<double>, nm). */
-  private def assign(corpus: DataFrame, cents: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(cents))
-      .withColumn("dist",
-        col("nq") + col("nm") - lit(2.0) * GraftFunctions.arrayDot(col("qd"), col("m")))
-      .groupBy("vec_id")
-      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+    * centroid id), as a compiled per-row argmin over the driver-collected
+    * centroid table (r18 — see [[graft.functions.NearestCentroidEuclid]]:
+    * the old crossJoin + min_by hash aggregate materialized corpus × k rows
+    * per round; scores, tie-breaks and degenerate-row semantics are
+    * replicated exactly). Adds `cid` to `corpus`'s columns; rows survive
+    * iff the centroid table is non-empty (the replaced join's inner
+    * semantics). Input `corpus`: (vec_id, qd: array<double>, nq, ...). */
+  private def assignEuclid(corpus: DataFrame, cents: CentroidTable): DataFrame = {
+    // empty centroid table = the replaced crossJoin's empty result, decided
+    // DRIVER-side (a runtime isNotNull filter would be pushed below the
+    // projection by alias substitution and evaluate the argmin twice per
+    // row — guide §4.4's duplication); non-empty tables never return null
+    if (cents.isEmpty)
+      return corpus.filter(lit(false)).withColumn("cid", lit(0L))
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    corpus
+      .withColumn("__best", org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.NearestCentroidEuclid(
+          org.apache.spark.sql.graft.GraftBridge.expression(col("qd")),
+          org.apache.spark.sql.graft.GraftBridge.expression(col("nq")),
+          bc)))
+      .withColumn("cid", col("__best.cid"))
+      .drop("__best")
+  }
+
+  /** Driver-collected (cid, m, nm) centroid table — bounded by construction
+    * (k = trainN / centroidStep rows, the training loop's model state). */
+  private def collectCents(cents: DataFrame): CentroidTable =
+    CentroidTable.collect(cents)
 
   /** Per-cluster component means over (cid, qi) member rows — exact
     * integer sums, one IEEE division per component, squared norm attached.
@@ -76,9 +97,11 @@ object Clustering {
   }
 
   /** Recompute centroids as per-dimension means of the quantized vectors
-    * (exact integer sums; one IEEE division per component). */
-  private def recompute(assigned: DataFrame, quantized: DataFrame): DataFrame =
-    centroidMeans(assigned.join(quantized, "vec_id"))
+    * (exact integer sums; one IEEE division per component). The assignment
+    * frame carries `qi` itself since r18 (it is a projection of the corpus,
+    * not an aggregate), so the old join back to `quantized` is gone. */
+  private def recompute(assigned: DataFrame): DataFrame =
+    centroidMeans(assigned.select(col("cid"), col("qi")))
 
   /** Fixed-round Lloyd assignment joined with the scoring vectors:
     * `(vec_id, cid, qd, nq, qi)` — the shared core under [[kmeansStats]] and
@@ -93,30 +116,32 @@ object Clustering {
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val quantized = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qi"))
-      .persist(lvl)
-    val corpus = quantized
-      .select(col("vec_id"), col("qi"),
-        transform(col("qi"), _.cast("double")).as("qd"))
+    // ONE cached scoring frame carrying qi alongside (qd, nq) — the r18
+    // compiled assignment is a projection over it, so neither the final
+    // output nor the per-round recompute needs a join back to a separate
+    // quantized frame (the pre-r18 shape kept two caches and joined both).
+    val corpus = emb
+      .select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qi"))
+      .withColumn("qd", transform(col("qi"), _.cast("double")))
       .withColumn("nq", sqNorm(col("qd")))
-      .select(col("vec_id"), col("qd"), col("nq"))
       .persist(lvl)
-    val seed = corpus.filter(col("vec_id") % centroidStep === 0)
-      .select(col("vec_id").as("cid"), col("qd").as("m"), col("nq").as("nm"))
-    var assigned = assign(corpus, seed)
+    // seed table collect doubles as the cache-materializing pass
+    val seed = collectCents(corpus.filter(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cid"), col("qd").as("m"), col("nq").as("nm")))
+    var assigned = assignEuclid(corpus, seed)
     var r = 1
     while (r < rounds) {
-      assigned = assign(corpus, recompute(assigned, quantized))
+      // per-round centroid means come back to the driver as the next
+      // round's broadcast table (k rows — the model-to-driver pattern)
+      assigned = assignEuclid(corpus, collectCents(recompute(assigned)))
       r += 1
     }
-    val out = assigned.join(corpus, "vec_id").join(quantized, "vec_id").persist(lvl)
-    // Materialize NOW, while quantized/corpus are cached (every round's
-    // branches re-read them), then release the intermediate caches —
-    // without this, either the inputs leak cache for the session lifetime
-    // (never unpersisted) or the caller's action recomputes every round
-    // uncached (unpersisted too early).
+    val out = assigned
+      .select(col("vec_id"), col("cid"), col("qd"), col("nq"), col("qi"))
+      .persist(lvl)
+    // Materialize NOW, while corpus is cached (the assignment projection
+    // reads it), then release the intermediate cache.
     out.count(): Unit
-    quantized.unpersist()
     corpus.unpersist()
     out
   }
@@ -125,12 +150,25 @@ object Clustering {
     * (ties → lowest centroid id) — the training twin of IVF's serve-time
     * assignment, so the trained lists are balanced under the SAME metric
     * that probes them (a Euclidean-trained/cosine-served mismatch measurably
-    * costs recall — see IvfRecallSpec). */
-  private def assignCos(corpus: DataFrame, cents: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(cents))
-      .withColumn("ccos", Similarity.coarseCos(col("qd"), col("m"), col("nq"), col("nm")))
-      .groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nid"))).as("cid"))
+    * costs recall — see IvfRecallSpec). Compiled per-row argmax since r18
+    * ([[graft.functions.NearestCentroidCos]] — exact replacement of the
+    * crossJoin + max_by(cid, struct(ccos, -cid)) aggregate, same scores,
+    * ties, and degenerate-row semantics). Adds `cid` to `corpus`'s columns. */
+  private def assignCos(corpus: DataFrame, cents: CentroidTable): DataFrame = {
+    // driver-side empty guard — see [[assignEuclid]]'s note on why a
+    // runtime isNotNull filter is the wrong tool here
+    if (cents.isEmpty)
+      return corpus.filter(lit(false)).withColumn("cid", lit(0L))
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    corpus
+      .withColumn("__best", org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.NearestCentroidCos(
+          org.apache.spark.sql.graft.GraftBridge.expression(col("qd")),
+          org.apache.spark.sql.graft.GraftBridge.expression(col("nq")),
+          bc)))
+      .withColumn("cid", col("__best.cid"))
+      .drop("__best")
+  }
 
   /** TRAINED centroids: the spherical-k-means means after `rounds − 1`
     * exact-integer recomputations (default two — measured on sf0.01 ground
@@ -169,16 +207,18 @@ object Clustering {
                                     rounds: Int = 3): DataFrame = {
     require(rounds >= 2, s"a trained quantizer needs >= 1 recompute (rounds >= 2), got $rounds")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // qi rides along so each round's recompute reads the assignment row
+    // directly (see [[recompute]]); one cache instead of a join per round
     val corpus = quantized
-      .select(col("vec_id"), transform(col("qi"), _.cast("double")).as("qd"))
+      .select(col("vec_id"), col("qi"), transform(col("qi"), _.cast("double")).as("qd"))
       .withColumn("nq", sqNorm(col("qd")))
       .persist(lvl)
-    val seed = corpus.filter(col("vec_id") % centroidStep === 0)
-      .select(col("vec_id").as("cid"), col("qd").as("m"), col("nq").as("nm"))
-    var cents = recompute(assignCos(corpus, seed), quantized)
+    val seed = collectCents(corpus.filter(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cid"), col("qd").as("m"), col("nq").as("nm")))
+    var cents = recompute(assignCos(corpus, seed))
     var r = 2
     while (r < rounds) {
-      cents = recompute(assignCos(corpus, cents), quantized)
+      cents = recompute(assignCos(corpus, collectCents(cents)))
       r += 1
     }
     val out = cents.localCheckpoint(true)

@@ -207,17 +207,24 @@ object DedupIndex {
                          docBuckets0: Int): Int = {
     val withSh = Dedup.shingleFrame(docs, n, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // count() materializes the cache on BOTH paths (the append path used to
+    // leave it cold until the first write), doubles as the emptiness probe
+    // below, and sizes the width on the build path
+    val shRows = withSh.count()
     val docBuckets =
-      if (docBuckets0 > 0) docBuckets0 else buildDocBuckets(withSh.count())
-    withDbucket(Dedup.minhashBanded(withSh, bands, rowsPerBand), docBuckets)
-      .repartition(col("band"), col("dbucket"))
-      .write.mode(mode).partitionBy("band", "dbucket").parquet(s"$dir/bands")
-    withDbucket(withSh, docBuckets)
-      .repartition(col("dbucket"))
-      .write.mode(mode).partitionBy("dbucket").parquet(s"$dir/shingles")
+      if (docBuckets0 > 0) docBuckets0 else buildDocBuckets(shRows)
+    // bands and shingles are independent writes over the one cached shingle
+    // frame — overlap the two job+commit latencies (r18, guide §2.6)
+    Par.run(
+      () => withDbucket(Dedup.minhashBanded(withSh, bands, rowsPerBand), docBuckets)
+        .repartition(col("band"), col("dbucket"))
+        .write.mode(mode).partitionBy("band", "dbucket").parquet(s"$dir/bands"),
+      () => withDbucket(withSh, docBuckets)
+        .repartition(col("dbucket"))
+        .write.mode(mode).partitionBy("dbucket").parquet(s"$dir/shingles"))
     // an all-blank frame writes no partition files — keep the marker then
     // (clearing it over a still-empty store would break later reads)
-    val wroteRows = !withSh.isEmpty
+    val wroteRows = shRows > 0
     withSh.unpersist()
     val mp = emptyMarker(dir)
     val mf = fs(docs.sparkSession, mp)

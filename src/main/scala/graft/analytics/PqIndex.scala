@@ -260,17 +260,31 @@ object PqIndex {
     * (vec_id, centroid_id, best_ccos); the winning cosine feeds the drift
     * signal ([[driftStats]]) and is dropped before anything is stored. */
   private def assignCoarse(quantized: DataFrame, cent: DataFrame): DataFrame = {
-    val centB = broadcast(cent.select(
-      col("cid").as("centroid_id"), col("m").as("cm"), col("nm").as("cnm")))
+    // compiled per-row argmax over the driver-collected centroid table
+    // (r18 — graft.functions.NearestCentroidCos): replaces the crossJoin +
+    // max_by hash aggregate over |vecs| × k scored rows; winner AND its
+    // ccos (the old max(ccos) — the winner's score by construction) come
+    // off one projection. Ties, null/ragged vectors, and the empty-table
+    // case reproduce the aggregate exactly (see the expression scaladoc).
+    val centT = graft.functions.CentroidTable.collect(cent)
+    if (centT.isEmpty)
+      // the replaced aggregate emitted nothing on an empty centroid side —
+      // decided driver-side (a runtime isNotNull filter would push below
+      // the projection and evaluate the argmax twice per row, guide §4.4)
+      return quantized.filter(lit(false))
+        .select(col("vec_id"), lit(0L).as("centroid_id"),
+          lit(null).cast("double").as("best_ccos"))
+    val centB = quantized.sparkSession.sparkContext.broadcast(centT)
     quantized
       .select(col("vec_id"), transform(col("qi"), _.cast("double")).as("qd"))
       .withColumn("nqd", GraftFunctions.arrayDot(col("qd"), col("qd")))
-      .crossJoin(centB)
-      .withColumn("ccos", Similarity.coarseCos(col("qd"), col("cm"), col("nqd"), col("cnm")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("centroid_id"),
-        struct(col("ccos"), (-col("centroid_id")).as("nid"))).as("centroid_id"),
-        max(col("ccos")).as("best_ccos"))
+      .withColumn("__best", org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.NearestCentroidCos(
+          org.apache.spark.sql.graft.GraftBridge.expression(col("qd")),
+          org.apache.spark.sql.graft.GraftBridge.expression(col("nqd")),
+          centB)))
+      .select(col("vec_id"), col("__best.cid").as("centroid_id"),
+        col("__best.score").as("best_ccos"))
   }
 
   /** Write codes + the `vlists/` sidecar. Persists and RETURNS the
@@ -280,26 +294,32 @@ object PqIndex {
                          mode: String, vbuckets: Int): DataFrame = {
     val assigned = assigned0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // cluster by list before the partitioned write: without this every
-    // shuffle partition appends its own file to every list directory
-    // (tasks × lists small files); with it each list is one file, written
-    // once and read in one footer open per probe. At real scale cap file
-    // size with spark.sql.files.maxRecordsPerFile instead of one-per-list.
-    // Stored layout is PACKED (round 11): one (vec_id, pcodes) row per
-    // vector instead of m code rows — the codes scan, the probe join, and
-    // the list files all shrink m-fold (32× at the default geometry).
-    ProductQuantization.packCodes(codes)
-      .join(assigned.select("vec_id", "centroid_id"), "vec_id")
-      .select(col("vec_id"), col("pcodes"), col("centroid_id"))
-      .repartition(col("centroid_id"))
-      .write.mode(mode).partitionBy("centroid_id").parquet(s"$dir/codes")
-    // id→list sidecar (r14): two longs per vector, vec-hash partitioned —
-    // [[compact]] discovers affected lists from the tombstoned ids'
-    // buckets alone (O(|ids|), not O(index))
-    assigned.select(col("vec_id"), col("centroid_id"))
-      .withColumn("vbucket", vbucketOf(col("vec_id"), vbuckets))
-      .repartition(col("vbucket"))
-      .write.mode(mode).partitionBy("vbucket").parquet(s"$dir/vlists")
+    // The codes store and the vlists sidecar are independent writes over
+    // the same persisted assignment — run them CONCURRENTLY from driver
+    // threads (r18, guide §2.6) so the two job+commit latencies overlap.
+    // Per-store notes:
+    //   - codes cluster by list before the partitioned write: without
+    //     this every shuffle partition appends its own file to every list
+    //     directory (tasks × lists small files); with it each list is one
+    //     file, written once and read in one footer open per probe. At
+    //     real scale cap file size with spark.sql.files.maxRecordsPerFile
+    //     instead of one-per-list. Stored layout is PACKED (round 11): one
+    //     (vec_id, pcodes) row per vector instead of m code rows — the
+    //     codes scan, the probe join, and the list files all shrink m-fold
+    //     (32× at the default geometry).
+    //   - vlists (r14): two longs per vector, vec-hash partitioned —
+    //     [[compact]] discovers affected lists from the tombstoned ids'
+    //     buckets alone (O(|ids|), not O(index)).
+    Par.run(
+      () => ProductQuantization.packCodes(codes)
+        .join(assigned.select("vec_id", "centroid_id"), "vec_id")
+        .select(col("vec_id"), col("pcodes"), col("centroid_id"))
+        .repartition(col("centroid_id"))
+        .write.mode(mode).partitionBy("centroid_id").parquet(s"$dir/codes"),
+      () => assigned.select(col("vec_id"), col("centroid_id"))
+        .withColumn("vbucket", vbucketOf(col("vec_id"), vbuckets))
+        .repartition(col("vbucket"))
+        .write.mode(mode).partitionBy("vbucket").parquet(s"$dir/vlists"))
     // clear the empty marker only AFTER the replacement data is readable:
     // readCodes gives the marker precedence, so a lock-free reader racing
     // this write degrades to a safe stale-empty view instead of hitting a
@@ -344,17 +364,22 @@ object PqIndex {
       quantized, trainOn, fullTrain, trainSampleTarget, idCol, vecCol)
     val subsetTrain = !(quantizedTrain eq quantized)
     val cent = Clustering.trainedCentroidsFromQuantized(quantizedTrain, coarseStep)
-    cent.write.mode("overwrite").parquet(s"$dir/coarse")
+    // the coarse-centroid store write (checkpointed k rows) is independent
+    // of the subspace-PQ training — overlap them (r18, guide §2.6)
+    var trained: (DataFrame, DataFrame, DataFrame) = null
+    Par.run(
+      () => cent.write.mode("overwrite").parquet(s"$dir/coarse"),
+      () => trained =
+        ProductQuantization.trainAndCodesQ(quantizedTrain, m, subDim, centroidStep))
     val assigned = assignCoarse(quantized, cent)
-    val (subs, cents1, codesTrain) =
-      ProductQuantization.trainAndCodesQ(quantizedTrain, m, subDim, centroidStep)
+    val (subs, cents1, codesTrain) = trained
     cents1.write.mode("overwrite").parquet(s"$dir/codebooks")
     // encode the FULL corpus under the trained codebooks (identical to the
     // training codes when training was full — same slices, same assign rule)
     val codes =
       if (!subsetTrain) codesTrain
       else ProductQuantization.assignToBooks(
-        ProductQuantization.subSlices(quantized, m, subDim), cents1)
+        ProductQuantization.subSlices(quantized, m, subDim), cents1, m)
     // sidecar width by corpus size (r15, VERDICT r14 #4), recorded in meta
     // and read back by [[compact]] — never recomputed from a constant
     val nCorpus = quantized.count()
@@ -417,7 +442,7 @@ object PqIndex {
     val books = spark.read.parquet(s"$dir/codebooks")
     val assigned = assignCoarse(quantized, cent)
     val codes = ProductQuantization.assignToBooks(
-      ProductQuantization.subSlices(quantized, m, subDim), books)
+      ProductQuantization.subSlices(quantized, m, subDim), books, m)
     // append under the STORED sidecar width (the bucket rule is a pure
     // function of the id only at constant width); completeness is
     // inherited — appending keeps a complete sidecar complete, and can

@@ -151,21 +151,65 @@ object ProductQuantization {
 
   /** Nearest-codeword assignment of sub-slices to a (sub, cid, m, nm)
     * codebook — the SAME rule whether the codebook is mid-training or read
-    * back from a persisted index (append path). */
-  private[analytics] def assignToBooks(subs: DataFrame, cents: DataFrame): DataFrame =
-    subs.join(broadcast(cents), "sub")
-      .withColumn("dist",
-        col("nq") + col("nm") - lit(2.0) * dot(col("sqd"), col("m")))
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+    * back from a persisted index (append path).
+    *
+    * Compiled form (r18): the codebooks are collected (bounded: m ×
+    * trainN/centroidStep rows by construction) and broadcast into
+    * [[graft.functions.NearestBookCode]] — one projection pass over `subs`
+    * instead of a |subs| × k broadcast-join exploded through a min_by hash
+    * aggregate (the measured majority of every PQ build profile). Scores,
+    * tie-breaks, null/ragged-vector handling, and the inner join's
+    * dropped-sub semantics are replicated exactly (see the expression's
+    * scaladoc); results are bit-identical (AdcServeSpec/PqIndexSpec parity
+    * + the full oracle gate). */
+  private[analytics] def assignToBooks(subs: DataFrame, cents: DataFrame,
+                                       m: Int): DataFrame =
+    withBookAssignment(subs, cents, m)
       .select(col("vec_id"), col("sub"),
-        col("best.cid").as("cid"), col("best.dist").as("dist"))
+        col("__best.cid").as("cid"), col("__best.score").as("dist"))
+
+  /** [[assignToBooks]] keeping the caller's columns: `subs` plus the
+    * winning (cid, dist) as `__best` — lets training read the slice
+    * columns off the assignment row without re-joining `subs`.
+    *
+    * The inner join this replaces dropped rows whose sub has no trained
+    * book; that case is decided DRIVER-side from the collected books (a
+    * runtime `isNotNull` filter would be pushed below the projection by
+    * alias substitution and evaluate the whole argmin twice per row —
+    * guide §4.4's duplication, measured at 2× the assignment pass). Books
+    * covering every sub present (the non-degenerate corpus: subSlices
+    * generates subs 0..m-1 and each trained book keeps its sub id) need no
+    * filter at all; a partial book set keeps the filter; an empty one is
+    * the replaced join's empty result. */
+  private def withBookAssignment(subs: DataFrame, cents: DataFrame,
+                                 m: Int): DataFrame = {
+    val spark = subs.sparkSession
+    val books = graft.functions.CentroidTable.collectBooks(cents)
+    if (books.isEmpty)
+      subs.filter(lit(false))
+        .withColumn("__best", lit(null).cast(graft.functions.CentroidTable.outType))
+    else {
+      val bc = spark.sparkContext.broadcast(books)
+      val assigned = subs.withColumn("__best",
+        org.apache.spark.sql.graft.GraftBridge.column(
+          graft.functions.NearestBookCode(
+            org.apache.spark.sql.graft.GraftBridge.expression(col("sub")),
+            org.apache.spark.sql.graft.GraftBridge.expression(col("sqd")),
+            org.apache.spark.sql.graft.GraftBridge.expression(col("nq")),
+            bc)))
+      // subSlices generates sub ∈ 0..m-1, so a book set covering that full
+      // range can never return null — the filter is only kept for the
+      // degenerate partial-book corpus
+      if ((0 until m).forall(books.contains)) assigned
+      else assigned.filter(col("__best").isNotNull)
+    }
+  }
 
   private[analytics] def trainAndCodesQ(quantized: DataFrame, m: Int, subDim: Int,
                                         centroidStep: Int): (DataFrame, DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val subs = subSlices(quantized, m, subDim).persist(lvl)
-    def assign(cents: DataFrame): DataFrame = assignToBooks(subs, cents)
+    def assign(cents: DataFrame): DataFrame = assignToBooks(subs, cents, m)
     val seeds = subs.filter(col("vec_id") % centroidStep === 0)
       .select(col("sub"), col("vec_id").as("cid"), col("sqd").as("m"), col("nq").as("nm"))
     // ONE pass from the round-1 assignment to the trained codebooks (r17):
@@ -181,9 +225,15 @@ object ProductQuantization {
     // included; null-pos rows stay out of ps (collect_list skips nulls),
     // and (sub, cid) groups whose every slice is empty drop out as the old
     // inner join dropped them.
-    val a1 = assign(seeds)
-    val byPos = a1.join(subs, Seq("vec_id", "sub"))
-      .select(col("sub"), col("cid"), posexplode_outer(col("sqi")).as(Seq("pos", "v")))
+    // r18: the round-1 assignment is the compiled projection (see
+    // assignToBooks) carrying the slice columns, so the old
+    // a1-join-back-to-subs on (vec_id, sub) disappears with the argmin
+    // aggregate — the component sums read sqi straight off the assignment
+    // row.
+    val a1 = withBookAssignment(subs, seeds, m)
+    val byPos = a1
+      .select(col("sub"), col("__best.cid").as("cid"),
+        posexplode_outer(col("sqi")).as(Seq("pos", "v")))
       .groupBy("sub", "cid", "pos").agg(sum("v").as("s"), count(lit(1)).as("c"))
     val cents1 = byPos
       .groupBy("sub", "cid")
@@ -227,7 +277,7 @@ object ProductQuantization {
     val (subs, cents1, codesTrain) = trainAndCodesQ(quantizedTrain, m, subDim, centroidStep)
     val codes =
       if (!subsetTrain) codesTrain
-      else assignToBooks(subSlices(quantized, m, subDim), cents1)
+      else assignToBooks(subSlices(quantized, m, subDim), cents1, m)
     val pairs = packCodes(codes)
       .crossJoin(broadcast(packDt(
         dtForQueries(quantized, queries, cents1, m, subDim, idCol), m)))
@@ -309,7 +359,7 @@ object ProductQuantization {
     cents1.write.mode("overwrite").parquet(s"$dir/codebooks")
     val codes =
       if (!subsetTrain) codesTrain
-      else assignToBooks(subSlices(quantized, m, subDim), cents1)
+      else assignToBooks(subSlices(quantized, m, subDim), cents1, m)
     packCodes(codes).write.mode("overwrite").parquet(s"$dir/codes")
     // the (m, subDim) geometry is a property of the packed codes — record
     // it so adcServe fails fast on a mismatch instead of silently reading
@@ -454,13 +504,27 @@ object ProductQuantization {
       df.select(col(idAs), transform(col("qi"), _.cast("double")).as("qd"))
         .withColumn("nqd", dot(col("qd"), col("qd")))
     val ccos = Similarity.coarseCos(col("qd"), col("cm"), col("nqd"), col("cnm"))
-    // inverted lists: map-side-combined argmax, one row per vector shuffles
-    val assigned = quantSide(quantized, "vec_id")
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos", ccos)
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("centroid_id"),
-        struct(col("ccos"), (-col("centroid_id")).as("nid"))).as("centroid_id"))
+    // inverted lists: compiled per-row argmax over the driver-collected
+    // centroid table (r18 — graft.functions.NearestCentroidCos; replaces
+    // the crossJoin + max_by aggregate over |vecs| × k scored rows with
+    // one projection, exact to the old ordering/tie/degenerate semantics)
+    val centT = graft.functions.CentroidTable.collect(
+      cent, cidCol = "centroid_id", mCol = "cm", nmCol = "cnm")
+    val centB = emb.sparkSession.sparkContext.broadcast(centT)
+    // empty-table guard driver-side; non-empty tables never return null
+    // (a runtime isNotNull filter would re-evaluate the argmax per row —
+    // guide §4.4)
+    val assigned =
+      if (centT.isEmpty)
+        quantSide(quantized, "vec_id").filter(lit(false))
+          .select(col("vec_id"), lit(0L).as("centroid_id"))
+      else quantSide(quantized, "vec_id")
+        .withColumn("__best", org.apache.spark.sql.graft.GraftBridge.column(
+          graft.functions.NearestCentroidCos(
+            org.apache.spark.sql.graft.GraftBridge.expression(col("qd")),
+            org.apache.spark.sql.graft.GraftBridge.expression(col("nqd")),
+            centB)))
+        .select(col("vec_id"), col("__best.cid").as("centroid_id"))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("ccos").desc, col("centroid_id"))
     val probes = quantSide(
@@ -479,7 +543,7 @@ object ProductQuantization {
     // training codes when training was full — same slices, same rule)
     val codes =
       if (!sampledTrain) codesTrain
-      else assignToBooks(subSlices(quantized, m, subDim), cents1)
+      else assignToBooks(subSlices(quantized, m, subDim), cents1, m)
     val pairs = cand.join(packCodes(codes), "vec_id")
       .join(broadcast(packDt(
         dtForQueries(quantized, queries, cents1, m, subDim, idCol), m)), "query_id")

@@ -273,18 +273,6 @@ object SearchIndex {
       if (buckets0 > 0) buckets0 else IndexMeta.tokenBucketPolicy(postings0.count())
     val postings = postings0
       .withColumn("bucket", Dedup.hash60(col("token")) % buckets)
-    // sort postings by token INSIDE each bucket (r13, VERDICT r12 #4): the
-    // probe prunes to |terms| bucket directories, but inside a bucket it
-    // still row-filters `token IN (...)` — with token-sorted files the
-    // parquet row-group/page min-max stats prune WITHIN the bucket too
-    // (SearchIndexSpec measures rows read, sorted vs unsorted). The leading
-    // `bucket` key keeps the write's required partition ordering satisfied,
-    // so no second (order-destroying) sort is inserted before the writer.
-    postings.repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("token"), col("doc_id"))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/postings")
-    postings.groupBy("token").agg(count(lit(1)).as("df"))
-      .write.mode(mode).parquet(s"$dir/df")
     // census covers ALL docs (a blank doc has no postings but still counts
     // toward n and dl_sum — explode_outer carried it into `base` as a
     // null-token row); stats derive from it — same census bm25TopDocs
@@ -316,20 +304,39 @@ object SearchIndex {
         "(duplicate-id input rows, or string ids cast-colliding to the same long)")
     val docBuckets =
       if (docBuckets0 > 0) docBuckets0 else IndexMeta.bucketPolicy(censusRows)
-    // forward index (r14): the same (doc_id, token, tf) rows as postings,
-    // laid out in DOC order — [[forget]]'s df deltas read only the
-    // tombstoned ids' dbuckets from here, never the postings (which are
-    // laid out in token order and would cost a full pass)
-    postings
-      .select(col("doc_id"), col("token"), col("tf"))
-      .withColumn("dbucket", dbucketOf(col("doc_id"), docBuckets))
-      .repartition(col("dbucket"))
-      .write.mode(mode).partitionBy("dbucket").parquet(s"$dir/forward")
-    census0.withColumn("dbucket", dbucketOf(col("doc_id"), docBuckets))
-      .repartition(col("dbucket"))
-      .write.mode(mode).partitionBy("dbucket").parquet(s"$dir/census")
-    census0.agg(count(lit(1)).as("n"), sum(col("dl")).as("dl_sum"))
-      .write.mode(mode).parquet(s"$dir/stats")
+    // The five stores are mutually independent writes over the two cached
+    // frames (base via postings, census0) — both materialized above by the
+    // width-policy counts — so they run CONCURRENTLY from driver threads
+    // (r18, guide §2.6): five serial job+commit latencies collapse to the
+    // slowest one. Per-store notes:
+    //   - postings are sorted by token INSIDE each bucket (r13, VERDICT
+    //     r12 #4): the probe prunes to |terms| bucket directories, but
+    //     inside a bucket it still row-filters `token IN (...)` — with
+    //     token-sorted files the parquet row-group/page min-max stats
+    //     prune WITHIN the bucket too (SearchIndexSpec measures rows read,
+    //     sorted vs unsorted). The leading `bucket` key keeps the write's
+    //     required partition ordering satisfied, so no second
+    //     (order-destroying) sort is inserted before the writer.
+    //   - forward (r14) is the same (doc_id, token, tf) rows as postings,
+    //     laid out in DOC order — [[forget]]'s df deltas read only the
+    //     tombstoned ids' dbuckets from here, never the postings (which
+    //     are laid out in token order and would cost a full pass).
+    Par.run(
+      () => postings.repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("token"), col("doc_id"))
+        .write.mode(mode).partitionBy("bucket").parquet(s"$dir/postings"),
+      () => postings.groupBy("token").agg(count(lit(1)).as("df"))
+        .write.mode(mode).parquet(s"$dir/df"),
+      () => postings
+        .select(col("doc_id"), col("token"), col("tf"))
+        .withColumn("dbucket", dbucketOf(col("doc_id"), docBuckets))
+        .repartition(col("dbucket"))
+        .write.mode(mode).partitionBy("dbucket").parquet(s"$dir/forward"),
+      () => census0.withColumn("dbucket", dbucketOf(col("doc_id"), docBuckets))
+        .repartition(col("dbucket"))
+        .write.mode(mode).partitionBy("dbucket").parquet(s"$dir/census"),
+      () => census0.agg(count(lit(1)).as("n"), sum(col("dl")).as("dl_sum"))
+        .write.mode(mode).parquet(s"$dir/stats"))
     // clear the all-buckets-emptied marker only AFTER real postings exist
     // (reader-safe ordering, same as the twins)
     val wrotePostings = !postings.isEmpty

@@ -191,21 +191,35 @@ object Similarity {
       .select(col("cid").as("centroid_id"), col("m"), col("nm"))
 
     // inverted lists: every vector → its highest-coarse-cosine centroid,
-    // via max_by with a (ccos, -centroid_id) ordering struct — an ordinary
-    // hash aggregate whose map-side partial collapses the |centroids|
-    // scored copies of each vector BEFORE the shuffle, so one row per
-    // vector moves (a row_number window here would shuffle and sort the
-    // full corpus×centroids score table instead). Tie-break identical to
-    // ORDER BY ccos DESC, centroid_id. Raw v/nv ride along for the exact
-    // final scoring.
+    // as a compiled per-row argmax over the driver-collected centroid
+    // table (r18 — graft.functions.NearestCentroidCos; the pre-r18 shape
+    // crossJoined the broadcast centroids and collapsed corpus × k scored
+    // rows through a max_by hash aggregate that ALSO shuffled each
+    // vector's raw v/nv payload through the ordering struct). Tie-break
+    // identical to ORDER BY ccos DESC, centroid_id; rows survive iff the
+    // table is non-empty (the replaced aggregate emitted nothing on an
+    // empty centroid side). Raw v/nv stay on the projected row for the
+    // exact final scoring — they no longer cross any exchange here.
     val c = addQuant(withNorm(corpus, idCol, vecCol, "vec_id", "v", "nv"), "v")
-    val assigned = c.crossJoin(broadcast(cent))
-      .withColumn("ccos", coarseCos(col("qd"), col("m"), col("nqd"), col("nm")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("v"), col("nv"), col("centroid_id")),
-        struct(col("ccos"), (-col("centroid_id")).as("nid"))).as("best"))
-      .select(col("vec_id"), col("best.v").as("v"), col("best.nv").as("nv"),
-        col("best.centroid_id").as("centroid_id"))
+    val centT = graft.functions.CentroidTable.collect(
+      cent, cidCol = "centroid_id", mCol = "m", nmCol = "nm")
+    val centB = corpus.sparkSession.sparkContext.broadcast(centT)
+    // empty-table guard driver-side (the replaced aggregate emitted nothing
+    // there); non-empty tables never return null, so no runtime filter —
+    // one that pushed below the projection would re-evaluate the argmax
+    // per row (guide §4.4)
+    val assigned =
+      if (centT.isEmpty)
+        c.filter(lit(false)).select(col("vec_id"), col("v"), col("nv"),
+          lit(0L).as("centroid_id"))
+      else c
+        .withColumn("__best", org.apache.spark.sql.graft.GraftBridge.column(
+          graft.functions.NearestCentroidCos(
+            org.apache.spark.sql.graft.GraftBridge.expression(col("qd")),
+            org.apache.spark.sql.graft.GraftBridge.expression(col("nqd")),
+            centB)))
+        .select(col("vec_id"), col("v"), col("nv"),
+          col("__best.cid").as("centroid_id"))
 
     // probe lists: every query → its nprobe nearest centroids (queries are
     // few — the window over |queries|×|centroids| rows is already tiny)

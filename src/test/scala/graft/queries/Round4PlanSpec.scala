@@ -77,13 +77,20 @@ class Round4PlanSpec extends SparkSpec {
     assertNoCartesian(df)
   }
 
-  test("PQ assignment joins the codebook by broadcast, never shuffles the corpus for it") {
+  test("PQ assignment is a compiled projection: no join, no shuffle of the corpus for it") {
     graft.functions.GraftFunctions.register(spark)
     val df = graft.analytics.ProductQuantization
       .pqCodes(graft.Tables(spark, d).embeddings)
     assert(df.collect().nonEmpty)
+    // r18: the codebook argmin is graft_nearest_book_code over a broadcast
+    // centroid table — the pre-r18 shape was a BroadcastHashJoin exploding
+    // |subs| × k rows through a min_by aggregate; now NO join (of any
+    // strategy) and NO exchange stands between the slice scan and the codes
     val nodes = allNodes(finalPlan(df))
-    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")), finalPlan(df).toString)
+    assert(nodes.exists(_.toString.contains("graft_nearest_book_code")),
+      finalPlan(df).toString)
+    assert(!nodes.exists(_.nodeName.contains("Join")), finalPlan(df).toString)
+    assert(!nodes.exists(_.nodeName.contains("Exchange")), finalPlan(df).toString)
     assertNoNestedLoop(df)
   }
 
