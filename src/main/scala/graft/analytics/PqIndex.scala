@@ -364,11 +364,14 @@ object PqIndex {
       quantized, trainOn, fullTrain, trainSampleTarget, idCol, vecCol)
     val subsetTrain = !(quantizedTrain eq quantized)
     val cent = Clustering.trainedCentroidsFromQuantized(quantizedTrain, coarseStep)
-    // the coarse-centroid store write (checkpointed k rows) is independent
-    // of the subspace-PQ training — overlap them (r18, guide §2.6)
+    // the coarse-centroid store write (checkpointed k rows), the corpus
+    // count (sizes the vlists sidecar width below), and the subspace-PQ
+    // training are mutually independent — overlap them (r18, guide §2.6)
     var trained: (DataFrame, DataFrame, DataFrame) = null
+    var nCorpus = 0L
     Par.run(
       () => cent.write.mode("overwrite").parquet(s"$dir/coarse"),
+      () => nCorpus = quantized.count(),
       () => trained =
         ProductQuantization.trainAndCodesQ(quantizedTrain, m, subDim, centroidStep))
     val assigned = assignCoarse(quantized, cent)
@@ -381,8 +384,8 @@ object PqIndex {
       else ProductQuantization.assignToBooks(
         ProductQuantization.subSlices(quantized, m, subDim), cents1, m)
     // sidecar width by corpus size (r15, VERDICT r14 #4), recorded in meta
-    // and read back by [[compact]] — never recomputed from a constant
-    val nCorpus = quantized.count()
+    // and read back by [[compact]] — never recomputed from a constant;
+    // nCorpus was counted inside the overlap group above
     val vbuckets = IndexMeta.bucketPolicy(nCorpus)
     val assignedP = writeCodes(codes, assigned, dir, "overwrite", vbuckets)
     // drift baseline (r14, VERDICT r13 #8): the train-time p5 of the

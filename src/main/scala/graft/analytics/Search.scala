@@ -717,18 +717,31 @@ object Search {
     * with null permilles rather than dividing by zero. */
   def rouge2(pairs: DataFrame, idCol: String = "pair_id",
              candCol: String = "cand", refCol: String = "ref"): DataFrame = {
-    def gramCounts(c: String, as: String): DataFrame =
-      pairs.select(col(idCol).as("pair_id"),
-          explode(TextAnalysis.bigrams(col(c))).as("__g"))
-        .groupBy(col("pair_id"), Dedup.hash60(col("__g")).as("__gh"))
-        .agg(count(lit(1)).as(as))
-    gramCounts(candCol, "__cc")
-      .join(gramCounts(refCol, "__rc"), Seq("pair_id", "__gh"), "full_outer")
+    // ONE pass over `pairs` (r18): both sides' bigrams explode from the
+    // same row as (side, gram) tags and one aggregate produces the
+    // clipped-count table directly. The pre-r18 shape ran gramCounts per
+    // side — TWO executions of the whole `pairs` plan (for the oracled
+    // query, the cand⋈ref self-join and its text exchanges, twice) joined
+    // back FULL OUTER on (pair_id, hash). Exactness: a side with zero
+    // grams contributed no row to its stream and surfaced as NULL→0
+    // through the outer join's coalesce — here it contributes 0 to the
+    // side-sum directly; a pair with BOTH sides empty produced no row
+    // then and produces none now ([[TextAnalysis.bigrams]] yields an
+    // empty array, never null, so the concat cannot null out a row).
+    val tagged = pairs.select(col(idCol).as("pair_id"),
+      explode(concat(
+        transform(TextAnalysis.bigrams(col(candCol)),
+          g => struct(lit(0).as("s"), g.as("g"))),
+        transform(TextAnalysis.bigrams(col(refCol)),
+          g => struct(lit(1).as("s"), g.as("g"))))).as("t"))
+    tagged
+      .groupBy(col("pair_id"), Dedup.hash60(col("t.g")).as("__gh"))
+      .agg(sum(when(col("t.s") === 0, 1L).otherwise(0L)).as("__cc"),
+        sum(when(col("t.s") === 1, 1L).otherwise(0L)).as("__rc"))
       .groupBy("pair_id")
-      .agg(sum(coalesce(col("__cc"), lit(0L))).as("cand_grams"),
-        sum(coalesce(col("__rc"), lit(0L))).as("ref_grams"),
-        sum(least(coalesce(col("__cc"), lit(0L)),
-          coalesce(col("__rc"), lit(0L)))).as("overlap"))
+      .agg(sum(col("__cc")).as("cand_grams"),
+        sum(col("__rc")).as("ref_grams"),
+        sum(least(col("__cc"), col("__rc"))).as("overlap"))
       // a pair whose cand (or ref) side has < 2 tokens has zero grams on
       // that side: its permille is NULL per the contract above — an
       // unguarded integral div would THROW under the ANSI runtime

@@ -475,12 +475,19 @@ object SearchIndex {
             readForward(spark, dir).filter(col("dbucket").isin(cb: _*))
           else // forward absent or not known-complete: one column-pruned pass
             readPostings(spark, dir)
-        contributions
-          .join(broadcast(present.select("doc_id")), Seq("doc_id"), "left_semi")
-          .groupBy("token").agg((count(lit(1)) * -1L).as("df"))
-          .write.mode("append").parquet(s"$dir/df")
-        present.agg((count(lit(1)) * -1L).as("n"), (sum(col("dl")) * -1L).as("dl_sum"))
-          .write.mode("append").parquet(s"$dir/stats")
+        // the two NEGATIVE-delta parts are independent writes off the
+        // checkpointed `present` frame — overlapped (r18, guide §2.6).
+        // The load-bearing ordering is ids-BEFORE-deltas (above); between
+        // the two deltas either interleaving leaves a lock-free reader
+        // with the same exposure class as the old serial order (tombstoned
+        // docs already excluded, some statistics momentarily stale-high).
+        Par.run(
+          () => contributions
+            .join(broadcast(present.select("doc_id")), Seq("doc_id"), "left_semi")
+            .groupBy("token").agg((count(lit(1)) * -1L).as("df"))
+            .write.mode("append").parquet(s"$dir/df"),
+          () => present.agg((count(lit(1)) * -1L).as("n"), (sum(col("dl")) * -1L).as("dl_sum"))
+            .write.mode("append").parquet(s"$dir/stats"))
       }
       }
     }
