@@ -64,7 +64,13 @@ object Bench {
   val bimodalShuffle: Map[String, Seq[Long]] = Map(
     "dedup_ngram" -> Seq(8475842L),
     "dedup_cc_keepers" -> Seq(9219897L),
-    "dedup_cc_star" -> Seq(9240477L))
+    "dedup_cc_star" -> Seq(9240477L),
+    // the composed pipelines share the same flipping pair leg; the r18
+    // closing runs landed on the SMALL mode (9.11 / 7.85 MB, all three
+    // runs — now the committed medians) so the r17 LARGE-mode medians
+    // (BENCH_LOCAL_r17.json) are the recorded alternates
+    "pipeline_full" -> Seq(16395579L),
+    "pipeline_curate" -> Seq(15401003L))
 
   /** Pure decision function (spec-pinned in BenchGateSpec): a deliberate
     * plan change (wall AND bytes up) classifies Regressed; a noisy rerun
@@ -88,123 +94,121 @@ object Bench {
         }
     }
 
-  /** Round-17 regression baseline: per-query MEDIAN of FIVE closing
+  /** Round-18 regression baseline: per-query MEDIAN of THREE closing
     * quiet recordings (sf0.1, local[8], 188 queries each, 0 failures, 0
-    * Regressed flags) — ALL FIVE committed as
-    * BENCH_LOCAL_r17_run{1..5}.json, so the baseline is reproducible from
-    * history. Five runs instead of the usual three because the host's
-    * wall clock was exceptionally noisy that night: identical-binary run
-    * totals 284.2 / 315.9 / 317.1 / 371.7 / 293.1 s (1.31x spread) with
-    * shuffle bytes bit-flat in every run — every wall flag during the
-    * recording classified DriftSuspect, none Regressed. Median sum
-    * 308.3 s vs r16's 266.2 is that drift, not code: the movers are
-    * scattered sub-2 s queries at 1.4-1.6x with flat bytes, while the
-    * round's actual perf change (the one-pass BM25 build) shows up in
-    * index_split (build legs 5.9-6.9 -> 3.3-4.4 s) and in
-    * bm25_index_forget 10.7 -> 9.7 s against the drift. The bytes
-    * medians are [[baselineShuffle]]; the only intended bytes move this
-    * round is the bm25 family's +~0.4 MB census-distinct exchange (the
-    * price of dropping a whole corpus re-scan per build), inside the 10%
-    * band. Flagged slowdowns are re-measured TWICE before being reported
+    * Regressed flags except the knownTrades-annotated embed_pq in one
+    * run) — all three committed as BENCH_LOCAL_r18_run{1..3}.json, so the
+    * baseline is reproducible from history. Identical-binary totals
+    * 236.8 / 264.4 / 279.3 s (1.18x host wall spread, bytes bit-flat);
+    * median sum 254.6 s vs the r17 committed 308.3 s — the r18
+    * optimization round's net effect (OPTIMIZATION_r18.md: compiled
+    * nearest-centroid assignment, overlapped index-store writes, fused
+    * rouge2, literal BPE replaces). INTENDED bytes moves this round (the
+    * assignment exchanges are gone): sim_pqindex_* 5.19→1.15 MB,
+    * sim_pq_adc 4.28→0.64 MB, sim_ivfpq_topk 3.69→0.89 MB, sim_ivf_topk
+    * 1.44→0.25 MB, embed_pq 4.55→1.09 MB; pipeline_full / pipeline_curate
+    * additionally recorded on their SMALL plan mode this time (all three
+    * runs; the r17 large-mode values are in [[bimodalShuffle]]).
+    * Flagged slowdowns are re-measured TWICE before being reported
     * (below). sim_pqindex_* / bm25_index_* / bm25_mlt* / dedup_cdc_admit
     * / cdc_index_forget / sim_pq_adc time a FULL index lifecycle per run
     * (train/build + partitioned write + probe) — the build/serve split
     * is emitted separately as `index_split`. */
   val baselinePrev: Map[String, Double] = Map(
-    "agg_approx" -> 2.851, "agg_approx_pct" -> 2.936,
-    "agg_hll_cube" -> 0.806, "agg_quantile_cube" -> 0.965,
-    "agg_stats" -> 1.572, "asof_native" -> 1.128,
-    "asof_signup" -> 1.582, "bm25_index_forget" -> 9.690,
-    "bm25_index_search" -> 6.213, "bm25_mlt" -> 6.786,
-    "bm25_mlt_batch" -> 6.569, "bm25_search" -> 1.075,
-    "bpe_encode" -> 5.056, "bpe_merges" -> 0.940,
-    "cdc_index_forget" -> 4.666, "clf_auc" -> 1.590,
-    "clf_calibration" -> 1.379, "clf_pr_curve" -> 1.292,
-    "clf_train" -> 2.247, "cluster_topics" -> 3.925,
-    "contamination_report" -> 1.094, "corpus_datasheet" -> 1.317,
-    "corpus_diff" -> 0.500, "corpus_report" -> 0.613,
-    "curate_blocklist" -> 0.812, "curate_domain_cap" -> 0.702,
-    "curate_threshold_sweep" -> 1.180, "curate_url_dedup" -> 1.643,
-    "decontaminate" -> 0.877, "decontaminate_bloom" -> 0.953,
-    "decontaminate_index" -> 1.187, "dedup_admit" -> 4.674,
-    "dedup_cc_keepers" -> 4.041, "dedup_cc_star" -> 5.009,
-    "dedup_cdc" -> 1.849, "dedup_cdc_admit" -> 3.325,
-    "dedup_cdc_rewrite" -> 1.732, "dedup_closure" -> 4.445,
-    "dedup_containment" -> 3.287, "dedup_delta" -> 3.269,
-    "dedup_exact" -> 0.459, "dedup_fuzzy_verify" -> 1.329,
-    "dedup_index_forget" -> 3.730, "dedup_intradoc" -> 0.775,
-    "dedup_minhash" -> 1.851, "dedup_ngram" -> 3.813,
-    "dedup_ngram_keepers" -> 3.110, "dedup_prefix" -> 0.646,
-    "dedup_quality_keepers" -> 4.653, "dedup_simhash" -> 0.354,
-    "dedup_simhash_pairs" -> 1.209, "dedup_spans" -> 1.068,
-    "dedup_spans_keepers" -> 1.100, "dedup_winnow_pairs" -> 1.782,
-    "doc_chunks" -> 0.450, "doc_len_histogram" -> 0.434,
-    "dsir_weights" -> 2.736, "embed_kmeans" -> 1.672,
-    "embed_mmr" -> 1.747, "embed_neardup" -> 3.367,
-    "embed_outliers" -> 2.744, "embed_pq" -> 0.533,
-    "embed_project" -> 0.881, "embed_prototypes" -> 2.278,
-    "embed_quantize" -> 0.547, "eval_rouge2" -> 2.162,
-    "mm_decode" -> 0.513, "mm_decode_image" -> 0.273,
-    "mm_decode_wav" -> 0.245, "mm_frames" -> 0.333,
-    "mm_resize" -> 0.270, "mm_resize_image" -> 0.228,
-    "o10_escape" -> 1.442, "o11_o13_route" -> 2.293,
-    "o12_optout_dim" -> 0.651, "o14_format_values" -> 2.461,
-    "o3_count_range" -> 0.194, "o4_o5_extract" -> 1.349,
-    "o6_o7_anonymize" -> 0.977, "o8_o9_statement_json" -> 1.703,
-    "o8_withfield" -> 1.892, "pack_chat_template" -> 1.140,
-    "pack_curriculum" -> 0.639, "pack_fim" -> 0.494,
-    "pack_length_buckets" -> 0.556, "pack_shards" -> 0.491,
-    "pack_shuffled" -> 0.449, "pack_window_map" -> 0.410,
-    "pack_windows" -> 0.366, "pipeline_admit" -> 1.495,
-    "pipeline_curate" -> 4.742, "pipeline_full" -> 8.809,
-    "pipeline_pack" -> 1.304, "pipeline_web_ingest" -> 2.064,
-    "privacy_k_anon" -> 0.511, "q10_cube" -> 0.792,
-    "q11_full_outer" -> 0.489, "q12_corr_subquery" -> 0.984,
-    "q13_grouping_sets" -> 0.376, "q14_range_frame" -> 1.015,
-    "q15_explode" -> 0.393, "q16_anti" -> 0.593,
-    "q17_window_nav" -> 0.727, "q18_month_series" -> 0.516,
-    "q19_sorted_collect" -> 0.472, "q1_agg" -> 0.767,
-    "q20_cond_agg" -> 0.500, "q21_range_join" -> 0.740,
-    "q22_map_agg" -> 0.543, "q23_corr" -> 0.466,
-    "q24_null_safe" -> 0.514, "q25_array_ops" -> 0.512,
-    "q26_rank_dist" -> 1.040, "q27_datetime" -> 0.393,
-    "q28_regr" -> 0.440, "q29_mode" -> 0.423,
-    "q30_cum_distinct" -> 0.696, "q31_variant" -> 0.672,
-    "q32_lateral" -> 1.054, "q33_gapfill" -> 0.530,
-    "q34_interval_merge" -> 0.925, "q35_unpivot" -> 0.409,
-    "q36_try" -> 1.871, "q37_scd2" -> 0.859,
-    "q38_retention" -> 0.735, "q39_funnel" -> 0.964,
-    "q3_topk" -> 0.927, "q40_transitions" -> 0.703,
-    "q41_twa" -> 0.661, "q42_dau" -> 0.660,
-    "q5_multijoin" -> 1.176, "q6_rollup" -> 0.554,
-    "q7_percentile" -> 1.981, "q8_pivot" -> 0.506,
-    "q9_exists" -> 0.524, "sample_epochs" -> 0.444,
-    "sample_mix" -> 0.537, "sample_per_group" -> 0.306,
-    "sample_stratified" -> 0.208, "sample_temperature" -> 0.353,
-    "sample_weighted" -> 0.360, "search_rrf" -> 1.357,
-    "semdedup_keepers" -> 2.356, "set_except" -> 0.569,
-    "set_intersect" -> 0.396, "shard_stats" -> 0.428,
-    "sim_ivf_topk" -> 3.186, "sim_ivfpq_topk" -> 6.699,
-    "sim_lsh_banded" -> 1.916, "sim_lsh_bucket" -> 0.760,
-    "sim_pq_adc" -> 5.685, "sim_pqindex_forget" -> 11.435,
-    "sim_pqindex_rescored" -> 9.931, "sim_pqindex_topk" -> 10.863,
-    "sim_topk" -> 0.609, "skew_join_agg" -> 0.963,
-    "split_assign" -> 0.395, "split_leakage" -> 3.113,
-    "text_boilerplate_lines" -> 0.999, "text_card_redact" -> 0.436,
-    "text_clf_score" -> 1.097, "text_cms_topk" -> 1.048,
-    "text_collocations" -> 1.396, "text_entropy" -> 1.307,
-    "text_fingerprint" -> 0.223, "text_fix_encoding" -> 0.568,
-    "text_gopher_gates" -> 0.775, "text_hash_vec" -> 0.717,
-    "text_html_extract" -> 1.067, "text_kn_heldout" -> 1.771,
-    "text_kn_score" -> 1.799, "text_langid" -> 0.271,
-    "text_lm_score" -> 1.540, "text_novelty" -> 1.223,
-    "text_pii_redact" -> 0.374, "text_quality" -> 0.498,
-    "text_quality_calibrated" -> 0.869, "text_repetition" -> 1.392,
-    "text_tok_freq" -> 0.764, "text_tokens" -> 0.386,
-    "text_tokens_re" -> 0.824, "text_top_tokens" -> 0.226,
-    "text_winnow" -> 0.486, "tfidf_top_terms" -> 1.410,
-    "w1_topn_per_group" -> 0.839, "w2_running_sum" -> 0.648,
-    "w3_sessionize" -> 0.960, "w4_ntile" -> 0.943)
+    "agg_approx" -> 2.710, "agg_approx_pct" -> 2.569,
+    "agg_hll_cube" -> 0.850, "agg_quantile_cube" -> 0.976,
+    "agg_stats" -> 1.561, "asof_native" -> 1.463,
+    "asof_signup" -> 1.746, "bm25_index_forget" -> 6.840,
+    "bm25_index_search" -> 3.421, "bm25_mlt" -> 3.624,
+    "bm25_mlt_batch" -> 3.998, "bm25_search" -> 0.834,
+    "bpe_encode" -> 2.981, "bpe_merges" -> 0.804,
+    "cdc_index_forget" -> 4.252, "clf_auc" -> 1.525,
+    "clf_calibration" -> 1.185, "clf_pr_curve" -> 1.148,
+    "clf_train" -> 2.017, "cluster_topics" -> 2.529,
+    "contamination_report" -> 1.066, "corpus_datasheet" -> 1.150,
+    "corpus_diff" -> 0.396, "corpus_report" -> 0.510,
+    "curate_blocklist" -> 0.705, "curate_domain_cap" -> 0.516,
+    "curate_threshold_sweep" -> 0.871, "curate_url_dedup" -> 1.520,
+    "decontaminate" -> 0.815, "decontaminate_bloom" -> 0.844,
+    "decontaminate_index" -> 1.096, "dedup_admit" -> 3.756,
+    "dedup_cc_keepers" -> 3.507, "dedup_cc_star" -> 4.194,
+    "dedup_cdc" -> 1.717, "dedup_cdc_admit" -> 3.506,
+    "dedup_cdc_rewrite" -> 1.959, "dedup_closure" -> 3.592,
+    "dedup_containment" -> 2.132, "dedup_delta" -> 2.633,
+    "dedup_exact" -> 0.389, "dedup_fuzzy_verify" -> 1.168,
+    "dedup_index_forget" -> 2.795, "dedup_intradoc" -> 0.863,
+    "dedup_minhash" -> 1.378, "dedup_ngram" -> 2.666,
+    "dedup_ngram_keepers" -> 2.396, "dedup_prefix" -> 0.632,
+    "dedup_quality_keepers" -> 3.890, "dedup_simhash" -> 0.413,
+    "dedup_simhash_pairs" -> 1.076, "dedup_spans" -> 0.931,
+    "dedup_spans_keepers" -> 1.133, "dedup_winnow_pairs" -> 1.817,
+    "doc_chunks" -> 0.532, "doc_len_histogram" -> 0.400,
+    "dsir_weights" -> 2.362, "embed_kmeans" -> 0.998,
+    "embed_mmr" -> 1.645, "embed_neardup" -> 3.165,
+    "embed_outliers" -> 1.579, "embed_pq" -> 0.913,
+    "embed_project" -> 1.093, "embed_prototypes" -> 1.295,
+    "embed_quantize" -> 0.530, "eval_rouge2" -> 2.523,
+    "mm_decode" -> 0.448, "mm_decode_image" -> 0.294,
+    "mm_decode_wav" -> 0.300, "mm_frames" -> 0.354,
+    "mm_resize" -> 0.267, "mm_resize_image" -> 0.194,
+    "o10_escape" -> 1.115, "o11_o13_route" -> 2.725,
+    "o12_optout_dim" -> 0.922, "o14_format_values" -> 1.752,
+    "o3_count_range" -> 0.177, "o4_o5_extract" -> 0.990,
+    "o6_o7_anonymize" -> 1.083, "o8_o9_statement_json" -> 1.365,
+    "o8_withfield" -> 1.300, "pack_chat_template" -> 1.230,
+    "pack_curriculum" -> 0.502, "pack_fim" -> 0.422,
+    "pack_length_buckets" -> 0.453, "pack_shards" -> 0.529,
+    "pack_shuffled" -> 0.385, "pack_window_map" -> 0.389,
+    "pack_windows" -> 0.344, "pipeline_admit" -> 1.440,
+    "pipeline_curate" -> 3.794, "pipeline_full" -> 6.734,
+    "pipeline_pack" -> 1.060, "pipeline_web_ingest" -> 2.170,
+    "privacy_k_anon" -> 0.378, "q10_cube" -> 0.559,
+    "q11_full_outer" -> 0.404, "q12_corr_subquery" -> 1.044,
+    "q13_grouping_sets" -> 0.462, "q14_range_frame" -> 0.833,
+    "q15_explode" -> 0.349, "q16_anti" -> 0.560,
+    "q17_window_nav" -> 0.702, "q18_month_series" -> 0.489,
+    "q19_sorted_collect" -> 0.357, "q1_agg" -> 0.632,
+    "q20_cond_agg" -> 0.404, "q21_range_join" -> 0.695,
+    "q22_map_agg" -> 0.541, "q23_corr" -> 0.410,
+    "q24_null_safe" -> 0.416, "q25_array_ops" -> 0.616,
+    "q26_rank_dist" -> 1.051, "q27_datetime" -> 0.438,
+    "q28_regr" -> 0.438, "q29_mode" -> 0.390,
+    "q30_cum_distinct" -> 0.721, "q31_variant" -> 0.720,
+    "q32_lateral" -> 1.034, "q33_gapfill" -> 0.439,
+    "q34_interval_merge" -> 0.916, "q35_unpivot" -> 0.382,
+    "q36_try" -> 2.156, "q37_scd2" -> 0.789,
+    "q38_retention" -> 0.707, "q39_funnel" -> 0.939,
+    "q3_topk" -> 0.863, "q40_transitions" -> 0.837,
+    "q41_twa" -> 0.848, "q42_dau" -> 0.890,
+    "q5_multijoin" -> 1.219, "q6_rollup" -> 0.649,
+    "q7_percentile" -> 2.187, "q8_pivot" -> 0.517,
+    "q9_exists" -> 0.538, "sample_epochs" -> 0.383,
+    "sample_mix" -> 0.564, "sample_per_group" -> 0.341,
+    "sample_stratified" -> 0.214, "sample_temperature" -> 0.293,
+    "sample_weighted" -> 0.360, "search_rrf" -> 1.131,
+    "semdedup_keepers" -> 1.321, "set_except" -> 0.457,
+    "set_intersect" -> 0.394, "shard_stats" -> 0.354,
+    "sim_ivf_topk" -> 2.170, "sim_ivfpq_topk" -> 3.484,
+    "sim_lsh_banded" -> 1.869, "sim_lsh_bucket" -> 0.749,
+    "sim_pq_adc" -> 2.997, "sim_pqindex_forget" -> 7.300,
+    "sim_pqindex_rescored" -> 7.643, "sim_pqindex_topk" -> 6.327,
+    "sim_topk" -> 0.476, "skew_join_agg" -> 0.790,
+    "split_assign" -> 0.313, "split_leakage" -> 2.777,
+    "text_boilerplate_lines" -> 0.858, "text_card_redact" -> 0.427,
+    "text_clf_score" -> 1.116, "text_cms_topk" -> 0.790,
+    "text_collocations" -> 1.202, "text_entropy" -> 1.227,
+    "text_fingerprint" -> 0.237, "text_fix_encoding" -> 0.564,
+    "text_gopher_gates" -> 0.745, "text_hash_vec" -> 0.818,
+    "text_html_extract" -> 1.032, "text_kn_heldout" -> 1.864,
+    "text_kn_score" -> 2.189, "text_langid" -> 0.255,
+    "text_lm_score" -> 1.856, "text_novelty" -> 1.323,
+    "text_pii_redact" -> 0.458, "text_quality" -> 0.563,
+    "text_quality_calibrated" -> 0.982, "text_repetition" -> 1.412,
+    "text_tok_freq" -> 0.715, "text_tokens" -> 0.389,
+    "text_tokens_re" -> 0.879, "text_top_tokens" -> 0.230,
+    "text_winnow" -> 0.620, "tfidf_top_terms" -> 1.343,
+    "w1_topn_per_group" -> 0.774, "w2_running_sum" -> 0.637,
+    "w3_sessionize" -> 1.057, "w4_ntile" -> 0.983)
 
   /** Per-query shuffle-write BYTES baseline (r16, VERDICT r15 #2):
     * median of the same three closing quiet recordings that produce
@@ -220,97 +224,97 @@ object Bench {
     "agg_approx" -> 3095847L, "agg_approx_pct" -> 5596751L,
     "agg_hll_cube" -> 428781L, "agg_quantile_cube" -> 553839L,
     "agg_stats" -> 9424233L, "asof_native" -> 2855566L,
-    "asof_signup" -> 3100494L, "bm25_index_forget" -> 6058803L,
-    "bm25_index_search" -> 6067714L, "bm25_mlt" -> 6232274L,
-    "bm25_mlt_batch" -> 5936869L, "bm25_search" -> 80L,
-    "bpe_encode" -> 106862L, "bpe_merges" -> 18995L,
-    "cdc_index_forget" -> 362329L, "clf_auc" -> 794663L,
+    "asof_signup" -> 3100494L, "bm25_index_forget" -> 6058114L,
+    "bm25_index_search" -> 6067025L, "bm25_mlt" -> 6231585L,
+    "bm25_mlt_batch" -> 5936180L, "bm25_search" -> 80L,
+    "bpe_encode" -> 865662L, "bpe_merges" -> 18995L,
+    "cdc_index_forget" -> 362341L, "clf_auc" -> 794663L,
     "clf_calibration" -> 763775L, "clf_pr_curve" -> 794722L,
-    "clf_train" -> 3761959L, "cluster_topics" -> 518058L,
+    "clf_train" -> 3761959L, "cluster_topics" -> 127445L,
     "contamination_report" -> 32480L, "corpus_datasheet" -> 325398L,
-    "corpus_diff" -> 1060400L, "corpus_report" -> 137167L,
-    "curate_blocklist" -> 428742L, "curate_domain_cap" -> 130717L,
-    "curate_threshold_sweep" -> 2729L, "curate_url_dedup" -> 111575L,
-    "decontaminate" -> 49475L, "decontaminate_bloom" -> 100128L,
-    "decontaminate_index" -> 101995L, "dedup_admit" -> 2863655L,
-    "dedup_cc_keepers" -> 16697844L, "dedup_cc_star" -> 16723087L,
-    "dedup_cdc" -> 792079L, "dedup_cdc_admit" -> 359608L,
-    "dedup_cdc_rewrite" -> 2371057L, "dedup_closure" -> 16584459L,
-    "dedup_containment" -> 16569735L, "dedup_delta" -> 2355285L,
-    "dedup_exact" -> 689490L, "dedup_fuzzy_verify" -> 23150L,
-    "dedup_index_forget" -> 2356721L, "dedup_intradoc" -> 860227L,
-    "dedup_minhash" -> 1575521L, "dedup_ngram" -> 16570504L,
-    "dedup_ngram_keepers" -> 16665709L, "dedup_prefix" -> 18952L,
-    "dedup_quality_keepers" -> 16846808L, "dedup_simhash" -> 67806L,
-    "dedup_simhash_pairs" -> 21428L, "dedup_spans" -> 850827L,
-    "dedup_spans_keepers" -> 2686978L, "dedup_winnow_pairs" -> 2856865L,
-    "doc_chunks" -> 355102L, "doc_len_histogram" -> 1142L,
-    "dsir_weights" -> 2234133L, "embed_kmeans" -> 208999L,
+    "corpus_diff" -> 1060440L, "corpus_report" -> 137167L,
+    "curate_blocklist" -> 428750L, "curate_domain_cap" -> 130475L,
+    "curate_threshold_sweep" -> 2729L, "curate_url_dedup" -> 111658L,
+    "decontaminate" -> 49510L, "decontaminate_bloom" -> 100153L,
+    "decontaminate_index" -> 101998L, "dedup_admit" -> 2863655L,
+    "dedup_cc_keepers" -> 16697826L, "dedup_cc_star" -> 16721750L,
+    "dedup_cdc" -> 792079L, "dedup_cdc_admit" -> 359610L,
+    "dedup_cdc_rewrite" -> 2370766L, "dedup_closure" -> 16584459L,
+    "dedup_containment" -> 16570714L, "dedup_delta" -> 2355285L,
+    "dedup_exact" -> 689453L, "dedup_fuzzy_verify" -> 23150L,
+    "dedup_index_forget" -> 2356721L, "dedup_intradoc" -> 860532L,
+    "dedup_minhash" -> 1575521L, "dedup_ngram" -> 16571368L,
+    "dedup_ngram_keepers" -> 16666362L, "dedup_prefix" -> 18952L,
+    "dedup_quality_keepers" -> 16845414L, "dedup_simhash" -> 67773L,
+    "dedup_simhash_pairs" -> 21428L, "dedup_spans" -> 850855L,
+    "dedup_spans_keepers" -> 2687353L, "dedup_winnow_pairs" -> 2856783L,
+    "doc_chunks" -> 355726L, "doc_len_histogram" -> 1142L,
+    "dsir_weights" -> 2221515L, "embed_kmeans" -> 84414L,
     "embed_mmr" -> 41009L, "embed_neardup" -> 15716L,
-    "embed_outliers" -> 604528L, "embed_pq" -> 4545221L,
-    "embed_project" -> 423861L, "embed_prototypes" -> 619301L,
-    "embed_quantize" -> 380937L, "eval_rouge2" -> 6307442L,
-    "mm_decode" -> 108608L, "mm_decode_image" -> 100446L,
-    "mm_decode_wav" -> 100413L, "mm_frames" -> 139932L,
-    "mm_resize" -> 80055L, "mm_resize_image" -> 113928L,
-    "o10_escape" -> 1736899L, "o11_o13_route" -> 1217647L,
-    "o12_optout_dim" -> 245361L, "o14_format_values" -> 9225906L,
-    "o3_count_range" -> 56L, "o4_o5_extract" -> 2795948L,
-    "o6_o7_anonymize" -> 251489L, "o8_o9_statement_json" -> 7715920L,
-    "o8_withfield" -> 7711894L, "pack_chat_template" -> 3267678L,
-    "pack_curriculum" -> 217940L, "pack_fim" -> 930446L,
+    "embed_outliers" -> 194731L, "embed_pq" -> 1089762L,
+    "embed_project" -> 423584L, "embed_prototypes" -> 223306L,
+    "embed_quantize" -> 380937L, "eval_rouge2" -> 6797683L,
+    "mm_decode" -> 108538L, "mm_decode_image" -> 100374L,
+    "mm_decode_wav" -> 100503L, "mm_frames" -> 139869L,
+    "mm_resize" -> 80050L, "mm_resize_image" -> 113878L,
+    "o10_escape" -> 1027341L, "o11_o13_route" -> 1217396L,
+    "o12_optout_dim" -> 245361L, "o14_format_values" -> 2566035L,
+    "o3_count_range" -> 56L, "o4_o5_extract" -> 2565724L,
+    "o6_o7_anonymize" -> 251489L, "o8_o9_statement_json" -> 1876091L,
+    "o8_withfield" -> 1875971L, "pack_chat_template" -> 3267678L,
+    "pack_curriculum" -> 217881L, "pack_fim" -> 930685L,
     "pack_length_buckets" -> 62224L, "pack_shards" -> 51403L,
-    "pack_shuffled" -> 234265L, "pack_window_map" -> 135623L,
-    "pack_windows" -> 183093L, "pipeline_admit" -> 102272L,
-    "pipeline_curate" -> 15401003L, "pipeline_full" -> 16395579L,
-    "pipeline_pack" -> 338931L, "pipeline_web_ingest" -> 1908837L,
-    "privacy_k_anon" -> 123337L, "q10_cube" -> 2536L,
-    "q11_full_outer" -> 19397L, "q12_corr_subquery" -> 1496351L,
-    "q13_grouping_sets" -> 1260L, "q14_range_frame" -> 3190390L,
-    "q15_explode" -> 1500L, "q16_anti" -> 1019284L,
-    "q17_window_nav" -> 3716172L, "q18_month_series" -> 3215L,
+    "pack_shuffled" -> 234070L, "pack_window_map" -> 135689L,
+    "pack_windows" -> 183431L, "pipeline_admit" -> 102247L,
+    "pipeline_curate" -> 7851406L, "pipeline_full" -> 9105917L,
+    "pipeline_pack" -> 338896L, "pipeline_web_ingest" -> 1908857L,
+    "privacy_k_anon" -> 123315L, "q10_cube" -> 2536L,
+    "q11_full_outer" -> 19397L, "q12_corr_subquery" -> 1496210L,
+    "q13_grouping_sets" -> 1260L, "q14_range_frame" -> 3190560L,
+    "q15_explode" -> 1500L, "q16_anti" -> 1019320L,
+    "q17_window_nav" -> 3716631L, "q18_month_series" -> 3215L,
     "q19_sorted_collect" -> 160083L, "q1_agg" -> 1392L,
     "q20_cond_agg" -> 853L, "q21_range_join" -> 1862L,
     "q22_map_agg" -> 223499L, "q23_corr" -> 895L,
-    "q24_null_safe" -> 1572L, "q25_array_ops" -> 143286L,
-    "q26_rank_dist" -> 1970455L, "q27_datetime" -> 531508L,
+    "q24_null_safe" -> 1572L, "q25_array_ops" -> 143365L,
+    "q26_rank_dist" -> 1969756L, "q27_datetime" -> 531537L,
     "q28_regr" -> 935L, "q29_mode" -> 1296L,
     "q30_cum_distinct" -> 142305L, "q31_variant" -> 731L,
-    "q32_lateral" -> 6192094L, "q33_gapfill" -> 3078L,
-    "q34_interval_merge" -> 2663591L, "q35_unpivot" -> 380L,
-    "q36_try" -> 758L, "q37_scd2" -> 3305025L,
-    "q38_retention" -> 60968L, "q39_funnel" -> 74763L,
+    "q32_lateral" -> 6190401L, "q33_gapfill" -> 3078L,
+    "q34_interval_merge" -> 2663275L, "q35_unpivot" -> 380L,
+    "q36_try" -> 758L, "q37_scd2" -> 3304397L,
+    "q38_retention" -> 116115L, "q39_funnel" -> 74763L,
     "q3_topk" -> 460556L, "q40_transitions" -> 2071860L,
     "q41_twa" -> 1898651L, "q42_dau" -> 883491L,
     "q5_multijoin" -> 1911L, "q6_rollup" -> 1367L,
     "q7_percentile" -> 5435113L, "q8_pivot" -> 206698L,
-    "q9_exists" -> 796078L, "sample_epochs" -> 1026L,
-    "sample_mix" -> 44040L, "sample_per_group" -> 1530L,
+    "q9_exists" -> 796215L, "sample_epochs" -> 1026L,
+    "sample_mix" -> 44063L, "sample_per_group" -> 1530L,
     "sample_stratified" -> 8862L, "sample_temperature" -> 958L,
-    "sample_weighted" -> 34679L, "search_rrf" -> 3072L,
-    "semdedup_keepers" -> 222158L, "set_except" -> 14869L,
+    "sample_weighted" -> 34656L, "search_rrf" -> 3072L,
+    "semdedup_keepers" -> 122591L, "set_except" -> 14869L,
     "set_intersect" -> 27906L, "shard_stats" -> 4126L,
-    "sim_ivf_topk" -> 1439933L, "sim_ivfpq_topk" -> 3694269L,
+    "sim_ivf_topk" -> 252478L, "sim_ivfpq_topk" -> 892490L,
     "sim_lsh_banded" -> 2460591L, "sim_lsh_bucket" -> 939556L,
-    "sim_pq_adc" -> 4282078L, "sim_pqindex_forget" -> 5188172L,
-    "sim_pqindex_rescored" -> 5186413L, "sim_pqindex_topk" -> 5185823L,
+    "sim_pq_adc" -> 644117L, "sim_pqindex_forget" -> 1149016L,
+    "sim_pqindex_rescored" -> 1147257L, "sim_pqindex_topk" -> 1146667L,
     "sim_topk" -> 2447L, "skew_join_agg" -> 24325L,
     "split_assign" -> 494L, "split_leakage" -> 2684685L,
-    "text_boilerplate_lines" -> 1525540L, "text_card_redact" -> 276284L,
-    "text_clf_score" -> 780294L, "text_cms_topk" -> 8224L,
-    "text_collocations" -> 47189L, "text_entropy" -> 1501989L,
-    "text_fingerprint" -> 52230L, "text_fix_encoding" -> 419378L,
-    "text_gopher_gates" -> 1802752L, "text_hash_vec" -> 1357934L,
-    "text_html_extract" -> 94891L, "text_kn_heldout" -> 108702L,
-    "text_kn_score" -> 219623L, "text_langid" -> 49755L,
-    "text_lm_score" -> 171887L, "text_novelty" -> 635401L,
-    "text_pii_redact" -> 281123L, "text_quality" -> 57021L,
-    "text_quality_calibrated" -> 39334L, "text_repetition" -> 5725637L,
-    "text_tok_freq" -> 134618L, "text_tokens" -> 71102L,
-    "text_tokens_re" -> 80663L, "text_top_tokens" -> 991L,
-    "text_winnow" -> 1212609L, "tfidf_top_terms" -> 3291169L,
-    "w1_topn_per_group" -> 1463L, "w2_running_sum" -> 2751854L,
-    "w3_sessionize" -> 3085101L, "w4_ntile" -> 1984617L)
+    "text_boilerplate_lines" -> 1525537L, "text_card_redact" -> 276227L,
+    "text_clf_score" -> 780354L, "text_cms_topk" -> 8224L,
+    "text_collocations" -> 47189L, "text_entropy" -> 1502055L,
+    "text_fingerprint" -> 52245L, "text_fix_encoding" -> 419412L,
+    "text_gopher_gates" -> 1802501L, "text_hash_vec" -> 1357903L,
+    "text_html_extract" -> 94930L, "text_kn_heldout" -> 108702L,
+    "text_kn_score" -> 219472L, "text_langid" -> 49805L,
+    "text_lm_score" -> 171833L, "text_novelty" -> 635417L,
+    "text_pii_redact" -> 281102L, "text_quality" -> 57010L,
+    "text_quality_calibrated" -> 39322L, "text_repetition" -> 5725697L,
+    "text_tok_freq" -> 134630L, "text_tokens" -> 71153L,
+    "text_tokens_re" -> 80669L, "text_top_tokens" -> 991L,
+    "text_winnow" -> 1212221L, "tfidf_top_terms" -> 3291125L,
+    "w1_topn_per_group" -> 1463L, "w2_running_sum" -> 2751618L,
+    "w3_sessionize" -> 3085058L, "w4_ntile" -> 1984617L)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

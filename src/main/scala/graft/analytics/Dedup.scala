@@ -103,7 +103,14 @@ object Dedup {
     * verified on the full shingle sets; returns pairs with
     * `jaccard >= minJaccard`. `maxDf` drops shingles occurring in more than
     * that many documents from the *index only* (candidate recall knob, not a
-    * correctness knob for the verified Jaccard). */
+    * correctness knob for the verified Jaccard).
+    *
+    * EAGER on the capped path (ADVICE r17): the df-capped core runs Spark
+    * jobs at DataFrame-CONSTRUCTION time (the candidate frame is
+    * checkpointed and its recount emptiness probed), so calling this with
+    * `maxDf` executes the inverted-index self-join even if the result is
+    * never acted on, and downstream predicate pushdown into the operator
+    * is unavailable — the repo's established eager-operator contract. */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double, n: Int = 3,
                         maxDf: Option[Int] = None,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -230,7 +237,9 @@ object Dedup {
     * (a document embedded verbatim inside a longer one scores containment
     * ≈ 1 while its Jaccard can be arbitrarily low). Same df-capped
     * inverted-index shape as [[ngramJaccardPairs]]; containment is monotone
-    * in the intersection, so the optimistic-bound pre-filter is sound. */
+    * in the intersection, so the optimistic-bound pre-filter is sound.
+    * EAGER like the Jaccard form (ADVICE r17): construction runs the
+    * candidate jobs — see [[ngramJaccardPairs]]'s contract note. */
   def ngramContainmentPairs(docs: DataFrame, minContainment: Double, n: Int = 3,
                             maxDf: Option[Int] = None,
                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -787,8 +796,10 @@ object Dedup {
   def embeddingNearDupPairsBlocked(emb: DataFrame, minCos: Double, blocks: Int = 8,
                                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // normalize ONCE (r17): the frame feeds both triangle sides; see
-    // Similarity.lshBucketPairsBanded's note. Caller actions materialize
-    // it via the first side; MEMORY_AND_DISK bounds the cost at scale.
+    // Similarity.lshBucketPairsBanded's note. EAGER localCheckpoint: the
+    // norms materialize here, at construction time, and both sides read
+    // the lineage-free blocks (ADVICE r17 — the earlier comment described
+    // a lazy persist this never was).
     val e = Similarity.withNorm(emb, idCol, vecCol, "id", "v", "nrm")
       .withColumn("blk", pmod(hash(col("id")), lit(blocks)))
       .localCheckpoint(true)

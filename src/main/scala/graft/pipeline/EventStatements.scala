@@ -37,7 +37,14 @@ object EventStatements {
 
   /** O4+O5: project the probed fields and drop malformed records (reference
     * warns + skips on missing `_id`/`statement`/`timestamp`,
-    * `src/main.rs:445-453`; here: null probes + unparseable props JSON). */
+    * `src/main.rs:445-453`; here: null probes + unparseable props JSON).
+    *
+    * ORDER-PRESERVING by contract (ADVICE r17): the o-parity queries sort
+    * the RAW events before this chain and rely on every op in
+    * [[extracted]]/[[anonymized]] staying NARROW (projections/filters
+    * only, id == event_id verbatim) — a future shuffle-introducing change
+    * here (distinct, join, repartition) would silently break their output
+    * ordering with only the oracle harness to catch it. */
   def extracted(events: DataFrame): DataFrame =
     events
       .select(

@@ -78,8 +78,15 @@ object JobProfile {
         import scala.jdk.CollectionConverters._
         jobs.values().asScala.count(_.ms >= 0)
       }
-      while (doneCount != lastDone && spins < 30) {
-        lastDone = doneCount; Thread.sleep(100); spins += 1
+      // require THREE consecutive stable 100 ms samples (ADVICE r17): a
+      // single stable sample can exit while a lagging async bus still has
+      // JobEnd/StageCompleted events in flight, undercounting durations
+      // and racing the next query's jobs.clear()
+      var stable = 0
+      while (stable < 3 && spins < 60) {
+        val now = doneCount
+        if (now == lastDone) stable += 1 else { stable = 0; lastDone = now }
+        Thread.sleep(100); spins += 1
       }
       println(s"\n===== $name  wall=${f"$wall%.2f"} s  jobs=${order.size()} =====")
       println(f"${"job"}%4s ${"ms"}%7s ${"taskMs"}%7s ${"shufW"}%10s ${"shufR"}%10s ${"st"}%3s  desc")
